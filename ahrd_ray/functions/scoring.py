@@ -1,0 +1,447 @@
+"""AHRD scoring math (reference operators M6, A1-A10) — pure numpy/pandas.
+
+Two layers:
+
+* scalar helpers mirroring the reference classes one-to-one — used by the
+  pytest conformance suite that ports the JUnit numeric assertions
+  (``TokenScoreCalculatorTest``, ``LexicalScoreCalculatorTest``,
+  ``DescriptionScoreCalculatorTest``);
+* :func:`score_partition` — the vectorized multi-document kernel executed
+  inside the doc-keyed shuffle stage.  It processes ALL docs of a hash
+  partition at once with column operations (no per-row Python in the hot
+  path).
+
+Determinism contract (deviations from the reference, all documented):
+
+* The reference's winner tie-break is HashMap iteration order
+  (``DescriptionScoreCalculator.java:78-103``).  Within one source its
+  effect is "later list entry wins" (``Map.put`` replaces); the list order is
+  the subject-database file order (``BlastResult.java:311-373``), i.e. the
+  catalog ordinal.  We therefore break score ties by ``cand_ord`` DESC, then
+  ``source`` ASC, then ``cand_id`` ASC — exact for same-source ties,
+  deterministic for the cross-source ties the reference leaves undefined.
+* Top-k uses a stable sort by e-value with catalog ordinal as tie-break
+  (``BlastResult.java:375-382`` sorts the subject-file-ordered list stably).
+* HSP dedup keeps the max ``match_score``; on ties the first-seen HSP in
+  reading order (``ingest_seq`` ASC) wins (``BlastResult.java:240-268``
+  replaces only on strictly-greater bit score).
+* When ``quantize=True`` every non-integer value is snapped to a multiple of
+  2**-20 before entering a sum, making all reductions exact in IEEE doubles
+  and therefore order-independent — required for retry-safe distributed
+  execution and for bit-identical DuckDB oracle comparison.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+import pandas as pd
+
+from ahrd_ray.config import EngineConfig, q20
+
+
+# ---------------------------------------------------------------------------
+# Scalar layer (JUnit conformance surface)
+# ---------------------------------------------------------------------------
+
+def overlap_score(
+    query_start: float,
+    query_end: float,
+    query_length: float,
+    subject_start: float,
+    subject_end: float,
+    subject_length: float,
+) -> float:
+    """M6 — TokenScoreCalculator.overlapScore (java :80-83)."""
+    return ((query_end - query_start + 1.0) + (subject_end - subject_start + 1.0)) / (
+        query_length + subject_length
+    )
+
+
+def token_score(
+    cum_bit: float,
+    cum_db: float,
+    cum_overlap: float,
+    total_bit: float,
+    total_db: float,
+    total_overlap: float,
+    cfg: EngineConfig,
+) -> float:
+    """A5 — TokenScoreCalculator.tokenScore (java :187-203).
+
+    Weight-sum validation happens in ``EngineConfig.__post_init__``; callers
+    mutating weights must construct a fresh config (frozen dataclass), so the
+    ±0.001 window is enforced on every use.
+    """
+    w_bit = cfg.token_score_bit_score_weight
+    w_db = cfg.token_score_database_score_weight
+    w_ov = cfg.token_score_overlap_score_weight
+    return (
+        w_bit * cum_bit / total_bit
+        + w_db * cum_db / total_db
+        + w_ov * cum_overlap / total_overlap
+    )
+
+
+def filter_token_scores(token_scores: dict[str, float], high_score: float) -> dict[str, float]:
+    """A7 — TokenScoreCalculator.filterTokenScores (java :131-137).
+
+    Non-informative tokens (score <= high/2) lose high/2; can go negative.
+    """
+    half = high_score / 2
+    return {t: (s if s > half else s - half) for t, s in token_scores.items()}
+
+
+def is_informative(score: float, high_score: float) -> bool:
+    """TokenScoreCalculator.isInformativeToken (java :146-148)."""
+    return score > high_score / 2
+
+
+def correction_factor(token_scores: list[float], high_score: float) -> float:
+    """A8 helper — LexicalScoreCalculator.correctionFactor (java :25-33).
+
+    Returns +inf when no token is informative (Java double division by 0.0) —
+    the caller's division then yields ±0.0, replicated here.
+    """
+    n_informative = float(sum(1 for s in token_scores if is_informative(s, high_score)))
+    with np.errstate(divide="ignore"):
+        return float(np.float64(len(token_scores)) / np.float64(n_informative))
+
+
+def lexical_score(token_scores: list[float], high_score: float) -> float:
+    """A8 — LexicalScoreCalculator.lexicalScore (java :12-33)."""
+    summed = float(sum(token_scores))
+    with np.errstate(divide="ignore", invalid="ignore"):
+        return float(
+            (np.float64(summed) / np.float64(high_score))
+            / np.float64(correction_factor(token_scores, high_score))
+        )
+
+
+def description_score(
+    lexical: float, match_score: float, max_match_score: float, dsbs_weight: float
+) -> float:
+    """A9 — DescriptionScoreCalculator.calcDescriptionScore + relativeBlastScore
+    (java :105-113)."""
+    return lexical + dsbs_weight * match_score / max_match_score
+
+
+# ---------------------------------------------------------------------------
+# Vectorized partition kernel
+# ---------------------------------------------------------------------------
+
+@dataclass
+class CatalogArrays:
+    """Column-oriented view of the (broadcast) tokenized entity catalog.
+
+    Built once per worker from the catalog table; ``cand_ord`` is the
+    catalog ordinal (dense 0..n-1 in catalog order) and is the join key the
+    slim candidate rows carry through the shuffle, so token lists never
+    travel per-candidate.
+    """
+
+    cand_id: np.ndarray  # object[str]
+    cand_short: np.ndarray  # object[str]
+    source: np.ndarray  # object[str]
+    description: np.ndarray  # object[str], already filtered (M2)
+    cand_len: np.ndarray  # int64
+    token_offsets: np.ndarray  # int64, len n+1 — CSR layout of token codes
+    token_codes: np.ndarray  # int32 into token_names
+    token_names: np.ndarray  # object[str]
+    valid: np.ndarray  # bool — passed blacklist AND has >=1 token (M1/M8)
+
+    @property
+    def n_tokens(self) -> np.ndarray:
+        return self.token_offsets[1:] - self.token_offsets[:-1]
+
+
+REQUIRED_CANDIDATE_COLUMNS = [
+    "doc_id",
+    "source",
+    "cand_ord",
+    "e_rank",
+    "match_score",
+    "span_start",
+    "span_end",
+    "cand_start",
+    "cand_end",
+    "ingest_seq",
+    "doc_len",
+]
+
+
+def score_partition(
+    df: pd.DataFrame,
+    catalog: CatalogArrays,
+    cfg: EngineConfig,
+    annotated_shorts: frozenset[str] | None = None,
+    quantize: bool = True,
+    return_scored: bool = False,
+) -> pd.DataFrame | tuple[pd.DataFrame, pd.DataFrame]:
+    """Score every document present in ``df`` and return one winner row each.
+
+    ``df`` holds slim candidate rows (REQUIRED_CANDIDATE_COLUMNS).  All docs
+    of the partition are processed with vectorized column ops; steps map to
+    the reference as annotated inline.  ``annotated_shorts`` enables the
+    prefer-annotated winner restriction (DescriptionScoreCalculator.java:89-98).
+    When ``return_scored`` is set the per-candidate scored table (lineage
+    side-output, OutputWriter.java:109-132) is returned as well.
+    """
+    w_bit = cfg.token_score_bit_score_weight
+    w_db = cfg.token_score_database_score_weight
+    w_ov = cfg.token_score_overlap_score_weight
+    weights = cfg.weights_by_source()
+    dsbs = cfg.dsbs_by_source()
+
+    empty_w = _empty_winners()
+    if len(df) == 0:
+        return (empty_w, _empty_scored()) if return_scored else empty_w
+
+    # -- M8 validity: drop candidates whose catalog entry failed the
+    #    blacklist / has no surviving tokens, or whose spans are degenerate
+    #    (BlastResult.isValid, java :457-465).  Invalid candidates never
+    #    reach Protein.addBlastResult, so they contribute to NO aggregate.
+    cand_ord = df["cand_ord"].to_numpy()
+    ok = (
+        catalog.valid[cand_ord]
+        & (df["span_start"].to_numpy() < df["span_end"].to_numpy())
+        & (df["cand_start"].to_numpy() < df["cand_end"].to_numpy())
+        & (df["match_score"].to_numpy() > 0)
+    )
+    df = df.loc[ok]
+    if len(df) == 0:
+        return (empty_w, _empty_scored()) if return_scored else empty_w
+
+    # -- S4 HSP dedup per (doc, source, cand): keep max match_score, ties ->
+    #    first in reading order (BlastResult.addBlastResult, java :240-268).
+    df = df.sort_values(
+        ["doc_id", "cand_ord", "match_score", "ingest_seq"],
+        ascending=[True, True, False, True],
+        kind="mergesort",
+    ).drop_duplicates(["doc_id", "cand_ord"], keep="first")
+    df = df.reset_index(drop=True)
+
+    doc = df["doc_id"].to_numpy()
+    cand_ord = df["cand_ord"].to_numpy()
+    ms = df["match_score"].to_numpy(dtype=np.float64)
+    src = df["source"].to_numpy()
+    w_src = np.vectorize(weights.__getitem__, otypes=[np.float64])(src)
+    dsbs_src = np.vectorize(dsbs.__getitem__, otypes=[np.float64])(src)
+
+    # -- M6 overlap score per candidate, quantized before any reduction.
+    ov = overlap_score(
+        df["span_start"].to_numpy(dtype=np.float64),
+        df["span_end"].to_numpy(dtype=np.float64),
+        df["doc_len"].to_numpy(dtype=np.float64),
+        df["cand_start"].to_numpy(dtype=np.float64),
+        df["cand_end"].to_numpy(dtype=np.float64),
+        catalog.cand_len[cand_ord].astype(np.float64),
+    )
+    if quantize:
+        ov = q20(ov)
+
+    # Dense doc codes for segment reductions.
+    doc_codes, doc_index = pd.factorize(doc, sort=True)
+    n_docs = len(doc_index)
+
+    # -- A3/A4 totals + max bit score per doc over ALL valid candidates
+    #    (measured at add-time in the reference, i.e. BEFORE top-k:
+    #    Protein.addBlastResult, java :139-151).
+    tot_bit = np.zeros(n_docs)
+    tot_db = np.zeros(n_docs)
+    tot_ov = np.zeros(n_docs)
+    np.add.at(tot_bit, doc_codes, ms)
+    np.add.at(tot_db, doc_codes, w_src)
+    np.add.at(tot_ov, doc_codes, ov)
+    max_bit = np.zeros(n_docs)
+    np.maximum.at(max_bit, doc_codes, ms)
+
+    # -- A2 cumulative per-(doc, token) sums over ALL valid candidates.
+    #    Tokens are a set per candidate: counted once per candidate.
+    n_tok_per_cand = catalog.n_tokens
+    reps = n_tok_per_cand[cand_ord]
+    row_of_tok = np.repeat(np.arange(len(df)), reps)
+    tok_codes = _gather_token_codes(catalog, cand_ord, reps)
+    # (doc_code, token_code) composite key -> dense group id
+    n_tok_names = len(catalog.token_names)
+    pair_key = doc_codes[row_of_tok].astype(np.int64) * n_tok_names + tok_codes
+    pair_ids, pair_uniq = pd.factorize(pair_key, sort=True)
+    cum_bit = np.zeros(len(pair_uniq))
+    cum_db = np.zeros(len(pair_uniq))
+    cum_ov = np.zeros(len(pair_uniq))
+    np.add.at(cum_bit, pair_ids, ms[row_of_tok])
+    np.add.at(cum_db, pair_ids, w_src[row_of_tok])
+    np.add.at(cum_ov, pair_ids, ov[row_of_tok])
+    pair_doc = (pair_uniq // n_tok_names).astype(np.int64)
+
+    # -- A5 token scores (fixed-order formula, then quantized) computed for
+    #    every token that occurs in ANY valid candidate of the doc.  The
+    #    reference assigns scores only over the top-k lists
+    #    (assignTokenScores, java :105-124) but values depend solely on the
+    #    cumulative/total sums, so scoring the superset is semantically
+    #    identical for every token the top-k lists reference.
+    with np.errstate(divide="ignore", invalid="ignore"):
+        ts = (
+            w_bit * cum_bit / tot_bit[pair_doc]
+            + w_db * cum_db / tot_db[pair_doc]
+            + w_ov * cum_ov / tot_ov[pair_doc]
+        )
+    if quantize:
+        ts = q20(ts)
+
+    # -- A1 top-k per (doc, source) by (e_value asc, catalog ordinal asc)
+    #    (BlastResult.filterBestScoringBlastResults, java :375-382; stable
+    #    over subject-database order).
+    order = np.lexsort((cand_ord, df["e_rank"].to_numpy(), src, doc_codes))
+    topk_mask = np.zeros(len(df), dtype=bool)
+    ds_key = doc_codes.astype(np.int64) * (len(cfg.sources) + 1)
+    src_code = pd.factorize(src, sort=True)[0]
+    ds_key = ds_key + src_code
+    sorted_key = ds_key[order]
+    rank_in_group = _cumcount(sorted_key)
+    topk_mask[order] = rank_in_group < cfg.top_k
+
+    # -- A6 token high score per doc: max token score over tokens of TOP-K
+    #    candidates (the reference iterates the truncated lists).
+    topk_tok_rows = topk_mask[row_of_tok]
+    hs = np.zeros(n_docs)
+    np.maximum.at(hs, doc_codes[row_of_tok[topk_tok_rows]], ts[pair_ids[topk_tok_rows]])
+
+    # -- A7 filter: non-informative tokens lose hs/2 (can go negative).
+    half = hs / 2.0
+    informative = ts > half[pair_doc]
+    ts_f = np.where(informative, ts, ts - half[pair_doc])
+
+    # -- A8 lexical score per top-k candidate.
+    sum_ts = np.zeros(len(df))
+    np.add.at(sum_ts, row_of_tok, ts_f[pair_ids])
+    n_inf = np.zeros(len(df))
+    np.add.at(n_inf, row_of_tok, informative[pair_ids].astype(np.float64))
+    n_tok = reps.astype(np.float64)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        lex = (sum_ts / hs[doc_codes]) / (n_tok / n_inf)
+    # DuckDB yields NULL for 0-division; Java yields x/inf == +-0.0.  Pin the
+    # no-informative-token case to +0.0 on both sides.
+    lex = np.where(n_inf == 0, 0.0, lex)
+    lex = np.where(hs[doc_codes] == 0, 0.0, lex)
+
+    # -- A9 description score = lexical + dsbs_weight * bit / maxBit.
+    score = lex + dsbs_src * ms / max_bit[doc_codes]
+
+    # -- A10 winner per doc: argmax over top-k candidates, optionally
+    #    restricted to annotated ones; deterministic tie-break (see module
+    #    docstring).
+    eligible = topk_mask.copy()
+    short = catalog.cand_short[cand_ord]
+    if annotated_shorts:
+        has_attr = np.array([s in annotated_shorts for s in short], dtype=bool)
+        doc_has_attr = np.zeros(n_docs, dtype=bool)
+        np.logical_or.at(doc_has_attr, doc_codes, eligible & has_attr)
+        eligible &= np.where(doc_has_attr[doc_codes], has_attr, True)
+
+    cand_idx = np.arange(len(df))[eligible]
+    if len(cand_idx) == 0:
+        winners = empty_w
+    else:
+        e_doc = doc_codes[eligible]
+        e_score = score[eligible]
+        e_ord = cand_ord[eligible]
+        e_src = src[eligible]
+        e_cid = catalog.cand_id[e_ord]
+        # lexsort: last key is primary.  score DESC, cand_ord DESC, source
+        # ASC, cand_id ASC.
+        sel = np.lexsort((e_cid, e_src, -e_ord, -e_score, e_doc))
+        first = np.ones(len(sel), dtype=bool)
+        first[1:] = e_doc[sel][1:] != e_doc[sel][:-1]
+        win = cand_idx[sel[first]]
+        q1 = (ms[win] > 50) & (df["e_rank"].to_numpy()[win] < 0.1)
+        q2 = ov[win] > 0.6
+        q3 = score[win] >= 0.5
+        winners = pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].to_numpy()[win],
+                "source": src[win],
+                "cand_id": catalog.cand_id[cand_ord[win]],
+                "cand_short": short[win],
+                "description": catalog.description[cand_ord[win]],
+                "description_score": score[win],
+                "lexical_score": lex[win],
+                "token_high_score": hs[doc_codes[win]],
+                "match_score": ms[win],
+                "max_match_score": max_bit[doc_codes[win]],
+                # M11 quality code (AbstractOutputWriter.java:94-108; the
+                # code, not the README, is authoritative).
+                "quality_code": [
+                    ("*" if a else "-") + ("*" if b else "-") + ("*" if c else "-")
+                    for a, b, c in zip(q1, q2, q3)
+                ],
+            }
+        )
+
+    if return_scored:
+        sc = df.loc[topk_mask, ["doc_id", "source", "e_rank", "match_score"]].copy()
+        sc["cand_id"] = catalog.cand_id[cand_ord[topk_mask]]
+        sc["description_score"] = score[topk_mask]
+        sc["lexical_score"] = lex[topk_mask]
+        return winners, sc.reset_index(drop=True)
+    return winners
+
+
+def _empty_winners() -> pd.DataFrame:
+    return pd.DataFrame(
+        {
+            "doc_id": pd.Series([], dtype="int64"),
+            "source": pd.Series([], dtype="object"),
+            "cand_id": pd.Series([], dtype="object"),
+            "cand_short": pd.Series([], dtype="object"),
+            "description": pd.Series([], dtype="object"),
+            "description_score": pd.Series([], dtype="float64"),
+            "lexical_score": pd.Series([], dtype="float64"),
+            "token_high_score": pd.Series([], dtype="float64"),
+            "match_score": pd.Series([], dtype="float64"),
+            "max_match_score": pd.Series([], dtype="float64"),
+            "quality_code": pd.Series([], dtype="object"),
+        }
+    )
+
+
+def _empty_scored() -> pd.DataFrame:
+    return pd.DataFrame(
+        {
+            "doc_id": pd.Series([], dtype="int64"),
+            "source": pd.Series([], dtype="object"),
+            "e_rank": pd.Series([], dtype="float64"),
+            "match_score": pd.Series([], dtype="float64"),
+            "cand_id": pd.Series([], dtype="object"),
+            "description_score": pd.Series([], dtype="float64"),
+            "lexical_score": pd.Series([], dtype="float64"),
+        }
+    )
+
+
+def _gather_token_codes(
+    catalog: CatalogArrays, cand_ord: np.ndarray, reps: np.ndarray
+) -> np.ndarray:
+    """CSR gather: token codes for each candidate row, concatenated."""
+    starts = catalog.token_offsets[cand_ord]
+    total = int(reps.sum())
+    if total == 0:
+        return np.empty(0, dtype=np.int64)
+    # index trick: for each row r with reps[r] tokens starting at starts[r],
+    # emit starts[r] + (0..reps[r]-1)
+    row_of = np.repeat(np.arange(len(cand_ord)), reps)
+    within = np.arange(total) - np.repeat(np.cumsum(reps) - reps, reps)
+    return catalog.token_codes[starts[row_of] + within].astype(np.int64)
+
+
+def _cumcount(sorted_keys: np.ndarray) -> np.ndarray:
+    """0-based position within runs of equal values in a sorted key array."""
+    n = len(sorted_keys)
+    if n == 0:
+        return np.empty(0, dtype=np.int64)
+    is_start = np.ones(n, dtype=bool)
+    is_start[1:] = sorted_keys[1:] != sorted_keys[:-1]
+    idx = np.arange(n)
+    start_idx = idx[is_start]
+    return idx - np.repeat(start_idx, np.diff(np.append(start_idx, n)))

@@ -1,0 +1,46 @@
+"""Deterministic HTML synthesis + extraction.
+
+The graft's per-row invariant (BASELINE.json ``input_hint``): extracted text
+must be byte-identical per url.  The extractor is a pure, versioned function
+of the ``html`` bytes only — no locale, charset guessing or environment
+dependence.  ``synthesize_html`` is its exact inverse-image generator used to
+build the test ``pages`` table from the corpus (analogue of the reference's
+FASTA entry -> Protein parse, Protein.java:63-113).
+"""
+
+from __future__ import annotations
+
+import html as _html
+import re
+
+EXTRACTOR_VERSION = "1"
+
+_ARTICLE_RE = re.compile(rb"<article\b[^>]*>(.*?)</article>", re.DOTALL)
+_TAG_RE = re.compile(r"<[^>]+>")
+
+
+def synthesize_html(doc_id: int, text: str, lang: str) -> bytes:
+    """Deterministic Common-Crawl-style page wrapper around ``text``."""
+    body = _html.escape(text, quote=False)
+    page = (
+        "<!DOCTYPE html>\n"
+        '<html><head><meta charset="utf-8">'
+        f"<title>doc {doc_id}</title></head>\n"
+        f'<body><nav>corpus</nav><article lang="{lang}"><p>{body}</p></article>'
+        "<footer>eof</footer></body></html>"
+    )
+    return page.encode("utf-8")
+
+
+def extract_text(html_bytes: bytes) -> str:
+    """Extract the article text, byte-identical to the original document text.
+
+    Pure function of the input bytes: utf-8 decode (strict), take the first
+    ``<article>`` element, strip tags, unescape the five XML/HTML entities
+    produced by ``html.escape``.
+    """
+    m = _ARTICLE_RE.search(html_bytes)
+    if not m:
+        return ""
+    inner = m.group(1).decode("utf-8")
+    return _html.unescape(_TAG_RE.sub("", inner))
