@@ -171,37 +171,16 @@ REQUIRED_CANDIDATE_COLUMNS = [
 ]
 
 
-def score_partition(
-    df: pd.DataFrame,
-    catalog: CatalogArrays,
-    cfg: EngineConfig,
-    annotated_shorts: frozenset[str] | None = None,
-    quantize: bool = True,
-    return_scored: bool = False,
-) -> pd.DataFrame | tuple[pd.DataFrame, pd.DataFrame]:
-    """Score every document present in ``df`` and return one winner row each.
+def dedup_valid_candidates(df: pd.DataFrame, catalog: CatalogArrays) -> pd.DataFrame:
+    """M8 validity + S4 HSP dedup.
 
-    ``df`` holds slim candidate rows (REQUIRED_CANDIDATE_COLUMNS).  All docs
-    of the partition are processed with vectorized column ops; steps map to
-    the reference as annotated inline.  ``annotated_shorts`` enables the
-    prefer-annotated winner restriction (DescriptionScoreCalculator.java:89-98).
-    When ``return_scored`` is set the per-candidate scored table (lineage
-    side-output, OutputWriter.java:109-132) is returned as well.
+    Validity (BlastResult.isValid, java :457-465): drop candidates whose
+    catalog entry failed the blacklist / has no surviving tokens, or whose
+    spans are degenerate — invalid candidates never reach
+    Protein.addBlastResult, so they contribute to NO aggregate.
+    Dedup (BlastResult.addBlastResult, java :240-268): per (doc, cand) keep
+    the max match_score; ties keep the first HSP in reading order.
     """
-    w_bit = cfg.token_score_bit_score_weight
-    w_db = cfg.token_score_database_score_weight
-    w_ov = cfg.token_score_overlap_score_weight
-    weights = cfg.weights_by_source()
-    dsbs = cfg.dsbs_by_source()
-
-    empty_w = _empty_winners()
-    if len(df) == 0:
-        return (empty_w, _empty_scored()) if return_scored else empty_w
-
-    # -- M8 validity: drop candidates whose catalog entry failed the
-    #    blacklist / has no surviving tokens, or whose spans are degenerate
-    #    (BlastResult.isValid, java :457-465).  Invalid candidates never
-    #    reach Protein.addBlastResult, so they contribute to NO aggregate.
     cand_ord = df["cand_ord"].to_numpy()
     ok = (
         catalog.valid[cand_ord]
@@ -211,23 +190,53 @@ def score_partition(
     )
     df = df.loc[ok]
     if len(df) == 0:
-        return (empty_w, _empty_scored()) if return_scored else empty_w
-
-    # -- S4 HSP dedup per (doc, source, cand): keep max match_score, ties ->
-    #    first in reading order (BlastResult.addBlastResult, java :240-268).
+        return df.reset_index(drop=True)
     df = df.sort_values(
         ["doc_id", "cand_ord", "match_score", "ingest_seq"],
         ascending=[True, True, False, True],
         kind="mergesort",
     ).drop_duplicates(["doc_id", "cand_ord"], keep="first")
-    df = df.reset_index(drop=True)
+    return df.reset_index(drop=True)
+
+
+@dataclass
+class TokenStats:
+    """Intermediates shared by the scoring kernel and the query surfaces."""
+
+    doc_codes: np.ndarray
+    doc_index: np.ndarray
+    n_docs: int
+    cand_ord: np.ndarray
+    ms: np.ndarray
+    src: np.ndarray
+    w_src: np.ndarray
+    ov: np.ndarray
+    tot_bit: np.ndarray
+    tot_db: np.ndarray
+    tot_ov: np.ndarray
+    max_bit: np.ndarray
+    reps: np.ndarray
+    row_of_tok: np.ndarray
+    pair_ids: np.ndarray
+    pair_doc: np.ndarray
+    pair_token_code: np.ndarray
+    ts: np.ndarray
+
+
+def token_stats(
+    df: pd.DataFrame, catalog: CatalogArrays, cfg: EngineConfig, quantize: bool = True
+) -> TokenStats:
+    """A2/A3/A4/A5 over an already deduped/validated candidate frame."""
+    weights = cfg.weights_by_source()
+    w_bit = cfg.token_score_bit_score_weight
+    w_db = cfg.token_score_database_score_weight
+    w_ov = cfg.token_score_overlap_score_weight
 
     doc = df["doc_id"].to_numpy()
     cand_ord = df["cand_ord"].to_numpy()
     ms = df["match_score"].to_numpy(dtype=np.float64)
     src = df["source"].to_numpy()
     w_src = np.vectorize(weights.__getitem__, otypes=[np.float64])(src)
-    dsbs_src = np.vectorize(dsbs.__getitem__, otypes=[np.float64])(src)
 
     # -- M6 overlap score per candidate, quantized before any reduction.
     ov = overlap_score(
@@ -241,7 +250,6 @@ def score_partition(
     if quantize:
         ov = q20(ov)
 
-    # Dense doc codes for segment reductions.
     doc_codes, doc_index = pd.factorize(doc, sort=True)
     n_docs = len(doc_index)
 
@@ -259,11 +267,9 @@ def score_partition(
 
     # -- A2 cumulative per-(doc, token) sums over ALL valid candidates.
     #    Tokens are a set per candidate: counted once per candidate.
-    n_tok_per_cand = catalog.n_tokens
-    reps = n_tok_per_cand[cand_ord]
+    reps = catalog.n_tokens[cand_ord]
     row_of_tok = np.repeat(np.arange(len(df)), reps)
     tok_codes = _gather_token_codes(catalog, cand_ord, reps)
-    # (doc_code, token_code) composite key -> dense group id
     n_tok_names = len(catalog.token_names)
     pair_key = doc_codes[row_of_tok].astype(np.int64) * n_tok_names + tok_codes
     pair_ids, pair_uniq = pd.factorize(pair_key, sort=True)
@@ -274,6 +280,7 @@ def score_partition(
     np.add.at(cum_db, pair_ids, w_src[row_of_tok])
     np.add.at(cum_ov, pair_ids, ov[row_of_tok])
     pair_doc = (pair_uniq // n_tok_names).astype(np.int64)
+    pair_token_code = (pair_uniq % n_tok_names).astype(np.int64)
 
     # -- A5 token scores (fixed-order formula, then quantized) computed for
     #    every token that occurs in ANY valid candidate of the doc.  The
@@ -290,17 +297,119 @@ def score_partition(
     if quantize:
         ts = q20(ts)
 
+    return TokenStats(
+        doc_codes=doc_codes,
+        doc_index=np.asarray(doc_index),
+        n_docs=n_docs,
+        cand_ord=cand_ord,
+        ms=ms,
+        src=src,
+        w_src=w_src,
+        ov=ov,
+        tot_bit=tot_bit,
+        tot_db=tot_db,
+        tot_ov=tot_ov,
+        max_bit=max_bit,
+        reps=reps,
+        row_of_tok=row_of_tok,
+        pair_ids=pair_ids,
+        pair_doc=pair_doc,
+        pair_token_code=pair_token_code,
+        ts=ts,
+    )
+
+
+def top_k_mask(
+    df: pd.DataFrame, doc_codes: np.ndarray, src: np.ndarray, cfg: EngineConfig
+) -> np.ndarray:
+    order = np.lexsort((df["cand_ord"].to_numpy(), df["e_rank"].to_numpy(), src, doc_codes))
+    mask = np.zeros(len(df), dtype=bool)
+    src_code = pd.factorize(src, sort=True)[0]
+    ds_key = doc_codes.astype(np.int64) * (len(cfg.sources) + 1) + src_code
+    rank_in_group = _cumcount(ds_key[order])
+    mask[order] = rank_in_group < cfg.top_k
+    return mask
+
+
+def token_score_table(
+    df: pd.DataFrame, catalog: CatalogArrays, cfg: EngineConfig, quantize: bool = True
+) -> pd.DataFrame:
+    """(doc_id, token, token_score) over all valid-candidate tokens."""
+    df = dedup_valid_candidates(df, catalog)
+    if len(df) == 0:
+        return pd.DataFrame(
+            {
+                "doc_id": pd.Series([], dtype="int64"),
+                "token": pd.Series([], dtype="object"),
+                "token_score": pd.Series([], dtype="float64"),
+            }
+        )
+    st = token_stats(df, catalog, cfg, quantize=quantize)
+    return pd.DataFrame(
+        {
+            "doc_id": st.doc_index[st.pair_doc],
+            "token": catalog.token_names[st.pair_token_code],
+            "token_score": st.ts,
+        }
+    )
+
+
+def top_k_table(df: pd.DataFrame, catalog: CatalogArrays, cfg: EngineConfig) -> pd.DataFrame:
+    """Deduped candidates surviving the per-(doc, source) top-k cap."""
+    df = dedup_valid_candidates(df, catalog)
+    if len(df) == 0:
+        return df
+    doc_codes, _ = pd.factorize(df["doc_id"].to_numpy(), sort=True)
+    mask = top_k_mask(df, doc_codes, df["source"].to_numpy(), cfg)
+    return df.loc[mask].reset_index(drop=True)
+
+
+def score_partition(
+    df: pd.DataFrame,
+    catalog: CatalogArrays,
+    cfg: EngineConfig,
+    annotated_shorts: frozenset[str] | None = None,
+    quantize: bool = True,
+    return_scored: bool = False,
+    carry_cols: tuple[str, ...] = (),
+) -> pd.DataFrame | tuple[pd.DataFrame, pd.DataFrame]:
+    """Score every document present in ``df`` and return one winner row each.
+
+    ``df`` holds slim candidate rows (REQUIRED_CANDIDATE_COLUMNS).  All docs
+    of the partition are processed with vectorized column ops; steps map to
+    the reference as annotated inline.  ``annotated_shorts`` enables the
+    prefer-annotated winner restriction (DescriptionScoreCalculator.java:89-98).
+    When ``return_scored`` is set the per-candidate scored table (lineage
+    side-output, OutputWriter.java:109-132) is returned as well.
+    """
+    w_bit = cfg.token_score_bit_score_weight
+    w_db = cfg.token_score_database_score_weight
+    w_ov = cfg.token_score_overlap_score_weight
+    weights = cfg.weights_by_source()
+    dsbs = cfg.dsbs_by_source()
+
+    empty_w = _empty_winners()
+    for c in carry_cols:
+        empty_w[c] = pd.Series([], dtype="object")
+    if len(df) == 0:
+        return (empty_w, _empty_scored()) if return_scored else empty_w
+
+    df = dedup_valid_candidates(df, catalog)
+    if len(df) == 0:
+        return (empty_w, _empty_scored()) if return_scored else empty_w
+
+    st = token_stats(df, catalog, cfg, quantize=quantize)
+    doc_codes, n_docs = st.doc_codes, st.n_docs
+    cand_ord, ms, src = st.cand_ord, st.ms, st.src
+    dsbs_src = np.vectorize(dsbs.__getitem__, otypes=[np.float64])(src)
+    ov, max_bit = st.ov, st.max_bit
+    row_of_tok, pair_ids, pair_doc, ts = st.row_of_tok, st.pair_ids, st.pair_doc, st.ts
+    reps = st.reps
+
     # -- A1 top-k per (doc, source) by (e_value asc, catalog ordinal asc)
     #    (BlastResult.filterBestScoringBlastResults, java :375-382; stable
     #    over subject-database order).
-    order = np.lexsort((cand_ord, df["e_rank"].to_numpy(), src, doc_codes))
-    topk_mask = np.zeros(len(df), dtype=bool)
-    ds_key = doc_codes.astype(np.int64) * (len(cfg.sources) + 1)
-    src_code = pd.factorize(src, sort=True)[0]
-    ds_key = ds_key + src_code
-    sorted_key = ds_key[order]
-    rank_in_group = _cumcount(sorted_key)
-    topk_mask[order] = rank_in_group < cfg.top_k
+    topk_mask = top_k_mask(df, doc_codes, src, cfg)
 
     # -- A6 token high score per doc: max token score over tokens of TOP-K
     #    candidates (the reference iterates the truncated lists).
@@ -378,6 +487,8 @@ def score_partition(
                 ],
             }
         )
+        for c in carry_cols:
+            winners[c] = df[c].to_numpy()[win]
 
     if return_scored:
         sc = df.loc[topk_mask, ["doc_id", "source", "e_rank", "match_score"]].copy()

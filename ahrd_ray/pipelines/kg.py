@@ -1,0 +1,114 @@
+"""Flagship pipeline: pages -> text -> mentions -> scoring -> triples.
+
+Dataset graph (SURVEY.md §7.2.2-7.2.5), all lazy/streaming:
+
+    read_parquet(documents)                      # column-pruned read
+      -> map_batches(pages_batch_from_documents) # synth pages (test corpus)
+      -> map_batches(extract_text_batch)         # byte-identical extraction
+      -> map_batches(MentionDetector, actor pool)# candidates (slim rows)
+      -> groupby(spart).map_groups(score)        # shuffle 1: doc-keyed
+      -> map_batches(emit_triples)               # broadcast attr transfer
+      -> groupby(tpart).map_groups(dedup)        # shuffle 2: triple-keyed
+      -> sort(subj, pred, obj)                   # shuffle 3: ordered output
+      [-> write_parquet]
+
+Broadcast small sides: tokenized catalog + attr map are ``ray.put`` once and
+read zero-copy in every actor/task (never re-shipped per batch).
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+import ray
+import ray.data
+
+from ahrd_ray.config import DEFAULT_CONFIG, EngineConfig
+from ahrd_ray.functions.textx import extract_text
+from ahrd_ray.sources.synth import (
+    CatalogBundle,
+    build_attrs,
+    build_catalog,
+    pages_batch_from_documents,
+)
+from ahrd_ray.sources.tables import corpus_vocab, read_documents
+from ahrd_ray.stages.candidates import MentionDetector
+from ahrd_ray.stages.canonicalize import materialize_graph
+from ahrd_ray.stages.score import score_candidates
+
+
+def extract_text_batch(batch: pa.Table) -> pa.Table:
+    """pages -> (doc_id, lang, text) via the deterministic extractor."""
+    texts = [extract_text(h) for h in batch["html"].to_pylist()]
+    return pa.table(
+        {
+            "doc_id": batch["doc_id"],
+            "lang": batch["lang"],
+            "text": pa.array(texts, type=pa.string()),
+        }
+    )
+
+
+def pages_dataset(sf_dir: str) -> ray.data.Dataset:
+    """Synthesized pages table (url, warc_ts, html, text, lang, doc_id)."""
+    return read_documents(sf_dir).map_batches(
+        pages_batch_from_documents, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+class PipelineContext:
+    """Broadcast state shared by the pipeline stages for one (sf_dir, cfg)."""
+
+    def __init__(self, sf_dir: str, cfg: EngineConfig = DEFAULT_CONFIG):
+        self.sf_dir = sf_dir
+        self.cfg = cfg
+        self.vocab = corpus_vocab(sf_dir)
+        self.bundle: CatalogBundle = build_catalog(sf_dir, cfg, self.vocab)
+        self.attrs = build_attrs(sf_dir)
+        self.catalog_ref = ray.put(self.bundle)
+        self.attrs_ref = ray.put(self.attrs)
+
+    def annotated_shorts(self) -> frozenset[str]:
+        """Attr-map keys ∩ catalog shorts (semi-join, S5/S7 analogue)."""
+        present = set(self.bundle.arrays.cand_short)
+        return frozenset(k for k in self.attrs if k in present)
+
+
+def candidates_dataset(
+    ctx: PipelineContext, from_pages: bool = True, concurrency: int | tuple = (2, 8)
+) -> ray.data.Dataset:
+    """Mention detection over extracted page text (actor-pool stage)."""
+    if from_pages:
+        src = pages_dataset(ctx.sf_dir).map_batches(
+            extract_text_batch, batch_format="pyarrow", zero_copy_batch=True
+        )
+    else:
+        src = read_documents(ctx.sf_dir)
+    return src.map_batches(
+        MentionDetector,
+        fn_constructor_kwargs={"catalog_ref": ctx.catalog_ref, "cfg": ctx.cfg},
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=concurrency,
+    )
+
+
+def winners_dataset(
+    ctx: PipelineContext,
+    from_pages: bool = True,
+    prefer_annotated: bool | None = None,
+) -> ray.data.Dataset:
+    cands = candidates_dataset(ctx, from_pages=from_pages)
+    prefer = ctx.cfg.prefer_annotated if prefer_annotated is None else prefer_annotated
+    shorts = ctx.annotated_shorts() if prefer else None
+    return score_candidates(cands, ctx.catalog_ref, ctx.cfg, annotated_shorts=shorts)
+
+
+def kg_triples(
+    ctx: PipelineContext,
+    from_pages: bool = True,
+    sort: bool = True,
+) -> ray.data.Dataset:
+    """The flagship: deduplicated, sorted (subj, pred, obj) edge table."""
+    winners = winners_dataset(ctx, from_pages=from_pages)
+    return materialize_graph(winners, ctx.catalog_ref, ctx.attrs_ref, ctx.cfg, sort=sort)

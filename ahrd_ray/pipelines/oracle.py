@@ -1,0 +1,468 @@
+"""DuckDB oracle SQL generator.
+
+Renders, from the SAME constants that drive the Ray pipeline
+(``ahrd_ray.sources.spec`` + ``EngineConfig``), ANSI/DuckDB SQL equivalents
+for every SQL-expressible operator.  The driver runs these side-by-side with
+the Ray queries at sf0.01 and compares row-count + schema + value-hash — the
+correctness gate.
+
+Determinism: all reductions sum integers or 2^-20-quantized dyadics, so
+DuckDB's parallel SUM and numpy's segment sums produce bit-identical doubles;
+scalar formulas are written with the same operand order as the numpy kernel.
+"""
+
+from __future__ import annotations
+
+from ahrd_ray.config import (
+    QUANT,
+    TOKEN_SPLITTER_REGEX,
+    EngineConfig,
+    load_regex_list,
+)
+from ahrd_ray.sources import spec
+
+
+def _sq(s: str) -> str:
+    """SQL single-quote escaping (DuckDB does not process backslashes in
+    single-quoted literals, so regexes pass through verbatim)."""
+    return s.replace("'", "''")
+
+
+def _q20(expr: str) -> str:
+    return f"floor(({expr}) * {QUANT!r} + 0.5) / {QUANT!r}"
+
+
+SPLIT_SQL = _sq(TOKEN_SPLITTER_REGEX)
+
+
+def _case_source(expr_by_source: dict[str, str]) -> str:
+    whens = " ".join(f"WHEN '{s}' THEN {e}" for s, e in expr_by_source.items())
+    return f"(CASE source {whens} END)"
+
+
+def _filter_chain_sql(raw_expr: str, filters: list[str]) -> str:
+    e = raw_expr
+    for pat in filters:
+        e = f"regexp_replace({e}, '{_sq(pat)}', ' ', 'g')"
+    return f"trim(regexp_replace({e}, '\\s{{2,}}', ' ', 'g'))"
+
+
+def _not_matches_all(expr: str, patterns: list[str]) -> str:
+    return " AND ".join(f"NOT regexp_matches({expr}, '{_sq(p)}')" for p in patterns)
+
+
+# ---------------------------------------------------------------------------
+# Shared CTE blocks
+# ---------------------------------------------------------------------------
+
+def cte_doc_tokens() -> str:
+    return f"""doc_tokens AS (
+  SELECT DISTINCT doc_id, token FROM (
+    SELECT doc_id, unnest(regexp_split_to_array(lower(text), '{SPLIT_SQL}')) AS token
+    FROM documents
+  ) WHERE token <> ''
+)"""
+
+
+def cte_vocab() -> str:
+    return """vocab AS (
+  SELECT array_agg(token ORDER BY token) AS arr, count(*) AS n
+  FROM (SELECT DISTINCT token FROM doc_tokens)
+)"""
+
+
+def cte_catalog(cfg: EngineConfig) -> str:
+    src_case = (
+        f"(CASE p_partkey % 3 WHEN 0 THEN '{spec.SOURCE_BY_MOD3[0]}' "
+        f"WHEN 1 THEN '{spec.SOURCE_BY_MOD3[1]}' ELSE '{spec.SOURCE_BY_MOD3[2]}' END)"
+    )
+    raw = (
+        f"(CASE WHEN p_partkey % {spec.PUTATIVE_MOD} = 0 THEN 'Putative ' "
+        f"WHEN p_partkey % {spec.UNCHAR_MOD} = 0 THEN 'uncharacterized ' ELSE '' END)"
+        " || p_name || ' ' || lower(p_type) || ' assembly'"
+        f" || (CASE WHEN p_partkey % {spec.FAMILY_MOD} = 0 THEN ' family protein' ELSE '' END)"
+        f" || (CASE WHEN p_partkey % {spec.FRAGMENT_MOD} = 0 THEN ' (Fragment)' ELSE '' END)"
+        f" || (CASE WHEN p_partkey % {spec.OS_MOD} = 0 THEN ' OS=Synthetica generica' ELSE '' END)"
+    )
+    # blacklist is shared across sources in the default config
+    blacklist = cfg.sources[0].blacklist()
+    filt = _case_source(
+        {s.name: _filter_chain_sql("raw_description", s.filters()) for s in cfg.sources}
+    )
+    return f"""catalog_raw AS (
+  SELECT p_partkey AS cand_ord,
+         {src_case} AS source,
+         'P' || CAST(p_partkey AS VARCHAR) AS cand_short,
+         {src_case} || '|P' || CAST(p_partkey AS VARCHAR) || '|' || replace(p_brand, '#', '') AS cand_id,
+         {raw} AS raw_description,
+         CAST({spec.CAND_LEN_BASE} + p_size AS BIGINT) AS cand_len,
+         p_name
+  FROM part
+),
+catalog_flt AS (
+  SELECT *, ({_not_matches_all('raw_description', blacklist)}) AS passes_blacklist,
+         {filt} AS description
+  FROM catalog_raw
+),
+catalog_tokens AS (
+  SELECT DISTINCT cand_ord, token FROM (
+    SELECT cand_ord, unnest(regexp_split_to_array(lower(description), '{SPLIT_SQL}')) AS token
+    FROM catalog_flt WHERE passes_blacklist
+  ) WHERE token <> '' AND {_not_matches_all('token', cfg.sources[0].token_blacklist())}
+),
+catalog AS (
+  SELECT c.*, coalesce(t.n_tokens, 0) AS n_tokens,
+         (c.passes_blacklist AND c.description <> '' AND coalesce(t.n_tokens, 0) > 0) AS valid
+  FROM catalog_flt c
+  LEFT JOIN (SELECT cand_ord, count(*) AS n_tokens FROM catalog_tokens GROUP BY cand_ord) t
+    USING (cand_ord)
+)"""
+
+
+def cte_aliases() -> str:
+    return f"""aliases AS (
+  SELECT DISTINCT cand_ord, mention FROM (
+    SELECT p_partkey AS cand_ord, unnest(string_split(lower(p_name), ' ')) AS mention FROM part
+    UNION ALL
+    SELECT p.p_partkey, v.arr[1 + (p.p_partkey % {spec.ALIAS_MOD})]
+    FROM part p, vocab v WHERE (p.p_partkey % {spec.ALIAS_MOD}) < v.n
+  )
+)"""
+
+
+def cte_candidates() -> str:
+    """Raw candidate links (pre-dedup, pre-validity)."""
+    return f"""candidates AS (
+  SELECT dt.doc_id,
+         c.source,
+         a.cand_ord,
+         CAST((a.cand_ord * {spec.E_RANK_MULT_P} + dt.doc_id * {spec.E_RANK_MULT_D}) % {spec.E_RANK_MOD} AS DOUBLE) / {spec.E_RANK_DIV!r} AS e_rank,
+         CAST((a.cand_ord * {spec.MS_MULT_P} + dt.doc_id * {spec.MS_MULT_D} + length(a.mention)) % {spec.MS_MOD} + {spec.MS_OFF} AS DOUBLE) AS match_score,
+         strpos(lower(d.text), a.mention) AS span_start,
+         strpos(lower(d.text), a.mention) + length(a.mention) AS span_end,
+         1 + (a.cand_ord % {spec.CSTART_MOD}) AS cand_start,
+         1 + (a.cand_ord % {spec.CSTART_MOD}) + 1 + ((a.cand_ord + dt.doc_id) % {spec.CEND_MOD}) AS cand_end,
+         strpos(lower(d.text), a.mention) AS ingest_seq,
+         length(d.text) AS doc_len,
+         c.cand_len, c.cand_id, c.cand_short, c.description, c.valid
+  FROM doc_tokens dt
+  JOIN aliases a ON dt.token = a.mention
+  JOIN documents d ON d.doc_id = dt.doc_id
+  JOIN catalog c ON c.cand_ord = a.cand_ord
+)"""
+
+
+def cte_valid_dedup() -> str:
+    """M8 validity filter + S4 HSP dedup (keep max match_score, reading
+    order first on ties)."""
+    return """vcands AS (
+  SELECT * FROM candidates
+  WHERE valid AND span_start < span_end AND cand_start < cand_end AND match_score > 0
+),
+dcands AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY doc_id, cand_ord
+        ORDER BY match_score DESC, ingest_seq ASC) AS hsp_rn
+    FROM vcands
+  ) WHERE hsp_rn = 1
+)"""
+
+
+def cte_scoring(cfg: EngineConfig, top_k: int | None = None) -> str:
+    """The A2-A10 chain over dcands."""
+    k = cfg.top_k if top_k is None else top_k
+    w_by = cfg.weights_by_source()
+    w_case = _case_source({s: str(w) for s, w in w_by.items()})
+    dsbs_case = _case_source({s: repr(w) for s, w in cfg.dsbs_by_source().items()})
+    ov = (
+        "(CAST(span_end - span_start + 1 AS DOUBLE) + CAST(cand_end - cand_start + 1 AS DOUBLE))"
+        " / CAST(doc_len + cand_len AS DOUBLE)"
+    )
+    w_bit = repr(cfg.token_score_bit_score_weight)
+    w_db = repr(cfg.token_score_database_score_weight)
+    w_ov = repr(cfg.token_score_overlap_score_weight)
+    ts_formula = (
+        f"{w_bit} * c.cum_bit / t.tot_bit + {w_db} * c.cum_db / t.tot_db"
+        f" + {w_ov} * c.cum_ov / t.tot_ov"
+    )
+    return f"""fcands AS (
+  SELECT *, CAST({w_case} AS DOUBLE) AS src_weight, {_q20(ov)} AS ov_q, {dsbs_case} AS dsbs_w
+  FROM dcands
+),
+totals AS (
+  SELECT doc_id, sum(match_score) AS tot_bit, sum(src_weight) AS tot_db,
+         sum(ov_q) AS tot_ov, max(match_score) AS max_bit
+  FROM fcands GROUP BY doc_id
+),
+cum AS (
+  SELECT f.doc_id, ct.token, sum(f.match_score) AS cum_bit,
+         sum(f.src_weight) AS cum_db, sum(f.ov_q) AS cum_ov
+  FROM fcands f JOIN catalog_tokens ct ON ct.cand_ord = f.cand_ord
+  GROUP BY f.doc_id, ct.token
+),
+token_scores AS (
+  SELECT c.doc_id, c.token, {_q20(ts_formula)} AS ts_q
+  FROM cum c JOIN totals t ON t.doc_id = c.doc_id
+),
+topk AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY doc_id, source ORDER BY e_rank ASC, cand_ord ASC) AS topk_rn
+    FROM fcands
+  ) WHERE topk_rn <= {k}
+),
+doc_high AS (
+  SELECT ts.doc_id, max(ts.ts_q) AS hs
+  FROM token_scores ts
+  JOIN (SELECT DISTINCT k.doc_id, ct.token
+        FROM topk k JOIN catalog_tokens ct ON ct.cand_ord = k.cand_ord) tk
+    ON tk.doc_id = ts.doc_id AND tk.token = ts.token
+  GROUP BY ts.doc_id
+),
+filtered_ts AS (
+  SELECT ts.doc_id, ts.token, h.hs,
+         CASE WHEN ts.ts_q > h.hs / 2 THEN ts.ts_q ELSE ts.ts_q - h.hs / 2 END AS ts_f,
+         (ts.ts_q > h.hs / 2) AS informative
+  FROM token_scores ts JOIN doc_high h ON h.doc_id = ts.doc_id
+),
+cand_tok_agg AS (
+  SELECT k.doc_id, k.cand_ord, sum(f.ts_f) AS sum_ts,
+         count(*) AS n_tok, sum(CASE WHEN f.informative THEN 1 ELSE 0 END) AS n_inf
+  FROM topk k
+  JOIN catalog_tokens ct ON ct.cand_ord = k.cand_ord
+  JOIN filtered_ts f ON f.doc_id = k.doc_id AND f.token = ct.token
+  GROUP BY k.doc_id, k.cand_ord
+),
+scored AS (
+  SELECT k.*, h.hs, t.max_bit, a.sum_ts, a.n_tok, a.n_inf,
+         CASE WHEN a.n_inf = 0 OR h.hs = 0 THEN 0.0
+              ELSE (a.sum_ts / h.hs) / (CAST(a.n_tok AS DOUBLE) / CAST(a.n_inf AS DOUBLE))
+         END AS lexical_score,
+         CASE WHEN a.n_inf = 0 OR h.hs = 0 THEN 0.0
+              ELSE (a.sum_ts / h.hs) / (CAST(a.n_tok AS DOUBLE) / CAST(a.n_inf AS DOUBLE))
+         END + k.dsbs_w * k.match_score / t.max_bit AS description_score
+  FROM topk k
+  JOIN doc_high h ON h.doc_id = k.doc_id
+  JOIN totals t ON t.doc_id = k.doc_id
+  JOIN cand_tok_agg a ON a.doc_id = k.doc_id AND a.cand_ord = k.cand_ord
+)"""
+
+
+def cte_winners(restrict_annotated: bool) -> str:
+    """A10 argmax with the deterministic tie-break (score DESC, cand_ord
+    DESC, source ASC, cand_id ASC)."""
+    if restrict_annotated:
+        elig = """elig AS (
+  SELECT s.*, (s.cand_short IN (SELECT cand_short FROM attrs_present)) AS has_attr
+  FROM scored s
+),
+elig2 AS (
+  SELECT e.* FROM elig e
+  JOIN (SELECT doc_id, bool_or(has_attr) AS doc_has FROM elig GROUP BY doc_id) d
+    ON d.doc_id = e.doc_id
+  WHERE NOT d.doc_has OR e.has_attr
+)"""
+        src = "elig2"
+    else:
+        elig = "elig2 AS (SELECT * FROM scored)"
+        src = "elig2"
+    return f"""{elig},
+winners AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY doc_id
+        ORDER BY description_score DESC, cand_ord DESC, source ASC, cand_id ASC) AS win_rn
+    FROM {src}
+  ) WHERE win_rn = 1
+)"""
+
+
+def cte_attrs() -> str:
+    """F5 attr map from orders + semi-join to catalog shorts present in any
+    valid candidate (ReferenceGoAnnotations.java:44-53)."""
+    return f"""attrs_all AS (
+  SELECT DISTINCT 'P' || CAST(o_orderkey % ({spec.ATTR_SHORT_SPAN} * (SELECT count(*) FROM part)) AS VARCHAR) AS cand_short,
+         'A' || CAST(o_orderkey % {spec.ATTR_VAL_MOD} AS VARCHAR) AS attr
+  FROM orders WHERE o_orderkey % {spec.ATTR_KEEP_MOD} = 0
+),
+attrs_present AS (
+  SELECT DISTINCT a.cand_short, a.attr
+  FROM attrs_all a
+  WHERE a.cand_short IN (SELECT DISTINCT cand_short FROM vcands)
+)"""
+
+
+WINNER_QUALITY = (
+    "(CASE WHEN match_score > 50 AND e_rank < 0.1 THEN '*' ELSE '-' END)"
+    " || (CASE WHEN ov_q > 0.6 THEN '*' ELSE '-' END)"
+    " || (CASE WHEN description_score >= 0.5 THEN '*' ELSE '-' END)"
+)
+
+
+def _with(*ctes: str) -> str:
+    return "WITH " + ",\n".join(ctes)
+
+
+# ---------------------------------------------------------------------------
+# Full oracle statements, one per driver query
+# ---------------------------------------------------------------------------
+
+def sql_pages_extract() -> str:
+    return (
+        f"SELECT '{spec.URL_PREFIX}' || lang || '/' || CAST(doc_id AS VARCHAR) AS url,"
+        " text, lang FROM documents"
+    )
+
+
+def sql_doc_tokens() -> str:
+    return _with(cte_doc_tokens()) + "\nSELECT doc_id, token FROM doc_tokens"
+
+
+def sql_vocab() -> str:
+    return (
+        _with(cte_doc_tokens())
+        + "\nSELECT DISTINCT token FROM doc_tokens ORDER BY token"
+    )
+
+
+def sql_catalog(cfg: EngineConfig) -> str:
+    return (
+        _with(cte_doc_tokens(), cte_vocab(), cte_catalog(cfg))
+        + "\nSELECT cand_ord, cand_id, cand_short, source, description, cand_len,"
+        " n_tokens, valid FROM catalog"
+    )
+
+
+def sql_catalog_tokens(cfg: EngineConfig) -> str:
+    return (
+        _with(cte_doc_tokens(), cte_vocab(), cte_catalog(cfg))
+        + "\nSELECT cand_ord, token FROM catalog_tokens"
+    )
+
+
+def _cands_prefix(cfg: EngineConfig) -> list[str]:
+    return [
+        cte_doc_tokens(),
+        cte_vocab(),
+        cte_catalog(cfg),
+        cte_aliases(),
+        cte_candidates(),
+    ]
+
+
+def sql_candidates(cfg: EngineConfig) -> str:
+    return (
+        _with(*_cands_prefix(cfg))
+        + "\nSELECT doc_id, source, cand_ord, e_rank, match_score, span_start,"
+        " span_end, cand_start, cand_end, ingest_seq, doc_len FROM candidates"
+    )
+
+
+def sql_candidates_dedup(cfg: EngineConfig) -> str:
+    return (
+        _with(*_cands_prefix(cfg), cte_valid_dedup())
+        + "\nSELECT doc_id, source, cand_ord, e_rank, match_score, ingest_seq"
+        " FROM dcands"
+    )
+
+
+def sql_top_k(cfg: EngineConfig, k: int) -> str:
+    return (
+        _with(*_cands_prefix(cfg), cte_valid_dedup(), cte_scoring(cfg, top_k=k))
+        + "\nSELECT doc_id, source, cand_ord, e_rank, match_score FROM topk"
+    )
+
+
+def sql_token_scores(cfg: EngineConfig) -> str:
+    return (
+        _with(*_cands_prefix(cfg), cte_valid_dedup(), cte_scoring(cfg))
+        + "\nSELECT doc_id, token, ts_q AS token_score FROM token_scores"
+    )
+
+
+def sql_winners(cfg: EngineConfig) -> str:
+    return (
+        _with(
+            *_cands_prefix(cfg),
+            cte_valid_dedup(),
+            cte_scoring(cfg),
+            cte_winners(restrict_annotated=False),
+        )
+        + "\nSELECT doc_id, source, cand_id, cand_short, description,"
+        " description_score, lexical_score, hs AS token_high_score, match_score,"
+        f" max_bit AS max_match_score, {WINNER_QUALITY} AS quality_code FROM winners"
+    )
+
+
+def sql_winners_annotated(cfg: EngineConfig) -> str:
+    return (
+        _with(
+            *_cands_prefix(cfg),
+            cte_valid_dedup(),
+            cte_attrs(),
+            cte_scoring(cfg),
+            cte_winners(restrict_annotated=True),
+        )
+        + "\nSELECT doc_id, source, cand_id, cand_short, description,"
+        " description_score FROM winners"
+    )
+
+
+def sql_attrs_present(cfg: EngineConfig) -> str:
+    return (
+        _with(*_cands_prefix(cfg), cte_valid_dedup(), cte_attrs())
+        + "\nSELECT cand_short, attr FROM attrs_present"
+    )
+
+
+def sql_triples(cfg: EngineConfig) -> str:
+    url = f"'{spec.URL_PREFIX}' || d.lang || '/' || CAST(w.doc_id AS VARCHAR)"
+    return (
+        _with(
+            *_cands_prefix(cfg),
+            cte_valid_dedup(),
+            cte_attrs(),
+            cte_scoring(cfg),
+            cte_winners(restrict_annotated=False),
+        )
+        + f"""
+, wdocs AS (
+  SELECT w.*, {url} AS url, {WINNER_QUALITY} AS quality_code
+  FROM winners w JOIN documents d ON d.doc_id = w.doc_id
+)
+SELECT DISTINCT subj, pred, obj FROM (
+  SELECT url AS subj, '{spec.PRED_LINKED}' AS pred, cand_id AS obj FROM wdocs
+  UNION ALL
+  SELECT url, '{spec.PRED_DESC}', description FROM wdocs
+  UNION ALL
+  SELECT url, '{spec.PRED_QUALITY}', quality_code FROM wdocs
+  UNION ALL
+  SELECT cand_id, '{spec.PRED_LABEL}', description FROM wdocs
+  UNION ALL
+  SELECT w.url, '{spec.PRED_ATTR}', a.attr FROM wdocs w
+    JOIN attrs_present a ON a.cand_short = w.cand_short
+  UNION ALL
+  SELECT w.cand_id, '{spec.PRED_ATTR}', a.attr FROM wdocs w
+    JOIN attrs_present a ON a.cand_short = w.cand_short
+) ORDER BY subj, pred, obj"""
+    )
+
+
+def sql_annotations(cfg: EngineConfig) -> str:
+    """Per-doc annotation table incl. docs without a winner (the reference's
+    "Unknown protein" rows, AbstractOutputWriter.java:50-57)."""
+    return (
+        _with(
+            *_cands_prefix(cfg),
+            cte_valid_dedup(),
+            cte_scoring(cfg),
+            cte_winners(restrict_annotated=False),
+        )
+        + f"""
+SELECT d.doc_id,
+       coalesce(w.cand_id, '') AS cand_id,
+       coalesce(w.description, '{spec.UNKNOWN_DESC}') AS description,
+       coalesce({"w.description_score"}, 0.0) AS description_score
+FROM documents d LEFT JOIN winners w ON w.doc_id = d.doc_id"""
+    )

@@ -1,0 +1,264 @@
+"""Driver-facing query registry.
+
+Each entry pairs a Ray Data pipeline (callable ``sf_dir -> Dataset | Table``)
+with its DuckDB oracle SQL (``ahrd_ray.pipelines.oracle``).  Column names and
+types match the oracle exactly — the driver sorts columns by name and hashes
+values.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from functools import lru_cache
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ahrd_ray.config import DEFAULT_CONFIG, EngineConfig
+from ahrd_ray.functions.scoring import (
+    dedup_valid_candidates,
+    token_score_table,
+    top_k_table,
+)
+from ahrd_ray.pipelines import kg, oracle
+from ahrd_ray.sources.tables import corpus_vocab, doc_tokens
+
+
+def _int64(table: pa.Table) -> pa.Table:
+    """Cast every integer column to int64 (DuckDB's default), leave rest."""
+    fields = []
+    for f in table.schema:
+        if pa.types.is_integer(f.type):
+            fields.append(pa.field(f.name, pa.int64()))
+        else:
+            fields.append(f)
+    return table.cast(pa.schema(fields))
+
+
+@lru_cache(maxsize=8)
+def _ctx(sf_dir: str, key: str = "default") -> kg.PipelineContext:
+    cfg = DEFAULT_CONFIG
+    if key == "topk5":
+        cfg = EngineConfig(top_k=5)
+    return kg.PipelineContext(sf_dir, cfg)
+
+
+def q_pages_extract(sf_dir: str):
+    return kg.pages_dataset(sf_dir).map_batches(
+        lambda b: pa.table(
+            {"url": b["url"], "text": _extracted(b), "lang": b["lang"]}
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def _extracted(batch: pa.Table) -> pa.Array:
+    from ahrd_ray.functions.textx import extract_text
+
+    return pa.array([extract_text(h) for h in batch["html"].to_pylist()], type=pa.string())
+
+
+def q_doc_tokens(sf_dir: str):
+    return doc_tokens(sf_dir)
+
+
+def q_vocab(sf_dir: str):
+    return pa.table({"token": pa.array(corpus_vocab(sf_dir), type=pa.string())})
+
+
+def q_catalog(sf_dir: str):
+    b = _ctx(sf_dir).bundle
+    a = b.arrays
+    return pa.table(
+        {
+            "cand_ord": pa.array(np.arange(b.n), type=pa.int64()),
+            "cand_id": pa.array(a.cand_id, type=pa.string()),
+            "cand_short": pa.array(a.cand_short, type=pa.string()),
+            "source": pa.array(a.source, type=pa.string()),
+            "description": pa.array(a.description, type=pa.string()),
+            "cand_len": pa.array(a.cand_len, type=pa.int64()),
+            "n_tokens": pa.array(a.n_tokens.astype(np.int64), type=pa.int64()),
+            "valid": pa.array(a.valid, type=pa.bool_()),
+        }
+    )
+
+
+def q_catalog_tokens(sf_dir: str):
+    a = _ctx(sf_dir).bundle.arrays
+    ords = np.repeat(np.arange(len(a.cand_id)), a.n_tokens)
+    toks = a.token_names[a.token_codes]
+    return pa.table(
+        {
+            "cand_ord": pa.array(ords, type=pa.int64()),
+            "token": pa.array(toks, type=pa.string()),
+        }
+    )
+
+
+_CAND_COLS = [
+    "doc_id",
+    "source",
+    "cand_ord",
+    "e_rank",
+    "match_score",
+    "span_start",
+    "span_end",
+    "cand_start",
+    "cand_end",
+    "ingest_seq",
+    "doc_len",
+]
+
+
+def q_candidates(sf_dir: str):
+    ctx = _ctx(sf_dir)
+    ds = kg.candidates_dataset(ctx).select_columns(_CAND_COLS)
+    return ds.map_batches(_int64, batch_format="pyarrow")
+
+
+def _group_query(sf_dir: str, table_fn, out_cols: list[str], cfg_key: str = "default"):
+    """Run a per-partition kernel helper as the groupby(spart) stage."""
+    ctx = _ctx(sf_dir, cfg_key)
+    catalog_ref = ctx.catalog_ref
+    cfg = ctx.cfg
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        from ahrd_ray.stages.score import get_broadcast
+
+        bundle = get_broadcast(catalog_ref)
+        out = table_fn(df, bundle.arrays, cfg)
+        return out[out_cols] if len(out.columns) > len(out_cols) else out
+
+    ds = kg.candidates_dataset(ctx).groupby("spart").map_groups(fn, batch_format="pandas")
+    return ds.map_batches(_int64, batch_format="pyarrow")
+
+
+def q_candidates_dedup(sf_dir: str):
+    return _group_query(
+        sf_dir,
+        lambda df, cat, cfg: dedup_valid_candidates(df, cat),
+        ["doc_id", "source", "cand_ord", "e_rank", "match_score", "ingest_seq"],
+    )
+
+
+def q_top_k(sf_dir: str):
+    # cap of 5 exercises truncation at sf0.01 (per-(doc, source) candidate
+    # counts are below the flagship cap of 200 there)
+    return _group_query(
+        sf_dir,
+        top_k_table,
+        ["doc_id", "source", "cand_ord", "e_rank", "match_score"],
+        cfg_key="topk5",
+    )
+
+
+def q_token_scores(sf_dir: str):
+    return _group_query(
+        sf_dir, token_score_table, ["doc_id", "token", "token_score"]
+    )
+
+
+_WINNER_COLS = [
+    "doc_id",
+    "source",
+    "cand_id",
+    "cand_short",
+    "description",
+    "description_score",
+    "lexical_score",
+    "token_high_score",
+    "match_score",
+    "max_match_score",
+    "quality_code",
+]
+
+
+def q_winners(sf_dir: str):
+    ctx = _ctx(sf_dir)
+    ds = kg.winners_dataset(ctx).select_columns(_WINNER_COLS)
+    return ds.map_batches(_int64, batch_format="pyarrow")
+
+
+def q_winners_annotated(sf_dir: str):
+    ctx = _ctx(sf_dir)
+    cols = ["doc_id", "source", "cand_id", "cand_short", "description", "description_score"]
+    ds = kg.winners_dataset(ctx, prefer_annotated=True).select_columns(cols)
+    return ds.map_batches(_int64, batch_format="pyarrow")
+
+
+def q_attrs_present(sf_dir: str):
+    """Attr map semi-joined to catalog shorts present among valid candidate
+    links (S5/S7 analogue)."""
+    ctx = _ctx(sf_dir)
+    a = ctx.bundle.arrays
+    cands = kg.candidates_dataset(ctx).select_columns(["cand_ord"])
+    ords = np.asarray(cands.unique("cand_ord"), dtype=np.int64)
+    ords = ords[a.valid[ords]]
+    present = {a.cand_short[o] for o in ords}
+    shorts, attrs = [], []
+    for s, vals in sorted(ctx.attrs.items()):
+        if s in present:
+            for v in vals:
+                shorts.append(s)
+                attrs.append(v)
+    return pa.table(
+        {
+            "cand_short": pa.array(shorts, type=pa.string()),
+            "attr": pa.array(attrs, type=pa.string()),
+        }
+    )
+
+
+def q_triples(sf_dir: str):
+    ctx = _ctx(sf_dir)
+    return kg.kg_triples(ctx)
+
+
+def q_annotations(sf_dir: str):
+    """Per-doc annotation table incl. unknown docs (left outer join)."""
+    import ray.data
+
+    ctx = _ctx(sf_dir)
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    winners = kg.winners_dataset(ctx).select_columns(
+        ["doc_id", "cand_id", "description", "description_score"]
+    )
+    joined = docs.join(
+        winners,
+        "left_outer",
+        num_partitions=max(8, ctx.cfg.num_score_partitions // 4),
+        on=("doc_id",),
+    )
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        from ahrd_ray.sources import spec
+
+        df["cand_id"] = df["cand_id"].fillna("")
+        df["description"] = df["description"].fillna(spec.UNKNOWN_DESC)
+        df["description_score"] = df["description_score"].fillna(0.0)
+        return df
+
+    return joined.map_batches(finish, batch_format="pandas").map_batches(
+        _int64, batch_format="pyarrow"
+    )
+
+
+def registry() -> dict[str, tuple[Callable, str | None]]:
+    cfg = DEFAULT_CONFIG
+    return {
+        "kg_pages_extract": (q_pages_extract, oracle.sql_pages_extract()),
+        "kg_doc_tokens": (q_doc_tokens, oracle.sql_doc_tokens()),
+        "kg_vocab": (q_vocab, oracle.sql_vocab()),
+        "kg_catalog": (q_catalog, oracle.sql_catalog(cfg)),
+        "kg_catalog_tokens": (q_catalog_tokens, oracle.sql_catalog_tokens(cfg)),
+        "kg_candidates": (q_candidates, oracle.sql_candidates(cfg)),
+        "kg_candidates_dedup": (q_candidates_dedup, oracle.sql_candidates_dedup(cfg)),
+        "kg_top_k": (q_top_k, oracle.sql_top_k(cfg, 5)),
+        "kg_token_scores": (q_token_scores, oracle.sql_token_scores(cfg)),
+        "kg_winners": (q_winners, oracle.sql_winners(cfg)),
+        "kg_winners_annotated": (q_winners_annotated, oracle.sql_winners_annotated(cfg)),
+        "kg_attrs_present": (q_attrs_present, oracle.sql_attrs_present(cfg)),
+        "kg_triples": (q_triples, oracle.sql_triples(cfg)),
+        "kg_annotations": (q_annotations, oracle.sql_annotations(cfg)),
+    }

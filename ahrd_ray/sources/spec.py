@@ -1,0 +1,75 @@
+"""Deterministic derivation spec for the synthetic KG-construction inputs.
+
+The engine's natural inputs (Common-Crawl-style ``pages``, entity ``catalog``
+sources, an ``attrs`` transfer map) do not exist in the driver-generated
+corpus, so they are DERIVED deterministically from the tables that do
+(``documents``, ``part``, ``orders``).  The SAME constants below drive
+
+* the Python/Ray derivation (``ahrd_ray.sources.synth``), and
+* the generated DuckDB oracle SQL (``ahrd_ray.pipelines.oracle``),
+
+so the two sides are definitionally comparable.  Every derived numeric value
+is an integer or a dyadic rational (denominator a power of two), which keeps
+all downstream floating-point reductions exact and order-independent.
+
+Reference analogues: pages ≈ proteins FASTA (Protein.java:63-113), catalog ≈
+subject FASTA databases (BlastResult.java:311-373), aliases ≈ the blast hit
+tables (BlastResult.java:194-227), attrs ≈ the reference GOA file
+(ReferenceGoAnnotations.java:35-75).
+"""
+
+from __future__ import annotations
+
+# --- pages ---------------------------------------------------------------
+URL_PREFIX = "https://corpus.local/"  # url = URL_PREFIX + lang + '/' + doc_id
+WARC_EPOCH = "2025-01-01 00:00:00"  # warc_ts = epoch + doc_id seconds
+
+# --- catalog (from `part`) ----------------------------------------------
+# source assignment: p_partkey % 3 -> wide / mid / niche
+SOURCE_BY_MOD3 = ("wide", "mid", "niche")
+# description decorations (exercise the regex contract):
+PUTATIVE_MOD = 11  # prefix 'Putative '      -> description blacklist kill
+UNCHAR_MOD = 13  # prefix 'uncharacterized ' -> description blacklist kill
+FAMILY_MOD = 4  # append ' family protein'   -> token blacklist drops both
+FRAGMENT_MOD = 9  # append ' (Fragment)'     -> filtered out (wide/niche)
+OS_MOD = 5  # append ' OS=Synthetica generica' -> filter strips tail
+CAND_LEN_BASE = 64  # cand_len = CAND_LEN_BASE + p_size
+
+# --- aliases (mention lexicon) ------------------------------------------
+# every word of p_name is a mention; additionally parts with
+# p_partkey % ALIAS_MOD < |vocab| get vocab[p_partkey % ALIAS_MOD] as alias,
+# where vocab = sorted distinct tokens of the whole corpus text.
+ALIAS_MOD = 311
+
+# --- candidate link features (all exact integer / dyadic arithmetic) -----
+E_RANK_MULT_P = 37
+E_RANK_MULT_D = 13
+E_RANK_MOD = 1000
+E_RANK_DIV = 1024.0  # power of two -> e_rank is dyadic
+MS_MULT_P = 7
+MS_MULT_D = 3
+MS_MOD = 97
+MS_OFF = 3  # match_score in [3, 99], integer-valued
+CSTART_MOD = 40  # cand_start = 1 + p_partkey % 40
+CEND_MOD = 60  # cand_end = cand_start + 1 + (p_partkey + doc_id) % 60
+
+# --- attrs (from `orders`) ----------------------------------------------
+ATTR_KEEP_MOD = 5  # keep rows with o_orderkey % 5 == 0
+ATTR_SHORT_SPAN = 2  # short = 'P' + (o_orderkey % (ATTR_SHORT_SPAN * n_parts))
+ATTR_VAL_MOD = 37  # attr = 'A' + (o_orderkey % 37)
+
+# --- triple predicates ---------------------------------------------------
+PRED_LINKED = "kg:linked_entity"
+PRED_DESC = "kg:description"
+PRED_QUALITY = "kg:quality"
+PRED_LABEL = "kg:label"
+PRED_ATTR = "kg:attr"
+UNKNOWN_DESC = "unknown"  # analogue of the reference's "Unknown protein"
+
+
+def source_of_partkey(partkey: int) -> str:
+    return SOURCE_BY_MOD3[partkey % 3]
+
+
+def url_of(doc_id: int, lang: str) -> str:
+    return f"{URL_PREFIX}{lang}/{doc_id}"
