@@ -236,7 +236,8 @@ def token_stats(
     cand_ord = df["cand_ord"].to_numpy()
     ms = df["match_score"].to_numpy(dtype=np.float64)
     src = df["source"].to_numpy()
-    w_src = np.vectorize(weights.__getitem__, otypes=[np.float64])(src)
+    src_codes, src_uniq = pd.factorize(src, sort=True)
+    w_src = np.asarray([float(weights[s]) for s in src_uniq])[src_codes]
 
     # -- M6 overlap score per candidate, quantized before any reduction.
     ov = overlap_score(
@@ -256,14 +257,10 @@ def token_stats(
     # -- A3/A4 totals + max bit score per doc over ALL valid candidates
     #    (measured at add-time in the reference, i.e. BEFORE top-k:
     #    Protein.addBlastResult, java :139-151).
-    tot_bit = np.zeros(n_docs)
-    tot_db = np.zeros(n_docs)
-    tot_ov = np.zeros(n_docs)
-    np.add.at(tot_bit, doc_codes, ms)
-    np.add.at(tot_db, doc_codes, w_src)
-    np.add.at(tot_ov, doc_codes, ov)
-    max_bit = np.zeros(n_docs)
-    np.maximum.at(max_bit, doc_codes, ms)
+    tot_bit = np.bincount(doc_codes, weights=ms, minlength=n_docs)
+    tot_db = np.bincount(doc_codes, weights=w_src, minlength=n_docs)
+    tot_ov = np.bincount(doc_codes, weights=ov, minlength=n_docs)
+    max_bit = _segment_max(doc_codes, ms, n_docs)
 
     # -- A2 cumulative per-(doc, token) sums over ALL valid candidates.
     #    Tokens are a set per candidate: counted once per candidate.
@@ -273,12 +270,10 @@ def token_stats(
     n_tok_names = len(catalog.token_names)
     pair_key = doc_codes[row_of_tok].astype(np.int64) * n_tok_names + tok_codes
     pair_ids, pair_uniq = pd.factorize(pair_key, sort=True)
-    cum_bit = np.zeros(len(pair_uniq))
-    cum_db = np.zeros(len(pair_uniq))
-    cum_ov = np.zeros(len(pair_uniq))
-    np.add.at(cum_bit, pair_ids, ms[row_of_tok])
-    np.add.at(cum_db, pair_ids, w_src[row_of_tok])
-    np.add.at(cum_ov, pair_ids, ov[row_of_tok])
+    n_pairs = len(pair_uniq)
+    cum_bit = np.bincount(pair_ids, weights=ms[row_of_tok], minlength=n_pairs)
+    cum_db = np.bincount(pair_ids, weights=w_src[row_of_tok], minlength=n_pairs)
+    cum_ov = np.bincount(pair_ids, weights=ov[row_of_tok], minlength=n_pairs)
     pair_doc = (pair_uniq // n_tok_names).astype(np.int64)
     pair_token_code = (pair_uniq % n_tok_names).astype(np.int64)
 
@@ -414,8 +409,9 @@ def score_partition(
     # -- A6 token high score per doc: max token score over tokens of TOP-K
     #    candidates (the reference iterates the truncated lists).
     topk_tok_rows = topk_mask[row_of_tok]
-    hs = np.zeros(n_docs)
-    np.maximum.at(hs, doc_codes[row_of_tok[topk_tok_rows]], ts[pair_ids[topk_tok_rows]])
+    hs = _segment_max(
+        doc_codes[row_of_tok[topk_tok_rows]], ts[pair_ids[topk_tok_rows]], n_docs
+    )
 
     # -- A7 filter: non-informative tokens lose hs/2 (can go negative).
     half = hs / 2.0
@@ -423,10 +419,10 @@ def score_partition(
     ts_f = np.where(informative, ts, ts - half[pair_doc])
 
     # -- A8 lexical score per top-k candidate.
-    sum_ts = np.zeros(len(df))
-    np.add.at(sum_ts, row_of_tok, ts_f[pair_ids])
-    n_inf = np.zeros(len(df))
-    np.add.at(n_inf, row_of_tok, informative[pair_ids].astype(np.float64))
+    sum_ts = np.bincount(row_of_tok, weights=ts_f[pair_ids], minlength=len(df))
+    n_inf = np.bincount(
+        row_of_tok, weights=informative[pair_ids].astype(np.float64), minlength=len(df)
+    )
     n_tok = reps.astype(np.float64)
     with np.errstate(divide="ignore", invalid="ignore"):
         lex = (sum_ts / hs[doc_codes]) / (n_tok / n_inf)
@@ -470,6 +466,7 @@ def score_partition(
         winners = pd.DataFrame(
             {
                 "doc_id": df["doc_id"].to_numpy()[win],
+                "cand_ord": cand_ord[win],
                 "source": src[win],
                 "cand_id": catalog.cand_id[cand_ord[win]],
                 "cand_short": short[win],
@@ -503,6 +500,7 @@ def _empty_winners() -> pd.DataFrame:
     return pd.DataFrame(
         {
             "doc_id": pd.Series([], dtype="int64"),
+            "cand_ord": pd.Series([], dtype="int64"),
             "source": pd.Series([], dtype="object"),
             "cand_id": pd.Series([], dtype="object"),
             "cand_short": pd.Series([], dtype="object"),
@@ -544,6 +542,26 @@ def _gather_token_codes(
     row_of = np.repeat(np.arange(len(cand_ord)), reps)
     within = np.arange(total) - np.repeat(np.cumsum(reps) - reps, reps)
     return catalog.token_codes[starts[row_of] + within].astype(np.int64)
+
+
+def _segment_max(codes: np.ndarray, values: np.ndarray, n: int) -> np.ndarray:
+    """Max of values per code (0..n-1); 0.0 for empty segments.
+
+    Sort-free when codes are already nondecreasing (the common case after
+    the dedup sort); falls back to a lexsort otherwise.
+    """
+    out = np.zeros(n)
+    if len(values) == 0:
+        return out
+    if np.any(codes[1:] < codes[:-1]):
+        order = np.argsort(codes, kind="stable")
+        codes = codes[order]
+        values = values[order]
+    starts = np.ones(len(codes), dtype=bool)
+    starts[1:] = codes[1:] != codes[:-1]
+    idx = np.flatnonzero(starts)
+    out[codes[idx]] = np.maximum.reduceat(values, idx)
+    return out
 
 
 def _cumcount(sorted_keys: np.ndarray) -> np.ndarray:

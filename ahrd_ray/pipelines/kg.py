@@ -112,3 +112,42 @@ def kg_triples(
     """The flagship: deduplicated, sorted (subj, pred, obj) edge table."""
     winners = winners_dataset(ctx, from_pages=from_pages)
     return materialize_graph(winners, ctx.catalog_ref, ctx.attrs_ref, ctx.cfg, sort=sort)
+
+
+def kg_triples_checkpointed(
+    ctx: PipelineContext, out_root: str, from_pages: bool = True
+) -> ray.data.Dataset:
+    """Flagship with checkpoint-resumable stage boundaries + lineage.
+
+    Three checkpointed stages (candidates -> winners -> triples); a rerun
+    with unchanged inputs/config reads finished stages from their Parquet
+    checkpoints instead of recomputing (SURVEY.md §4 'Checkpoint / resume').
+    """
+    from dataclasses import asdict
+
+    from ahrd_ray.state.checkpoint import run_stage
+
+    inputs = [f"{ctx.sf_dir}/documents.parquet", f"{ctx.sf_dir}/part.parquet"]
+    params = {"cfg": asdict(ctx.cfg), "sf_dir": ctx.sf_dir, "from_pages": from_pages}
+
+    cands = run_stage(
+        "candidates",
+        out_root,
+        lambda: candidates_dataset(ctx, from_pages=from_pages),
+        params,
+        inputs,
+    )
+    winners = run_stage(
+        "winners",
+        out_root,
+        lambda: score_candidates(cands, ctx.catalog_ref, ctx.cfg),
+        params,
+        inputs,
+    )
+    return run_stage(
+        "triples",
+        out_root,
+        lambda: materialize_graph(winners, ctx.catalog_ref, ctx.attrs_ref, ctx.cfg),
+        params,
+        inputs + [f"{ctx.sf_dir}/orders.parquet"],
+    )

@@ -466,3 +466,140 @@ SELECT d.doc_id,
        coalesce({"w.description_score"}, 0.0) AS description_score
 FROM documents d LEFT JOIN winners w ON w.doc_id = d.doc_id"""
     )
+
+
+# ---------------------------------------------------------------------------
+# Dedup / similarity / text-stats / generic relational oracles
+# ---------------------------------------------------------------------------
+
+def sql_exact_dedup() -> str:
+    return (
+        "SELECT min(doc_id) AS doc_id, sha256(text) AS text_sha"
+        " FROM documents GROUP BY sha256(text)"
+    )
+
+
+def sql_ngram_jaccard_pairs(n: int = 3, threshold: float = 0.5) -> str:
+    gram = " || ' ' || ".join(f"arr[i+{j}]" for j in range(n))
+    return f"""WITH shingles AS (
+  SELECT DISTINCT doc_id, sh FROM (
+    SELECT doc_id, unnest(list_transform(generate_series(1, len(arr) - {n - 1}),
+                                         i -> {gram})) AS sh
+    FROM (SELECT doc_id, string_split(text, ' ') AS arr FROM documents)
+  )
+),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM shingles GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+  FROM shingles a JOIN shingles b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT i.doc_a, i.doc_b,
+       CAST(i.inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - i.inter AS DOUBLE) AS jaccard
+FROM inter i
+JOIN sizes sa ON sa.doc_id = i.doc_a
+JOIN sizes sb ON sb.doc_id = i.doc_b
+WHERE CAST(i.inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - i.inter AS DOUBLE) >= {threshold!r}"""
+
+
+_QVEC = "list_transform(embedding, x -> floor(CAST(x AS DOUBLE) * 1024.0 + 0.5) / 1024.0)"
+
+
+def sql_embedding_near_dup(threshold: float = 0.2) -> str:
+    return f"""WITH q AS (
+  SELECT vec_id, {_QVEC} AS v FROM embeddings
+),
+n AS (SELECT vec_id, v, sqrt(list_inner_product(v, v)) AS nrm FROM q)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       list_inner_product(a.v, b.v) / (a.nrm * b.nrm) AS cosine
+FROM n a JOIN n b ON a.vec_id < b.vec_id
+WHERE list_inner_product(a.v, b.v) / (a.nrm * b.nrm) >= {threshold!r}"""
+
+
+def sql_cosine_topk(k: int = 5, every: int = 50) -> str:
+    return f"""WITH q AS (
+  SELECT vec_id, {_QVEC} AS v FROM embeddings
+),
+n AS (SELECT vec_id, v, sqrt(list_inner_product(v, v)) AS nrm FROM q),
+qs AS (SELECT * FROM n WHERE vec_id % {every} = 0),
+scored AS (
+  SELECT qs.vec_id AS query_id, n.vec_id AS neighbor_id,
+         list_inner_product(n.v, qs.v) / (n.nrm * qs.nrm) AS cosine
+  FROM qs JOIN n ON n.vec_id <> qs.vec_id
+)
+SELECT query_id, neighbor_id, rank, cosine FROM (
+  SELECT *, row_number() OVER (
+      PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM scored
+) WHERE rank <= {k}"""
+
+
+def _sql_tok_arr() -> str:
+    return f"list_filter(regexp_split_to_array(lower(text), '{SPLIT_SQL}'), x -> x <> '')"
+
+
+def sql_token_counts() -> str:
+    return (
+        f"SELECT doc_id, CAST(len({_sql_tok_arr()}) AS BIGINT) AS n_tokens,"
+        f" CAST(len(list_distinct({_sql_tok_arr()})) AS BIGINT) AS n_distinct"
+        " FROM documents"
+    )
+
+
+def sql_quality() -> str:
+    arr = _sql_tok_arr()
+    sr = (
+        f"CASE WHEN len({arr}) = 0 THEN 0.0 ELSE "
+        f"CAST(len(list_filter({arr}, x -> x IN ('a','the'))) AS DOUBLE)"
+        f" / CAST(len({arr}) AS DOUBLE) END"
+    )
+    ttr = (
+        f"CASE WHEN len({arr}) = 0 THEN 0.0 ELSE "
+        f"CAST(len(list_distinct({arr})) AS DOUBLE) / CAST(len({arr}) AS DOUBLE) END"
+    )
+    quality = _q20(f"(1.0 - ({sr})) * 0.6 + ({ttr}) * 0.4")
+    return (
+        f"SELECT doc_id, length(text) AS n_chars,"
+        f" CAST(len({arr}) AS BIGINT) AS n_tokens,"
+        f" {sr} AS stopword_ratio, {ttr} AS type_token_ratio,"
+        f" {quality} AS quality FROM documents"
+    )
+
+
+def sql_lineitem_agg() -> str:
+    rev = _q20("l_extendedprice * (1.0 - l_discount)")
+    return f"""WITH prep AS (
+  SELECT l_returnflag, l_linestatus, l_quantity, {rev} AS rev FROM lineitem
+)
+SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty,
+       sum(rev) AS sum_rev, count(*) AS n_rows,
+       sum(l_quantity) / CAST(count(*) AS DOUBLE) AS avg_qty
+FROM prep GROUP BY l_returnflag, l_linestatus"""
+
+
+def sql_orders_by_segment() -> str:
+    price = _q20("o.o_totalprice")
+    return f"""SELECT c.c_mktsegment, sum({price}) AS sum_price, count(*) AS n_orders
+FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+GROUP BY c.c_mktsegment"""
+
+
+def sql_events_hourly() -> str:
+    val = _q20("value")
+    return f"""SELECT event_type, date_trunc('hour', ts) AS window_start,
+       sum({val}) AS sum_value, count(*) AS n_events
+FROM events GROUP BY event_type, date_trunc('hour', ts)"""
+
+
+def sql_top_events(n: int = 100) -> str:
+    return (
+        "SELECT event_id, value FROM events"
+        f" ORDER BY value DESC, event_id ASC LIMIT {n}"
+    )
+
+
+def sql_distinct_users() -> str:
+    return (
+        "SELECT event_type, count(DISTINCT user_id) AS n_users"
+        " FROM events GROUP BY event_type"
+    )

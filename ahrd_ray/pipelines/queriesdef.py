@@ -224,11 +224,16 @@ def q_annotations(sf_dir: str):
     winners = kg.winners_dataset(ctx).select_columns(
         ["doc_id", "cand_id", "description", "description_score"]
     )
+    # size the hash-join partition/aggregator count to the cluster — the
+    # aggregator actor pool must fit alongside the map tasks or the join
+    # deadlocks on small CPU counts
+    cpus = int(ray.cluster_resources().get("CPU", 8))
     joined = docs.join(
         winners,
         "left_outer",
-        num_partitions=max(8, ctx.cfg.num_score_partitions // 4),
+        num_partitions=max(2, min(16, cpus // 2)),
         on=("doc_id",),
+        aggregator_ray_remote_args={"num_cpus": 0.5},
     )
 
     def finish(df: pd.DataFrame) -> pd.DataFrame:
@@ -244,8 +249,96 @@ def q_annotations(sf_dir: str):
     )
 
 
+def _dedup_queries() -> dict[str, tuple[Callable, str | None]]:
+    from ahrd_ray.stages import dedup as dd
+    from ahrd_ray.stages import simsearch as ss
+
+    return {
+        "dd_exact": (
+            lambda sf: dd.exact_dedup(sf).map_batches(_int64, batch_format="pyarrow"),
+            oracle.sql_exact_dedup(),
+        ),
+        "dd_ngram_jaccard": (
+            lambda sf: dd.ngram_jaccard_pairs(sf).map_batches(_int64, batch_format="pyarrow"),
+            oracle.sql_ngram_jaccard_pairs(),
+        ),
+        # approximate methods: validated in pytest against the exact oracles
+        "dd_minhash_lsh": (
+            lambda sf: dd.minhash_lsh_pairs(sf).map_batches(_int64, batch_format="pyarrow"),
+            None,
+        ),
+        "dd_simhash": (lambda sf: dd.simhash_table(sf), None),
+        "dd_simhash_pairs": (
+            lambda sf: dd.simhash_pairs(sf).map_batches(_int64, batch_format="pyarrow"),
+            None,
+        ),
+        "sim_near_dup": (
+            lambda sf: ss.embedding_near_dup_exact(sf),
+            oracle.sql_embedding_near_dup(),
+        ),
+        "sim_near_dup_lsh": (
+            lambda sf: ss.embedding_near_dup_pairs(sf).map_batches(
+                _int64, batch_format="pyarrow"
+            ),
+            None,
+        ),
+        "sim_cosine_topk": (
+            lambda sf: ss.cosine_topk(sf).map_batches(_int64, batch_format="pyarrow"),
+            oracle.sql_cosine_topk(),
+        ),
+    }
+
+
+def _textstats_queries() -> dict[str, tuple[Callable, str | None]]:
+    from ahrd_ray.stages import textstats as tx
+
+    return {
+        "tx_token_counts": (lambda sf: tx.token_counts(sf), oracle.sql_token_counts()),
+        "tx_quality": (lambda sf: tx.quality_scores(sf), oracle.sql_quality()),
+        "tx_langid": (lambda sf: tx.langid(sf), None),
+        "tx_fingerprints": (lambda sf: tx.fingerprints(sf), None),
+    }
+
+
+def _generic_queries() -> dict[str, tuple[Callable, str | None]]:
+    from ahrd_ray.stages import generic as g
+    from ahrd_ray.stages import multimodal as mm
+
+    return {
+        "rel_lineitem_agg": (
+            lambda sf: g.lineitem_agg(sf).map_batches(_int64, batch_format="pyarrow"),
+            oracle.sql_lineitem_agg(),
+        ),
+        "rel_orders_by_segment": (
+            lambda sf: g.orders_by_segment(sf).map_batches(_int64, batch_format="pyarrow"),
+            oracle.sql_orders_by_segment(),
+        ),
+        "rel_events_hourly": (
+            lambda sf: g.events_hourly(sf).map_batches(_int64, batch_format="pyarrow"),
+            oracle.sql_events_hourly(),
+        ),
+        "rel_top_events": (
+            lambda sf: g.top_events(sf).map_batches(_int64, batch_format="pyarrow"),
+            oracle.sql_top_events(),
+        ),
+        "rel_distinct_users": (
+            lambda sf: g.distinct_users(sf).map_batches(_int64, batch_format="pyarrow"),
+            oracle.sql_distinct_users(),
+        ),
+        "mm_media_features": (lambda sf: mm.media_features(sf), None),
+    }
+
+
 def registry() -> dict[str, tuple[Callable, str | None]]:
     cfg = DEFAULT_CONFIG
+    out = _kg_queries(cfg)
+    out.update(_dedup_queries())
+    out.update(_textstats_queries())
+    out.update(_generic_queries())
+    return out
+
+
+def _kg_queries(cfg) -> dict[str, tuple[Callable, str | None]]:
     return {
         "kg_pages_extract": (q_pages_extract, oracle.sql_pages_extract()),
         "kg_doc_tokens": (q_doc_tokens, oracle.sql_doc_tokens()),

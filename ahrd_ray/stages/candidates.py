@@ -63,7 +63,7 @@ class MentionDetector:
             {"token": np.asarray(toks, dtype=object), "cand_ord": np.asarray(ords, dtype=np.int64)}
         )
         self.sources = bundle.arrays.source
-        self.token_len = self.alias_df["token"].str.len().to_numpy()
+        self.alias_tokens = self.alias_df["token"].unique()
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         low = pc.utf8_lower(batch["text"])
@@ -75,8 +75,9 @@ class MentionDetector:
         row_idx = np.repeat(np.arange(len(batch)), lengths)
         mask = flat != ""
         pairs = pd.DataFrame({"row": row_idx[mask], "token": flat[mask]}).drop_duplicates()
-        hits = pairs.merge(self.alias_df, on="token", how="inner", sort=False)
-        if len(hits) == 0:
+        # restrict to mention-lexicon tokens BEFORE any per-pair work
+        pairs = pairs[pairs["token"].isin(self.alias_tokens)]
+        if len(pairs) == 0:
             return CANDIDATE_SCHEMA.empty_table()
 
         doc_ids = batch["doc_id"].to_numpy()
@@ -84,17 +85,31 @@ class MentionDetector:
         low_py = np.asarray(low.to_pylist(), dtype=object)
         doc_lens = pc.utf8_length(batch["text"]).to_numpy(zero_copy_only=False).astype(np.int64)
 
+        # per (doc, token) pair (small table): reading-order ingest position —
+        # 1-based first occurrence of the mention in the lowercased text
+        # (== DuckDB strpos) — and token length, computed BEFORE the alias
+        # fan-out so the per-candidate hits table only does integer math.
+        p_row = pairs["row"].to_numpy()
+        p_tok = pairs["token"].to_numpy()
+        pairs = pairs.assign(
+            ingest=np.fromiter(
+                (low_py[r].find(t) + 1 for r, t in zip(p_row, p_tok)),
+                dtype=np.int64,
+                count=len(p_row),
+            ),
+            tok_len=np.fromiter(
+                (len(t) for t in p_tok), dtype=np.int64, count=len(p_tok)
+            ),
+        )
+        hits = pairs.merge(self.alias_df, on="token", how="inner", sort=False)
+        if len(hits) == 0:
+            return CANDIDATE_SCHEMA.empty_table()
+
         row = hits["row"].to_numpy()
         ords = hits["cand_ord"].to_numpy()
-        toks = hits["token"].to_numpy()
-        tok_len = np.char.str_len(toks.astype(str)).astype(np.int64)
+        tok_len = hits["tok_len"].to_numpy()
         d = doc_ids[row].astype(np.int64)
-
-        # reading-order ingest position: 1-based first occurrence of the
-        # mention in the lowercased text (== DuckDB strpos)
-        ingest = np.fromiter(
-            (low_py[r].find(t) + 1 for r, t in zip(row, toks)), dtype=np.int64, count=len(row)
-        )
+        ingest = hits["ingest"].to_numpy()
 
         e_rank = ((ords * spec.E_RANK_MULT_P + d * spec.E_RANK_MULT_D) % spec.E_RANK_MOD).astype(
             np.float64

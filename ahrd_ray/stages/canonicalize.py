@@ -39,40 +39,61 @@ def make_triple_emitter(catalog_ref, attrs_ref, cfg: EngineConfig):
 
     P = cfg.num_score_partitions
 
+    attrs_df_cache: list[pd.DataFrame] = []
+
     def emit(batch: pd.DataFrame) -> pa.Table:
         if len(batch) == 0:
             return TRIPLE_SCHEMA.empty_table()
-        bundle = get_broadcast(catalog_ref)
-        attrs: dict[str, list[str]] = get_broadcast(attrs_ref) if attrs_ref is not None else {}
-        cand_index = {c: i for i, c in enumerate(bundle.arrays.cand_id)}
+        if not attrs_df_cache:
+            attrs: dict[str, list[str]] = (
+                get_broadcast(attrs_ref) if attrs_ref is not None else {}
+            )
+            attrs_df_cache.append(
+                pd.DataFrame(
+                    [(s, a) for s, vals in attrs.items() for a in vals],
+                    columns=["cand_short", "attr"],
+                )
+            )
+        attrs_df = attrs_df_cache[0]
 
-        subj, pred, obj, tpart = [], [], [], []
+        url = (
+            spec.URL_PREFIX
+            + batch["lang"].astype(str)
+            + "/"
+            + batch["doc_id"].astype("int64").astype(str)
+        )
+        dpart = (batch["doc_id"].to_numpy() % P).astype(np.int32)
+        epart = (batch["cand_ord"].to_numpy() % P).astype(np.int32)
+        cid = batch["cand_id"]
+        desc = batch["description"]
 
-        def add(s, p, o, t):
-            subj.append(s)
-            pred.append(p)
-            obj.append(o)
-            tpart.append(t)
+        def frame(s, p, o, t):
+            return pd.DataFrame(
+                {"subj": np.asarray(s, dtype=object), "pred": p,
+                 "obj": np.asarray(o, dtype=object), "tpart": t}
+            )
 
-        for row in batch.itertuples(index=False):
-            url = spec.url_of(int(row.doc_id), row.lang)
-            dpart = int(row.doc_id) % P
-            epart = cand_index[row.cand_id] % P
-            add(url, spec.PRED_LINKED, row.cand_id, dpart)
-            add(url, spec.PRED_DESC, row.description, dpart)
-            add(url, spec.PRED_QUALITY, row.quality_code, dpart)
+        frames = [
+            frame(url, spec.PRED_LINKED, cid, dpart),
+            frame(url, spec.PRED_DESC, desc, dpart),
+            frame(url, spec.PRED_QUALITY, batch["quality_code"], dpart),
             # entity-side label: canonical across docs -> deduped downstream
-            add(row.cand_id, spec.PRED_LABEL, row.description, epart)
-            for a in attrs.get(row.cand_short, ()):
-                # doc-side transfer (protein.goResults analogue)
-                add(url, spec.PRED_ATTR, a, dpart)
-                add(row.cand_id, spec.PRED_ATTR, a, epart)
+            frame(cid, spec.PRED_LABEL, desc, epart),
+        ]
+        if len(attrs_df):
+            w = batch.assign(url=url, dpart=dpart, epart=epart)
+            m = w.merge(attrs_df, on="cand_short", how="inner", sort=False)
+            if len(m):
+                # doc-side transfer (protein.goResults analogue) + entity-side
+                frames.append(frame(m["url"], spec.PRED_ATTR, m["attr"], m["dpart"].to_numpy()))
+                frames.append(frame(m["cand_id"], spec.PRED_ATTR, m["attr"], m["epart"].to_numpy()))
+        out = pd.concat(frames, ignore_index=True)
         return pa.table(
             {
-                "subj": pa.array(subj, type=pa.string()),
-                "pred": pa.array(pred, type=pa.string()),
-                "obj": pa.array(obj, type=pa.string()),
-                "tpart": pa.array(np.asarray(tpart, dtype=np.int32), type=pa.int32()),
+                "subj": pa.array(out["subj"], type=pa.string()),
+                "pred": pa.array(out["pred"], type=pa.string()),
+                "obj": pa.array(out["obj"], type=pa.string()),
+                "tpart": pa.array(out["tpart"].to_numpy().astype(np.int32), type=pa.int32()),
             }
         )
 

@@ -1,0 +1,167 @@
+"""Generic relational operators over the TPC-H-ish tables.
+
+Demonstrates the engine's general query capability with the
+scale-correct shapes:
+
+* map-side partial aggregation (combiner) before every groupby — the
+  shuffle carries one row per (block, key), not per input row;
+* broadcast hash joins for dimension tables (ray.put once);
+* deterministic distributed sums: non-integer measures are 2^-20-quantized
+  per row before summation (exact, order-independent, bit-identical to the
+  DuckDB oracle).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray
+import ray.data
+
+from ahrd_ray.config import q20
+
+
+def _partial_sum(keys: list[str], sums: dict[str, str], count_col: str | None = None):
+    """Build a map_batches combiner: per-batch groupby-sum."""
+
+    def f(df: pd.DataFrame) -> pd.DataFrame:
+        agg = {out: (src, "sum") for out, src in sums.items()}
+        if count_col:
+            agg[count_col] = (next(iter(sums.values())), "size") if sums else ("_", "size")
+        g = df.groupby(keys, as_index=False).agg(**agg)
+        return g
+
+    return f
+
+
+def _final_sum(keys: list[str], cols: list[str]):
+    def f(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby(keys, as_index=False)[cols].sum()
+
+    return f
+
+
+def lineitem_agg(sf_dir: str) -> ray.data.Dataset:
+    """TPC-H Q1-style: per (returnflag, linestatus): sum qty, quantized
+    revenue sum, row count, avg qty."""
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount"],
+    )
+
+    def prep(df: pd.DataFrame) -> pd.DataFrame:
+        rev = q20(
+            df["l_extendedprice"].to_numpy() * (1.0 - df["l_discount"].to_numpy())
+        )
+        out = pd.DataFrame(
+            {
+                "l_returnflag": df["l_returnflag"],
+                "l_linestatus": df["l_linestatus"],
+                "sum_qty": df["l_quantity"].to_numpy(),
+                "sum_rev": rev,
+                "n_rows": np.ones(len(df), dtype=np.int64),
+            }
+        )
+        return out.groupby(["l_returnflag", "l_linestatus"], as_index=False).sum()
+
+    partial = li.map_batches(prep, batch_format="pandas")
+    final = partial.groupby(["l_returnflag", "l_linestatus"]).map_groups(
+        _final_sum(["l_returnflag", "l_linestatus"], ["sum_qty", "sum_rev", "n_rows"]),
+        batch_format="pandas",
+    )
+
+    def post(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["avg_qty"] = df["sum_qty"].to_numpy() / df["n_rows"].to_numpy()
+        return df
+
+    return final.map_batches(post, batch_format="pandas")
+
+
+def orders_by_segment(sf_dir: str) -> ray.data.Dataset:
+    """Broadcast hash join orders x customer (dim) -> per-segment counts and
+    quantized total-price sums."""
+    import pyarrow.parquet as pq
+
+    cust = pq.read_table(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"])
+    seg_of = dict(zip(cust["c_custkey"].to_pylist(), cust["c_mktsegment"].to_pylist()))
+    seg_ref = ray.put(seg_of)
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
+    )
+
+    def join_partial(df: pd.DataFrame) -> pd.DataFrame:
+        from ahrd_ray.stages.score import get_broadcast
+
+        seg = get_broadcast(seg_ref)
+        out = pd.DataFrame(
+            {
+                "c_mktsegment": df["o_custkey"].map(seg),
+                "sum_price": q20(df["o_totalprice"].to_numpy()),
+                "n_orders": np.ones(len(df), dtype=np.int64),
+            }
+        )
+        return out.groupby("c_mktsegment", as_index=False).sum()
+
+    partial = orders.map_batches(join_partial, batch_format="pandas")
+    return partial.groupby("c_mktsegment").map_groups(
+        _final_sum(["c_mktsegment"], ["sum_price", "n_orders"]), batch_format="pandas"
+    )
+
+
+def events_hourly(sf_dir: str) -> ray.data.Dataset:
+    """Tumbling 1-hour window per event_type: count + quantized value sum
+    (streaming-windowed aggregate analogue; the window key is derived
+    per-row, so the combiner pattern applies unchanged)."""
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["ts", "event_type", "value"]
+    )
+
+    def prep(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame(
+            {
+                "event_type": df["event_type"],
+                "window_start": df["ts"].dt.floor("h"),
+                "sum_value": q20(df["value"].to_numpy()),
+                "n_events": np.ones(len(df), dtype=np.int64),
+            }
+        )
+        return out.groupby(["event_type", "window_start"], as_index=False).sum()
+
+    partial = ev.map_batches(prep, batch_format="pandas")
+    return partial.groupby(["event_type", "window_start"]).map_groups(
+        _final_sum(["event_type", "window_start"], ["sum_value", "n_events"]),
+        batch_format="pandas",
+    )
+
+
+def top_events(sf_dir: str, n: int = 100) -> ray.data.Dataset:
+    """Global top-N by value (desc), deterministic event_id tie-break."""
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id", "value"])
+    return ev.sort(["value", "event_id"], descending=[True, False]).limit(n)
+
+
+def distinct_users(sf_dir: str) -> ray.data.Dataset:
+    """Count distinct user_id per event_type (partial distinct per block,
+    exact finalize per key)."""
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "user_id"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return df.drop_duplicates()
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "event_type": [df["event_type"].iloc[0]],
+                "n_users": np.asarray([df["user_id"].nunique()], dtype=np.int64),
+            }
+        )
+
+    return (
+        ev.map_batches(partial, batch_format="pandas")
+        .groupby("event_type")
+        .map_groups(final, batch_format="pandas")
+    )

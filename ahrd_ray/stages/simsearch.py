@@ -1,0 +1,200 @@
+"""Similarity search over the ``embeddings`` table (list<float> column).
+
+* ``cosine_topk`` — brute-force top-k per query: the query matrix is
+  broadcast (ray.put once), every batch does one numpy matmul against it,
+  per-query global top-k finishes in a tiny groupby.  The baseline ANN shape
+  for 100 TB: batch x broadcast, no pairwise shuffle.
+* ``embedding_near_dup_pairs`` — all pairs with cosine >= threshold via
+  LSH-style bucketing on sign-random-projections, verified exactly.
+* Determinism: embeddings are quantized to 2^-10 before any dot product, so
+  every sum of products is exact in float64 and order-independent —
+  bit-identical to the DuckDB oracle (list_inner_product over quantized
+  DOUBLE lists).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray.data
+
+EMB_QUANT = 1024.0  # 2^10
+
+
+def quantize_vec(m: np.ndarray) -> np.ndarray:
+    return np.floor(m.astype(np.float64) * EMB_QUANT + 0.5) / EMB_QUANT
+
+
+def _emb_matrix(batch: pa.Table) -> tuple[np.ndarray, np.ndarray]:
+    ids = batch["vec_id"].to_numpy()
+    m = np.vstack([np.asarray(v, dtype=np.float64) for v in batch["embedding"].to_pylist()])
+    return ids, quantize_vec(m)
+
+
+def query_matrix(sf_dir: str, every: int = 50) -> tuple[np.ndarray, np.ndarray]:
+    """Deterministic query set: vec_id % every == 0."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ids = t["vec_id"].to_numpy()
+    keep = ids % every == 0
+    m = np.vstack([np.asarray(v, dtype=np.float64) for v in t["embedding"].to_pylist()])
+    return ids[keep], quantize_vec(m[keep])
+
+
+def cosine_topk(sf_dir: str, k: int = 5, every: int = 50) -> ray.data.Dataset:
+    """(query_id, neighbor_id, rank, cosine) — self-match excluded.
+
+    Tie-break: cosine DESC, neighbor_id ASC (exact doubles on both sides).
+    """
+    import ray
+
+    q_ids, q_m = query_matrix(sf_dir, every)
+    # fixed-order norm: exact sum of dyadic squares
+    q_norm = np.sqrt((q_m * q_m).sum(axis=1))
+    qref = ray.put((q_ids, q_m, q_norm))
+
+    def batch_scores(batch: pa.Table) -> pa.Table:
+        from ahrd_ray.stages.score import get_broadcast
+
+        qi, qm, qn = get_broadcast(qref)
+        ids, m = _emb_matrix(batch)
+        n = np.sqrt((m * m).sum(axis=1))
+        dots = m @ qm.T  # exact: dyadic products, exact sums
+        cos = dots / (n[:, None] * qn[None, :])
+        # per-batch partial top-k per query before the shuffle
+        rows = []
+        kk = min(k + 1, len(ids))
+        for j, q in enumerate(qi):
+            order = np.lexsort((ids, -cos[:, j]))[:kk]
+            for i in order:
+                if ids[i] != q:
+                    rows.append((int(q), int(ids[i]), float(cos[i, j])))
+        df = pd.DataFrame(rows, columns=["query_id", "neighbor_id", "cosine"])
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    partial = emb.map_batches(batch_scores, batch_format="pyarrow")
+
+    def final_topk(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["cosine", "neighbor_id"], ascending=[False, True]).head(k)
+        df = df.reset_index(drop=True)
+        df["rank"] = np.arange(1, len(df) + 1, dtype=np.int64)
+        return df[["query_id", "neighbor_id", "rank", "cosine"]]
+
+    return partial.groupby("query_id").map_groups(final_topk, batch_format="pandas")
+
+
+def embedding_near_dup_exact(sf_dir: str, threshold: float = 0.2) -> ray.data.Dataset:
+    """All (vec_a < vec_b) pairs with cosine >= threshold — exact baseline.
+
+    Block-nested: each batch matmuls against the broadcast full matrix (put
+    once); only the upper triangle (a < b) is emitted.  The SQL-oracle-checked
+    ground truth for the LSH variant.
+    """
+    import ray
+
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    all_ids = t["vec_id"].to_numpy()
+    all_m = quantize_vec(
+        np.vstack([np.asarray(v, dtype=np.float64) for v in t["embedding"].to_pylist()])
+    )
+    all_norm = np.sqrt((all_m * all_m).sum(axis=1))
+    mref = ray.put((all_ids, all_m, all_norm))
+
+    def batch_pairs(batch: pa.Table) -> pa.Table:
+        from ahrd_ray.stages.score import get_broadcast
+
+        bids, bm, bnorm = get_broadcast(mref)
+        ids, m = _emb_matrix(batch)
+        n = np.sqrt((m * m).sum(axis=1))
+        cos = (m @ bm.T) / (n[:, None] * bnorm[None, :])
+        li, ri = np.nonzero((cos >= threshold) & (ids[:, None] < bids[None, :]))
+        return pa.table(
+            {
+                "vec_a": pa.array(ids[li], type=pa.int64()),
+                "vec_b": pa.array(bids[ri], type=pa.int64()),
+                "cosine": pa.array(cos[li, ri], type=pa.float64()),
+            }
+        )
+
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    return emb.map_batches(batch_pairs, batch_format="pyarrow")
+
+
+def embedding_near_dup_pairs(sf_dir: str, threshold: float = 0.2) -> ray.data.Dataset:
+    """All (vec_a < vec_b) pairs with cosine >= threshold.
+
+    Bucketing: 8-bit sign-random-projection sketch; a pair is examined only
+    if it collides in at least one of 4 sketch bands (scale path); verify is
+    exact.  At test scale the verify side broadcasts the (small) embedding
+    matrix; at 100 TB the verify joins by bucket partition instead.
+    """
+    import ray
+
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    all_ids = t["vec_id"].to_numpy()
+    all_m = quantize_vec(
+        np.vstack([np.asarray(v, dtype=np.float64) for v in t["embedding"].to_pylist()])
+    )
+    mref = ray.put((all_ids, all_m))
+    dim = all_m.shape[1]
+    # deterministic projection matrix (no RNG): interleaved +-1 pattern
+    proj = np.array(
+        [[1.0 if ((i * dim + j) * 2654435761 % 97) < 48 else -1.0 for j in range(dim)] for i in range(32)]
+    )
+    pref = ray.put(proj)
+
+    def sketch_batch(batch: pa.Table) -> pa.Table:
+        from ahrd_ray.stages.score import get_broadcast
+
+        P = get_broadcast(pref)
+        ids, m = _emb_matrix(batch)
+        bits = (m @ P.T) > 0  # (n, 32)
+        ids_out, bands, keys = [], [], []
+        for band in range(4):
+            chunk = bits[:, band * 8 : (band + 1) * 8]
+            key = (chunk * (1 << np.arange(8))).sum(axis=1)
+            ids_out.extend(ids.tolist())
+            bands.extend([band] * len(ids))
+            keys.extend(key.tolist())
+        return pa.table(
+            {
+                "vec_id": pa.array(ids_out, type=pa.int64()),
+                "band": pa.array(bands, type=pa.int32()),
+                "key": pa.array(np.asarray(keys, dtype=np.int64), type=pa.int64()),
+            }
+        )
+
+    from ahrd_ray.stages.dedup import _dedup_bucket_pairs
+
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    banded = emb.map_batches(sketch_batch, batch_format="pyarrow")
+    cand = _dedup_bucket_pairs(banded, ["band", "key"], "key", "vec_id").map_batches(
+        lambda df: df.rename(columns={"doc_a": "vec_a", "doc_b": "vec_b"}),
+        batch_format="pandas",
+    )
+
+    def verify(df: pd.DataFrame) -> pd.DataFrame:
+        from ahrd_ray.stages.score import get_broadcast
+
+        ids, m = get_broadcast(mref)
+        pos = {int(v): i for i, v in enumerate(ids)}
+        norms = np.sqrt((m * m).sum(axis=1))
+        rows = []
+        for a, b in zip(df["vec_a"], df["vec_b"]):
+            ia, ib = pos[int(a)], pos[int(b)]
+            cos = float((m[ia] * m[ib]).sum() / (norms[ia] * norms[ib]))
+            if cos >= threshold:
+                rows.append((int(a), int(b), cos))
+        return pd.DataFrame(rows, columns=["vec_a", "vec_b", "cosine"]).astype(
+            {"vec_a": "int64", "vec_b": "int64", "cosine": "float64"}
+        )
+
+    return cand.map_batches(verify, batch_format="pandas")

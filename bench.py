@@ -1,0 +1,117 @@
+"""Benchmark harness for the ahrd_ray engine.
+
+Default: runs the headline pipelines over ``$GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) in one Ray session with ``$RAY_GRAFT_CPUS`` CPUs
+(default 32) and prints ONE JSON line.
+
+``--scaling``: runs the headline pipeline in two FRESH processes at 8 and 32
+CPUs (sandbox stand-in for N vs 4N Ray nodes, per BASELINE.md) on the same
+input and reports both throughputs + scaling efficiency.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=num_cpus, include_dashboard=False)
+    from ahrd_ray.pipelines import kg
+
+    timings: dict[str, float] = {}
+
+    t0 = time.perf_counter()
+    ctx = kg.PipelineContext(sf_dir)
+    timings["setup_broadcast"] = round(time.perf_counter() - t0, 3)
+
+    t0 = time.perf_counter()
+    n_cands = kg.candidates_dataset(ctx).count()
+    timings["candidates"] = round(time.perf_counter() - t0, 3)
+
+    t0 = time.perf_counter()
+    n_winners = kg.winners_dataset(ctx).count()
+    timings["winners"] = round(time.perf_counter() - t0, 3)
+
+    out_dir = f"/tmp/ahrd_ray_bench/triples_{num_cpus}"
+    t0 = time.perf_counter()
+    ds = kg.kg_triples(ctx)
+    ds.write_parquet(out_dir)
+    headline = time.perf_counter() - t0
+    timings["kg_triples"] = round(headline, 3)
+
+    n_docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"]).count()
+    ray.shutdown()
+    return {
+        "metric": "kg_triples_wall_sec",
+        "value": round(headline, 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_dir,
+        "num_cpus": num_cpus,
+        "docs": n_docs,
+        "candidates": n_cands,
+        "winners": n_winners,
+        "docs_per_sec": round(n_docs / headline, 2),
+    }
+
+
+def run_one_subprocess(num_cpus: int, sf_dir: str) -> dict:
+    env = dict(os.environ, RAY_GRAFT_CPUS=str(num_cpus), GRAFT_SF_DIR=sf_dir)
+    out = subprocess.run(
+        [sys.executable, os.path.abspath(__file__), "--single"],
+        env=env,
+        capture_output=True,
+        text=True,
+        check=True,
+    )
+    last = [ln for ln in out.stdout.splitlines() if ln.startswith("{")][-1]
+    return json.loads(last)
+
+
+def main() -> None:
+    if "--scaling" in sys.argv:
+        low, high = 8, 32
+        r_low = run_one_subprocess(low, SF_DIR)
+        r_high = run_one_subprocess(high, SF_DIR)
+        tp_low = r_low["docs_per_sec"]
+        tp_high = r_high["docs_per_sec"]
+        # perfect scaling: tp_high == tp_low * (high/low); efficiency is the
+        # achieved fraction of that
+        eff = (tp_high / tp_low) / (high / low)
+        print(
+            json.dumps(
+                {
+                    "metric": "scaling_efficiency",
+                    "value": round(eff, 3),
+                    "unit": "ratio",
+                    "queries": {
+                        f"kg_triples_cpus{low}": r_low["value"],
+                        f"kg_triples_cpus{high}": r_high["value"],
+                    },
+                    "sf": SF_DIR,
+                    "num_cpus": high,
+                    "docs_per_sec_low": tp_low,
+                    "docs_per_sec_high": tp_high,
+                    "cpus": [low, high],
+                }
+            )
+        )
+        return
+    result = run_benchmarks(SF_DIR, NUM_CPUS)
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -43,7 +43,9 @@ def fingerprint(df: pd.DataFrame) -> str:
     h = hashlib.sha256()
     for c in cols:
         s = df[c]
-        if s.dtype == object or str(s.dtype) == "string":
+        if "datetime" in str(s.dtype):
+            h.update(str(sorted(s.astype("int64").tolist())).encode())
+        elif s.dtype == object or str(s.dtype) == "string":
             vals = sorted(str(x) for x in s.fillna("\x00<null>"))
             h.update(("\n".join(vals)).encode())
         elif str(s.dtype) == "bool":
