@@ -603,3 +603,141 @@ def sql_distinct_users() -> str:
         "SELECT event_type, count(DISTINCT user_id) AS n_users"
         " FROM events GROUP BY event_type"
     )
+
+
+# ---------------------------------------------------------------------------
+# Evaluation harness (E1-E6) + taxonomy DAG filter (A12)
+# ---------------------------------------------------------------------------
+
+GOLD_PREFIX_CHARS = 40
+
+
+def _eval_ctes(cfg: EngineConfig) -> str:
+    return f"""gold AS (
+  SELECT DISTINCT doc_id, token FROM (
+    SELECT doc_id, unnest(regexp_split_to_array(lower(substr(text, 1, {GOLD_PREFIX_CHARS})), '{SPLIT_SQL}')) AS token
+    FROM documents
+  ) WHERE token <> ''
+),
+gold_sizes AS (SELECT doc_id, count(*) AS n_gold FROM gold GROUP BY doc_id),
+ev_tokens AS (
+  SELECT DISTINCT cand_ord, token FROM (
+    SELECT cand_ord, unnest(regexp_split_to_array(lower(description), '{SPLIT_SQL}')) AS token
+    FROM catalog_flt
+  ) WHERE token <> ''
+),
+ev_sizes AS (SELECT cand_ord, count(*) AS n_ev FROM ev_tokens GROUP BY cand_ord),
+dall AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY doc_id, cand_ord ORDER BY match_score DESC, ingest_seq ASC) AS dall_rn
+    FROM candidates
+  ) WHERE dall_rn = 1
+),
+unch AS (
+  SELECT doc_id, cand_ord FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY doc_id, source ORDER BY match_score DESC, cand_ord ASC) AS unch_rn
+    FROM dall
+  ) WHERE unch_rn = 1
+),
+need AS (
+  SELECT doc_id, cand_ord FROM winners
+  UNION SELECT doc_id, cand_ord FROM unch
+  UNION SELECT doc_id, cand_ord FROM topk
+),
+tp AS (
+  SELECT n.doc_id, n.cand_ord, count(*) AS tp
+  FROM need n
+  JOIN ev_tokens e ON e.cand_ord = n.cand_ord
+  JOIN gold g ON g.doc_id = n.doc_id AND g.token = e.token
+  GROUP BY n.doc_id, n.cand_ord
+),
+fb AS (
+  SELECT n.doc_id, n.cand_ord,
+    CASE WHEN coalesce(t.tp, 0) = 0 OR coalesce(gs.n_gold, 0) = 0 OR coalesce(es.n_ev, 0) = 0
+         THEN 0.0
+         ELSE 2.0 * ((CAST(t.tp AS DOUBLE) / es.n_ev) * (CAST(t.tp AS DOUBLE) / gs.n_gold))
+              / ((CAST(t.tp AS DOUBLE) / es.n_ev) + (CAST(t.tp AS DOUBLE) / gs.n_gold))
+    END AS f
+  FROM need n
+  LEFT JOIN tp t ON t.doc_id = n.doc_id AND t.cand_ord = n.cand_ord
+  LEFT JOIN gold_sizes gs ON gs.doc_id = n.doc_id
+  LEFT JOIN ev_sizes es ON es.cand_ord = n.cand_ord
+),
+eval_rows AS (
+  SELECT d.doc_id,
+         coalesce(fw.f, 0.0) AS eval_score,
+         coalesce(bc.best, 0.0) AS best_comp_score,
+         coalesce(fw.f, 0.0) - coalesce(bc.best, 0.0) AS delta,
+         coalesce(hp.best, 0.0) AS highest_possible
+  FROM documents d
+  LEFT JOIN winners w ON w.doc_id = d.doc_id
+  LEFT JOIN fb fw ON fw.doc_id = w.doc_id AND fw.cand_ord = w.cand_ord
+  LEFT JOIN (SELECT u.doc_id, max(f.f) AS best FROM unch u
+             JOIN fb f ON f.doc_id = u.doc_id AND f.cand_ord = u.cand_ord
+             GROUP BY u.doc_id) bc ON bc.doc_id = d.doc_id
+  LEFT JOIN (SELECT k.doc_id, max(f.f) AS best FROM topk k
+             JOIN fb f ON f.doc_id = k.doc_id AND f.cand_ord = k.cand_ord
+             GROUP BY k.doc_id) hp ON hp.doc_id = d.doc_id
+)"""
+
+
+def sql_eval_scores(cfg: EngineConfig) -> str:
+    return (
+        _with(
+            *_cands_prefix(cfg),
+            cte_valid_dedup(),
+            cte_scoring(cfg),
+            cte_winners(restrict_annotated=False),
+            _eval_ctes(cfg),
+        )
+        + "\nSELECT doc_id, eval_score, best_comp_score, delta, highest_possible"
+        " FROM eval_rows"
+    )
+
+
+def sql_eval_summary(cfg: EngineConfig) -> str:
+    cols = ["eval_score", "best_comp_score", "delta", "highest_possible"]
+    means = ", ".join(
+        f"sum({_q20(c)}) / CAST(count(*) AS DOUBLE) AS mean_{c}" for c in cols
+    )
+    return (
+        _with(
+            *_cands_prefix(cfg),
+            cte_valid_dedup(),
+            cte_scoring(cfg),
+            cte_winners(restrict_annotated=False),
+            _eval_ctes(cfg),
+        )
+        + f"\nSELECT {means}, count(*) AS n_docs FROM eval_rows"
+    )
+
+
+def sql_most_informative() -> str:
+    return """WITH RECURSIVE dag AS (
+  SELECT 'N' || CAST(n_nationkey AS VARCHAR) AS node_id,
+         'R' || CAST(n_regionkey AS VARCHAR) AS parent_id
+  FROM nation
+  UNION ALL
+  SELECT 'R' || CAST(r_regionkey AS VARCHAR), NULL FROM region
+),
+assign AS (
+  SELECT doc_id, 'N' || CAST(doc_id % 25 AS VARCHAR) AS node_id FROM documents
+  UNION
+  SELECT d.doc_id, 'R' || CAST(n.n_regionkey AS VARCHAR)
+  FROM documents d JOIN nation n ON n.n_nationkey = d.doc_id % 25
+  WHERE d.doc_id % 7 = 0
+),
+anc(node_id, anc_id) AS (
+  SELECT node_id, parent_id FROM dag WHERE parent_id IS NOT NULL
+  UNION
+  SELECT a.node_id, d.parent_id FROM anc a
+  JOIN dag d ON d.node_id = a.anc_id WHERE d.parent_id IS NOT NULL
+)
+SELECT x.doc_id, x.node_id FROM assign x
+WHERE NOT EXISTS (
+  SELECT 1 FROM assign y
+  JOIN anc ON anc.node_id = y.node_id AND anc.anc_id = x.node_id
+  WHERE y.doc_id = x.doc_id
+)"""

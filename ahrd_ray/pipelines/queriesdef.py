@@ -329,12 +329,43 @@ def _generic_queries() -> dict[str, tuple[Callable, str | None]]:
     }
 
 
+def _eval_queries() -> dict[str, tuple[Callable, str | None]]:
+    from ahrd_ray.stages import taxonomy as txy
+    from ahrd_ray.stages.evaluate import eval_scores, eval_summary
+
+    cfg = DEFAULT_CONFIG
+    return {
+        "ev_scores": (
+            lambda sf: eval_scores(_ctx(sf)).map_batches(_int64, batch_format="pyarrow"),
+            oracle.sql_eval_scores(cfg),
+        ),
+        "ev_summary": (
+            lambda sf: eval_summary(_ctx(sf)),
+            oracle.sql_eval_summary(cfg),
+        ),
+        "tax_most_informative": (
+            lambda sf: txy.most_informative(sf).map_batches(_int64, batch_format="pyarrow"),
+            oracle.sql_most_informative(),
+        ),
+        # simulated-annealing trainer path log (E7): deterministic via seeded
+        # RNG, not SQL-expressible -> rows-only check
+        "tr_path": (_q_trainer, None),
+    }
+
+
+def _q_trainer(sf_dir: str):
+    from ahrd_ray.pipelines.trainer import train
+
+    return train(sf_dir, iterations=8, temperature=400.0, cool_down_by=50.0)
+
+
 def registry() -> dict[str, tuple[Callable, str | None]]:
     cfg = DEFAULT_CONFIG
     out = _kg_queries(cfg)
     out.update(_dedup_queries())
     out.update(_textstats_queries())
     out.update(_generic_queries())
+    out.update(_eval_queries())
     return out
 
 

@@ -1,0 +1,185 @@
+"""Parameter trainer — simulated annealing (reference operators E7/E8).
+
+Mirrors Trainer.java:93-138 re-expressed for Ray Data:
+
+* inputs are parsed ONCE: the deduped candidate table is materialized and
+  re-scored each iteration with mutated parameters (the reference's key
+  precedent — parsing happens once, only scoring repeats, SURVEY.md §3.3);
+* the objective is the mean (2^-20-quantized, hence exactly-summable)
+  evaluation F-score over all documents (Trainer.java:215-245);
+* acceptance: better always; worse with p = exp(diff * sf / T)
+  (Trainer.java:179-199); temperature cools by ``cool_down_by`` per step;
+* mutation: one of {token-score weight triple (renormalized to sum 1,
+  Parameters.java:211-221), a source weight, a source dsbs weight} mutated
+  by a Gaussian step (Parameters.java:284-303) — with a SEEDED generator
+  (documented deviation from the reference's unseeded Random,
+  Utils.java:21; required for retry-safe determinism);
+* each iteration logs temperature, score, accepted-flag and all parameters
+  (TrainerOutputWriter analogue, W4).
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import replace
+
+import numpy as np
+import pandas as pd
+
+import ray
+
+from ahrd_ray.config import EngineConfig, SourceConfig, q20_scalar
+from ahrd_ray.functions.scoring import score_partition
+from ahrd_ray.stages.evaluate import _fbeta, gold_tokens_of
+from ahrd_ray.stages.score import get_broadcast
+
+
+def _normalized_weights(w: list[float]) -> list[float]:
+    s = sum(w)
+    return [round(x / s, 4) for x in w]
+
+
+def mutate(cfg: EngineConfig, rng: np.random.Generator) -> EngineConfig:
+    """One random parameter mutated (Parameters.java:132-170)."""
+    n_src = len(cfg.sources)
+    choice = int(rng.integers(0, 1 + 2 * n_src))
+    if choice == 0:
+        w = [
+            cfg.token_score_bit_score_weight,
+            cfg.token_score_database_score_weight,
+            cfg.token_score_overlap_score_weight,
+        ]
+        i = int(rng.integers(0, 3))
+        w[i] = max(0.001, w[i] + float(rng.normal(0.0, 0.1)))
+        w = _normalized_weights(w)
+        # keep the exact-sum contract: adjust the last weight
+        w[2] = round(1.0 - w[0] - w[1], 4)
+        return replace(
+            cfg,
+            token_score_bit_score_weight=w[0],
+            token_score_database_score_weight=w[1],
+            token_score_overlap_score_weight=w[2],
+        )
+    idx = (choice - 1) % n_src
+    src = cfg.sources[idx]
+    if choice <= n_src:
+        new = max(1, int(src.weight + rng.normal(0.0, 10.0)))
+        new_src = replace(src, weight=new)
+    else:
+        new = min(1.0, max(0.0, src.description_score_bit_score_weight + float(rng.normal(0.0, 0.1))))
+        new_src = replace(src, description_score_bit_score_weight=round(new, 4))
+    sources = tuple(new_src if i == idx else s for i, s in enumerate(cfg.sources))
+    return replace(cfg, sources=sources)
+
+
+def _objective(cands, catalog_ref, gold_ref, n_docs: int, cfg: EngineConfig) -> float:
+    """Mean eval F-score under cfg (one Ray pass over cached candidates)."""
+
+    def part_score(df: pd.DataFrame) -> pd.DataFrame:
+        bundle = get_broadcast(catalog_ref)
+        gold = get_broadcast(gold_ref)
+        winners = score_partition(df, bundle.arrays, cfg, carry_cols=())
+        ssum = 0.0
+        for doc, w in zip(winners["doc_id"].astype(int), winners["cand_ord"].astype(int)):
+            ssum += q20_scalar(_fbeta(bundle.eval_tokens[w], gold[doc]))
+        return pd.DataFrame({"s": [ssum], "n": [len(winners)]})
+
+    parts = cands.groupby("spart").map_groups(part_score, batch_format="pandas").to_pandas()
+    # docs without a winner contribute 0 (EvaluationScoreCalculator zeroes)
+    return float(parts["s"].sum() / n_docs)
+
+
+def train(
+    sf_dir: str,
+    iterations: int = 20,
+    temperature: float = 1000.0,
+    cool_down_by: float = 50.0,
+    scaling_factor: float = 200.0,
+    seed: int = 42,
+) -> pd.DataFrame:
+    """Run the annealing loop; returns the path log (one row per iteration,
+    best row flagged).  The last row holds the best parameters found."""
+    from ahrd_ray.pipelines.kg import PipelineContext, candidates_dataset
+
+    ctx = PipelineContext(sf_dir)
+    cands = candidates_dataset(ctx, from_pages=False).materialize()
+
+    import pyarrow.parquet as pq
+
+    docs = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    gold = {
+        int(d): gold_tokens_of(t)
+        for d, t in zip(docs["doc_id"].to_pylist(), docs["text"].to_pylist())
+    }
+    n_docs = len(gold)
+    gold_ref = ray.put(gold)
+
+    rng = np.random.default_rng(seed)
+    cfg = ctx.cfg
+    score = _objective(cands, ctx.catalog_ref, gold_ref, n_docs, cfg)
+    best_cfg, best_score = cfg, score
+    rows = []
+    T = temperature
+    for it in range(iterations):
+        cand_cfg = mutate(cfg, rng)
+        cand_score = _objective(cands, ctx.catalog_ref, gold_ref, n_docs, cand_cfg)
+        diff = cand_score - score
+        accept = diff >= 0 or (
+            T > 0 and float(rng.random()) < math.exp(diff * scaling_factor / T)
+        )
+        if accept:
+            cfg, score = cand_cfg, cand_score
+        if score > best_score:
+            best_cfg, best_score = cfg, score
+        rows.append(
+            {
+                "iteration": it,
+                "temperature": T,
+                "score": cand_score,
+                "accepted": bool(accept),
+                "w_bit": cand_cfg.token_score_bit_score_weight,
+                "w_db": cand_cfg.token_score_database_score_weight,
+                "w_ov": cand_cfg.token_score_overlap_score_weight,
+                **{
+                    f"weight_{s.name}": s.weight for s in cand_cfg.sources
+                },
+                **{
+                    f"dsbs_{s.name}": s.description_score_bit_score_weight
+                    for s in cand_cfg.sources
+                },
+            }
+        )
+        T -= cool_down_by
+    log = pd.DataFrame(rows)
+    log["best_score"] = best_score
+    log["best_w_bit"] = best_cfg.token_score_bit_score_weight
+    log["best_w_db"] = best_cfg.token_score_database_score_weight
+    log["best_w_ov"] = best_cfg.token_score_overlap_score_weight
+    return log
+
+
+def random_start_configs(n: int, seed: int = 7) -> list[EngineConfig]:
+    """E8 — TrainerBatcher analogue: n distinct random parameter sets
+    (Parameters.randomParameters, Parameters.java:54-69)."""
+    rng = np.random.default_rng(seed)
+    out = []
+    for _ in range(n):
+        w = _normalized_weights([float(rng.random()) + 0.01 for _ in range(3)])
+        w[2] = round(1.0 - w[0] - w[1], 4)
+        sources = tuple(
+            SourceConfig(
+                name,
+                int(rng.integers(1, 101)),
+                round(float(rng.random()), 4),
+            )
+            for name in ("wide", "mid", "niche")
+        )
+        out.append(
+            EngineConfig(
+                token_score_bit_score_weight=w[0],
+                token_score_database_score_weight=w[1],
+                token_score_overlap_score_weight=w[2],
+                sources=sources,
+            )
+        )
+    return out

@@ -52,6 +52,11 @@ class CatalogBundle:
     # raw (pre-filter) descriptions, for lineage / evaluation outputs
     raw_description: np.ndarray
     cand_len: np.ndarray
+    # evaluation token sets (tokenized WITHOUT the token blacklist,
+    # BlastResult.tokenizeForEvaluation, java :450-455) for ALL entries
+    # including blacklisted ones (the unchanged competitor ignores the
+    # blacklist, java :494-504): frozen per cand_ord
+    eval_tokens: tuple[frozenset[str], ...] = ()
 
     @property
     def n(self) -> int:
@@ -146,11 +151,13 @@ def build_catalog(sf_dir: str, cfg: EngineConfig, vocab: list[str]) -> CatalogBu
         for w in words:
             alias.setdefault(w, []).append(i)
     alias_index = {w: np.asarray(sorted(set(v)), dtype=np.int64) for w, v in alias.items()}
+    eval_tokens = tuple(frozenset(tokenize(filt_desc[i], [])) for i in range(n))
     return CatalogBundle(
         arrays=arrays,
         alias_index=alias_index,
         raw_description=raw_desc,
         cand_len=arrays.cand_len,
+        eval_tokens=eval_tokens,
     )
 
 
