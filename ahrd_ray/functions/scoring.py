@@ -574,3 +574,181 @@ def _cumcount(sorted_keys: np.ndarray) -> np.ndarray:
     idx = np.arange(n)
     start_idx = idx[is_start]
     return idx - np.repeat(start_idx, np.diff(np.append(start_idx, n)))
+
+
+# ---------------------------------------------------------------------------
+# Slim (numeric-only) production kernel
+# ---------------------------------------------------------------------------
+
+SLIM_COLUMNS = [
+    "doc_id",
+    "lang",
+    "src_code",
+    "cand_ord",
+    "e_rank",
+    "match_score",
+    "ov_q",
+    "ingest_seq",
+]
+
+
+def score_partition_slim(
+    df: pd.DataFrame,
+    catalog: CatalogArrays,
+    cfg: EngineConfig,
+    annotated_shorts: frozenset[str] | None = None,
+) -> pd.DataFrame:
+    """Production scoring kernel over the SLIM candidate layout.
+
+    Semantically identical to :func:`score_partition` (same winners, proven
+    by the shared DuckDB oracle) but operating purely on numeric numpy
+    arrays: validity was already applied map-side, overlap arrives
+    pre-quantized, source/lang are narrow codes.  All sorts are lexsorts on
+    primitive arrays; all reductions bincount/reduceat over exact dyadics.
+    """
+    names = [s.name for s in cfg.sources]
+    w_by_code = np.asarray([float(s.weight) for s in cfg.sources])
+    dsbs_by_code = np.asarray(
+        [float(s.description_score_bit_score_weight) for s in cfg.sources]
+    )
+    w_bit = cfg.token_score_bit_score_weight
+    w_db = cfg.token_score_database_score_weight
+    w_ov = cfg.token_score_overlap_score_weight
+
+    empty = _empty_winners()
+    empty["lang"] = pd.Series([], dtype="object")
+    if len(df) == 0:
+        return empty
+
+    doc0 = df["doc_id"].to_numpy()
+    ord0 = np.asarray(df["cand_ord"].to_numpy(), dtype=np.int64)
+    ms0 = df["match_score"].to_numpy(dtype=np.float64)
+    ing0 = np.asarray(df["ingest_seq"].to_numpy(), dtype=np.int64)
+
+    # S4 HSP dedup: first per (doc, cand) under (ms DESC, ingest ASC)
+    order = np.lexsort((ing0, -ms0, ord0, doc0))
+    d_s, o_s = doc0[order], ord0[order]
+    first = np.ones(len(order), dtype=bool)
+    first[1:] = (d_s[1:] != d_s[:-1]) | (o_s[1:] != o_s[:-1])
+    sel = order[first]
+
+    doc = doc0[sel]
+    ordv = ord0[sel]
+    ms = ms0[sel]
+    src_code = np.asarray(df["src_code"].to_numpy(), dtype=np.int64)[sel]
+    ov = df["ov_q"].to_numpy(dtype=np.float64)[sel]
+    e_rank = df["e_rank"].to_numpy(dtype=np.float64)[sel]
+    w_src = w_by_code[src_code]
+    dsbs_src = dsbs_by_code[src_code]
+
+    # dense doc codes (rows are (doc, cand)-sorted -> run boundaries)
+    new_doc = np.ones(len(doc), dtype=bool)
+    new_doc[1:] = doc[1:] != doc[:-1]
+    doc_codes = np.cumsum(new_doc) - 1
+    n_docs = int(doc_codes[-1]) + 1 if len(doc) else 0
+
+    tot_bit = np.bincount(doc_codes, weights=ms, minlength=n_docs)
+    tot_db = np.bincount(doc_codes, weights=w_src, minlength=n_docs)
+    tot_ov = np.bincount(doc_codes, weights=ov, minlength=n_docs)
+    max_bit = _segment_max(doc_codes, ms, n_docs)
+
+    reps = catalog.n_tokens[ordv]
+    row_of_tok = np.repeat(np.arange(len(doc)), reps)
+    tok_codes = _gather_token_codes(catalog, ordv, reps)
+    n_tok_names = len(catalog.token_names)
+    # dense (doc, token) pair keys: n_docs is chunk-bounded (<= CHUNK_DOCS),
+    # so the dense domain is small and bincount replaces the sort-based
+    # np.unique factorization (the kernel's former memory-traffic hotspot).
+    # Absent pairs have cum == 0 -> ts == 0, which never wins a max and is
+    # never dereferenced by a candidate row.
+    pair_key = doc_codes[row_of_tok] * n_tok_names + tok_codes
+    M = n_docs * n_tok_names
+    cum_bit = np.bincount(pair_key, weights=ms[row_of_tok], minlength=M)
+    cum_db = np.bincount(pair_key, weights=w_src[row_of_tok], minlength=M)
+    cum_ov = np.bincount(pair_key, weights=ov[row_of_tok], minlength=M)
+    pair_ids = pair_key  # dense: the key IS the index
+    tot_bit_d = np.repeat(tot_bit, n_tok_names)
+    tot_db_d = np.repeat(tot_db, n_tok_names)
+    tot_ov_d = np.repeat(tot_ov, n_tok_names)
+
+    with np.errstate(divide="ignore", invalid="ignore"):
+        ts = (
+            w_bit * cum_bit / tot_bit_d
+            + w_db * cum_db / tot_db_d
+            + w_ov * cum_ov / tot_ov_d
+        )
+    ts = q20(ts)
+
+    # A1 top-k per (doc, source): (e_rank ASC, cand_ord ASC)
+    korder = np.lexsort((ordv, e_rank, src_code, doc_codes))
+    ds_key = doc_codes * (len(cfg.sources) + 1) + src_code
+    rank = _cumcount(ds_key[korder])
+    topk_mask = np.zeros(len(doc), dtype=bool)
+    topk_mask[korder] = rank < cfg.top_k
+
+    topk_tok = topk_mask[row_of_tok]
+    hs = _segment_max(doc_codes[row_of_tok[topk_tok]], ts[pair_ids[topk_tok]], n_docs)
+
+    half = hs / 2.0
+    half_d = np.repeat(half, n_tok_names)
+    informative = ts > half_d
+    ts_f = np.where(informative, ts, ts - half_d)
+
+    sum_ts = np.bincount(row_of_tok, weights=ts_f[pair_ids], minlength=len(doc))
+    n_inf = np.bincount(
+        row_of_tok, weights=informative[pair_ids].astype(np.float64), minlength=len(doc)
+    )
+    n_tok = reps.astype(np.float64)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        lex = (sum_ts / hs[doc_codes]) / (n_tok / n_inf)
+    lex = np.where(n_inf == 0, 0.0, lex)
+    lex = np.where(hs[doc_codes] == 0, 0.0, lex)
+    score = lex + dsbs_src * ms / max_bit[doc_codes]
+
+    eligible = topk_mask
+    if annotated_shorts:
+        short = catalog.cand_short[ordv]
+        has_attr = np.fromiter(
+            (s in annotated_shorts for s in short), dtype=bool, count=len(short)
+        )
+        doc_has = np.zeros(n_docs, dtype=bool)
+        np.logical_or.at(doc_has, doc_codes, eligible & has_attr)
+        eligible = eligible & np.where(doc_has[doc_codes], has_attr, True)
+
+    idx = np.flatnonzero(eligible)
+    if len(idx) == 0:
+        return empty
+    e_doc = doc_codes[idx]
+    # winner: score DESC, cand_ord DESC (source/cand_id tie-break unreachable
+    # — cand_ord is unique per (doc, cand))
+    worder = np.lexsort((-ordv[idx], -score[idx], e_doc))
+    wfirst = np.ones(len(worder), dtype=bool)
+    wfirst[1:] = e_doc[worder][1:] != e_doc[worder][:-1]
+    win = idx[worder[wfirst]]
+
+    q1 = (ms[win] > 50) & (e_rank[win] < 0.1)
+    q2 = ov[win] > 0.6
+    q3 = score[win] >= 0.5
+    lang_vals = df["lang"].astype(str).to_numpy()[sel[win]]
+    src_names = np.asarray(names, dtype=object)[src_code[win]]
+    out = pd.DataFrame(
+        {
+            "doc_id": doc[win],
+            "cand_ord": ordv[win],
+            "source": src_names,
+            "cand_id": catalog.cand_id[ordv[win]],
+            "cand_short": catalog.cand_short[ordv[win]],
+            "description": catalog.description[ordv[win]],
+            "description_score": score[win],
+            "lexical_score": lex[win],
+            "token_high_score": hs[doc_codes[win]],
+            "match_score": ms[win],
+            "max_match_score": max_bit[doc_codes[win]],
+            "quality_code": [
+                ("*" if a else "-") + ("*" if b else "-") + ("*" if c else "-")
+                for a, b, c in zip(q1, q2, q3)
+            ],
+            "lang": lang_vals,
+        }
+    )
+    return out

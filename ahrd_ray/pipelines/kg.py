@@ -5,12 +5,16 @@ Dataset graph (SURVEY.md §7.2.2-7.2.5), all lazy/streaming:
     read_parquet(documents)                      # column-pruned read
       -> map_batches(pages_batch_from_documents) # synth pages (test corpus)
       -> map_batches(extract_text_batch)         # byte-identical extraction
-      -> map_batches(MentionDetector, actor pool)# candidates (slim rows)
-      -> groupby(spart).map_groups(score)        # shuffle 1: doc-keyed
-      -> map_batches(emit_triples)               # broadcast attr transfer
-      -> groupby(tpart).map_groups(dedup)        # shuffle 2: triple-keyed
-      -> sort(subj, pred, obj)                   # shuffle 3: ordered output
+      -> map_batches(fused mention+score)        # zero-shuffle winners
+      -> map_batches(emit doc triples)           # broadcast attr transfer
+         + union(entity triples from distinct winner entities)
+      -> sort(subj, pred, obj)                   # the one required all-to-all
       [-> write_parquet]
+
+    The general (external-candidates) path keeps the explicit doc-keyed
+    shuffle: mention detection emits the slim candidates table, then
+    groupby(spart).map_groups(score) — both paths are proven equivalent by
+    the shared DuckDB oracle.
 
 Broadcast small sides: tokenized catalog + attr map are ``ray.put`` once and
 read zero-copy in every actor/task (never re-shipped per batch).
@@ -49,9 +53,11 @@ def extract_text_batch(batch: pa.Table) -> pa.Table:
     )
 
 
-def pages_dataset(sf_dir: str) -> ray.data.Dataset:
+def pages_dataset(sf_dir: str, docs: ray.data.Dataset | None = None) -> ray.data.Dataset:
     """Synthesized pages table (url, warc_ts, html, text, lang, doc_id)."""
-    return read_documents(sf_dir).map_batches(
+    if docs is None:
+        docs = read_documents(sf_dir)
+    return docs.map_batches(
         pages_batch_from_documents, batch_format="pyarrow", zero_copy_batch=True
     )
 
@@ -75,7 +81,10 @@ class PipelineContext:
 
 
 def candidates_dataset(
-    ctx: PipelineContext, from_pages: bool = True, concurrency: int | tuple = (2, 8)
+    ctx: PipelineContext,
+    from_pages: bool = True,
+    concurrency: int | tuple = (2, 64),
+    slim: bool = False,
 ) -> ray.data.Dataset:
     """Mention detection over extracted page text (actor-pool stage)."""
     if from_pages:
@@ -86,7 +95,11 @@ def candidates_dataset(
         src = read_documents(ctx.sf_dir)
     return src.map_batches(
         MentionDetector,
-        fn_constructor_kwargs={"catalog_ref": ctx.catalog_ref, "cfg": ctx.cfg},
+        fn_constructor_kwargs={
+            "catalog_ref": ctx.catalog_ref,
+            "cfg": ctx.cfg,
+            "slim": slim,
+        },
         batch_format="pyarrow",
         zero_copy_batch=True,
         concurrency=concurrency,
@@ -98,19 +111,81 @@ def winners_dataset(
     from_pages: bool = True,
     prefer_annotated: bool | None = None,
 ) -> ray.data.Dataset:
-    cands = candidates_dataset(ctx, from_pages=from_pages)
+    cands = candidates_dataset(ctx, from_pages=from_pages, slim=True)
     prefer = ctx.cfg.prefer_annotated if prefer_annotated is None else prefer_annotated
     shorts = ctx.annotated_shorts() if prefer else None
-    return score_candidates(cands, ctx.catalog_ref, ctx.cfg, annotated_shorts=shorts)
+    return score_candidates(
+        cands, ctx.catalog_ref, ctx.cfg, annotated_shorts=shorts, slim=True
+    )
+
+
+# Rows per TASK for the fused stage: chunky tasks amortize scheduling while
+# the kernel internally processes cache-sized 64-doc slices
+# (FusedMentionScorer.CHUNK_DOCS); 256 balances dispatch overhead against
+# last-wave stragglers.
+FUSED_BATCH_SIZE = 256
+
+
+def winners_dataset_fused(
+    ctx: PipelineContext,
+    from_pages: bool = True,
+    prefer_annotated: bool | None = None,
+    mode: str = "tasks",
+    concurrency: int | tuple = (2, 64),
+    docs: ray.data.Dataset | None = None,
+) -> ray.data.Dataset:
+    """Zero-shuffle winners: fused mention-detection + scoring stage.
+
+    Valid because all candidates of a doc originate from the doc's own row
+    (see FusedMentionScorer); equivalent to :func:`winners_dataset` (same
+    oracle, pytest equality check).  ``mode='tasks'`` (default) uses plain
+    tasks with a per-worker-cached instance — same setup-once amortization
+    as an actor pool without pool startup lag (measured 0.97 scaling
+    efficiency vs 0.63 for the pool on this box); ``mode='actors'`` uses the
+    classic actor pool."""
+    from ahrd_ray.stages.candidates import FusedMentionScorer, make_fused_task_fn
+
+    if from_pages:
+        src = pages_dataset(ctx.sf_dir, docs=docs).map_batches(
+            extract_text_batch, batch_format="pyarrow", zero_copy_batch=True
+        )
+    else:
+        src = docs if docs is not None else read_documents(ctx.sf_dir)
+    prefer = ctx.cfg.prefer_annotated if prefer_annotated is None else prefer_annotated
+    shorts = ctx.annotated_shorts() if prefer else None
+    if mode == "tasks":
+        return src.map_batches(
+            make_fused_task_fn(ctx.catalog_ref, ctx.cfg, shorts),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+            batch_size=FUSED_BATCH_SIZE,
+        )
+    return src.map_batches(
+        FusedMentionScorer,
+        fn_constructor_kwargs={
+            "catalog_ref": ctx.catalog_ref,
+            "cfg": ctx.cfg,
+            "annotated_shorts": shorts,
+        },
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=FUSED_BATCH_SIZE,
+        concurrency=concurrency,
+    )
 
 
 def kg_triples(
     ctx: PipelineContext,
     from_pages: bool = True,
     sort: bool = True,
+    fused: bool = True,
+    docs: ray.data.Dataset | None = None,
 ) -> ray.data.Dataset:
     """The flagship: deduplicated, sorted (subj, pred, obj) edge table."""
-    winners = winners_dataset(ctx, from_pages=from_pages)
+    if fused:
+        winners = winners_dataset_fused(ctx, from_pages=from_pages, docs=docs)
+    else:
+        winners = winners_dataset(ctx, from_pages=from_pages)
     return materialize_graph(winners, ctx.catalog_ref, ctx.attrs_ref, ctx.cfg, sort=sort)
 
 

@@ -1,15 +1,21 @@
 """Canonicalization + graph materialization (operators A11, A13, W1).
 
 winners -> attribute transfer (broadcast map lookup, analogue of the GOA
-join AHRD.java:233-240) -> explode to (subj, pred, obj) -> exact dedup inside
-carried-key partitions -> global sort -> Parquet edge table.
+join AHRD.java:233-240) -> (subj, pred, obj) edge table -> global sort ->
+partitioned Parquet.
 
-Partitioning: every triple carries ``tpart`` from emit time — doc-scoped
-triples use ``doc_id % P``, entity-scoped triples use ``cand_ord % P`` — so
-identical triples always share a partition and dedup needs NO extra key
-derivation pass.  Entity-side heat (one entity linked from millions of docs)
-is bounded because per (entity, pred) only one distinct obj exists per
-catalog version; the dedup group is wide but collapses to O(1) rows.
+Dedup by construction (no dedup shuffle):
+
+* doc-scoped triples (subj = url) are emitted once per winner row and are
+  unique because a doc has exactly one winner;
+* entity-scoped triples (labels, entity attrs) are generated from
+  ``distinct winner entities x broadcast catalog/attrs`` — the distinct set
+  is obtained with ``unique("cand_ord")`` (per-block combiner + tiny merge),
+  so a hot entity linked from millions of docs contributes one row per block
+  to the aggregate, never a skewed dedup group.  Output cardinality is
+  bounded by the catalog dimension, not the corpus.
+
+The only remaining all-to-all is the required global sort of the edge table.
 """
 
 from __future__ import annotations
@@ -29,15 +35,15 @@ TRIPLE_SCHEMA = pa.schema(
         ("subj", pa.string()),
         ("pred", pa.string()),
         ("obj", pa.string()),
-        ("tpart", pa.int32()),
     ]
 )
 
 
-def make_triple_emitter(catalog_ref, attrs_ref, cfg: EngineConfig):
-    """map_batches fn: winners batch (pandas) -> triples (arrow)."""
+def make_doc_triple_emitter(attrs_ref, cfg: EngineConfig):
+    """map_batches fn: winners batch (pandas) -> doc-scoped triples (arrow).
 
-    P = cfg.num_score_partitions
+    Emits (url, linked_entity/description/quality/attr, ...) — unique per
+    construction (one winner per doc; attr set per cand_short is a set)."""
 
     attrs_df_cache: list[pd.DataFrame] = []
 
@@ -62,46 +68,60 @@ def make_triple_emitter(catalog_ref, attrs_ref, cfg: EngineConfig):
             + "/"
             + batch["doc_id"].astype("int64").astype(str)
         )
-        dpart = (batch["doc_id"].to_numpy() % P).astype(np.int32)
-        epart = (batch["cand_ord"].to_numpy() % P).astype(np.int32)
-        cid = batch["cand_id"]
-        desc = batch["description"]
 
-        def frame(s, p, o, t):
+        def frame(s, p, o):
             return pd.DataFrame(
                 {"subj": np.asarray(s, dtype=object), "pred": p,
-                 "obj": np.asarray(o, dtype=object), "tpart": t}
+                 "obj": np.asarray(o, dtype=object)}
             )
 
         frames = [
-            frame(url, spec.PRED_LINKED, cid, dpart),
-            frame(url, spec.PRED_DESC, desc, dpart),
-            frame(url, spec.PRED_QUALITY, batch["quality_code"], dpart),
-            # entity-side label: canonical across docs -> deduped downstream
-            frame(cid, spec.PRED_LABEL, desc, epart),
+            frame(url, spec.PRED_LINKED, batch["cand_id"]),
+            frame(url, spec.PRED_DESC, batch["description"]),
+            frame(url, spec.PRED_QUALITY, batch["quality_code"]),
         ]
         if len(attrs_df):
-            w = batch.assign(url=url, dpart=dpart, epart=epart)
+            w = batch.assign(url=url)
             m = w.merge(attrs_df, on="cand_short", how="inner", sort=False)
             if len(m):
-                # doc-side transfer (protein.goResults analogue) + entity-side
-                frames.append(frame(m["url"], spec.PRED_ATTR, m["attr"], m["dpart"].to_numpy()))
-                frames.append(frame(m["cand_id"], spec.PRED_ATTR, m["attr"], m["epart"].to_numpy()))
+                # doc-side transfer (protein.goResults analogue, A11)
+                frames.append(frame(m["url"], spec.PRED_ATTR, m["attr"]))
         out = pd.concat(frames, ignore_index=True)
         return pa.table(
             {
                 "subj": pa.array(out["subj"], type=pa.string()),
                 "pred": pa.array(out["pred"], type=pa.string()),
                 "obj": pa.array(out["obj"], type=pa.string()),
-                "tpart": pa.array(out["tpart"].to_numpy().astype(np.int32), type=pa.int32()),
             }
         )
 
     return emit
 
 
-def _dedup_group(df: pd.DataFrame) -> pd.DataFrame:
-    return df.drop_duplicates(["subj", "pred", "obj"])
+def entity_triples_table(
+    winner_ords: list[int], catalog_ref, attrs_ref
+) -> pa.Table:
+    """Entity-scoped triples for the distinct winning entities: canonical
+    (cand_id, label, description) + (cand_id, attr, value)."""
+    bundle = get_broadcast(catalog_ref)
+    attrs = get_broadcast(attrs_ref) if attrs_ref is not None else {}
+    subj, pred, obj = [], [], []
+    for o in sorted(int(x) for x in winner_ords):
+        cid = bundle.arrays.cand_id[o]
+        subj.append(cid)
+        pred.append(spec.PRED_LABEL)
+        obj.append(bundle.arrays.description[o])
+        for a in attrs.get(bundle.arrays.cand_short[o], ()):
+            subj.append(cid)
+            pred.append(spec.PRED_ATTR)
+            obj.append(a)
+    return pa.table(
+        {
+            "subj": pa.array(subj, type=pa.string()),
+            "pred": pa.array(pred, type=pa.string()),
+            "obj": pa.array(obj, type=pa.string()),
+        }
+    )
 
 
 def materialize_graph(
@@ -111,12 +131,23 @@ def materialize_graph(
     cfg: EngineConfig,
     sort: bool = True,
 ) -> "ray.data.Dataset":
-    """winners -> deduplicated (sorted) triple Dataset."""
-    triples = winners.map_batches(
-        make_triple_emitter(catalog_ref, attrs_ref, cfg), batch_format="pandas"
+    """winners -> deduplicated (sorted) triple Dataset.
+
+    ``winners`` is consumed twice (doc triples + distinct entity set), so it
+    is materialized here; the checkpointed pipeline variant persists it to
+    Parquet instead (state/checkpoint.py)."""
+    import ray.data
+
+    # coalesce the many small fused-stage output blocks first — sort cost on
+    # tiny blocks is scheduling-bound and grows with cluster size otherwise
+    winners = winners.repartition(target_num_rows_per_block=250_000).materialize()
+    doc_triples = winners.map_batches(
+        make_doc_triple_emitter(attrs_ref, cfg), batch_format="pandas"
     )
-    deduped = triples.groupby("tpart").map_groups(_dedup_group, batch_format="pandas")
-    deduped = deduped.drop_columns(["tpart"])
+    ent_tbl = entity_triples_table(
+        winners.unique("cand_ord"), catalog_ref, attrs_ref
+    )
+    triples = doc_triples.union(ray.data.from_arrow(ent_tbl))
     if sort:
-        deduped = deduped.sort(["subj", "pred", "obj"])
-    return deduped
+        triples = triples.sort(["subj", "pred", "obj"])
+    return triples

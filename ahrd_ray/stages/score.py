@@ -56,13 +56,33 @@ def make_group_scorer(
     return score_group
 
 
+def make_slim_group_scorer(
+    catalog_ref, cfg: EngineConfig, annotated_shorts: frozenset[str] | None = None
+):
+    from ahrd_ray.functions.scoring import score_partition_slim
+
+    def score_group(df: pd.DataFrame) -> pd.DataFrame:
+        bundle = get_broadcast(catalog_ref)
+        return score_partition_slim(
+            df, bundle.arrays, cfg, annotated_shorts=annotated_shorts
+        )
+
+    return score_group
+
+
 def score_candidates(
     candidates: "ray.data.Dataset",
     catalog_ref,
     cfg: EngineConfig,
     annotated_shorts: frozenset[str] | None = None,
     quantize: bool = True,
+    slim: bool = False,
 ) -> "ray.data.Dataset":
     """candidates -> winners (one row per doc with >=1 valid candidate)."""
-    fn = make_group_scorer(catalog_ref, cfg, annotated_shorts, quantize)
-    return candidates.groupby("spart").map_groups(fn, batch_format="pandas")
+    if slim:
+        fn = make_slim_group_scorer(catalog_ref, cfg, annotated_shorts)
+    else:
+        fn = make_group_scorer(catalog_ref, cfg, annotated_shorts, quantize)
+    return candidates.groupby("spart").map_groups(
+        fn, batch_format="pandas", num_cpus=cfg.score_num_cpus
+    )

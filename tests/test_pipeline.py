@@ -147,3 +147,28 @@ def test_langid_on_real_phrases():
 
     assert langid_score("the cat and the dog are in the house") == "en"
     assert langid_score("das ist ein schönes Haus und ein Garten") == "de"
+
+
+def test_fused_equals_groupby_winners(ctx):
+    """The zero-shuffle fused path and the general groupby-shuffle path must
+    produce identical winners (same kernel, different physical plan)."""
+    from ahrd_ray.pipelines.kg import winners_dataset, winners_dataset_fused
+
+    cols = ["doc_id", "cand_id", "description", "description_score", "quality_code"]
+    a = winners_dataset(ctx).to_pandas()[cols].sort_values("doc_id").reset_index(drop=True)
+    b = (
+        winners_dataset_fused(ctx)
+        .to_pandas()[cols]
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert a.equals(b)
+
+
+def test_fused_actor_mode_equals_tasks(ctx):
+    from ahrd_ray.pipelines.kg import winners_dataset_fused
+
+    cols = ["doc_id", "cand_id", "description_score"]
+    a = winners_dataset_fused(ctx, mode="tasks").to_pandas()[cols].sort_values("doc_id")
+    b = winners_dataset_fused(ctx, mode="actors").to_pandas()[cols].sort_values("doc_id")
+    assert a.reset_index(drop=True).equals(b.reset_index(drop=True))
