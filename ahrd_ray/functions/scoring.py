@@ -667,17 +667,17 @@ def score_partition_slim(
     cum_db = np.bincount(pair_key, weights=w_src[row_of_tok], minlength=M)
     cum_ov = np.bincount(pair_key, weights=ov[row_of_tok], minlength=M)
     pair_ids = pair_key  # dense: the key IS the index
-    tot_bit_d = np.repeat(tot_bit, n_tok_names)
-    tot_db_d = np.repeat(tot_db, n_tok_names)
-    tot_ov_d = np.repeat(tot_ov, n_tok_names)
-
+    # per-doc totals divide via 2D broadcasting (no repeated temps)
+    shape = (n_docs, n_tok_names)
     with np.errstate(divide="ignore", invalid="ignore"):
-        ts = (
-            w_bit * cum_bit / tot_bit_d
-            + w_db * cum_db / tot_db_d
-            + w_ov * cum_ov / tot_ov_d
+        ts2 = (
+            w_bit * cum_bit.reshape(shape) / tot_bit[:, None]
+            + w_db * cum_db.reshape(shape) / tot_db[:, None]
+            + w_ov * cum_ov.reshape(shape) / tot_ov[:, None]
         )
-    ts = q20(ts)
+    ts2 = np.floor(ts2 * 1048576.0 + 0.5)
+    ts2 /= 1048576.0
+    ts = ts2.ravel()
 
     # A1 top-k per (doc, source): (e_rank ASC, cand_ord ASC)
     korder = np.lexsort((ordv, e_rank, src_code, doc_codes))
@@ -690,9 +690,9 @@ def score_partition_slim(
     hs = _segment_max(doc_codes[row_of_tok[topk_tok]], ts[pair_ids[topk_tok]], n_docs)
 
     half = hs / 2.0
-    half_d = np.repeat(half, n_tok_names)
-    informative = ts > half_d
-    ts_f = np.where(informative, ts, ts - half_d)
+    informative2 = ts2 > half[:, None]
+    ts_f = np.where(informative2, ts2, ts2 - half[:, None]).ravel()
+    informative = informative2.ravel()
 
     sum_ts = np.bincount(row_of_tok, weights=ts_f[pair_ids], minlength=len(doc))
     n_inf = np.bincount(

@@ -141,18 +141,21 @@ def run_one_subprocess(num_cpus: int, sf_dir: str, mult: int = 1) -> dict:
 
 def main() -> None:
     if "--scaling" in sys.argv:
-        low, high = 8, 32
+        low, high = (
+            int(x) for x in os.environ.get("GRAFT_SCALING_CPUS", "8,32").split(",")
+        )
         # replicate the corpus so the high-CPU side stays compute-bound
         # (per-task warmup/planning overhead is a fixed few seconds; a
         # 100 TB corpus never sees it) — two fresh-process runs per level,
         # best wall time to strip page-cache noise
         mult = int(os.environ.get("GRAFT_SCALE_MULT", "24"))
+        reps = int(os.environ.get("GRAFT_SCALING_REPS", "1"))
         r_low = min(
-            (run_one_subprocess(low, SF_DIR, mult) for _ in range(2)),
+            (run_one_subprocess(low, SF_DIR, mult) for _ in range(reps)),
             key=lambda r: r["value"],
         )
         r_high = min(
-            (run_one_subprocess(high, SF_DIR, mult) for _ in range(2)),
+            (run_one_subprocess(high, SF_DIR, mult) for _ in range(reps)),
             key=lambda r: r["value"],
         )
         tp_low = r_low["docs_per_sec"]
