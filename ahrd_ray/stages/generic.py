@@ -165,3 +165,50 @@ def distinct_users(sf_dir: str) -> ray.data.Dataset:
         .groupby("event_type")
         .map_groups(final, batch_format="pandas")
     )
+
+
+def salted_user_counts(sf_dir: str, salt: int = 16) -> ray.data.Dataset:
+    """Skew-aware two-phase aggregation: count events per user_id.
+
+    user_id is the archetypal hot key (a bot user can dominate a partition at
+    web scale).  Phase 1 groups by (user_id, salt) — the hot key's rows
+    spread over ``salt`` groups — phase 2 merges the per-salt partials.
+    Functionally identical to a plain groupby-count (the SQL oracle IS the
+    plain GROUP BY), but no single reducer ever sees more than ~1/salt of a
+    hot key's rows.  SURVEY.md §4 'Skew'.
+    """
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id", "user_id"])
+
+    def phase1(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame(
+            {
+                "user_id": df["user_id"],
+                "salt": (df["event_id"].to_numpy() % salt).astype(np.int32),
+                "n": np.ones(len(df), dtype=np.int64),
+            }
+        )
+        return out.groupby(["user_id", "salt"], as_index=False)["n"].sum()
+
+    partial = (
+        ev.map_batches(phase1, batch_format="pandas")
+        .groupby(["user_id", "salt"])
+        .map_groups(
+            lambda df: df.groupby(["user_id", "salt"], as_index=False)["n"].sum(),
+            batch_format="pandas",
+        )
+    )
+
+    def phase2(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby("user_id", as_index=False)["n"].sum()
+        return out.rename(columns={"n": "n_events"})
+
+    return (
+        partial.map_batches(
+            lambda df: df.assign(upart=(df["user_id"] % 32).astype("int32")),
+            batch_format="pandas",
+        )
+        .groupby("upart")
+        .map_groups(
+            lambda df: phase2(df), batch_format="pandas"
+        )
+    )
