@@ -746,3 +746,11 @@ WHERE NOT EXISTS (
 def sql_salted_user_counts() -> str:
     # the salted two-phase aggregation is functionally a plain GROUP BY
     return "SELECT user_id, count(*) AS n_events FROM events GROUP BY user_id"
+
+
+def sql_props_agg() -> str:
+    return (
+        "SELECT event_type,"
+        " sum(CAST(regexp_extract(props, '[0-9]+') AS BIGINT)) AS sum_k,"
+        " count(*) AS n_events FROM events GROUP BY event_type"
+    )

@@ -329,6 +329,10 @@ def _generic_queries() -> dict[str, tuple[Callable, str | None]]:
             oracle.sql_distinct_users(),
         ),
         "mm_media_features": (lambda sf: mm.media_features(sf), None),
+        "rel_props_agg": (
+            lambda sf: g.props_agg(sf).map_batches(_int64, batch_format="pyarrow"),
+            oracle.sql_props_agg(),
+        ),
         "rel_salted_user_counts": (
             lambda sf: g.salted_user_counts(sf).map_batches(_int64, batch_format="pyarrow"),
             oracle.sql_salted_user_counts(),

@@ -212,3 +212,36 @@ def salted_user_counts(sf_dir: str, salt: int = 16) -> ray.data.Dataset:
             lambda df: phase2(df), batch_format="pandas"
         )
     )
+
+
+def props_agg(sf_dir: str) -> ray.data.Dataset:
+    """Semi-structured payload parsing: each event carries a JSON ``props``
+    string; parse it per batch (real json.loads — the shape a web pipeline's
+    metadata columns have) and aggregate the extracted field per event_type
+    with the usual combiner."""
+    import json
+
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "props"])
+
+    def parse_partial(df: pd.DataFrame) -> pd.DataFrame:
+        ks = np.fromiter(
+            (json.loads(p).get("k", 0) for p in df["props"]),
+            dtype=np.int64,
+            count=len(df),
+        )
+        out = pd.DataFrame(
+            {
+                "event_type": df["event_type"],
+                "sum_k": ks,
+                "n_events": np.ones(len(df), dtype=np.int64),
+            }
+        )
+        return out.groupby("event_type", as_index=False).sum()
+
+    return (
+        ev.map_batches(parse_partial, batch_format="pandas")
+        .groupby("event_type")
+        .map_groups(
+            _final_sum(["event_type"], ["sum_k", "n_events"]), batch_format="pandas"
+        )
+    )
