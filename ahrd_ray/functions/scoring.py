@@ -150,10 +150,45 @@ class CatalogArrays:
     token_codes: np.ndarray  # int32 into token_names
     token_names: np.ndarray  # object[str]
     valid: np.ndarray  # bool — passed blacklist AND has >=1 token (M1/M8)
+    # token-set classes (BlastResult.patternize identity, java :391-401):
+    # catalog entries sharing an identical token set share a class; the slim
+    # kernel aggregates per class before any token explosion (typically
+    # ~50x fewer classes than entries). Lazily built by ensure_classes().
+    tok_class: np.ndarray | None = None  # int32 per cand
+    class_offsets: np.ndarray | None = None  # int64, len n_classes+1 (CSR)
+    class_token_codes: np.ndarray | None = None  # int32
 
     @property
     def n_tokens(self) -> np.ndarray:
         return self.token_offsets[1:] - self.token_offsets[:-1]
+
+
+def ensure_classes(catalog: CatalogArrays) -> CatalogArrays:
+    """Build (and cache on the instance) the token-set class structures."""
+    if catalog.tok_class is not None:
+        return catalog
+    sigs: dict[bytes, int] = {}
+    n = len(catalog.cand_id)
+    cls = np.empty(n, dtype=np.int32)
+    class_seqs: list[np.ndarray] = []
+    for i in range(n):
+        seq = catalog.token_codes[catalog.token_offsets[i] : catalog.token_offsets[i + 1]]
+        key = seq.tobytes()
+        c = sigs.get(key)
+        if c is None:
+            c = len(sigs)
+            sigs[key] = c
+            class_seqs.append(seq)
+        cls[i] = c
+    offsets = np.zeros(len(class_seqs) + 1, dtype=np.int64)
+    codes: list[int] = []
+    for i, seq in enumerate(class_seqs):
+        codes.extend(seq.tolist())
+        offsets[i + 1] = len(codes)
+    catalog.tok_class = cls
+    catalog.class_offsets = offsets
+    catalog.class_token_codes = np.asarray(codes, dtype=np.int32)
+    return catalog
 
 
 REQUIRED_CANDIDATE_COLUMNS = [
@@ -652,32 +687,45 @@ def score_partition_slim(
     tot_ov = np.bincount(doc_codes, weights=ov, minlength=n_docs)
     max_bit = _segment_max(doc_codes, ms, n_docs)
 
-    reps = catalog.n_tokens[ordv]
-    row_of_tok = np.repeat(np.arange(len(doc)), reps)
-    tok_codes = _gather_token_codes(catalog, ordv, reps)
+    # --- token-set classes (patternize identity, BlastResult.java:391-401):
+    # catalog entries sharing a token set share a class (~50x fewer classes
+    # than entries), so every per-token aggregate is computed per (doc,
+    # class) first and only the small class x token incidence is exploded.
+    # All summands stay exact dyadics, so the regrouping is bit-neutral.
+    catalog = ensure_classes(catalog)
     n_tok_names = len(catalog.token_names)
-    # dense (doc, token) pair keys: n_docs is chunk-bounded (<= CHUNK_DOCS),
-    # so the dense domain is small and bincount replaces the sort-based
-    # np.unique factorization (the kernel's former memory-traffic hotspot).
-    # Absent pairs have cum == 0 -> ts == 0, which never wins a max and is
-    # never dereferenced by a candidate row.
-    pair_key = doc_codes[row_of_tok] * n_tok_names + tok_codes
-    M = n_docs * n_tok_names
-    cum_bit = np.bincount(pair_key, weights=ms[row_of_tok], minlength=M)
-    cum_db = np.bincount(pair_key, weights=w_src[row_of_tok], minlength=M)
-    cum_ov = np.bincount(pair_key, weights=ov[row_of_tok], minlength=M)
-    pair_ids = pair_key  # dense: the key IS the index
-    # per-doc totals divide via 2D broadcasting (no repeated temps)
-    shape = (n_docs, n_tok_names)
+    n_classes = len(catalog.class_offsets) - 1
+    csr_tok = catalog.class_token_codes  # (L,) token codes, class-major
+    csr_cls = np.repeat(
+        np.arange(n_classes), np.diff(catalog.class_offsets)
+    )
+    cls_starts = catalog.class_offsets[:-1]
+    ccls = catalog.tok_class[ordv].astype(np.int64)
+
+    # per-(doc, class) candidate sums (dense; n_docs is chunk-bounded)
+    ckey = doc_codes * n_classes + ccls
+    Mc = n_docs * n_classes
+    cms = np.bincount(ckey, weights=ms, minlength=Mc).reshape(n_docs, n_classes)
+    cw = np.bincount(ckey, weights=w_src, minlength=Mc).reshape(n_docs, n_classes)
+    cov = np.bincount(ckey, weights=ov, minlength=Mc).reshape(n_docs, n_classes)
+
+    # scatter class sums onto tokens -> cumulative (token, doc) sums
+    cum_bitT = np.zeros((n_tok_names, n_docs))
+    cum_dbT = np.zeros((n_tok_names, n_docs))
+    cum_ovT = np.zeros((n_tok_names, n_docs))
+    np.add.at(cum_bitT, csr_tok, cms.T[csr_cls])
+    np.add.at(cum_dbT, csr_tok, cw.T[csr_cls])
+    np.add.at(cum_ovT, csr_tok, cov.T[csr_cls])
+
     with np.errstate(divide="ignore", invalid="ignore"):
-        ts2 = (
-            w_bit * cum_bit.reshape(shape) / tot_bit[:, None]
-            + w_db * cum_db.reshape(shape) / tot_db[:, None]
-            + w_ov * cum_ov.reshape(shape) / tot_ov[:, None]
+        tsT = (
+            w_bit * cum_bitT / tot_bit[None, :]
+            + w_db * cum_dbT / tot_db[None, :]
+            + w_ov * cum_ovT / tot_ov[None, :]
         )
-    ts2 = np.floor(ts2 * 1048576.0 + 0.5)
-    ts2 /= 1048576.0
-    ts = ts2.ravel()
+    tsT = np.floor(tsT * 1048576.0 + 0.5)
+    tsT /= 1048576.0
+    ts2 = np.ascontiguousarray(tsT.T)  # (n_docs, n_tok_names)
 
     # A1 top-k per (doc, source): (e_rank ASC, cand_ord ASC)
     korder = np.lexsort((ordv, e_rank, src_code, doc_codes))
@@ -686,19 +734,27 @@ def score_partition_slim(
     topk_mask = np.zeros(len(doc), dtype=bool)
     topk_mask[korder] = rank < cfg.top_k
 
-    topk_tok = topk_mask[row_of_tok]
-    hs = _segment_max(doc_codes[row_of_tok[topk_tok]], ts[pair_ids[topk_tok]], n_docs)
+    # A6 high score: per-(doc, class) max token score, maxed over each
+    # doc's top-k candidates' classes
+    ts_gather = ts2[:, csr_tok]  # (n_docs, L)
+    cls_max = np.maximum.reduceat(ts_gather, cls_starts, axis=1)
+    topk_idx = np.flatnonzero(topk_mask)
+    hs = _segment_max(
+        doc_codes[topk_idx], cls_max[doc_codes[topk_idx], ccls[topk_idx]], n_docs
+    )
 
     half = hs / 2.0
     informative2 = ts2 > half[:, None]
-    ts_f = np.where(informative2, ts2, ts2 - half[:, None]).ravel()
-    informative = informative2.ravel()
+    ts_f2 = np.where(informative2, ts2, ts2 - half[:, None])
 
-    sum_ts = np.bincount(row_of_tok, weights=ts_f[pair_ids], minlength=len(doc))
-    n_inf = np.bincount(
-        row_of_tok, weights=informative[pair_ids].astype(np.float64), minlength=len(doc)
+    # A8 per-candidate sums via per-(doc, class) sums
+    cls_sum_tsf = np.add.reduceat(ts_f2[:, csr_tok], cls_starts, axis=1)
+    cls_n_inf = np.add.reduceat(
+        informative2[:, csr_tok].astype(np.float64), cls_starts, axis=1
     )
-    n_tok = reps.astype(np.float64)
+    sum_ts = cls_sum_tsf[doc_codes, ccls]
+    n_inf = cls_n_inf[doc_codes, ccls]
+    n_tok = np.diff(catalog.class_offsets)[ccls].astype(np.float64)
     with np.errstate(divide="ignore", invalid="ignore"):
         lex = (sum_ts / hs[doc_codes]) / (n_tok / n_inf)
     lex = np.where(n_inf == 0, 0.0, lex)
