@@ -150,4 +150,9 @@ def materialize_graph(
     triples = doc_triples.union(ray.data.from_arrow(ent_tbl))
     if sort:
         triples = triples.sort(["subj", "pred", "obj"])
+        # the sort leaves pandas-formatted blocks; normalize to Arrow so the
+        # edge table's schema is (subj: string, pred: string, obj: string)
+        triples = triples.map_batches(
+            lambda t: t.select(["subj", "pred", "obj"]), batch_format="pyarrow"
+        )
     return triples
