@@ -22,6 +22,9 @@ def main(argv: list[str] | None = None) -> int:
     t = sub.add_parser("triples", help="run the flagship KG pipeline")
     t.add_argument("--sf-dir", default="/root/testdata/sf0.001")
     t.add_argument("--out", default="/tmp/ahrd_ray_out/triples")
+    t.add_argument("--config", default=None,
+                   help="input.yml (S1): engine weights/sources + optional "
+                        "input_dir/output run metadata")
     t.add_argument("--checkpoint", action="store_true",
                    help="use checkpoint-resumable stage boundaries")
     t.add_argument("--num-cpus", type=int, default=8)
@@ -51,7 +54,15 @@ def main(argv: list[str] | None = None) -> int:
         if args.cmd == "triples":
             from ahrd_ray.pipelines import kg
 
-            ctx = kg.PipelineContext(args.sf_dir)
+            cfg, sf_dir, out = None, args.sf_dir, args.out
+            if args.config:
+                from ahrd_ray.config import load_yaml_config
+
+                cfg, doc = load_yaml_config(args.config)
+                sf_dir = doc.get("input_dir", sf_dir)
+                out = doc.get("output", out)
+            args.out = out
+            ctx = kg.PipelineContext(sf_dir, cfg) if cfg else kg.PipelineContext(sf_dir)
             if args.checkpoint:
                 ds = kg.kg_triples_checkpointed(ctx, args.out + ".ckpt")
             else:

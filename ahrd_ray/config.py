@@ -155,6 +155,93 @@ class EngineConfig:
 
 DEFAULT_CONFIG = EngineConfig()
 
+
+# ---------------------------------------------------------------------------
+# YAML ingestion (S1, Settings.java:248-376): one input.yml configures a run
+# without writing Python.  Key names follow the reference where a direct
+# analogue exists (token_score_*_weight; per-source weight /
+# description_score_bit_score_weight / blacklist / filter / token_blacklist).
+# ---------------------------------------------------------------------------
+
+_ENGINE_KEYS = {
+    "token_score_bit_score_weight": float,
+    "token_score_database_score_weight": float,
+    "token_score_overlap_score_weight": float,
+    "top_k": int,
+    "prefer_annotated": bool,
+    "f_beta": float,
+    "num_score_partitions": int,
+    "score_num_cpus": float,
+}
+
+_SOURCE_KEYS = {
+    "weight": ("weight", int),
+    "description_score_bit_score_weight": ("description_score_bit_score_weight", float),
+    "blacklist": ("blacklist_file", str),
+    "filter": ("filter_file", str),
+    "token_blacklist": ("token_blacklist_file", str),
+}
+
+
+def config_from_dict(doc: dict) -> EngineConfig:
+    """Build an EngineConfig from a parsed YAML mapping.
+
+    Unknown top-level keys are tolerated (run metadata like input/output
+    paths live in the same file, as in the reference's input.yml); unknown
+    per-source keys raise, since a typo there silently changes scoring.
+    """
+    kwargs: dict = {}
+    for key, cast in _ENGINE_KEYS.items():
+        if key in doc:
+            kwargs[key] = cast(doc[key])
+    if "sources" in doc:
+        srcs = []
+        for name, sdoc in doc["sources"].items():
+            sdoc = sdoc or {}
+            unknown = set(sdoc) - set(_SOURCE_KEYS)
+            if unknown:
+                raise ValueError(f"unknown keys for source {name!r}: {sorted(unknown)}")
+            skw: dict = {"name": str(name)}
+            for yk, (attr, cast) in _SOURCE_KEYS.items():
+                if yk in sdoc:
+                    skw[attr] = cast(sdoc[yk])
+            srcs.append(SourceConfig(**skw))
+        kwargs["sources"] = tuple(srcs)
+    return EngineConfig(**kwargs)
+
+
+def load_yaml_config(path: str) -> tuple[EngineConfig, dict]:
+    """Parse one input.yml -> (EngineConfig, raw mapping).
+
+    The raw mapping is returned alongside so callers can read run metadata
+    (``input_dir``, ``output``) that is not part of the engine config.
+    """
+    import yaml
+
+    with open(path, encoding="utf-8") as fh:
+        doc = yaml.safe_load(fh) or {}
+    if not isinstance(doc, dict):
+        raise ValueError(f"config root must be a mapping, got {type(doc).__name__}")
+    return config_from_dict(doc), doc
+
+
+def config_to_dict(cfg: EngineConfig) -> dict:
+    """Inverse of config_from_dict (round-trip tested)."""
+    out: dict = {k: getattr(cfg, k) for k in _ENGINE_KEYS}
+    out["sources"] = {
+        s.name: {
+            "weight": s.weight,
+            "description_score_bit_score_weight": s.description_score_bit_score_weight,
+            "blacklist": s.blacklist_file,
+            "token_blacklist": s.token_blacklist_file,
+            # raw field, so the empty "derive from source name" default
+            # round-trips; resolved name is s.filter_name
+            **({"filter": s.filter_file} if s.filter_file else {}),
+        }
+        for s in cfg.sources
+    }
+    return out
+
 _SHORT_ACC_RE = re.compile(SHORT_ACCESSION_REGEX)
 
 

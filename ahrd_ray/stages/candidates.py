@@ -256,7 +256,11 @@ class FusedMentionScorer(MentionDetector):
                 self.cfg,
                 annotated_shorts=self.annotated_shorts,
             )
-            outs.append(pa.Table.from_pandas(winners, preserve_index=False))
+            outs.append(
+                pa.Table.from_pandas(winners, preserve_index=False)
+                .replace_schema_metadata(None)  # plain Arrow schema: keeps block
+                # schemas hashable for Ray's schema dedup (no pandas dict)
+            )
         if not outs:
             from ahrd_ray.functions.scoring import score_partition_slim as _sps
 
@@ -265,7 +269,7 @@ class FusedMentionScorer(MentionDetector):
                 self.bundle.arrays,
                 self.cfg,
             )
-            return pa.Table.from_pandas(empty, preserve_index=False)
+            return pa.Table.from_pandas(empty, preserve_index=False).replace_schema_metadata(None)
         return pa.concat_tables(outs)
 
 

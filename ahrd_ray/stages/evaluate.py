@@ -180,12 +180,26 @@ def eval_scores(ctx, from_pages: bool = False) -> ray.data.Dataset:
     return joined.map_batches(finish, batch_format="pandas")
 
 
+_SUMMARY_COLS = ["eval_score", "best_comp_score", "delta", "highest_possible"]
+
+
 def eval_summary(ctx) -> pa.Table:
-    """E6: means of quantized per-doc scores (single small row)."""
-    df = eval_scores(ctx).to_pandas()
-    n = float(len(df))
+    """E6: means of quantized per-doc scores (single small row).
+
+    Streaming: each batch reduces to one partial-sums row (quantized values
+    sum exactly in any order), the driver only folds the tiny per-block
+    partials — the per-doc table is never materialized (VERDICT round-1
+    item #6)."""
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        out = {("sum_" + c): [float(q20(df[c].to_numpy()).sum())] for c in _SUMMARY_COLS}
+        out["n_docs"] = [np.int64(len(df))]
+        return pd.DataFrame(out)
+
+    parts = eval_scores(ctx).map_batches(partial, batch_format="pandas").to_pandas()
+    n = float(parts["n_docs"].sum())
     out = {}
-    for c in ["eval_score", "best_comp_score", "delta", "highest_possible"]:
-        out["mean_" + c] = [float(q20(df[c].to_numpy()).sum() / n)]
+    for c in _SUMMARY_COLS:
+        out["mean_" + c] = [float(parts["sum_" + c].sum() / n)]
     out["n_docs"] = [int(n)]
     return pa.table(out)

@@ -139,32 +139,53 @@ def events_hourly(sf_dir: str) -> ray.data.Dataset:
 
 
 def top_events(sf_dir: str, n: int = 100) -> ray.data.Dataset:
-    """Global top-N by value (desc), deterministic event_id tie-break."""
+    """Global top-N by value (desc), deterministic event_id tie-break.
+
+    Per-block partial top-N first, so the final sort moves at most
+    blocks x N rows instead of the whole table (VERDICT round-1 item #8)."""
     ev = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id", "value"])
-    return ev.sort(["value", "event_id"], descending=[True, False]).limit(n)
+
+    def partial_topn(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values(
+            ["value", "event_id"], ascending=[False, True], kind="mergesort"
+        ).head(n)
+
+    partial = ev.map_batches(partial_topn, batch_format="pandas")
+    return partial.sort(["value", "event_id"], descending=[True, False]).limit(n)
+
+
+N_USER_PARTS = 32
 
 
 def distinct_users(sf_dir: str) -> ray.data.Dataset:
-    """Count distinct user_id per event_type (partial distinct per block,
-    exact finalize per key)."""
+    """Count distinct user_id per event_type — two-phase.
+
+    Phase 1 groups by (event_type, hash(user) % P): each reducer sees only
+    its slice of a type's users (a user maps to exactly one slice, so the
+    per-slice distinct count is exact).  Phase 2 sums the P tiny per-slice
+    counts per type.  No single reducer ever holds all distinct users of a
+    hot event_type (VERDICT round-1 item #7)."""
     ev = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "user_id"])
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
-        return df.drop_duplicates()
+        out = df.drop_duplicates()
+        return out.assign(upart=(out["user_id"] % N_USER_PARTS).astype("int32"))
+
+    def slice_count(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["event_type", "upart"], as_index=False)["user_id"].nunique()
+        return g.rename(columns={"user_id": "n_users"})
+
+    slices = (
+        ev.map_batches(partial, batch_format="pandas")
+        .groupby(["event_type", "upart"])
+        .map_groups(slice_count, batch_format="pandas")
+    )
 
     def final(df: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
-            {
-                "event_type": [df["event_type"].iloc[0]],
-                "n_users": np.asarray([df["user_id"].nunique()], dtype=np.int64),
-            }
-        )
+        out = df.groupby("event_type", as_index=False)["n_users"].sum()
+        return out.astype({"n_users": "int64"})
 
-    return (
-        ev.map_batches(partial, batch_format="pandas")
-        .groupby("event_type")
-        .map_groups(final, batch_format="pandas")
-    )
+    return slices.groupby("event_type").map_groups(final, batch_format="pandas")
 
 
 def salted_user_counts(sf_dir: str, salt: int = 16) -> ray.data.Dataset:
