@@ -50,13 +50,23 @@ def mulmod61(a: np.ndarray, b) -> np.ndarray:
     return mod61(mod61(hi + mid) + lo)
 
 
-def _mul_base(h: np.ndarray) -> np.ndarray:
-    """(h * 1000003) mod 2^61-1 — the hot inner step, cheaper than mulmod61
-    because the base fits in 20 bits (split h = h1*2^41 + h0)."""
+def _mul_base_lazy(h: np.ndarray) -> np.ndarray:
+    """h * 1000003 as a value CONGRUENT mod 2^61-1, result < 2^63.
+
+    Valid for any input < 2^63 (h1 = h>>41 < 2^22, so every term is
+    bounded); no reduction pass — the hot loops run this back-to-back and
+    reduce once at the end.  Splitting h = h1*2^41 + h0 keeps all products
+    in uint64 because the base fits in 20 bits.
+    """
     h1, h0 = h >> np.uint64(41), h & _MASK41
-    t = h1 * POLY_BASE  # < 2^40
-    hi = mod61((t >> np.uint64(20)) + ((t & _MASK20) << np.uint64(41)))
-    return mod61(hi + h0 * POLY_BASE)
+    t = h1 * POLY_BASE  # < 2^42
+    hi = (t >> np.uint64(20)) + ((t & _MASK20) << np.uint64(41))  # < 2^61 + 2^22
+    return hi + h0 * POLY_BASE  # < 2^63
+
+
+def _mul_base(h: np.ndarray) -> np.ndarray:
+    """(h * 1000003) mod 2^61-1, fully reduced."""
+    return mod61(_mul_base_lazy(h))
 
 
 def _flat_utf8(strings) -> tuple[np.ndarray, np.ndarray]:
@@ -99,8 +109,9 @@ def polyhash_arr(strings) -> np.ndarray:
         lo = int(first_active[j])
         idx = sorted_starts[lo:] + j
         b = data[idx].astype(np.uint64)
-        acc[lo:] = mod61(_mul_base(acc[lo:]) + b)
-    out[order] = acc
+        # lazy: stays < 2^63 (byte < 2^8 on top of < 2^62.6), reduce once
+        acc[lo:] = _mul_base_lazy(acc[lo:]) + b
+    out[order] = mod61(acc)
     return out
 
 
@@ -109,23 +120,43 @@ def polyhash_bytes_windows(data: np.ndarray, window: int) -> np.ndarray:
 
     Returns an array of len(data)-window+1 values, each equal to the
     polynomial hash of the window — the Karp-Rabin values the winnowing
-    fingerprint takes the min of.  O(window) vector passes.
+    fingerprint takes the min of.  Horner's rule vectorized across windows:
+    ``window`` passes of the cheap 20-bit base multiply, no generic mulmod.
     """
     n = len(data) - window + 1
     if n <= 0:
         return np.empty(0, dtype=np.uint64)
-    # precompute B^(window-1-j) mod M61
-    pows = np.empty(window, dtype=np.uint64)
-    p = np.uint64(1)
-    for j in range(window - 1, -1, -1):
-        pows[j] = p
-        p = _mul_base(np.asarray([p], dtype=np.uint64))[0]
-    acc = np.zeros(n, dtype=np.uint64)
     d64 = data.astype(np.uint64)
-    for j in range(window):
-        term = mulmod61(d64[j : j + n], pows[j])
-        acc = mod61(acc + term)
-    return acc
+    out = np.empty(n, dtype=np.uint64)
+    # L2-sized chunks + preallocated scratch: the inner Horner passes run
+    # allocation-free with in-place ufuncs (measured ~4x over the naive
+    # expression form, which thrashed the allocator with 8 temporaries per
+    # byte position)
+    chunk = 1 << 16
+    acc = np.zeros(chunk, dtype=np.uint64)
+    s1 = np.empty(chunk, dtype=np.uint64)
+    s2 = np.empty(chunk, dtype=np.uint64)
+    s3 = np.empty(chunk, dtype=np.uint64)
+    c41, c20 = np.uint64(41), np.uint64(20)
+    for s in range(0, n, chunk):
+        e = min(s + chunk, n)
+        m = e - s
+        a, b1, b2, b3 = acc[:m], s1[:m], s2[:m], s3[:m]
+        a[:] = 0
+        for j in range(window):
+            # in-place _mul_base_lazy: a' = (a>>41)*B split-shifted + (a&m41)*B
+            np.bitwise_and(a, _MASK41, out=b3)
+            np.multiply(b3, POLY_BASE, out=b3)  # lo
+            np.right_shift(a, c41, out=b1)
+            np.multiply(b1, POLY_BASE, out=b1)  # t
+            np.bitwise_and(b1, _MASK20, out=b2)
+            np.left_shift(b2, c41, out=b2)
+            np.right_shift(b1, c20, out=b1)
+            np.add(b1, b2, out=b1)  # hi
+            np.add(b1, b3, out=a)
+            np.add(a, d64[s + j : e + j], out=a)
+        out[s:e] = mod61(a)
+    return out
 
 
 def popcount64(x: np.ndarray) -> np.ndarray:

@@ -627,6 +627,13 @@ SLIM_COLUMNS = [
 ]
 
 
+# Dense-plan ceiling for the slim kernel: vocab x docs cells per kernel call
+# (64-doc fused chunks -> dense until a ~65k-token vocabulary; each float64
+# matrix is then <= 32 MB).  Above this the sparse plan keeps memory
+# independent of vocabulary size.
+_DENSE_CELLS_MAX = 1 << 22
+
+
 def score_partition_slim(
     df: pd.DataFrame,
     catalog: CatalogArrays,
@@ -690,12 +697,17 @@ def score_partition_slim(
     # --- token-set classes (patternize identity, BlastResult.java:391-401):
     # catalog entries sharing a token set share a class (~50x fewer classes
     # than entries), so every per-token aggregate is computed per (doc,
-    # class) first.  Round 2 (VERDICT item #10): the scatter is SPARSE —
-    # only (doc, class) pairs actually present and only their class tokens
-    # are materialized, so memory is O(present pairs x class size) and
-    # independent of vocabulary size (the dense (n_tok_names, n_docs)
-    # matrices are gone).  All summands stay exact dyadics, so any
-    # regrouping/order is bit-neutral.
+    # class) first.  Two equivalent physical plans (bit-identical outputs —
+    # every summand is an exact dyadic, so regrouping is neutral):
+    #
+    # * DENSE (vocab x docs matrices): fastest when the domain is small —
+    #   pure bincount/reduceat, minimal per-row indirection.  Chosen only
+    #   when n_tok_names x n_docs is bounded (<= _DENSE_CELLS_MAX cells),
+    #   so it can never become a memory scale-killer.
+    # * SPARSE (VERDICT round-1 item #10): only (doc, class) pairs actually
+    #   present and their class tokens are materialized; memory is
+    #   O(present pairs x class size), independent of vocabulary size.
+    #   Chosen automatically for large vocabularies.
     catalog = ensure_classes(catalog)
     n_tok_names = len(catalog.token_names)
     n_classes = len(catalog.class_offsets) - 1
@@ -704,70 +716,121 @@ def score_partition_slim(
     cls_sizes = np.diff(catalog.class_offsets)
     ccls = catalog.tok_class[ordv].astype(np.int64)
 
-    # present (doc, class) pairs + per-pair candidate sums
-    ckey = doc_codes * n_classes + ccls
-    pair_keys, pair_of_cand = np.unique(ckey, return_inverse=True)
-    n_pairs = len(pair_keys)
-    pair_doc = pair_keys // n_classes
-    pair_cls = pair_keys % n_classes
-    pair_ms = np.bincount(pair_of_cand, weights=ms, minlength=n_pairs)
-    pair_w = np.bincount(pair_of_cand, weights=w_src, minlength=n_pairs)
-    pair_ov = np.bincount(pair_of_cand, weights=ov, minlength=n_pairs)
-
-    # explode each present pair over its class token list (pair-major)
-    sizes_p = cls_sizes[pair_cls]
-    tot_e = int(sizes_p.sum())
-    pair_starts = np.cumsum(sizes_p) - sizes_p
-    within = np.arange(tot_e) - np.repeat(pair_starts, sizes_p)
-    ex_idx = np.repeat(cls_starts[pair_cls], sizes_p) + within
-    ex_pair = np.repeat(np.arange(n_pairs), sizes_p)
-    ex_tok = csr_tok[ex_idx]
-    ex_doc = pair_doc[ex_pair]
-
-    # distinct (doc, token) cells + cumulative sums (A2)
-    dt_key = ex_doc.astype(np.int64) * np.int64(n_tok_names) + ex_tok
-    dt_keys, ex_dt = np.unique(dt_key, return_inverse=True)
-    n_dt = len(dt_keys)
-    dt_doc = (dt_keys // np.int64(n_tok_names)).astype(np.int64)
-    cum_bit = np.bincount(ex_dt, weights=pair_ms[ex_pair], minlength=n_dt)
-    cum_db = np.bincount(ex_dt, weights=pair_w[ex_pair], minlength=n_dt)
-    cum_ov = np.bincount(ex_dt, weights=pair_ov[ex_pair], minlength=n_dt)
-
-    # A5 token score on the sparse cells only
-    with np.errstate(divide="ignore", invalid="ignore"):
-        ts_dt = (
-            w_bit * cum_bit / tot_bit[dt_doc]
-            + w_db * cum_db / tot_db[dt_doc]
-            + w_ov * cum_ov / tot_ov[dt_doc]
-        )
-    ts_dt = np.floor(ts_dt * 1048576.0 + 0.5)
-    ts_dt /= 1048576.0
-
-    # A1 top-k per (doc, source): (e_rank ASC, cand_ord ASC)
+    # A1 top-k per (doc, source): (e_rank ASC, cand_ord ASC) — shared
     korder = np.lexsort((ordv, e_rank, src_code, doc_codes))
     ds_key = doc_codes * (len(cfg.sources) + 1) + src_code
     rank = _cumcount(ds_key[korder])
     topk_mask = np.zeros(len(doc), dtype=bool)
     topk_mask[korder] = rank < cfg.top_k
-
-    # A6 high score: per-pair max token score, maxed over each doc's top-k
-    # candidates' (doc, class) pairs
-    pair_tmax = np.maximum.reduceat(ts_dt[ex_dt], pair_starts)
-    cand_clsmax = pair_tmax[pair_of_cand]
     topk_idx = np.flatnonzero(topk_mask)
-    hs = _segment_max(doc_codes[topk_idx], cand_clsmax[topk_idx], n_docs)
-
-    # A7 filtering on the sparse cells
-    half_doc = hs / 2.0
-    inf_dt = ts_dt > half_doc[dt_doc]
-    ts_f_dt = np.where(inf_dt, ts_dt, ts_dt - half_doc[dt_doc])
-
-    # A8 per-candidate sums via per-pair reduceat over the exploded cells
-    pair_sum_tsf = np.add.reduceat(ts_f_dt[ex_dt], pair_starts)
-    pair_n_inf = np.add.reduceat(inf_dt[ex_dt].astype(np.float64), pair_starts)
-    sum_ts = pair_sum_tsf[pair_of_cand]
-    n_inf = pair_n_inf[pair_of_cand]
     n_tok = cls_sizes[ccls].astype(np.float64)
+
+    if n_tok_names * n_docs <= _DENSE_CELLS_MAX:
+        # ---------------- dense plan ----------------
+        csr_cls = np.repeat(np.arange(n_classes), cls_sizes)
+        ckey = doc_codes * n_classes + ccls
+        Mc = n_docs * n_classes
+        cms = np.bincount(ckey, weights=ms, minlength=Mc).reshape(n_docs, n_classes)
+        cw = np.bincount(ckey, weights=w_src, minlength=Mc).reshape(n_docs, n_classes)
+        cov = np.bincount(ckey, weights=ov, minlength=Mc).reshape(n_docs, n_classes)
+
+        cum_bitT = np.zeros((n_tok_names, n_docs))
+        cum_dbT = np.zeros((n_tok_names, n_docs))
+        cum_ovT = np.zeros((n_tok_names, n_docs))
+        np.add.at(cum_bitT, csr_tok, cms.T[csr_cls])
+        np.add.at(cum_dbT, csr_tok, cw.T[csr_cls])
+        np.add.at(cum_ovT, csr_tok, cov.T[csr_cls])
+
+        with np.errstate(divide="ignore", invalid="ignore"):
+            tsT = (
+                w_bit * cum_bitT / tot_bit[None, :]
+                + w_db * cum_dbT / tot_db[None, :]
+                + w_ov * cum_ovT / tot_ov[None, :]
+            )
+        tsT = np.floor(tsT * 1048576.0 + 0.5)
+        tsT /= 1048576.0
+        ts2 = np.ascontiguousarray(tsT.T)  # (n_docs, n_tok_names)
+
+        # A6 high score over each doc's top-k candidates' classes
+        ts_gather = ts2[:, csr_tok]  # (n_docs, L)
+        cls_max = np.maximum.reduceat(ts_gather, cls_starts, axis=1)
+        hs = _segment_max(
+            doc_codes[topk_idx], cls_max[doc_codes[topk_idx], ccls[topk_idx]], n_docs
+        )
+
+        half = hs / 2.0
+        informative2 = ts2 > half[:, None]
+        ts_f2 = np.where(informative2, ts2, ts2 - half[:, None])
+
+        # A8 per-candidate sums via per-(doc, class) sums
+        cls_sum_tsf = np.add.reduceat(ts_f2[:, csr_tok], cls_starts, axis=1)
+        cls_n_inf = np.add.reduceat(
+            informative2[:, csr_tok].astype(np.float64), cls_starts, axis=1
+        )
+        sum_ts = cls_sum_tsf[doc_codes, ccls]
+        n_inf = cls_n_inf[doc_codes, ccls]
+    else:
+        # ---------------- sparse plan ----------------
+        # present (doc, class) pairs; small domains factorize with an
+        # O(domain) bincount instead of np.unique's sort
+        ckey = doc_codes * n_classes + ccls
+        domain = n_docs * n_classes
+        if domain <= max(1 << 20, 4 * len(ckey)):
+            pair_keys = np.flatnonzero(np.bincount(ckey, minlength=domain))
+            pair_of_cand = np.searchsorted(pair_keys, ckey)
+        else:
+            pair_keys, pair_of_cand = np.unique(ckey, return_inverse=True)
+        n_pairs = len(pair_keys)
+        pair_doc = pair_keys // n_classes
+        pair_cls = pair_keys % n_classes
+        pair_ms = np.bincount(pair_of_cand, weights=ms, minlength=n_pairs)
+        pair_w = np.bincount(pair_of_cand, weights=w_src, minlength=n_pairs)
+        pair_ov = np.bincount(pair_of_cand, weights=ov, minlength=n_pairs)
+
+        # explode each present pair over its class token list (pair-major)
+        sizes_p = cls_sizes[pair_cls]
+        tot_e = int(sizes_p.sum())
+        pair_starts = np.cumsum(sizes_p) - sizes_p
+        within = np.arange(tot_e) - np.repeat(pair_starts, sizes_p)
+        ex_idx = np.repeat(cls_starts[pair_cls], sizes_p) + within
+        ex_pair = np.repeat(np.arange(n_pairs), sizes_p)
+        ex_tok = csr_tok[ex_idx]
+        ex_doc = pair_doc[ex_pair]
+
+        # distinct (doc, token) cells + cumulative sums (A2)
+        dt_key = ex_doc.astype(np.int64) * np.int64(n_tok_names) + ex_tok
+        dt_keys, ex_dt = np.unique(dt_key, return_inverse=True)
+        n_dt = len(dt_keys)
+        dt_doc = (dt_keys // np.int64(n_tok_names)).astype(np.int64)
+        cum_bit = np.bincount(ex_dt, weights=pair_ms[ex_pair], minlength=n_dt)
+        cum_db = np.bincount(ex_dt, weights=pair_w[ex_pair], minlength=n_dt)
+        cum_ov = np.bincount(ex_dt, weights=pair_ov[ex_pair], minlength=n_dt)
+
+        # A5 token score on the sparse cells only
+        with np.errstate(divide="ignore", invalid="ignore"):
+            ts_dt = (
+                w_bit * cum_bit / tot_bit[dt_doc]
+                + w_db * cum_db / tot_db[dt_doc]
+                + w_ov * cum_ov / tot_ov[dt_doc]
+            )
+        ts_dt = np.floor(ts_dt * 1048576.0 + 0.5)
+        ts_dt /= 1048576.0
+
+        # A6 high score: per-pair max token score over each doc's top-k
+        pair_tmax = np.maximum.reduceat(ts_dt[ex_dt], pair_starts)
+        cand_clsmax = pair_tmax[pair_of_cand]
+        hs = _segment_max(doc_codes[topk_idx], cand_clsmax[topk_idx], n_docs)
+
+        # A7 filtering on the sparse cells
+        half_doc = hs / 2.0
+        inf_dt = ts_dt > half_doc[dt_doc]
+        ts_f_dt = np.where(inf_dt, ts_dt, ts_dt - half_doc[dt_doc])
+
+        # A8 per-candidate sums via per-pair reduceat over the exploded cells
+        pair_sum_tsf = np.add.reduceat(ts_f_dt[ex_dt], pair_starts)
+        pair_n_inf = np.add.reduceat(inf_dt[ex_dt].astype(np.float64), pair_starts)
+        sum_ts = pair_sum_tsf[pair_of_cand]
+        n_inf = pair_n_inf[pair_of_cand]
     with np.errstate(divide="ignore", invalid="ignore"):
         lex = (sum_ts / hs[doc_codes]) / (n_tok / n_inf)
     lex = np.where(n_inf == 0, 0.0, lex)

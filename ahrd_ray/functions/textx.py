@@ -44,3 +44,25 @@ def extract_text(html_bytes: bytes) -> str:
         return ""
     inner = m.group(1).decode("utf-8")
     return _html.unescape(_TAG_RE.sub("", inner))
+
+
+# unescape order matters: &amp; LAST, so pre-escaped input ("&amp;lt;")
+# round-trips exactly like html.unescape's single pass
+_ENTITIES = (("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'), ("&#x27;", "'"), ("&amp;", "&"))
+
+
+def extract_text_arrow(html_col):
+    """Vectorized extractor: Arrow re2 kernels end-to-end, byte-identical to
+    :func:`extract_text` for pages produced by :func:`synthesize_html`
+    (tested per batch of the conformance suite).  html -> first <article>
+    inner -> strip tags -> unescape the html.escape entity set."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    s = html_col.cast(pa.string())  # strict utf-8 validation, like .decode()
+    m = pc.extract_regex(s, pattern=r"(?s)<article\b[^>]*>(?P<inner>.*?)</article>")
+    inner = pc.fill_null(pc.struct_field(m, "inner"), "")
+    txt = pc.replace_substring_regex(inner, pattern="<[^>]+>", replacement="")
+    for ent, ch in _ENTITIES:
+        txt = pc.replace_substring(txt, ent, ch)
+    return txt

@@ -28,7 +28,6 @@ import ray
 import ray.data
 
 from ahrd_ray.config import DEFAULT_CONFIG, EngineConfig
-from ahrd_ray.functions.textx import extract_text
 from ahrd_ray.sources.synth import (
     CatalogBundle,
     build_attrs,
@@ -42,13 +41,17 @@ from ahrd_ray.stages.score import score_candidates
 
 
 def extract_text_batch(batch: pa.Table) -> pa.Table:
-    """pages -> (doc_id, lang, text) via the deterministic extractor."""
-    texts = [extract_text(h) for h in batch["html"].to_pylist()]
+    """pages -> (doc_id, lang, text) via the deterministic extractor
+    (vectorized Arrow re2 kernels; byte-identical to the scalar
+    functions.textx.extract_text)."""
+    from ahrd_ray.functions.textx import extract_text_arrow
+
+    texts = extract_text_arrow(batch["html"].combine_chunks())
     return pa.table(
         {
             "doc_id": batch["doc_id"],
             "lang": batch["lang"],
-            "text": pa.array(texts, type=pa.string()),
+            "text": texts,
         }
     )
 

@@ -951,3 +951,57 @@ SELECT doc_id, lang AS pred_lang FROM (
          row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, lang ASC) AS rn
   FROM scores
 ) WHERE rn = 1"""
+
+
+# ---------------------------------------------------------------------------
+# Windowed / sessionized / as-of operators over events
+# ---------------------------------------------------------------------------
+
+def sql_events_sliding(window_min: int = 30, slide_min: int = 10) -> str:
+    """30-min windows sliding by 10: each event contributes to
+    window_min/slide_min buckets (same fan-out the map side emits)."""
+    k = window_min // slide_min
+    s = slide_min * 60
+    offs = ", ".join(str(i) for i in range(k))
+    return f"""WITH fan AS (
+  SELECT event_type,
+         time_bucket(INTERVAL '{slide_min} minutes', ts) - o.i * INTERVAL '{s} seconds' AS window_start,
+         {_q20('value')} AS qv
+  FROM events CROSS JOIN (SELECT unnest([{offs}]) AS i) o
+)
+SELECT event_type, window_start, sum(qv) AS sum_value,
+       count(*) AS n_events
+FROM fan GROUP BY event_type, window_start"""
+
+
+def sql_sessionize(gap_min: int = 30) -> str:
+    return f"""WITH o AS (
+  SELECT user_id, event_id, ts, {_q20('value')} AS qv,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pts
+  FROM events
+),
+m AS (
+  SELECT *, CASE WHEN pts IS NULL OR ts - pts > INTERVAL '{gap_min} minutes'
+                 THEN 1 ELSE 0 END AS brk
+  FROM o
+),
+s AS (
+  SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS sess
+  FROM m
+)
+SELECT user_id, CAST(sess AS BIGINT) AS session_seq, count(*) AS n_events,
+       min(ts) AS first_ts, max(ts) AS last_ts, sum(qv) AS sum_value
+FROM s GROUP BY user_id, sess"""
+
+
+def sql_asof_latest_order() -> str:
+    """For every event, the customer's latest order with o_orderdate <= ts
+    (ties broken toward the larger order key); -1 when none exists."""
+    return """SELECT event_id, CAST(coalesce(order_key, -1) AS BIGINT) AS order_key FROM (
+  SELECT e.event_id, o.o_orderkey AS order_key,
+         row_number() OVER (PARTITION BY e.event_id
+                            ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+  FROM events e
+  LEFT JOIN orders o ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+) WHERE rn = 1"""

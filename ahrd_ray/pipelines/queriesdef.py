@@ -57,9 +57,9 @@ def q_pages_extract(sf_dir: str):
 
 
 def _extracted(batch: pa.Table) -> pa.Array:
-    from ahrd_ray.functions.textx import extract_text
+    from ahrd_ray.functions.textx import extract_text_arrow
 
-    return pa.array([extract_text(h) for h in batch["html"].to_pylist()], type=pa.string())
+    return extract_text_arrow(batch["html"].combine_chunks())
 
 
 def q_doc_tokens(sf_dir: str):
@@ -365,6 +365,19 @@ def _generic_queries() -> dict[str, tuple[Callable, str | None]]:
         "rel_salted_user_counts": (
             lambda sf: g.salted_user_counts(sf).map_batches(_int64, batch_format="pyarrow"),
             oracle.sql_salted_user_counts(),
+        ),
+        # windowed / sessionized / as-of operators (round 2)
+        "rel_events_sliding": (
+            lambda sf: g.events_sliding(sf).map_batches(_int64, batch_format="pyarrow"),
+            oracle.sql_events_sliding(),
+        ),
+        "rel_sessions": (
+            lambda sf: g.sessionize(sf).map_batches(_int64, batch_format="pyarrow"),
+            oracle.sql_sessionize(),
+        ),
+        "rel_asof_latest_order": (
+            lambda sf: g.asof_latest_order(sf).map_batches(_int64, batch_format="pyarrow"),
+            oracle.sql_asof_latest_order(),
         ),
     }
 

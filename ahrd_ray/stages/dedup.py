@@ -191,30 +191,59 @@ def _empty_pairs(a: str = "doc_a", b: str = "doc_b") -> pd.DataFrame:
     return pd.DataFrame({a: pd.Series([], dtype="int64"), b: pd.Series([], dtype="int64")})
 
 
-def _self_join_pairs(key_cols: list[str], id_col: str, a: str = "doc_a", b: str = "doc_b"):
+def _self_join_pairs(
+    key_cols: list[str],
+    id_col: str,
+    a: str = "doc_a",
+    b: str = "doc_b",
+    carry: dict[str, tuple[str, str]] | None = None,
+):
     """Vectorized within-partition self-join: all (x < y) id pairs sharing a
-    key.  Called once per hash PARTITION (few, large groups), never per key."""
+    key.  Called once per hash PARTITION (few, large groups), never per key.
+
+    ``carry`` maps an input column to its (left-output, right-output) names —
+    per-doc payloads (set sizes, hashes) ride the banded table through the
+    join instead of being re-fetched later."""
+    carry = carry or {}
+    cols = [a, b] + [n for pair in carry.values() for n in pair]
 
     def f(df: pd.DataFrame) -> pd.DataFrame:
         if len(df) < 2:
-            return _empty_pairs(a, b)
+            out = _empty_pairs(a, b)
+            for src, (ln, rn) in carry.items():
+                out[ln] = pd.Series([], dtype=df[src].dtype if src in df else "int64")
+                out[rn] = pd.Series([], dtype=df[src].dtype if src in df else "int64")
+            return out[cols]
         m = df.merge(df, on=key_cols, suffixes=("_x", "_y"))
         m = m[m[f"{id_col}_x"] < m[f"{id_col}_y"]]
-        out = m.rename(columns={f"{id_col}_x": a, f"{id_col}_y": b})[[a, b]]
+        ren = {f"{id_col}_x": a, f"{id_col}_y": b}
+        for src, (ln, rn) in carry.items():
+            ren[f"{src}_x"] = ln
+            ren[f"{src}_y"] = rn
+        out = m.rename(columns=ren)[cols]
         return out.astype({a: "int64", b: "int64"})
 
     return f
 
 
 def _dedup_bucket_pairs(
-    banded: ray.data.Dataset, key_cols: list[str], part_col: str, id_col: str
+    banded: ray.data.Dataset,
+    key_cols: list[str],
+    part_col: str,
+    id_col: str,
+    carry: dict[str, tuple[str, str]] | None = None,
 ) -> ray.data.Dataset:
     """banded (id, *key_cols) -> distinct candidate (doc_a < doc_b) pairs.
 
     Hash-partition by the bucket key, vectorized self-join per PARTITION,
     partial pair-dedup map-side, exact dedup in a pair-keyed partition —
-    never a per-bucket or per-pair Python call.
+    never a per-bucket or per-pair Python call.  ``carry`` columns of the
+    banded table ride along into the pair rows (deterministic per doc, so
+    dedup keeps them consistent).
     """
+    out_cols = ["doc_a", "doc_b"] + [
+        n for pair in (carry or {}).values() for n in pair
+    ]
 
     def add_part(batch: pa.Table) -> pa.Table:
         sp = (batch[part_col].to_numpy() % N_PAIR_PARTS).astype(np.int32)
@@ -223,7 +252,7 @@ def _dedup_bucket_pairs(
     co = (
         banded.map_batches(add_part, batch_format="pyarrow")
         .groupby("bpart")
-        .map_groups(_self_join_pairs(key_cols, id_col), batch_format="pandas")
+        .map_groups(_self_join_pairs(key_cols, id_col, carry=carry), batch_format="pandas")
     )
 
     def partial_dedup(df: pd.DataFrame) -> pd.DataFrame:
@@ -237,7 +266,7 @@ def _dedup_bucket_pairs(
         co.map_batches(partial_dedup, batch_format="pandas")
         .groupby("ppart")
         .map_groups(
-            lambda df: df.drop_duplicates(["doc_a", "doc_b"])[["doc_a", "doc_b"]],
+            lambda df: df.drop_duplicates(["doc_a", "doc_b"])[out_cols],
             batch_format="pandas",
         )
     )
@@ -340,6 +369,9 @@ def ngram_jaccard_pairs(
     per-key Python; set sizes arrive by pair-partitioned join, never a
     driver-collected dict.  Output: (doc_a, doc_b, jaccard).
     """
+    # the shingle scan is recomputed per consumer on purpose: hashing is a
+    # cheap fused map over the column-pruned read, and staying lazy keeps
+    # every consumer streaming (a materialize() barrier measured ~2x slower)
     shingles = _shingle_dataset(sf_dir, n)
 
     def add_spart(batch: pa.Table) -> pa.Table:
@@ -352,7 +384,7 @@ def ngram_jaccard_pairs(
         .map_groups(_self_join_pairs(["sh"], "doc_id"), batch_format="pandas")
     )
     inter = _pair_counts(co)
-    sizes = _sizes_dataset(_shingle_dataset(sf_dir, n))
+    sizes = _sizes_dataset(shingles)
     return _finish_jaccard(inter, sizes, threshold)
 
 
@@ -431,6 +463,7 @@ def _signature_batch(batch: pa.Table, n: int) -> pa.Table:
             # >= 1 shingle ("" -> one empty-gram shingle), so none are empty
         d = e
     buckets = _band_buckets(sig)
+    n_sh = np.diff(seg).astype(np.int64)  # shingle-set size rides along
     return pa.table(
         {
             "doc_id": pa.array(np.repeat(ids, N_BANDS), type=pa.int64()),
@@ -438,6 +471,7 @@ def _signature_batch(batch: pa.Table, n: int) -> pa.Table:
                 np.tile(np.arange(N_BANDS, dtype=np.int32), n_docs), type=pa.int32()
             ),
             "bucket": pa.array(buckets.reshape(-1), type=pa.int64()),
+            "n_sh": pa.array(np.repeat(n_sh, N_BANDS), type=pa.int64()),
         }
     )
 
@@ -456,14 +490,53 @@ def minhash_lsh_pairs(
     """
     docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     banded = docs.map_batches(lambda b: _signature_batch(b, n), batch_format="pyarrow")
-    cand = _dedup_bucket_pairs(banded, ["band", "bucket"], "bucket", "doc_id")
+    # shingle-set sizes ride the banded table into the pair rows (no sizes
+    # join needed — the size is a deterministic per-doc scalar, exactly like
+    # SimHash's hash payload)
+    cand = _dedup_bucket_pairs(
+        banded,
+        ["band", "bucket"],
+        "bucket",
+        "doc_id",
+        carry={"n_sh": ("n_a", "n_b")},
+    )
 
+    # intersection counts: two pair-partitioned joins against the
+    # distributed shingle table (recomputed fused with the read — cheap map,
+    # keeps the verify streaming)
     shingles = _shingle_dataset(sf_dir, n)
     a_sh = _join(cand, shingles, on=("doc_a",), right_on=("doc_id",))
     both = _join(a_sh, shingles, on=("doc_b", "sh"), right_on=("doc_id", "sh"))
-    inter = _pair_counts(both)
-    sizes = _sizes_dataset(_shingle_dataset(sf_dir, n))
-    return _finish_jaccard(inter, sizes, threshold)
+
+    def partial_counts(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby(["doc_a", "doc_b", "n_a", "n_b"], as_index=False).size()
+        out = out.rename(columns={"size": "inter"})
+        out["ppart"] = ((out["doc_a"] * 1000003 + out["doc_b"]) % N_PAIR_PARTS).astype(
+            "int32"
+        )
+        return out
+
+    inter = (
+        both.map_batches(partial_counts, batch_format="pandas")
+        .groupby("ppart")
+        .map_groups(
+            lambda df: df.groupby(["doc_a", "doc_b", "n_a", "n_b"], as_index=False)[
+                "inter"
+            ].sum(),
+            batch_format="pandas",
+        )
+    )
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        na = df["n_a"].to_numpy(dtype=np.float64)
+        nb = df["n_b"].to_numpy(dtype=np.float64)
+        inter_ = df["inter"].to_numpy(dtype=np.float64)
+        j = inter_ / (na + nb - inter_)
+        out = df.assign(jaccard=j)
+        out = out[out["jaccard"] >= threshold][["doc_a", "doc_b", "jaccard"]]
+        return out.astype({"doc_a": "int64", "doc_b": "int64", "jaccard": "float64"})
+
+    return inter.map_batches(finish, batch_format="pandas")
 
 
 # ---------------------------------------------------------------------------

@@ -235,6 +235,160 @@ def salted_user_counts(sf_dir: str, salt: int = 16) -> ray.data.Dataset:
     )
 
 
+SLIDE_MIN = 10
+WINDOW_MIN = 30
+
+
+def events_sliding(sf_dir: str) -> ray.data.Dataset:
+    """Sliding-window aggregate: 30-min windows sliding by 10 min — each
+    event lands in 3 windows (emitted map-side), then the usual combiner.
+    The overlap factor is a constant fan-out, not state: the streaming
+    executor never holds a window open."""
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["ts", "event_type", "value"]
+    )
+    k = WINDOW_MIN // SLIDE_MIN
+
+    def prep(df: pd.DataFrame) -> pd.DataFrame:
+        base = df["ts"].dt.floor(f"{SLIDE_MIN}min")
+        outs = []
+        for i in range(k):
+            outs.append(
+                pd.DataFrame(
+                    {
+                        "event_type": df["event_type"],
+                        "window_start": base - pd.Timedelta(minutes=SLIDE_MIN * i),
+                        "sum_value": q20(df["value"].to_numpy()),
+                        "n_events": np.ones(len(df), dtype=np.int64),
+                    }
+                )
+            )
+        out = pd.concat(outs, ignore_index=True)
+        return out.groupby(["event_type", "window_start"], as_index=False).sum()
+
+    partial = ev.map_batches(prep, batch_format="pandas")
+    return partial.groupby(["event_type", "window_start"]).map_groups(
+        _final_sum(["event_type", "window_start"], ["sum_value", "n_events"]),
+        batch_format="pandas",
+    )
+
+
+SESSION_GAP_MIN = 30
+N_SESSION_PARTS = 32
+
+
+def sessionize(sf_dir: str) -> ray.data.Dataset:
+    """Gap-based sessionization: per user, a new session starts when the gap
+    to the previous event exceeds 30 minutes.  Hash-partition by user (each
+    user's whole history lands in one partition), vectorized sort + diff +
+    cumsum per partition — the archetypal log-processing window op."""
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "ts", "user_id", "value"]
+    )
+
+    def add_part(df: pd.DataFrame) -> pd.DataFrame:
+        return df.assign(upart=(df["user_id"] % N_SESSION_PARTS).astype("int32"))
+
+    def sessions(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        new_user = df["user_id"].ne(df["user_id"].shift())
+        gap = df["ts"].diff() > pd.Timedelta(minutes=SESSION_GAP_MIN)
+        brk = (new_user | gap).astype(np.int64)
+        # session_seq restarts per user: cumulative breaks minus the user's base
+        sess_global = brk.cumsum()
+        base = sess_global.where(new_user).ffill()
+        df = df.assign(
+            session_seq=(sess_global - base + 1).astype(np.int64),
+            qv=q20(df["value"].to_numpy()),
+        )
+        g = df.groupby(["user_id", "session_seq"], as_index=False).agg(
+            n_events=("event_id", "size"),
+            first_ts=("ts", "min"),
+            last_ts=("ts", "max"),
+            sum_value=("qv", "sum"),
+        )
+        return g.astype({"n_events": "int64"})
+
+    return (
+        ev.map_batches(add_part, batch_format="pandas")
+        .groupby("upart")
+        .map_groups(sessions, batch_format="pandas")
+    )
+
+
+N_ASOF_PARTS = 32
+
+
+def asof_latest_order(sf_dir: str) -> ray.data.Dataset:
+    """As-of join (an operator Ray Data lacks): for every event, the
+    customer's latest order with o_orderdate <= ts.
+
+    Shape: co-partition both sides by hash(customer) — each partition holds
+    complete per-key histories — then one vectorized ``pd.merge_asof`` per
+    partition (backward, ties broken toward the larger order key by the
+    right-side sort).  Partitioning assumption, documented per the brief:
+    key-complete partitions; skewed customers bound by their own history
+    size, never by the partition count."""
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "ts", "user_id"]
+    )
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey", "o_orderdate"]
+    )
+
+    _COLS = ["key", "side", "event_id", "ts", "o_orderkey", "o_orderdate", "apart"]
+
+    def tag_ev(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.rename(columns={"user_id": "key"})
+        out["side"] = np.int8(0)
+        out["o_orderkey"] = np.int64(-1)
+        out["o_orderdate"] = pd.Series(pd.NaT, index=out.index, dtype="datetime64[ns]")
+        out["apart"] = (out["key"] % N_ASOF_PARTS).astype("int32")
+        return out[_COLS]
+
+    def tag_ord(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.rename(columns={"o_custkey": "key"})
+        out["side"] = np.int8(1)
+        out["event_id"] = np.int64(-1)
+        out["ts"] = pd.Series(pd.NaT, index=out.index, dtype="datetime64[ns]")
+        out["apart"] = (out["key"] % N_ASOF_PARTS).astype("int32")
+        return out[_COLS]
+
+    both = ev.map_batches(tag_ev, batch_format="pandas").union(
+        orders.map_batches(tag_ord, batch_format="pandas")
+    )
+
+    def asof_part(df: pd.DataFrame) -> pd.DataFrame:
+        left = df[df["side"] == 0][["event_id", "ts", "key"]].sort_values(
+            "ts", kind="mergesort"
+        )
+        right = df[df["side"] == 1][["o_orderkey", "o_orderdate", "key"]].sort_values(
+            ["o_orderdate", "o_orderkey"], kind="mergesort"
+        )
+        if not len(left):
+            return pd.DataFrame(
+                {
+                    "event_id": pd.Series([], dtype="int64"),
+                    "order_key": pd.Series([], dtype="int64"),
+                }
+            )
+        m = pd.merge_asof(
+            left,
+            right,
+            left_on="ts",
+            right_on="o_orderdate",
+            by="key",
+            direction="backward",
+        )
+        ok = m["o_orderkey"].fillna(-1)  # -1 = no order at or before ts
+        out = pd.DataFrame({"event_id": m["event_id"], "order_key": ok})
+        return out.astype({"event_id": "int64", "order_key": "int64"})
+
+    return (
+        both.groupby("apart").map_groups(asof_part, batch_format="pandas")
+    )
+
+
 def props_agg(sf_dir: str) -> ray.data.Dataset:
     """Semi-structured payload parsing: each event carries a JSON ``props``
     string; parse it per batch (real json.loads — the shape a web pipeline's

@@ -92,7 +92,14 @@ def most_informative(sf_dir: str) -> ray.data.Dataset:
     node (A12 semantics restricted to the parent axis; the reference's
     ``contains`` axis collapses onto the same closure for a tree)."""
     dag = build_dag(sf_dir)
-    closure_ref = ray.put(ancestor_closure(dag))
+    closure = ancestor_closure(dag)
+    # flat (node, ancestor) closure table: the per-partition filter is then
+    # one merge + one anti-join instead of per-doc Python set walks
+    closure_df = pd.DataFrame(
+        [(n, a) for n, ancs in closure.items() for a in ancs],
+        columns=["node_id", "anc_id"],
+    )
+    closure_ref = ray.put(closure_df)
 
     def add_part(batch: pa.Table) -> pa.Table:
         p = (batch["doc_id"].to_numpy() % N_PARTS).astype(np.int32)
@@ -101,19 +108,20 @@ def most_informative(sf_dir: str) -> ray.data.Dataset:
     def filter_part(df: pd.DataFrame) -> pd.DataFrame:
         from ahrd_ray.stages.score import get_broadcast
 
-        closure = get_broadcast(closure_ref)
-        keep_rows = []
-        for doc, grp in df.groupby("doc_id", sort=False):
-            nodes = set(grp["node_id"])
-            dropped = set()
-            for n in nodes:
-                # drop any node that is an ancestor of another assigned node
-                dropped |= closure.get(n, frozenset()) & nodes
-            for n in sorted(nodes - dropped):
-                keep_rows.append((int(doc), n))
-        return pd.DataFrame(keep_rows, columns=["doc_id", "node_id"]).astype(
-            {"doc_id": "int64"}
+        cdf = get_broadcast(closure_ref)
+        df = df[["doc_id", "node_id"]].drop_duplicates()
+        # every (doc, ancestor-of-an-assigned-node) pair ...
+        anc = df.merge(cdf, on="node_id")[["doc_id", "anc_id"]].drop_duplicates()
+        # ... knocks out the matching assigned node (A12 drop rule)
+        m = df.merge(
+            anc,
+            left_on=["doc_id", "node_id"],
+            right_on=["doc_id", "anc_id"],
+            how="left",
+            indicator=True,
         )
+        out = m[m["_merge"] == "left_only"][["doc_id", "node_id"]]
+        return out.astype({"doc_id": "int64"})
 
     return (
         doc_nodes(sf_dir)

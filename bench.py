@@ -109,6 +109,20 @@ def run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
     headline = time.perf_counter() - t0
     timings["kg_triples"] = round(headline, 3)
 
+    # LLM-data operator family (scale-safe verify paths, vectorized hashing)
+    from ahrd_ray.stages import dedup as dd
+    from ahrd_ray.stages import textstats as tx
+
+    for name, builder in [
+        ("dd_exact", lambda: dd.exact_dedup(sf_dir)),
+        ("dd_minhash_lsh", lambda: dd.minhash_lsh_pairs(sf_dir)),
+        ("dd_simhash_pairs", lambda: dd.simhash_pairs(sf_dir)),
+        ("tx_fingerprints", lambda: tx.fingerprints(sf_dir)),
+    ]:
+        t0 = time.perf_counter()
+        builder().count()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
     n_docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"]).count()
     ray.shutdown()
     return {

@@ -172,3 +172,73 @@ def test_fused_actor_mode_equals_tasks(ctx):
     a = winners_dataset_fused(ctx, mode="tasks").to_pandas()[cols].sort_values("doc_id")
     b = winners_dataset_fused(ctx, mode="actors").to_pandas()[cols].sort_values("doc_id")
     assert a.reset_index(drop=True).equals(b.reset_index(drop=True))
+
+
+def test_text_export_w2(ray_session, tmp_path):
+    """W2 (FastaOutputWriter.java:18-31 analogue): one header+body record per
+    document, unknown docs carry the reference's Unknown-protein description."""
+    from ahrd_ray.pipelines import kg
+    from ahrd_ray.sources import spec
+    from ahrd_ray.stages.export import write_text_export
+
+    ctx = kg.PipelineContext(SF)
+    out = write_text_export(ctx, str(tmp_path / "export"))
+    import glob
+
+    lines = []
+    for f in sorted(glob.glob(f"{out}/*.csv")):
+        with open(f, encoding="utf-8") as fh:
+            lines.extend(ln.rstrip("\n") for ln in fh)
+    import ray.data
+
+    n_docs = ray.data.read_parquet(f"{SF}/documents.parquet", columns=["doc_id"]).count()
+    assert len(lines) == 2 * n_docs
+    headers = [ln for ln in lines if ln.startswith(">doc:")]
+    assert len(headers) == n_docs
+    # every doc appears exactly once
+    ids = sorted(int(h.split()[0][5:]) for h in headers)
+    assert ids == sorted(set(ids))
+
+
+def _assert_matches_oracle(name, sf=SF):
+    import duckdb
+    import pandas as pd
+    import pyarrow as pa
+
+    from ahrd_ray.pipelines.queriesdef import registry
+
+    fn, sql = registry()[name]
+    assert sql is not None
+    res = fn(sf)
+    if isinstance(res, pa.Table):
+        rdf = res.to_pandas()
+    elif isinstance(res, pd.DataFrame):
+        rdf = res
+    else:
+        rdf = res.to_pandas()
+    con = duckdb.connect()
+    for t in ["events", "orders", "documents"]:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
+    odf = con.sql(sql).df()
+    cols = sorted(rdf.columns)
+    assert sorted(odf.columns) == cols
+    a = rdf[cols].sort_values(cols, kind="mergesort").reset_index(drop=True)
+    b = odf[cols].sort_values(cols, kind="mergesort").reset_index(drop=True)
+    assert len(a) == len(b) and len(a) > 0
+    pd.testing.assert_frame_equal(a, b, check_exact=True)
+
+
+def test_sliding_window_oracle(ray_session):
+    """30-min windows sliding by 10 — constant 3x fan-out, no open state."""
+    _assert_matches_oracle("rel_events_sliding")
+
+
+def test_sessionize_oracle(ray_session):
+    """Gap-based sessions per user, key-complete hash partitions."""
+    _assert_matches_oracle("rel_sessions")
+
+
+def test_asof_join_oracle(ray_session):
+    """As-of join events -> latest order at-or-before ts (merge_asof per
+    co-partition; -1 sentinel when the customer has no prior order)."""
+    _assert_matches_oracle("rel_asof_latest_order")
