@@ -1005,3 +1005,48 @@ def sql_asof_latest_order() -> str:
   FROM events e
   LEFT JOIN orders o ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
 ) WHERE rn = 1"""
+
+
+def sql_cosine_topk_ivf(
+    k: int = 5, every: int = 50, nprobe: int = 4, n_seeds: int = 16
+) -> str:
+    """IVF-style ANN: deterministic coarse quantizer (first n_seeds vectors),
+    assignment and probing replicated exactly (quantized-dyadic cosines)."""
+    return f"""WITH q AS (
+  SELECT vec_id, {_QVEC} AS v FROM embeddings
+),
+n AS (SELECT vec_id, v, sqrt(list_inner_product(v, v)) AS nrm FROM q),
+seeds AS (SELECT vec_id AS sid, v, nrm FROM n WHERE vec_id < {n_seeds}),
+assign AS (
+  SELECT vec_id, sid FROM (
+    SELECT x.vec_id, s.sid,
+           row_number() OVER (PARTITION BY x.vec_id
+               ORDER BY list_inner_product(x.v, s.v) / (x.nrm * s.nrm) DESC,
+                        s.sid ASC) AS rn
+    FROM n x CROSS JOIN seeds s
+  ) WHERE rn = 1
+),
+qs AS (SELECT * FROM n WHERE vec_id % {every} = 0),
+probe AS (
+  SELECT query_id, sid FROM (
+    SELECT qs.vec_id AS query_id, s.sid,
+           row_number() OVER (PARTITION BY qs.vec_id
+               ORDER BY list_inner_product(qs.v, s.v) / (qs.nrm * s.nrm) DESC,
+                        s.sid ASC) AS rn
+    FROM qs CROSS JOIN seeds s
+  ) WHERE rn <= {nprobe}
+),
+scored AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id,
+         list_inner_product(x.v, qv.v) / (x.nrm * qv.nrm) AS cosine
+  FROM probe p
+  JOIN assign a ON a.sid = p.sid
+  JOIN n x ON x.vec_id = a.vec_id
+  JOIN n qv ON qv.vec_id = p.query_id
+  WHERE a.vec_id <> p.query_id
+)
+SELECT query_id, neighbor_id, rank, cosine FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM scored
+) WHERE rank <= {k}"""

@@ -318,6 +318,10 @@ def _dedup_queries() -> dict[str, tuple[Callable, str | None]]:
             lambda sf: ss.cosine_topk(sf).map_batches(_int64, batch_format="pyarrow"),
             oracle.sql_cosine_topk(),
         ),
+        "sim_cosine_topk_ivf": (
+            lambda sf: ss.cosine_topk_ivf(sf).map_batches(_int64, batch_format="pyarrow"),
+            oracle.sql_cosine_topk_ivf(),
+        ),
     }
 
 

@@ -247,3 +247,103 @@ def embedding_near_dup_pairs(sf_dir: str, threshold: float = 0.2) -> ray.data.Da
         )
 
     return withB.map_batches(verify, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# IVF-style ANN top-k: coarse quantizer + probed buckets
+# ---------------------------------------------------------------------------
+
+N_IVF_SEEDS = 16
+
+
+def _ivf_seeds(sf_dir: str) -> tuple[np.ndarray, np.ndarray]:
+    """Deterministic coarse quantizer: the quantized embeddings of the first
+    N_IVF_SEEDS vec_ids act as fixed centroids (no RNG, no training pass —
+    the IVF *shape* with a reproducible quantizer, SQL-replicable)."""
+    import pyarrow.parquet as pq
+
+    f = pq.ParquetFile(f"{sf_dir}/embeddings.parquet")
+    rows, ids = [], []
+    for batch in f.iter_batches(batch_size=256, columns=["vec_id", "embedding"]):
+        for vid, emb in zip(batch["vec_id"].to_pylist(), batch["embedding"].to_pylist()):
+            if vid < N_IVF_SEEDS:
+                ids.append(vid)
+                rows.append(np.asarray(emb, dtype=np.float64))
+        if len(ids) >= N_IVF_SEEDS:
+            break
+    order = np.argsort(ids)
+    m = quantize_vec(np.vstack([rows[i] for i in order]))
+    return np.asarray(ids)[order], m
+
+
+def _assign_buckets(m: np.ndarray, seeds: np.ndarray) -> np.ndarray:
+    """Best seed per row: max cosine, tie -> lower seed index (exact dyadic
+    dot products, so the argmax is deterministic)."""
+    sn = np.sqrt((seeds * seeds).sum(axis=1))
+    n = np.sqrt((m * m).sum(axis=1))
+    cos = (m @ seeds.T) / (n[:, None] * sn[None, :])
+    return cos.argmax(axis=1)  # argmax takes the FIRST max -> lowest seed id
+
+
+def cosine_topk_ivf(
+    sf_dir: str, k: int = 5, every: int = 50, nprobe: int = 4
+) -> ray.data.Dataset:
+    """(query_id, neighbor_id, rank, cosine) over PROBED buckets only.
+
+    IVF shape: vectors are bucketed by nearest coarse seed; each query
+    scans just its ``nprobe`` closest buckets (here 4 of 16 — a 4x read
+    reduction that grows with the bucket count at scale).  Inside a probed
+    bucket the scoring is the same batch x broadcast matmul as the exact
+    path; per-batch partial top-k, tiny per-query merge.  Approximate by
+    construction but fully deterministic — the DuckDB oracle replicates
+    bucket assignment, probing and ranking exactly.
+    """
+    seed_ids, seeds = _ivf_seeds(sf_dir)
+    q_ids, q_m = query_matrix(sf_dir, every)
+    q_norm = np.sqrt((q_m * q_m).sum(axis=1))
+    q_buckets = {}  # bucket -> list of query positions probing it
+    sn = np.sqrt((seeds * seeds).sum(axis=1))
+    qcos = (q_m @ seeds.T) / (q_norm[:, None] * sn[None, :])
+    # nprobe best seeds per query: cosine DESC, seed id ASC
+    for j in range(len(q_ids)):
+        order = np.lexsort((np.arange(len(seeds)), -qcos[j]))[:nprobe]
+        for b in order:
+            q_buckets.setdefault(int(b), []).append(j)
+    qref = ray.put((q_ids, q_m, q_norm, q_buckets, seeds))
+
+    def batch_scores(batch: pa.Table) -> pa.Table:
+        from ahrd_ray.stages.score import get_broadcast
+
+        qi, qm, qn, qb, sds = get_broadcast(qref)
+        ids, m = _emb_matrix(batch)
+        buckets = _assign_buckets(m, sds)
+        rows = []
+        for b in np.unique(buckets):
+            probing = qb.get(int(b), [])
+            if not probing:
+                continue
+            sel = buckets == b
+            bids, bm = ids[sel], m[sel]
+            bn = np.sqrt((bm * bm).sum(axis=1))
+            cos = (bm @ qm[probing].T) / (bn[:, None] * qn[probing][None, :])
+            kk = min(k + 1, len(bids))
+            for col, j in enumerate(probing):
+                order = np.lexsort((bids, -cos[:, col]))[:kk]
+                q = qi[j]
+                for i in order:
+                    if bids[i] != q:
+                        rows.append((int(q), int(bids[i]), float(cos[i, col])))
+        df = pd.DataFrame(rows, columns=["query_id", "neighbor_id", "cosine"])
+        return pa.Table.from_pandas(df, preserve_index=False).replace_schema_metadata(None)
+
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    partial = emb.map_batches(batch_scores, batch_format="pyarrow")
+
+    def final_topk(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop_duplicates(["neighbor_id"])
+        df = df.sort_values(["cosine", "neighbor_id"], ascending=[False, True]).head(k)
+        df = df.reset_index(drop=True)
+        df["rank"] = np.arange(1, len(df) + 1, dtype=np.int64)
+        return df[["query_id", "neighbor_id", "rank", "cosine"]]
+
+    return partial.groupby("query_id").map_groups(final_topk, batch_format="pandas")

@@ -242,3 +242,21 @@ def test_asof_join_oracle(ray_session):
     """As-of join events -> latest order at-or-before ts (merge_asof per
     co-partition; -1 sentinel when the customer has no prior order)."""
     _assert_matches_oracle("rel_asof_latest_order")
+
+
+def test_ivf_topk_recall_vs_exact(ray_session):
+    """IVF top-k probes 4/16 buckets; recall vs the exact brute-force top-k
+    should stay high on this corpus (and the result is deterministic)."""
+    from ahrd_ray.stages.simsearch import cosine_topk, cosine_topk_ivf
+
+    exact = {
+        (int(r["query_id"]), int(r["neighbor_id"]))
+        for r in cosine_topk(SF).take_all()
+    }
+    ivf = {
+        (int(r["query_id"]), int(r["neighbor_id"]))
+        for r in cosine_topk_ivf(SF).take_all()
+    }
+    assert len(ivf) > 0
+    recall = len(ivf & exact) / len(exact)
+    assert recall >= 0.5, recall
