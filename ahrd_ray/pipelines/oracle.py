@@ -1050,3 +1050,12 @@ SELECT query_id, neighbor_id, rank, cosine FROM (
                                ORDER BY cosine DESC, neighbor_id ASC) AS rank
   FROM scored
 ) WHERE rank <= {k}"""
+
+
+def sql_subword_counts() -> str:
+    from ahrd_ray.stages.textstats import BPE_SPLIT_REGEX
+
+    return (
+        f"SELECT doc_id, CAST(len(regexp_extract_all(text, '{_sq(BPE_SPLIT_REGEX)}'))"
+        " AS BIGINT) AS n_subwords FROM documents"
+    )

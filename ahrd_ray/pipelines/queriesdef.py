@@ -332,6 +332,10 @@ def _textstats_queries() -> dict[str, tuple[Callable, str | None]]:
         "tx_token_counts": (lambda sf: tx.token_counts(sf), oracle.sql_token_counts()),
         "tx_quality": (lambda sf: tx.quality_scores(sf), oracle.sql_quality()),
         "tx_langid": (lambda sf: tx.langid(sf), oracle.sql_langid()),
+        "tx_subword_counts": (
+            lambda sf: tx.subword_counts(sf),
+            oracle.sql_subword_counts(),
+        ),
         "tx_fingerprints": (lambda sf: tx.fingerprints(sf), oracle.sql_fingerprints()),
     }
 
@@ -362,6 +366,8 @@ def _generic_queries() -> dict[str, tuple[Callable, str | None]]:
             oracle.sql_distinct_users(),
         ),
         "mm_media_features": (lambda sf: mm.media_features(sf), None),
+        "mm_resized": (lambda sf: mm.resized_images(sf), None),
+        "mm_frames": (lambda sf: mm.sampled_frames(sf), None),
         "rel_props_agg": (
             lambda sf: g.props_agg(sf).map_batches(_int64, batch_format="pyarrow"),
             oracle.sql_props_agg(),

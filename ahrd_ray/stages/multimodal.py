@@ -112,3 +112,116 @@ def media_features(
         batch_size=batch_size,
         concurrency=concurrency,
     )
+
+
+def _encode_fake(doc_id: int, img: np.ndarray) -> bytes:
+    h, w = img.shape
+    return MAGIC + struct.pack("<iii", int(doc_id), w, h) + img.tobytes()
+
+
+class ImageResizer:
+    """Actor-pool stage: decode (stub codec) -> nearest-neighbor resize
+    (real numpy math — only the codec is faked) -> re-encoded payload.
+
+    The resample index math is the exact shape a Pillow/opencv stage has;
+    swapping the stub decoder for a real one changes no Ray-side plumbing."""
+
+    def __init__(self, out_w: int = 16, out_h: int = 8, allow_fake: bool = True):
+        self.out_w, self.out_h = out_w, out_h
+        self.allow_fake = allow_fake
+        # per-actor setup (once): resample index grids
+        self._col_of = None
+        self._row_of = None
+
+    def _grids(self, w: int, h: int) -> tuple[np.ndarray, np.ndarray]:
+        cols = (np.arange(self.out_w) * w) // self.out_w
+        rows = (np.arange(self.out_h) * h) // self.out_h
+        return rows, cols
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        blobs, widths, heights = [], [], []
+        for d, blob in zip(batch["doc_id"].to_pylist(), batch["media"].to_pylist()):
+            img = decode_image(blob, allow_fake=self.allow_fake)
+            h, w = img.shape
+            rows, cols = self._grids(w, h)
+            small = img[rows][:, cols]
+            blobs.append(_encode_fake(d, small))
+            heights.append(small.shape[0])
+            widths.append(small.shape[1])
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "media": pa.array(blobs, type=pa.binary()),
+                "width": pa.array(widths, type=pa.int32()),
+                "height": pa.array(heights, type=pa.int32()),
+            }
+        )
+
+
+def resized_images(
+    sf_dir: str, out_w: int = 16, out_h: int = 8,
+    concurrency: int | tuple = 2, batch_size: int = 64,
+) -> ray.data.Dataset:
+    return payloads_dataset(sf_dir).map_batches(
+        ImageResizer,
+        fn_constructor_kwargs={"out_w": out_w, "out_h": out_h, "allow_fake": True},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+
+class FrameSampler:
+    """Video analogue: the payload body is a sequence of h x w frames;
+    emit every Nth frame as its own row (doc_id, frame_idx, frame:binary).
+
+    Row-exploding map_batches with small batches — the layout a real
+    ffmpeg-backed sampler produces; only the demux is faked."""
+
+    def __init__(
+        self, every_n: int = 4, frame_w: int = 8, frame_h: int = 8,
+        allow_fake: bool = True,
+    ):
+        self.every_n = every_n
+        self.frame_w, self.frame_h = frame_w, frame_h
+        self.allow_fake = allow_fake
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, idxs, frames = [], [], []
+        for d, blob in zip(batch["doc_id"].to_pylist(), batch["media"].to_pylist()):
+            if blob[:4] != MAGIC:
+                raise ValueError("bad media container")
+            if not self.allow_fake:
+                raise NotImplementedError(
+                    "video demux requires a media library (not in this container)"
+                )
+            body = np.frombuffer(blob[16:], dtype=np.uint8)
+            fsize = self.frame_w * self.frame_h
+            n_frames = len(body) // fsize if fsize else 0
+            for fi in range(0, n_frames, self.every_n):
+                ids.append(d)
+                idxs.append(fi)
+                frames.append(body[fi * fsize : (fi + 1) * fsize].tobytes())
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, type=pa.int64()),
+                "frame_idx": pa.array(idxs, type=pa.int32()),
+                "frame": pa.array(frames, type=pa.binary()),
+            }
+        )
+
+
+def sampled_frames(
+    sf_dir: str, every_n: int = 4, frame_w: int = 8, frame_h: int = 8,
+    concurrency: int | tuple = 2, batch_size: int = 64,
+) -> ray.data.Dataset:
+    return payloads_dataset(sf_dir).map_batches(
+        FrameSampler,
+        fn_constructor_kwargs={
+            "every_n": every_n, "frame_w": frame_w, "frame_h": frame_h,
+            "allow_fake": True,
+        },
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )

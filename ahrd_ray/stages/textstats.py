@@ -207,3 +207,24 @@ def fingerprints(sf_dir: str) -> ray.data.Dataset:
         )
 
     return docs.map_batches(f, batch_format="pyarrow")
+
+
+# BPE-ish subword segmentation pattern (GPT-2-style pretokenizer, lookahead
+# dropped — RE2 has none; Arrow and DuckDB both run RE2, so counts agree
+# exactly between the pipeline and the oracle).
+BPE_SPLIT_REGEX = r"'s|'t|'re|'ve|'m|'ll|'d| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"
+
+
+def subword_counts(sf_dir: str) -> ray.data.Dataset:
+    """(doc_id, n_subwords): BPE-ish pretoken count per document — the
+    token-budget estimator a training-data pipeline runs over every shard
+    (one vectorized RE2 pass per batch)."""
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def f(batch: pa.Table) -> pa.Table:
+        n = pc.count_substring_regex(batch["text"], BPE_SPLIT_REGEX)
+        return pa.table(
+            {"doc_id": batch["doc_id"], "n_subwords": n.cast(pa.int64())}
+        )
+
+    return docs.map_batches(f, batch_format="pyarrow")

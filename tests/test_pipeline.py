@@ -260,3 +260,37 @@ def test_ivf_topk_recall_vs_exact(ray_session):
     assert len(ivf) > 0
     recall = len(ivf & exact) / len(exact)
     assert recall >= 0.5, recall
+
+
+def test_resize_and_frame_sample_plumbing(ray_session):
+    """Multimodal plumbing: resize emits re-encoded payloads at the target
+    dims; frame sampling explodes every-Nth h x w frames — deterministic
+    fake codec, real Ray-side layout."""
+    import numpy as np
+    import struct
+
+    from ahrd_ray.stages.multimodal import (
+        MAGIC,
+        decode_image,
+        resized_images,
+        sampled_frames,
+    )
+
+    rs = resized_images(SF, out_w=16, out_h=8).take(20)
+    assert all(r["width"] == 16 and r["height"] == 8 for r in rs)
+    for r in rs:
+        img = decode_image(r["media"], allow_fake=True)
+        assert img.shape == (8, 16)
+
+    fr = sampled_frames(SF, every_n=4).take(50)
+    assert len(fr) > 0
+    for r in fr:
+        assert r["frame_idx"] % 4 == 0
+        assert isinstance(r["frame"], bytes) and len(r["frame"]) > 0
+
+
+def test_subword_counts_deterministic(ray_session):
+    from ahrd_ray.stages.textstats import subword_counts
+
+    rows = subword_counts(SF).take(10)
+    assert all(r["n_subwords"] >= 0 for r in rows)
