@@ -191,12 +191,20 @@ def _empty_pairs(a: str = "doc_a", b: str = "doc_b") -> pd.DataFrame:
     return pd.DataFrame({a: pd.Series([], dtype="int64"), b: pd.Series([], dtype="int64")})
 
 
+# A single degenerate bucket (a stop-shingle, an all-zero sketch) yields
+# O(k^2) pairs at web scale; buckets beyond this cap are dropped with a
+# logged count (documented recall trade — a bucket this hot carries no
+# discriminative signal anyway).  Test corpora never come near the cap.
+MAX_BUCKET_DOCS = 100_000
+
+
 def _self_join_pairs(
     key_cols: list[str],
     id_col: str,
     a: str = "doc_a",
     b: str = "doc_b",
     carry: dict[str, tuple[str, str]] | None = None,
+    max_bucket: int | None = MAX_BUCKET_DOCS,
 ):
     """Vectorized within-partition self-join: all (x < y) id pairs sharing a
     key.  Called once per hash PARTITION (few, large groups), never per key.
@@ -214,6 +222,25 @@ def _self_join_pairs(
                 out[ln] = pd.Series([], dtype=df[src].dtype if src in df else "int64")
                 out[rn] = pd.Series([], dtype=df[src].dtype if src in df else "int64")
             return out[cols]
+        if max_bucket is not None:
+            sizes = df.groupby(key_cols)[id_col].transform("size")
+            hot = sizes > max_bucket
+            if hot.any():
+                import logging
+
+                logging.getLogger(__name__).warning(
+                    "dropping %d rows in over-cap buckets (> %d docs) — "
+                    "no silent truncation: recall trade is logged",
+                    int(hot.sum()),
+                    max_bucket,
+                )
+                df = df[~hot]
+                if len(df) < 2:
+                    out = _empty_pairs(a, b)
+                    for src, (ln, rn) in carry.items():
+                        out[ln] = pd.Series([], dtype="int64")
+                        out[rn] = pd.Series([], dtype="int64")
+                    return out[cols]
         m = df.merge(df, on=key_cols, suffixes=("_x", "_y"))
         m = m[m[f"{id_col}_x"] < m[f"{id_col}_y"]]
         ren = {f"{id_col}_x": a, f"{id_col}_y": b}

@@ -183,3 +183,72 @@ def test_slim_kernel_handles_large_vocab():
     out = score_partition_slim(df, cat, cfg)
     assert len(out) == df["doc_id"].nunique()
     assert (out["description_score"] >= out["lexical_score"]).all()
+
+
+def test_self_join_pairs_bucket_cap():
+    """Degenerate buckets beyond MAX_BUCKET_DOCS are dropped (logged), small
+    buckets pass through untouched."""
+    import pandas as pd
+
+    from ahrd_ray.stages.dedup import _self_join_pairs
+
+    df = pd.DataFrame(
+        {
+            "key": [1] * 5 + [2] * 2,
+            "doc_id": list(range(5)) + [10, 11],
+        }
+    )
+    full = _self_join_pairs(["key"], "doc_id", max_bucket=None)(df)
+    assert len(full) == 10 + 1  # C(5,2) + C(2,2)
+    capped = _self_join_pairs(["key"], "doc_id", max_bucket=3)(df)
+    assert len(capped) == 1  # hot bucket dropped, small one kept
+    assert set(map(tuple, capped.values.tolist())) == {(10, 11)}
+
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    HAVE_HYPOTHESIS = True
+except ImportError:  # pragma: no cover
+    HAVE_HYPOTHESIS = False
+
+if HAVE_HYPOTHESIS:
+
+    @given(st.lists(st.text(max_size=80), max_size=30))
+    @settings(max_examples=60, deadline=None)
+    def test_polyhash_arr_property(strs):
+        from ahrd_ray.functions.hash61 import polyhash_arr
+
+        got = polyhash_arr(strs)
+        exp = np.array([ref_hash(s) for s in strs], dtype=np.uint64)
+        assert got.shape == exp.shape and (got == exp).all()
+
+    @given(st.binary(max_size=400), st.integers(min_value=1, max_value=24))
+    @settings(max_examples=60, deadline=None)
+    def test_window_hash_property(data, window):
+        from ahrd_ray.functions.hash61 import polyhash_bytes_windows
+
+        arr = np.frombuffer(data, dtype=np.uint8)
+        got = polyhash_bytes_windows(arr, window)
+        n = max(0, len(arr) - window + 1)
+        assert len(got) == n
+        for i in (0, n // 2, n - 1) if n else ():
+            h = 0
+            for b in arr[i : i + window]:
+                h = (h * B + int(b)) % M
+            assert int(got[i]) == h
+
+    @given(st.text(alphabet=st.characters(min_codepoint=32, max_codepoint=126), max_size=120))
+    @settings(max_examples=60, deadline=None)
+    def test_shingle_property(text):
+        from ahrd_ray.stages.dedup import shingle_hashes
+
+        words = text.split(" ")
+        if len(words) < 3:
+            grams = [" ".join(words)]
+        else:
+            grams = [" ".join(words[i : i + 3]) for i in range(len(words) - 2)]
+        exp = np.unique(np.array([ref_hash(g) for g in grams], dtype=np.uint64))
+        got = shingle_hashes(text, 3)
+        assert got.shape == exp.shape and (got == exp).all()
