@@ -1059,3 +1059,22 @@ def sql_subword_counts() -> str:
         f"SELECT doc_id, CAST(len(regexp_extract_all(text, '{_sq(BPE_SPLIT_REGEX)}'))"
         " AS BIGINT) AS n_subwords FROM documents"
     )
+
+
+def sql_sample_events(rate_num: int = 1, rate_den: int = 10) -> str:
+    from ahrd_ray.stages.generic import SAMPLE_MOD, SAMPLE_MULT
+
+    thresh = (SAMPLE_MOD * rate_num) // rate_den
+    return (
+        "SELECT event_id, event_type, user_id FROM events"
+        f" WHERE (event_id * {SAMPLE_MULT}) % {SAMPLE_MOD} < {thresh}"
+    )
+
+
+def sql_top_events_per_user(n: int = 3) -> str:
+    return f"""SELECT user_id, event_id, value, rank FROM (
+  SELECT user_id, event_id, value,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY value DESC, event_id ASC) AS rank
+  FROM events
+) WHERE rank <= {n}"""

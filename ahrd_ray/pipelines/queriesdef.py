@@ -389,6 +389,14 @@ def _generic_queries() -> dict[str, tuple[Callable, str | None]]:
             lambda sf: g.asof_latest_order(sf).map_batches(_int64, batch_format="pyarrow"),
             oracle.sql_asof_latest_order(),
         ),
+        "rel_sample": (
+            lambda sf: g.sample_events(sf).map_batches(_int64, batch_format="pyarrow"),
+            oracle.sql_sample_events(),
+        ),
+        "rel_top_per_user": (
+            lambda sf: g.top_events_per_user(sf).map_batches(_int64, batch_format="pyarrow"),
+            oracle.sql_top_events_per_user(),
+        ),
     }
 
 

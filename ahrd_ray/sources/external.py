@@ -231,10 +231,15 @@ def read_candidate_table(
 # Deterministic fixture writer (test/bench corpus only)
 # ---------------------------------------------------------------------------
 
+# bump when the candidate-generation spec changes so a stale /tmp fixture
+# from an older code version can never be read back
+FIXTURE_VERSION = "2"
+
+
 def _fixture_dir(sf_dir: str) -> str:
     import hashlib
 
-    tag = hashlib.sha1(sf_dir.encode()).hexdigest()[:12]
+    tag = hashlib.sha1(f"{sf_dir}:v{FIXTURE_VERSION}".encode()).hexdigest()[:12]
     return f"/tmp/ahrd_ray_external/{tag}"
 
 

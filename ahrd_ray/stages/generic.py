@@ -420,3 +420,53 @@ def props_agg(sf_dir: str) -> ray.data.Dataset:
             _final_sum(["event_type"], ["sum_k", "n_events"]), batch_format="pandas"
         )
     )
+
+
+SAMPLE_MULT = 2654435761
+SAMPLE_MOD = 1 << 32
+
+
+def sample_events(sf_dir: str, rate_num: int = 1, rate_den: int = 10) -> ray.data.Dataset:
+    """Deterministic hash sample (rate_num/rate_den of rows): a pure
+    map-side filter on a multiplicative hash of the key — reproducible
+    across retries/workers, no RNG, SQL-replicable.  The shape every
+    training-data pipeline uses for held-out splits."""
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "event_type", "user_id"]
+    )
+    thresh = (SAMPLE_MOD * rate_num) // rate_den
+
+    def pick(df: pd.DataFrame) -> pd.DataFrame:
+        h = (df["event_id"].to_numpy(dtype=np.int64) * SAMPLE_MULT) % SAMPLE_MOD
+        return df[h < thresh]
+
+    return ev.map_batches(pick, batch_format="pandas")
+
+
+def top_events_per_user(sf_dir: str, n: int = 3) -> ray.data.Dataset:
+    """Per-user top-N events by value (window-rank analogue): per-block
+    partial top-N per user bounds the shuffle, exact finalize per user
+    partition."""
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "value"]
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "value", "event_id"],
+                            ascending=[True, False, True], kind="mergesort")
+        out = df.groupby("user_id", as_index=False).head(n)
+        return out.assign(upart=(out["user_id"] % N_USER_PARTS).astype("int32"))
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "value", "event_id"],
+                            ascending=[True, False, True], kind="mergesort")
+        out = df.groupby("user_id", as_index=False).head(n)
+        g = out.groupby("user_id", sort=True)
+        out = out.assign(rank=(g.cumcount() + 1).astype(np.int64))
+        return out[["user_id", "event_id", "value", "rank"]]
+
+    return (
+        ev.map_batches(partial, batch_format="pandas")
+        .groupby("upart")
+        .map_groups(final, batch_format="pandas")
+    )
