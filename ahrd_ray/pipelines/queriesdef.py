@@ -27,7 +27,9 @@ from ahrd_ray.sources.tables import corpus_vocab, doc_tokens
 
 def _int64(table: pa.Table) -> pa.Table:
     """Normalize to DuckDB's default types: integer columns -> int64,
-    timestamps -> timestamp[us]."""
+    timestamps -> timestamp[us].  Also strips pandas schema metadata so
+    every registry output carries a plain, hashable Arrow schema (keeps
+    Ray's block-schema dedup quiet)."""
     fields = []
     for f in table.schema:
         if pa.types.is_integer(f.type):
@@ -35,8 +37,8 @@ def _int64(table: pa.Table) -> pa.Table:
         elif pa.types.is_timestamp(f.type):
             fields.append(pa.field(f.name, pa.timestamp("us")))
         else:
-            fields.append(f)
-    return table.cast(pa.schema(fields))
+            fields.append(pa.field(f.name, f.type))
+    return table.cast(pa.schema(fields)).replace_schema_metadata(None)
 
 
 @lru_cache(maxsize=8)
