@@ -74,7 +74,9 @@ class MentionDetector:
         self.cfg = cfg
         self.slim = slim
         self.num_parts = cfg.num_score_partitions
-        # exploded alias table keyed by integer token id for fast merges
+        # alias table as a CSR over integer token ids: the per-batch
+        # (doc, token) -> candidate fan-out is then one numpy gather —
+        # a pandas merge here profiled as ~45% of the stage
         token_ids: dict[str, int] = {}
         tids, ords = [], []
         for w, arr in bundle.alias_index.items():
@@ -85,8 +87,14 @@ class MentionDetector:
         self.token_len_of = np.asarray(
             [len(w) for w in token_ids], dtype=np.int64
         )
-        self.alias_df = pd.DataFrame(
-            {"tid": np.asarray(tids, dtype=np.int64), "cand_ord": np.asarray(ords, dtype=np.int64)}
+        tids_arr = np.asarray(tids, dtype=np.int64)
+        ords_arr = np.asarray(ords, dtype=np.int64)
+        order = np.argsort(tids_arr, kind="stable")  # stable: keeps the
+        # original per-tid alias order, so the gather emits rows in the
+        # exact order the old merge did
+        self.alias_ords = ords_arr[order]
+        self.alias_offsets = np.searchsorted(
+            tids_arr[order], np.arange(len(token_ids) + 1)
         )
         self.sources = bundle.arrays.source
         src_order = {s.name: i for i, s in enumerate(cfg.sources)}
@@ -128,23 +136,28 @@ class MentionDetector:
         tok_by_id = list(tid_map)
         p_row = pairs["row"].to_numpy()
         p_tid = pairs["tid"].to_numpy()
-        pairs = pairs.assign(
-            ingest=np.fromiter(
-                (low_py[r].find(tok_by_id[t]) + 1 for r, t in zip(p_row, p_tid)),
-                dtype=np.int64,
-                count=len(p_row),
-            ),
-            tok_len=self.token_len_of[p_tid],
+        p_ingest = np.fromiter(
+            (low_py[r].find(tok_by_id[t]) + 1 for r, t in zip(p_row, p_tid)),
+            dtype=np.int64,
+            count=len(p_row),
         )
-        hits = pairs.merge(self.alias_df, on="tid", how="inner", sort=False)
-        if len(hits) == 0:
-            return (SLIM_SCHEMA if self.slim else CANDIDATE_SCHEMA).empty_table()
+        p_toklen = self.token_len_of[p_tid]
 
-        row = hits["row"].to_numpy()
-        ords = hits["cand_ord"].to_numpy()
-        tok_len = hits["tok_len"].to_numpy()
+        # (doc, token) -> candidate fan-out: CSR gather over the alias table
+        # (identical row order to the former pandas merge: left order kept,
+        # per-tid alias order preserved by the stable sort in __init__)
+        offs = self.alias_offsets
+        cnt = offs[p_tid + 1] - offs[p_tid]
+        tot = int(cnt.sum())
+        if tot == 0:
+            return (SLIM_SCHEMA if self.slim else CANDIDATE_SCHEMA).empty_table()
+        seg_off = np.repeat(np.cumsum(cnt) - cnt, cnt)
+        within = np.arange(tot) - seg_off
+        ords = self.alias_ords[np.repeat(offs[p_tid], cnt) + within]
+        row = np.repeat(p_row, cnt)
+        tok_len = np.repeat(p_toklen, cnt)
+        ingest = np.repeat(p_ingest, cnt)
         d = doc_ids[row].astype(np.int64)
-        ingest = hits["ingest"].to_numpy()
 
         e_rank = ((ords * spec.E_RANK_MULT_P + d * spec.E_RANK_MULT_D) % spec.E_RANK_MOD).astype(
             np.float64
