@@ -192,8 +192,13 @@ def config_from_dict(doc: dict) -> EngineConfig:
     """
     kwargs: dict = {}
     for key, cast in _ENGINE_KEYS.items():
-        if key in doc:
-            kwargs[key] = cast(doc[key])
+        # a bare YAML key (`top_k:`) parses as None — treat as "use default",
+        # never as the string "None" / a TypeError deep inside the cast
+        if doc.get(key) is not None:
+            try:
+                kwargs[key] = cast(doc[key])
+            except (TypeError, ValueError) as e:
+                raise ValueError(f"bad value for config key {key!r}: {doc[key]!r} ({e})")
     if "sources" in doc:
         srcs = []
         for name, sdoc in doc["sources"].items():
@@ -203,8 +208,13 @@ def config_from_dict(doc: dict) -> EngineConfig:
                 raise ValueError(f"unknown keys for source {name!r}: {sorted(unknown)}")
             skw: dict = {"name": str(name)}
             for yk, (attr, cast) in _SOURCE_KEYS.items():
-                if yk in sdoc:
-                    skw[attr] = cast(sdoc[yk])
+                if sdoc.get(yk) is not None:
+                    try:
+                        skw[attr] = cast(sdoc[yk])
+                    except (TypeError, ValueError) as e:
+                        raise ValueError(
+                            f"bad value for source {name!r} key {yk!r}: {sdoc[yk]!r} ({e})"
+                        )
             srcs.append(SourceConfig(**skw))
         kwargs["sources"] = tuple(srcs)
     return EngineConfig(**kwargs)

@@ -1065,9 +1065,11 @@ def sql_sample_events(rate_num: int = 1, rate_den: int = 10) -> str:
     from ahrd_ray.stages.generic import SAMPLE_MOD, SAMPLE_MULT
 
     thresh = (SAMPLE_MOD * rate_num) // rate_den
+    # HUGEINT product (no BIGINT overflow); mod 2^32 of the exact product
+    # equals the pipeline's uint64 (mod-2^64) computation because 2^32 | 2^64
     return (
         "SELECT event_id, event_type, user_id FROM events"
-        f" WHERE (event_id * {SAMPLE_MULT}) % {SAMPLE_MOD} < {thresh}"
+        f" WHERE (CAST(event_id AS HUGEINT) * {SAMPLE_MULT}) % {SAMPLE_MOD} < {thresh}"
     )
 
 

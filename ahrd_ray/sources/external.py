@@ -47,7 +47,11 @@ class CandidateTableFormat:
     """Separator / column-position config (Settings.java:210-218 analogue)."""
 
     sep: str = "\t"
-    comment_regex: str | None = "^#"
+    # matched with Java Matcher.matches() semantics: the WHOLE line must
+    # match (the pattern is wrapped as ^(?:...)$ before use), mirroring
+    # BlastResult.java:205-207 — an unanchored "#" therefore skips only
+    # all-'#' lines, while the default "#.*" skips lines starting with '#'
+    comment_regex: str | None = "#.*"
     col_doc_id: int = 0
     col_cand_id: int = 1
     col_e_value: int = 2
@@ -98,12 +102,16 @@ class CandidateLineParser:
         self.fmt = fmt
         import re
 
-        self.comment = re.compile(fmt.comment_regex) if fmt.comment_regex else None
+        # full-line anchoring (Java Matcher.matches()) — compile up front so
+        # a bad user pattern fails at construction, not per batch
+        self.comment = (
+            re.compile(f"^(?:{fmt.comment_regex})$") if fmt.comment_regex else None
+        )
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         lines = batch["text"]
-        if self.fmt.comment_regex:
-            keep = pc.invert(pc.match_substring_regex(lines, self.fmt.comment_regex))
+        if self.comment is not None:
+            keep = pc.invert(pc.match_substring_regex(lines, self.comment.pattern))
             lines = lines.filter(keep) if isinstance(lines, pa.ChunkedArray) else pc.filter(lines, keep)
         keep2 = pc.invert(pc.equal(lines, ""))
         lines = lines.filter(keep2) if isinstance(lines, pa.ChunkedArray) else pc.filter(lines, keep2)
@@ -125,8 +133,11 @@ class CandidateLineParser:
         f = self.fmt
         doc_id = col(f.col_doc_id).astype(np.int64)
         cand_id = col(f.col_cand_id)
+        # validateDouble repairs only the e-value column — the reference
+        # parses the bit score with a plain Double.parseDouble
+        # (BlastResult.java:213 vs 218)
         e_rank = validate_double(col(f.col_e_value))
-        match_score = validate_double(col(f.col_match_score))
+        match_score = col(f.col_match_score).astype(np.float64)
         span_start = col(f.col_span_start).astype(np.int64)
         span_end = col(f.col_span_end).astype(np.int64)
         cand_start = col(f.col_cand_start).astype(np.int64)
@@ -233,7 +244,7 @@ def read_candidate_table(
 
 # bump when the candidate-generation spec changes so a stale /tmp fixture
 # from an older code version can never be read back
-FIXTURE_VERSION = "2"
+FIXTURE_VERSION = "3"
 
 
 def _fixture_dir(sf_dir: str) -> str:
@@ -284,17 +295,11 @@ def write_external_fixture(ctx) -> str:
             )
         return pa.table({"line": pa.array(out, type=pa.string())})
 
-    def csv_args() -> dict:
-        # WriteOptions is not picklable; construct it on the worker
-        from pyarrow import csv as pacsv
-
-        return {
-            "write_options": pacsv.WriteOptions(include_header=False, quoting_style="none")
-        }
+    from ahrd_ray.sources.textsink import LineTextDatasink
 
     cands = candidates_dataset(ctx)
-    cands.map_batches(to_lines, batch_format="pyarrow").write_csv(
-        out_dir, arrow_csv_args_fn=csv_args
+    cands.map_batches(to_lines, batch_format="pyarrow").write_datasink(
+        LineTextDatasink(out_dir)
     )
     with open(done, "w", encoding="utf-8") as fh:
         fh.write("ok\n")

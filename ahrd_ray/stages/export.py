@@ -8,8 +8,9 @@ text as the body; docs without a winner get the reference's "Unknown
 protein" description (``AbstractOutputWriter.java:50-57``) and an empty hit
 accession.
 
-The export is a distributed write (one shard per block, quoting-free CSV
-writer used as a line sink) — never a driver-side loop.
+The export is a distributed write (one shard per block, raw text sink — no
+CSV quoting, so commas/quotes in text or descriptions pass through
+verbatim) — never a driver-side loop.
 """
 
 from __future__ import annotations
@@ -47,7 +48,16 @@ def export_lines(ctx) -> ray.data.Dataset:
     def fmt(df: pd.DataFrame) -> pa.Table:
         cand = df["cand_id"].fillna("").astype(str)
         qual = df["quality_code"].fillna(UNKNOWN_QUALITY).astype(str)
-        desc = df["description"].fillna(spec.UNKNOWN_DESC).astype(str)
+        # a newline inside a description would split the header record in
+        # two — normalize to spaces (documented deviation; the reference
+        # writes the description verbatim but its descriptions are
+        # single-line by construction)
+        desc = (
+            df["description"]
+            .fillna(spec.UNKNOWN_DESC)
+            .astype(str)
+            .str.replace(r"[\r\n]+", " ", regex=True)
+        )
         headers = (
             ">doc:"
             + df["doc_id"].astype(np.int64).astype(str)
@@ -67,14 +77,8 @@ def export_lines(ctx) -> ray.data.Dataset:
 
 
 def write_text_export(ctx, out_dir: str) -> str:
-    """Distributed line-oriented write (W2 sink)."""
+    """Distributed line-oriented write (W2 sink, raw text — no quoting)."""
+    from ahrd_ray.sources.textsink import LineTextDatasink
 
-    def csv_args() -> dict:
-        from pyarrow import csv as pacsv
-
-        return {
-            "write_options": pacsv.WriteOptions(include_header=False, quoting_style="none")
-        }
-
-    export_lines(ctx).write_csv(out_dir, arrow_csv_args_fn=csv_args)
+    export_lines(ctx).write_datasink(LineTextDatasink(out_dir))
     return out_dir

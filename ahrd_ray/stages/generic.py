@@ -437,8 +437,14 @@ def sample_events(sf_dir: str, rate_num: int = 1, rate_den: int = 10) -> ray.dat
     thresh = (SAMPLE_MOD * rate_num) // rate_den
 
     def pick(df: pd.DataFrame) -> pd.DataFrame:
-        h = (df["event_id"].to_numpy(dtype=np.int64) * SAMPLE_MULT) % SAMPLE_MOD
-        return df[h < thresh]
+        # uint64: explicit mod-2^64 wraparound for event_id > ~3.4e9 (int64
+        # would wrap at 2^63 and diverge from the oracle's exact HUGEINT
+        # product).  2^32 divides 2^64, so (x mod 2^64) mod 2^32 == x mod
+        # 2^32 — the uint64 value equals the oracle's exact computation.
+        h = (df["event_id"].to_numpy(dtype=np.uint64) * np.uint64(SAMPLE_MULT)) % np.uint64(
+            SAMPLE_MOD
+        )
+        return df[h < np.uint64(thresh)]
 
     return ev.map_batches(pick, batch_format="pandas")
 

@@ -186,7 +186,7 @@ def test_text_export_w2(ray_session, tmp_path):
     import glob
 
     lines = []
-    for f in sorted(glob.glob(f"{out}/*.csv")):
+    for f in sorted(glob.glob(f"{out}/*.txt")):
         with open(f, encoding="utf-8") as fh:
             lines.extend(ln.rstrip("\n") for ln in fh)
     import ray.data
@@ -198,6 +198,26 @@ def test_text_export_w2(ray_session, tmp_path):
     # every doc appears exactly once
     ids = sorted(int(h.split()[0][5:]) for h in headers)
     assert ids == sorted(set(ids))
+
+
+def test_text_sink_quoting_hostile(ray_session, tmp_path):
+    """The raw line sink must pass commas, quotes and '#' through verbatim
+    (the CSV writer it replaced raised on them — ADVICE r2)."""
+    import glob
+
+    import ray.data
+
+    from ahrd_ray.sources.textsink import LineTextDatasink
+
+    rows = ['a,b "quoted" line', "plain", 'x\ty, "z" #end']
+    ds = ray.data.from_items([{"line": v} for v in rows])
+    out = str(tmp_path / "sink")
+    ds.write_datasink(LineTextDatasink(out))
+    got = []
+    for f in sorted(glob.glob(f"{out}/*.txt")):
+        with open(f, encoding="utf-8") as fh:
+            got.extend(ln.rstrip("\n") for ln in fh)
+    assert sorted(got) == sorted(rows)
 
 
 def _assert_matches_oracle(name, sf=SF):
