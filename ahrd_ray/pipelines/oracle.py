@@ -748,6 +748,17 @@ def sql_salted_user_counts() -> str:
     return "SELECT user_id, count(*) AS n_events FROM events GROUP BY user_id"
 
 
+def sql_media_dims() -> str:
+    """Decode-metadata oracle for the multimodal pipeline: width/height in
+    the fake payload container are pure arithmetic on doc_id
+    (multimodal.payloads_dataset), so the actor-pool decode path is
+    content-gated on them even though the codec itself is a stub."""
+    return (
+        "SELECT doc_id, 32 + (doc_id % 97) AS width, 16 + (doc_id % 53) AS height"
+        " FROM documents"
+    )
+
+
 def sql_props_agg() -> str:
     # CAST the sum back to BIGINT: DuckDB's sum(BIGINT) is HUGEINT, the
     # pipeline emits int64.  Extract the "k" field specifically (not just

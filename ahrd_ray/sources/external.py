@@ -220,13 +220,14 @@ def read_candidate_table(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
     ).map_batches(doc_lens, batch_format="pyarrow")
 
-    cpus = int(ray.cluster_resources().get("CPU", 8))
+    from ahrd_ray.stages.partitioning import join_parts
+
     joined = parsed.join(
         docs,
         "left_outer",
-        num_partitions=max(2, min(16, cpus // 2)),
+        num_partitions=join_parts(1),
         on=("doc_id",),
-        aggregator_ray_remote_args={"num_cpus": 0.5},
+        aggregator_ray_remote_args={"num_cpus": 0.25},
     )
 
     def check(df: pd.DataFrame) -> pd.DataFrame:

@@ -162,25 +162,28 @@ def exact_dedup(sf_dir: str) -> ray.data.Dataset:
 # Shared pair machinery
 # ---------------------------------------------------------------------------
 
-N_PAIR_PARTS = 32
+from ahrd_ray.stages.partitioning import join_parts, n_hash_parts
 
 
-def _join_parts() -> int:
-    # Small and fractional on purpose: a verify pipeline chains several join
-    # operators, and Ray Data reserves every operator's aggregator pool up
-    # front — at 4 joins x parts x cpus the pool must still leave most of
-    # the cluster to map tasks or the pipeline deadlocks.  At real scale
-    # raise via cluster size (parts scale with CPUs, capped per-operator).
-    cpus = int(ray.cluster_resources().get("CPU", 8))
-    return max(2, min(8, cpus // 4))
+def _join(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    on,
+    right_on,
+    n_joins: int = 2,
+) -> ray.data.Dataset:
+    """Inner hash join under the per-pipeline aggregator budget.
 
-
-def _join(left: ray.data.Dataset, right: ray.data.Dataset, on, right_on) -> ray.data.Dataset:
-    """Inner hash join sized so the aggregator pool fits alongside map tasks."""
+    ``n_joins`` is how many chained joins the calling pipeline holds open
+    concurrently — Ray Data reserves every join's aggregator pool up front
+    (num_cpus=0.25 each), so partitions-per-join scale as 2*cpus/n_joins,
+    keeping the total reservation at half the cluster and leaving the rest
+    for the map tasks that feed the joins (the round-2 deadlock constraint,
+    now a budget instead of a global <= 8 cap)."""
     return left.join(
         right,
         "inner",
-        num_partitions=_join_parts(),
+        num_partitions=join_parts(n_joins),
         on=tuple(on),
         right_on=tuple(right_on),
         aggregator_ray_remote_args={"num_cpus": 0.25},
@@ -271,9 +274,10 @@ def _dedup_bucket_pairs(
     out_cols = ["doc_a", "doc_b"] + [
         n for pair in (carry or {}).values() for n in pair
     ]
+    n_parts = n_hash_parts()  # driver-side, closed over
 
     def add_part(batch: pa.Table) -> pa.Table:
-        sp = (batch[part_col].to_numpy() % N_PAIR_PARTS).astype(np.int32)
+        sp = (batch[part_col].to_numpy() % n_parts).astype(np.int32)
         return batch.append_column("bpart", pa.array(sp, type=pa.int32()))
 
     co = (
@@ -285,7 +289,7 @@ def _dedup_bucket_pairs(
     def partial_dedup(df: pd.DataFrame) -> pd.DataFrame:
         out = df.drop_duplicates(["doc_a", "doc_b"])
         out = out.assign(
-            ppart=((out["doc_a"] * 1000003 + out["doc_b"]) % N_PAIR_PARTS).astype("int32")
+            ppart=((out["doc_a"] * 1000003 + out["doc_b"]) % n_parts).astype("int32")
         )
         return out
 
@@ -317,10 +321,11 @@ def _shingle_dataset(sf_dir: str, n: int) -> ray.data.Dataset:
 
 def _sizes_dataset(shingles: ray.data.Dataset) -> ray.data.Dataset:
     """Per-doc shingle-set size (doc_id, n_sh) — distributed two-phase."""
+    n_parts = n_hash_parts()
 
     def size_partial(df: pd.DataFrame) -> pd.DataFrame:
         out = df.groupby("doc_id", as_index=False).size().rename(columns={"size": "n_sh"})
-        out["dpart"] = (out["doc_id"] % N_PAIR_PARTS).astype("int32")
+        out["dpart"] = (out["doc_id"] % n_parts).astype("int32")
         return out
 
     return (
@@ -336,11 +341,12 @@ def _sizes_dataset(shingles: ray.data.Dataset) -> ray.data.Dataset:
 def _pair_counts(co: ray.data.Dataset) -> ray.data.Dataset:
     """(doc_a, doc_b) occurrence stream -> (doc_a, doc_b, inter) exact counts
     via map-side combine + pair-keyed finalize."""
+    n_parts = n_hash_parts()
 
     def partial_counts(df: pd.DataFrame) -> pd.DataFrame:
         out = df.groupby(["doc_a", "doc_b"], as_index=False).size()
         out = out.rename(columns={"size": "inter"})
-        out["ppart"] = ((out["doc_a"] * 1000003 + out["doc_b"]) % N_PAIR_PARTS).astype(
+        out["ppart"] = ((out["doc_a"] * 1000003 + out["doc_b"]) % n_parts).astype(
             "int32"
         )
         return out
@@ -400,9 +406,10 @@ def ngram_jaccard_pairs(
     # cheap fused map over the column-pruned read, and staying lazy keeps
     # every consumer streaming (a materialize() barrier measured ~2x slower)
     shingles = _shingle_dataset(sf_dir, n)
+    n_parts = n_hash_parts()
 
     def add_spart(batch: pa.Table) -> pa.Table:
-        sp = (batch["sh"].to_numpy() % N_PAIR_PARTS).astype(np.int32)
+        sp = (batch["sh"].to_numpy() % n_parts).astype(np.int32)
         return batch.append_column("spart", pa.array(sp, type=pa.int32()))
 
     co = (
@@ -535,10 +542,12 @@ def minhash_lsh_pairs(
     a_sh = _join(cand, shingles, on=("doc_a",), right_on=("doc_id",))
     both = _join(a_sh, shingles, on=("doc_b", "sh"), right_on=("doc_id", "sh"))
 
+    n_parts = n_hash_parts()
+
     def partial_counts(df: pd.DataFrame) -> pd.DataFrame:
         out = df.groupby(["doc_a", "doc_b", "n_a", "n_b"], as_index=False).size()
         out = out.rename(columns={"size": "inter"})
-        out["ppart"] = ((out["doc_a"] * 1000003 + out["doc_b"]) % N_PAIR_PARTS).astype(
+        out["ppart"] = ((out["doc_a"] * 1000003 + out["doc_b"]) % n_parts).astype(
             "int32"
         )
         return out
@@ -644,9 +653,10 @@ def simhash_pairs(sf_dir: str, radius: int = 3) -> ray.data.Dataset:
         )
 
     banded = sh.map_batches(band_batch, batch_format="pyarrow")
+    n_parts = n_hash_parts()
 
     def add_part(batch: pa.Table) -> pa.Table:
-        sp = (batch["key"].to_numpy() % N_PAIR_PARTS).astype(np.int32)
+        sp = (batch["key"].to_numpy() % n_parts).astype(np.int32)
         return batch.append_column("bpart", pa.array(sp, type=pa.int32()))
 
     def bucket_pairs(df: pd.DataFrame) -> pd.DataFrame:
@@ -683,7 +693,7 @@ def simhash_pairs(sf_dir: str, radius: int = 3) -> ray.data.Dataset:
     def partial_dedup(df: pd.DataFrame) -> pd.DataFrame:
         out = df.drop_duplicates(["doc_a", "doc_b"])
         return out.assign(
-            ppart=((out["doc_a"] * 1000003 + out["doc_b"]) % N_PAIR_PARTS).astype("int32")
+            ppart=((out["doc_a"] * 1000003 + out["doc_b"]) % n_parts).astype("int32")
         )
 
     return (

@@ -46,6 +46,67 @@ def gold_tokens_of(text: str) -> frozenset[str]:
     return frozenset(tokenize(text[:GOLD_PREFIX_CHARS].lower(), []))
 
 
+def gold_token_pairs(texts) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Vectorized gold tokenization of a text column.
+
+    Returns (row_idx, token) exploded DISTINCT pairs plus the per-row gold
+    set size — identical sets to ``gold_tokens_of`` per row (verified by
+    the ev_scores oracle), computed with Arrow slice/lower/split kernels
+    instead of a per-row Python tokenize."""
+    import pyarrow.compute as pc
+
+    from ahrd_ray.config import TOKEN_SPLITTER_REGEX
+
+    if not isinstance(texts, (pa.Array, pa.ChunkedArray)):
+        texts = pa.array(list(texts), type=pa.string())
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    low = pc.utf8_lower(pc.utf8_slice_codeunits(texts, 0, GOLD_PREFIX_CHARS))
+    splits = pc.split_pattern_regex(low, pattern=TOKEN_SPLITTER_REGEX)
+    if isinstance(splits, pa.ChunkedArray):
+        splits = splits.combine_chunks()
+    lengths = pc.list_value_length(splits).to_numpy(zero_copy_only=False)
+    flat = splits.flatten().to_numpy(zero_copy_only=False)
+    row = np.repeat(np.arange(len(texts), dtype=np.int64), lengths)
+    mask = flat != ""
+    dd = pd.DataFrame({"row": row[mask], "token": flat[mask]}).drop_duplicates()
+    n_gold = np.zeros(len(texts), dtype=np.int64)
+    sizes = dd.groupby("row").size()
+    n_gold[sizes.index.to_numpy()] = sizes.to_numpy()
+    return dd["row"].to_numpy(), dd["token"].to_numpy(), n_gold
+
+
+# per-worker cache: bundle -> exploded (cand_ord, token) eval-token frame +
+# per-ord set sizes.  Keyed by id() with the bundle held as value so the id
+# can never be recycled; one bundle lives per worker process.
+_EVAL_TOKEN_FRAMES: dict = {}
+
+
+def eval_token_frame(bundle) -> tuple[pd.DataFrame, np.ndarray]:
+    got = _EVAL_TOKEN_FRAMES.get(id(bundle))
+    if got is not None:
+        return got[1], got[2]
+    ev = bundle.eval_tokens
+    counts = np.fromiter((len(s) for s in ev), dtype=np.int64, count=len(ev))
+    ords = np.repeat(np.arange(len(ev), dtype=np.int64), counts)
+    toks = np.asarray([t for s in ev for t in s], dtype=object)
+    frame = pd.DataFrame({"cand_ord": ords, "token": toks})
+    _EVAL_TOKEN_FRAMES.clear()  # at most one live bundle per worker
+    _EVAL_TOKEN_FRAMES[id(bundle)] = (bundle, frame, counts)
+    return frame, counts
+
+
+def fbeta_vec(tp: np.ndarray, n_assigned: np.ndarray, n_gold: np.ndarray) -> np.ndarray:
+    """Vector F-beta(beta=1) with the exact operand order of ``_fbeta``."""
+    tp = tp.astype(np.float64)
+    out = np.zeros(len(tp), dtype=np.float64)
+    ok = (tp > 0) & (n_gold > 0)
+    pr = tp[ok] / n_assigned[ok]
+    rc = tp[ok] / n_gold[ok]
+    out[ok] = 2.0 * (pr * rc) / (pr + rc)
+    return out
+
+
 def _fbeta(assigned: frozenset[str], gold: frozenset[str]) -> float:
     """E3 with beta=1, written with the exact operand order the SQL uses.
 
@@ -134,48 +195,81 @@ def eval_scores(ctx, from_pages: bool = False) -> ray.data.Dataset:
     )
 
     docs = ray.data.read_parquet(f"{ctx.sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    cpus = int(ray.cluster_resources().get("CPU", 8))
+    from ahrd_ray.stages.partitioning import join_parts
+
     joined = docs.join(
         lists,
         "left_outer",
-        num_partitions=max(2, min(16, cpus // 2)),
+        num_partitions=join_parts(1),
         on=("doc_id",),
-        aggregator_ray_remote_args={"num_cpus": 0.5},
+        aggregator_ray_remote_args={"num_cpus": 0.25},
     )
 
     def finish(df: pd.DataFrame) -> pd.DataFrame:
+        # Fully vectorized F-beta stage (VERDICT r2 item #4 — the former
+        # itertuples loop was the evaluator's wall at scale): explode the
+        # candidate ord lists, merge against the exploded eval-token and
+        # gold-token frames, count intersections per (row, ord) and reduce.
         bundle = get_broadcast(catalog_ref)
-        ev = bundle.eval_tokens
-        out = []
-        for row in df.itertuples(index=False):
-            gold = gold_tokens_of(row.text)
-            w = int(row.winner_ord) if pd.notna(row.winner_ord) else -1
-            e = _fbeta(ev[w], gold) if w >= 0 else 0.0
+        tok_frame, n_assigned = eval_token_frame(bundle)
+        n = len(df)
+        grow, gtok, n_gold = gold_token_pairs(df["text"].to_numpy())
+        gold_df = pd.DataFrame({"row": grow, "token": gtok})
 
-            def dec(v) -> list[int]:
-                if not isinstance(v, str) or not v:
-                    return []
-                return [int(x) for x in v.split(",")]
+        import pyarrow.compute as pc
 
-            unch = dec(row.unchanged_ords)
-            topk = dec(row.topk_ords)
-            best = 0.0
-            for o in unch:
-                best = max(best, _fbeta(ev[int(o)], gold))
-            hp = 0.0
-            for o in topk:
-                hp = max(hp, _fbeta(ev[int(o)], gold))
-            out.append((int(row.doc_id), e, best, e - best, hp))
+        def decode_pairs(col: pd.Series) -> pd.DataFrame:
+            """CSV ord lists -> (row, cand_ord) pairs, Arrow split kernels."""
+            vals = pa.array(col.fillna("").to_numpy(dtype=object), type=pa.string())
+            parts = pc.split_pattern(vals, pattern=",")
+            lens = pc.list_value_length(parts).to_numpy(zero_copy_only=False)
+            flat = parts.flatten().to_numpy(zero_copy_only=False)
+            rows = np.repeat(np.arange(n, dtype=np.int64), lens)
+            mask = flat != ""
+            return pd.DataFrame(
+                {"row": rows[mask], "cand_ord": flat[mask].astype(np.int64)}
+            )
+
+        w = df["winner_ord"].fillna(-1).to_numpy(dtype=np.int64)
+        win_pairs = pd.DataFrame(
+            {"row": np.nonzero(w >= 0)[0].astype(np.int64), "cand_ord": w[w >= 0]}
+        )
+        kinds = {
+            "e": win_pairs,
+            "hp": decode_pairs(df["topk_ords"]),
+            "best": decode_pairs(df["unchanged_ords"]),
+        }
+        scores = {}
+        for kind, pairs in kinds.items():
+            if not len(pairs):
+                scores[kind] = np.zeros(n, dtype=np.float64)
+                continue
+            # tp per (row, ord): assigned tokens of the ord that are gold
+            # tokens of the row
+            m = pairs.merge(tok_frame, on="cand_ord").merge(
+                gold_df, on=["row", "token"]
+            )
+            tp = m.groupby(["row", "cand_ord"], as_index=False).size()
+            full = pairs.merge(tp, on=["row", "cand_ord"], how="left")
+            tpv = full["size"].fillna(0).to_numpy(dtype=np.int64)
+            f = fbeta_vec(
+                tpv,
+                n_assigned[full["cand_ord"].to_numpy()].astype(np.float64),
+                n_gold[full["row"].to_numpy()].astype(np.float64),
+            )
+            acc = np.zeros(n, dtype=np.float64)
+            np.maximum.at(acc, full["row"].to_numpy(), f)
+            scores[kind] = acc
+        e, best, hp = scores["e"], scores["best"], scores["hp"]
         return pd.DataFrame(
-            out,
-            columns=[
-                "doc_id",
-                "eval_score",
-                "best_comp_score",
-                "delta",
-                "highest_possible",
-            ],
-        ).astype({"doc_id": "int64"})
+            {
+                "doc_id": df["doc_id"].to_numpy(dtype=np.int64),
+                "eval_score": e,
+                "best_comp_score": best,
+                "delta": e - best,
+                "highest_possible": hp,
+            }
+        )
 
     return joined.map_batches(finish, batch_format="pandas")
 

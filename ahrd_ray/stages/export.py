@@ -36,13 +36,14 @@ def export_lines(ctx) -> ray.data.Dataset:
     winners = kg.winners_dataset(ctx).select_columns(
         ["doc_id", "cand_id", "quality_code", "description"]
     )
-    cpus = int(ray.cluster_resources().get("CPU", 8))
+    from ahrd_ray.stages.partitioning import join_parts
+
     joined = docs.join(
         winners,
         "left_outer",
-        num_partitions=max(2, min(16, cpus // 2)),
+        num_partitions=join_parts(1),
         on=("doc_id",),
-        aggregator_ray_remote_args={"num_cpus": 0.5},
+        aggregator_ray_remote_args={"num_cpus": 0.25},
     )
 
     def fmt(df: pd.DataFrame) -> pa.Table:

@@ -21,6 +21,7 @@ import ray
 import ray.data
 
 from ahrd_ray.config import q20
+from ahrd_ray.stages.partitioning import n_hash_parts
 
 
 def _partial_sum(keys: list[str], sums: dict[str, str], count_col: str | None = None):
@@ -154,9 +155,6 @@ def top_events(sf_dir: str, n: int = 100) -> ray.data.Dataset:
     return partial.sort(["value", "event_id"], descending=[True, False]).limit(n)
 
 
-N_USER_PARTS = 32
-
-
 def distinct_users(sf_dir: str) -> ray.data.Dataset:
     """Count distinct user_id per event_type — two-phase.
 
@@ -166,10 +164,11 @@ def distinct_users(sf_dir: str) -> ray.data.Dataset:
     counts per type.  No single reducer ever holds all distinct users of a
     hot event_type (VERDICT round-1 item #7)."""
     ev = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "user_id"])
+    n_parts = n_hash_parts()
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         out = df.drop_duplicates()
-        return out.assign(upart=(out["user_id"] % N_USER_PARTS).astype("int32"))
+        return out.assign(upart=(out["user_id"] % n_parts).astype("int32"))
 
     def slice_count(df: pd.DataFrame) -> pd.DataFrame:
         g = df.groupby(["event_type", "upart"], as_index=False)["user_id"].nunique()
@@ -274,7 +273,6 @@ def events_sliding(sf_dir: str) -> ray.data.Dataset:
 
 
 SESSION_GAP_MIN = 30
-N_SESSION_PARTS = 32
 
 
 def sessionize(sf_dir: str) -> ray.data.Dataset:
@@ -285,9 +283,10 @@ def sessionize(sf_dir: str) -> ray.data.Dataset:
     ev = ray.data.read_parquet(
         f"{sf_dir}/events.parquet", columns=["event_id", "ts", "user_id", "value"]
     )
+    n_parts = n_hash_parts()
 
     def add_part(df: pd.DataFrame) -> pd.DataFrame:
-        return df.assign(upart=(df["user_id"] % N_SESSION_PARTS).astype("int32"))
+        return df.assign(upart=(df["user_id"] % n_parts).astype("int32"))
 
     def sessions(df: pd.DataFrame) -> pd.DataFrame:
         df = df.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
@@ -316,9 +315,6 @@ def sessionize(sf_dir: str) -> ray.data.Dataset:
     )
 
 
-N_ASOF_PARTS = 32
-
-
 def asof_latest_order(sf_dir: str) -> ray.data.Dataset:
     """As-of join (an operator Ray Data lacks): for every event, the
     customer's latest order with o_orderdate <= ts.
@@ -337,13 +333,14 @@ def asof_latest_order(sf_dir: str) -> ray.data.Dataset:
     )
 
     _COLS = ["key", "side", "event_id", "ts", "o_orderkey", "o_orderdate", "apart"]
+    n_parts = n_hash_parts()
 
     def tag_ev(df: pd.DataFrame) -> pd.DataFrame:
         out = df.rename(columns={"user_id": "key"})
         out["side"] = np.int8(0)
         out["o_orderkey"] = np.int64(-1)
         out["o_orderdate"] = pd.Series(pd.NaT, index=out.index, dtype="datetime64[ns]")
-        out["apart"] = (out["key"] % N_ASOF_PARTS).astype("int32")
+        out["apart"] = (out["key"] % n_parts).astype("int32")
         return out[_COLS]
 
     def tag_ord(df: pd.DataFrame) -> pd.DataFrame:
@@ -351,7 +348,7 @@ def asof_latest_order(sf_dir: str) -> ray.data.Dataset:
         out["side"] = np.int8(1)
         out["event_id"] = np.int64(-1)
         out["ts"] = pd.Series(pd.NaT, index=out.index, dtype="datetime64[ns]")
-        out["apart"] = (out["key"] % N_ASOF_PARTS).astype("int32")
+        out["apart"] = (out["key"] % n_parts).astype("int32")
         return out[_COLS]
 
     both = ev.map_batches(tag_ev, batch_format="pandas").union(
@@ -457,11 +454,13 @@ def top_events_per_user(sf_dir: str, n: int = 3) -> ray.data.Dataset:
         f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "value"]
     )
 
+    n_parts = n_hash_parts()
+
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         df = df.sort_values(["user_id", "value", "event_id"],
                             ascending=[True, False, True], kind="mergesort")
         out = df.groupby("user_id", as_index=False).head(n)
-        return out.assign(upart=(out["user_id"] % N_USER_PARTS).astype("int32"))
+        return out.assign(upart=(out["user_id"] % n_parts).astype("int32"))
 
     def final(df: pd.DataFrame) -> pd.DataFrame:
         df = df.sort_values(["user_id", "value", "event_id"],

@@ -35,10 +35,11 @@ def join_parts(n_joins: int = 2, cap: int = 256) -> int:
 
     Ray Data reserves every join operator's aggregator pool up front
     (``num_cpus=0.25`` per aggregator here).  A pipeline chaining ``n_joins``
-    joins therefore reserves ``n_joins * parts * 0.25`` CPUs; keeping that
-    at or below half the cluster leaves the other half for map tasks —
-    the documented deadlock constraint from round 2 (a fully-reserved
-    cluster starves the upstream maps that feed the joins).  parts =
-    2 * cpus / n_joins keeps the budget exactly at cpus/2.
+    joins therefore reserves ``n_joins * parts * 0.25`` CPUs; parts =
+    cpus / n_joins caps the total reservation at a QUARTER of the cluster,
+    leaving the rest for the map tasks and actor pools that feed the joins
+    — the round-2 deadlock constraint (a fully-reserved cluster starves its
+    own upstream; measured: parts=8 at 4 CPUs next to a 2-actor detector
+    pool wedges the whole pipeline).
     """
-    return max(2, min(cap, (2 * _cpus()) // max(1, n_joins)))
+    return max(2, min(cap, _cpus() // max(1, n_joins)))

@@ -25,9 +25,6 @@ import pyarrow.parquet as pq
 import ray
 import ray.data
 
-N_PARTS = 32
-
-
 def build_dag(sf_dir: str) -> pd.DataFrame:
     """(node_id, parent_id) — nations under regions, regions roots."""
     nation = pq.read_table(f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_regionkey"])
@@ -100,9 +97,12 @@ def most_informative(sf_dir: str) -> ray.data.Dataset:
         columns=["node_id", "anc_id"],
     )
     closure_ref = ray.put(closure_df)
+    from ahrd_ray.stages.partitioning import n_hash_parts
+
+    n_parts = n_hash_parts()
 
     def add_part(batch: pa.Table) -> pa.Table:
-        p = (batch["doc_id"].to_numpy() % N_PARTS).astype(np.int32)
+        p = (batch["doc_id"].to_numpy() % n_parts).astype(np.int32)
         return batch.append_column("dpart", pa.array(p, type=pa.int32()))
 
     def filter_part(df: pd.DataFrame) -> pd.DataFrame:

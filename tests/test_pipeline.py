@@ -309,6 +309,49 @@ def test_resize_and_frame_sample_plumbing(ray_session):
         assert isinstance(r["frame"], bytes) and len(r["frame"]) > 0
 
 
+# Golden content pins for the deterministic fake codec at sf0.001 — the mm
+# queries are no longer "rows-only with dims asserted" but content-pinned
+# (VERDICT r2 item #8).  Recompute by hashing the sorted outputs if the
+# payload spec in multimodal.payloads_dataset ever changes.
+_MM_RESIZED_SHA = "87b2ce923a92c345b58bbd7c26d2170eb10e3e430ba58842a796e65bd884a194"
+_MM_FRAMES_SHA = "7fb0a6048ec34bb694a2bf810ab88bb36bc24764bbc9b7d0751f99bd150e7df9"
+_MM_FEATURES_SHA = "d102e3e2be92cbab097ebda87ef40e6e127f40f509180aa1abab3a98740d645d"
+
+
+def test_multimodal_content_checksums(ray_session):
+    import hashlib
+
+    from ahrd_ray.stages.multimodal import media_features, resized_images, sampled_frames
+
+    rs = resized_images(SF).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    h = hashlib.sha256()
+    for b in rs["media"]:
+        h.update(b)
+    assert h.hexdigest() == _MM_RESIZED_SHA
+
+    fr = (
+        sampled_frames(SF)
+        .to_pandas()
+        .sort_values(["doc_id", "frame_idx"])
+        .reset_index(drop=True)
+    )
+    h = hashlib.sha256()
+    for b in fr["frame"]:
+        h.update(b)
+    assert h.hexdigest() == _MM_FRAMES_SHA
+
+    ft = media_features(SF).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    h = hashlib.sha256()
+    for v in ft["features"]:
+        h.update(np.asarray(v, dtype=np.float32).tobytes())
+    assert h.hexdigest() == _MM_FEATURES_SHA
+    # decode metadata is pure arithmetic on doc_id (payload spec) — also
+    # oracle-gated by the mm_media_dims registry query
+    d = ft["doc_id"].to_numpy()
+    assert (ft["width"].to_numpy() == 32 + (d % 97)).all()
+    assert (ft["height"].to_numpy() == 16 + (d % 53)).all()
+
+
 def test_subword_counts_deterministic(ray_session):
     from ahrd_ray.stages.textstats import subword_counts
 
