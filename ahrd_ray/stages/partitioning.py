@@ -13,6 +13,8 @@ kernel computes an exact per-key result, so N only sets parallelism.
 
 from __future__ import annotations
 
+import os
+
 import ray
 
 
@@ -27,6 +29,9 @@ def n_hash_parts(per_cpu: int = 2, floor: int = 8, cap: int = 512) -> int:
     """Hash-partition count for groupby(key % N) stages: ~2 groups per CPU
     (mild over-partitioning absorbs stragglers/skew) with a floor so small
     test clusters still exercise multi-partition paths."""
+    ov = os.environ.get("AHRD_HASH_PARTS")
+    if ov:
+        return int(ov)
     return max(floor, min(cap, _cpus() * per_cpu))
 
 
@@ -36,10 +41,17 @@ def join_parts(n_joins: int = 2, cap: int = 256) -> int:
     Ray Data reserves every join operator's aggregator pool up front
     (``num_cpus=0.25`` per aggregator here).  A pipeline chaining ``n_joins``
     joins therefore reserves ``n_joins * parts * 0.25`` CPUs; parts =
-    cpus / n_joins caps the total reservation at a QUARTER of the cluster,
-    leaving the rest for the map tasks and actor pools that feed the joins
-    — the round-2 deadlock constraint (a fully-reserved cluster starves its
-    own upstream; measured: parts=8 at 4 CPUs next to a 2-actor detector
-    pool wedges the whole pipeline).
+    cpus / (2*n_joins) caps the total reservation at an EIGHTH of the
+    cluster, leaving the rest for the map tasks and actor pools that feed
+    the joins — the round-2 deadlock constraint (a fully-reserved cluster
+    starves its own upstream; measured: parts=8 at 4 CPUs next to a 2-actor
+    detector pool wedges the whole pipeline).  The coefficient is measured,
+    not guessed: at 32 CPUs the 2-join minhash verify runs ~6 s with 8
+    partitions per join and ~8 s with 16 (aggregator-actor startup and
+    finer shuffle blocks dominate), so more partitions only pay off as the
+    cluster grows.
     """
-    return max(2, min(cap, _cpus() // max(1, n_joins)))
+    ov = os.environ.get("AHRD_JOIN_PARTS")
+    if ov:
+        return int(ov)
+    return max(2, min(cap, _cpus() // (2 * max(1, n_joins))))
