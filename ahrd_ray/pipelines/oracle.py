@@ -612,10 +612,59 @@ def sql_distinct_users() -> str:
 GOLD_PREFIX_CHARS = 40
 
 
-def _eval_ctes(cfg: EngineConfig) -> str:
+def _eval_ctes(cfg: EngineConfig, gold_text_expr: str | None = None, b2g: bool = False) -> str:
+    """Shared evaluation CTE block.
+
+    ``gold_text_expr`` overrides the SQL expression yielding each doc's gold
+    description (default: the derived-gold 40-char prefix); ``b2g`` adds the
+    file-competitor CTEs (fixture spec: two distinct descriptions per doc,
+    see sources/goldfiles.write_annot_fixture) and folds their best F-beta
+    into best_comp_score via greatest()."""
+    gold_text = gold_text_expr or f"substr(text, 1, {GOLD_PREFIX_CHARS})"
+    b2g_ctes = ""
+    if b2g:
+        from ahrd_ray.sources.goldfiles import ANNOT1_CHARS, ANNOT2_CHARS, ANNOT2_FROM
+
+        b2g_ctes = f"""b2g AS (
+  SELECT DISTINCT doc_id, adesc FROM (
+    SELECT doc_id, trim(substr(text, 1, {ANNOT1_CHARS})) AS adesc FROM documents
+    UNION ALL
+    SELECT doc_id, trim(substr(text, {ANNOT2_FROM + 1}, {ANNOT2_CHARS})) FROM documents
+  ) WHERE adesc <> ''
+),
+b2g_tok AS (
+  SELECT DISTINCT doc_id, adesc, token FROM (
+    SELECT doc_id, adesc, unnest(regexp_split_to_array(lower(adesc), '{SPLIT_SQL}')) AS token
+    FROM b2g
+  ) WHERE token <> ''
+),
+b2g_sizes AS (SELECT doc_id, adesc, count(*) AS n_ev FROM b2g_tok GROUP BY doc_id, adesc),
+b2g_tp AS (
+  SELECT t.doc_id, t.adesc, count(*) AS tp FROM b2g_tok t
+  JOIN gold g ON g.doc_id = t.doc_id AND g.token = t.token
+  GROUP BY t.doc_id, t.adesc
+),
+b2g_best AS (
+  SELECT s.doc_id, max(
+    CASE WHEN coalesce(p.tp, 0) = 0 OR coalesce(gs.n_gold, 0) = 0 THEN 0.0
+         ELSE 2.0 * ((CAST(p.tp AS DOUBLE) / s.n_ev) * (CAST(p.tp AS DOUBLE) / gs.n_gold))
+              / ((CAST(p.tp AS DOUBLE) / s.n_ev) + (CAST(p.tp AS DOUBLE) / gs.n_gold))
+    END) AS best
+  FROM b2g_sizes s
+  LEFT JOIN b2g_tp p ON p.doc_id = s.doc_id AND p.adesc = s.adesc
+  LEFT JOIN gold_sizes gs ON gs.doc_id = s.doc_id
+  GROUP BY s.doc_id
+),
+"""
+    best_comp = (
+        "greatest(coalesce(bc.best, 0.0), coalesce(bb.best, 0.0))"
+        if b2g
+        else "coalesce(bc.best, 0.0)"
+    )
+    bb_join = "\n  LEFT JOIN b2g_best bb ON bb.doc_id = d.doc_id" if b2g else ""
     return f"""gold AS (
   SELECT DISTINCT doc_id, token FROM (
-    SELECT doc_id, unnest(regexp_split_to_array(lower(substr(text, 1, {GOLD_PREFIX_CHARS})), '{SPLIT_SQL}')) AS token
+    SELECT doc_id, unnest(regexp_split_to_array(lower({gold_text}), '{SPLIT_SQL}')) AS token
     FROM documents
   ) WHERE token <> ''
 ),
@@ -665,11 +714,11 @@ fb AS (
   LEFT JOIN gold_sizes gs ON gs.doc_id = n.doc_id
   LEFT JOIN ev_sizes es ON es.cand_ord = n.cand_ord
 ),
-eval_rows AS (
+{b2g_ctes}eval_rows AS (
   SELECT d.doc_id,
          coalesce(fw.f, 0.0) AS eval_score,
-         coalesce(bc.best, 0.0) AS best_comp_score,
-         coalesce(fw.f, 0.0) - coalesce(bc.best, 0.0) AS delta,
+         {best_comp} AS best_comp_score,
+         coalesce(fw.f, 0.0) - {best_comp} AS delta,
          coalesce(hp.best, 0.0) AS highest_possible
   FROM documents d
   LEFT JOIN winners w ON w.doc_id = d.doc_id
@@ -679,7 +728,7 @@ eval_rows AS (
              GROUP BY u.doc_id) bc ON bc.doc_id = d.doc_id
   LEFT JOIN (SELECT k.doc_id, max(f.f) AS best FROM topk k
              JOIN fb f ON f.doc_id = k.doc_id AND f.cand_ord = k.cand_ord
-             GROUP BY k.doc_id) hp ON hp.doc_id = d.doc_id
+             GROUP BY k.doc_id) hp ON hp.doc_id = d.doc_id{bb_join}
 )"""
 
 
@@ -711,6 +760,33 @@ def sql_eval_summary(cfg: EngineConfig) -> str:
             _eval_ctes(cfg),
         )
         + f"\nSELECT {means}, count(*) AS n_docs FROM eval_rows"
+    )
+
+
+def sql_eval_scores_file(cfg: EngineConfig) -> str:
+    """File-gold evaluation oracle.
+
+    The gold fixture header is ``{doc_id} {substr(text,1,60)}`` and the
+    reader removes every occurrence of the accession from the header (Java
+    String.replace semantics, ReferenceDescription.java:25) — replicated
+    with replace() over the reconstructed header; the competitor fixture
+    adds the b2g CTE block (greatest() fold into best_comp_score)."""
+    from ahrd_ray.sources.goldfiles import GOLD_FIXTURE_CHARS
+
+    gold_text = (
+        f"trim(replace(CAST(doc_id AS VARCHAR) || ' ' || substr(text, 1, {GOLD_FIXTURE_CHARS}),"
+        " CAST(doc_id AS VARCHAR), ''))"
+    )
+    return (
+        _with(
+            *_cands_prefix(cfg),
+            cte_valid_dedup(),
+            cte_scoring(cfg),
+            cte_winners(restrict_annotated=False),
+            _eval_ctes(cfg, gold_text_expr=gold_text, b2g=True),
+        )
+        + "\nSELECT doc_id, eval_score, best_comp_score, delta, highest_possible"
+        " FROM eval_rows"
     )
 
 

@@ -426,6 +426,13 @@ def _eval_queries() -> dict[str, tuple[Callable, str | None]]:
             lambda sf: eval_summary(_ctx(sf)),
             oracle.sql_eval_summary(cfg),
         ),
+        # S10/S11 file form: gold sets read from a references FASTA and
+        # competitors from a Blast2GO-style .annot file (deterministic
+        # fixtures), best_comp folding in the file competitors
+        "ev_scores_file": (
+            _q_eval_file,
+            oracle.sql_eval_scores_file(cfg),
+        ),
         "tax_most_informative": (
             lambda sf: txy.most_informative(sf).map_batches(_int64, batch_format="pyarrow"),
             oracle.sql_most_informative(),
@@ -434,6 +441,21 @@ def _eval_queries() -> dict[str, tuple[Callable, str | None]]:
         # RNG, not SQL-expressible -> rows-only check
         "tr_path": (_q_trainer, None),
     }
+
+
+def _q_eval_file(sf_dir: str):
+    from ahrd_ray.sources.goldfiles import (
+        eval_scores_file,
+        write_annot_fixture,
+        write_gold_fixture,
+    )
+
+    ctx = _ctx(sf_dir)
+    gold_dir = write_gold_fixture(sf_dir)
+    annot_dir = write_annot_fixture(sf_dir)
+    return eval_scores_file(ctx, gold_dir, annot_dir).map_batches(
+        _int64, batch_format="pyarrow"
+    )
 
 
 def _q_trainer(sf_dir: str):

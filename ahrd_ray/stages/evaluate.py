@@ -107,6 +107,61 @@ def fbeta_vec(tp: np.ndarray, n_assigned: np.ndarray, n_gold: np.ndarray) -> np.
     return out
 
 
+def decode_ord_pairs(col: pd.Series, n: int) -> pd.DataFrame:
+    """CSV ord lists -> (row, cand_ord) pairs, Arrow split kernels."""
+    import pyarrow.compute as pc
+
+    vals = pa.array(col.fillna("").to_numpy(dtype=object), type=pa.string())
+    parts = pc.split_pattern(vals, pattern=",")
+    lens = pc.list_value_length(parts).to_numpy(zero_copy_only=False)
+    flat = parts.flatten().to_numpy(zero_copy_only=False)
+    rows = np.repeat(np.arange(n, dtype=np.int64), lens)
+    mask = flat != ""
+    return pd.DataFrame({"row": rows[mask], "cand_ord": flat[mask].astype(np.int64)})
+
+
+def score_ord_kinds(
+    df: pd.DataFrame, bundle, gold_df: pd.DataFrame, n_gold: np.ndarray
+) -> dict[str, np.ndarray]:
+    """Per-row max F-beta for the winner ('e'), top-k ('hp') and unchanged
+    ('best') candidate-ord sets of a joined lists frame, against an exploded
+    (row, token) gold frame — the vectorized core shared by the derived-gold
+    and file-gold evaluators: merge ord pairs with the per-worker exploded
+    eval-token frame and the gold pairs, count intersections per (row, ord),
+    then a vector F-beta + per-row max."""
+    tok_frame, n_assigned = eval_token_frame(bundle)
+    n = len(df)
+    w = df["winner_ord"].fillna(-1).to_numpy(dtype=np.int64)
+    win_pairs = pd.DataFrame(
+        {"row": np.nonzero(w >= 0)[0].astype(np.int64), "cand_ord": w[w >= 0]}
+    )
+    kinds = {
+        "e": win_pairs,
+        "hp": decode_ord_pairs(df["topk_ords"], n),
+        "best": decode_ord_pairs(df["unchanged_ords"], n),
+    }
+    scores: dict[str, np.ndarray] = {}
+    for kind, pairs in kinds.items():
+        if not len(pairs):
+            scores[kind] = np.zeros(n, dtype=np.float64)
+            continue
+        # tp per (row, ord): assigned tokens of the ord that are gold
+        # tokens of the row
+        m = pairs.merge(tok_frame, on="cand_ord").merge(gold_df, on=["row", "token"])
+        tp = m.groupby(["row", "cand_ord"], as_index=False).size()
+        full = pairs.merge(tp, on=["row", "cand_ord"], how="left")
+        tpv = full["size"].fillna(0).to_numpy(dtype=np.int64)
+        f = fbeta_vec(
+            tpv,
+            n_assigned[full["cand_ord"].to_numpy()].astype(np.float64),
+            n_gold[full["row"].to_numpy()].astype(np.float64),
+        )
+        acc = np.zeros(n, dtype=np.float64)
+        np.maximum.at(acc, full["row"].to_numpy(), f)
+        scores[kind] = acc
+    return scores
+
+
 def _fbeta(assigned: frozenset[str], gold: frozenset[str]) -> float:
     """E3 with beta=1, written with the exact operand order the SQL uses.
 
@@ -211,55 +266,9 @@ def eval_scores(ctx, from_pages: bool = False) -> ray.data.Dataset:
         # candidate ord lists, merge against the exploded eval-token and
         # gold-token frames, count intersections per (row, ord) and reduce.
         bundle = get_broadcast(catalog_ref)
-        tok_frame, n_assigned = eval_token_frame(bundle)
-        n = len(df)
         grow, gtok, n_gold = gold_token_pairs(df["text"].to_numpy())
         gold_df = pd.DataFrame({"row": grow, "token": gtok})
-
-        import pyarrow.compute as pc
-
-        def decode_pairs(col: pd.Series) -> pd.DataFrame:
-            """CSV ord lists -> (row, cand_ord) pairs, Arrow split kernels."""
-            vals = pa.array(col.fillna("").to_numpy(dtype=object), type=pa.string())
-            parts = pc.split_pattern(vals, pattern=",")
-            lens = pc.list_value_length(parts).to_numpy(zero_copy_only=False)
-            flat = parts.flatten().to_numpy(zero_copy_only=False)
-            rows = np.repeat(np.arange(n, dtype=np.int64), lens)
-            mask = flat != ""
-            return pd.DataFrame(
-                {"row": rows[mask], "cand_ord": flat[mask].astype(np.int64)}
-            )
-
-        w = df["winner_ord"].fillna(-1).to_numpy(dtype=np.int64)
-        win_pairs = pd.DataFrame(
-            {"row": np.nonzero(w >= 0)[0].astype(np.int64), "cand_ord": w[w >= 0]}
-        )
-        kinds = {
-            "e": win_pairs,
-            "hp": decode_pairs(df["topk_ords"]),
-            "best": decode_pairs(df["unchanged_ords"]),
-        }
-        scores = {}
-        for kind, pairs in kinds.items():
-            if not len(pairs):
-                scores[kind] = np.zeros(n, dtype=np.float64)
-                continue
-            # tp per (row, ord): assigned tokens of the ord that are gold
-            # tokens of the row
-            m = pairs.merge(tok_frame, on="cand_ord").merge(
-                gold_df, on=["row", "token"]
-            )
-            tp = m.groupby(["row", "cand_ord"], as_index=False).size()
-            full = pairs.merge(tp, on=["row", "cand_ord"], how="left")
-            tpv = full["size"].fillna(0).to_numpy(dtype=np.int64)
-            f = fbeta_vec(
-                tpv,
-                n_assigned[full["cand_ord"].to_numpy()].astype(np.float64),
-                n_gold[full["row"].to_numpy()].astype(np.float64),
-            )
-            acc = np.zeros(n, dtype=np.float64)
-            np.maximum.at(acc, full["row"].to_numpy(), f)
-            scores[kind] = acc
+        scores = score_ord_kinds(df, bundle, gold_df, n_gold)
         e, best, hp = scores["e"], scores["best"], scores["hp"]
         return pd.DataFrame(
             {

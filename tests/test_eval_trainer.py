@@ -55,3 +55,99 @@ def test_random_start_configs_are_valid():
             + c.token_score_overlap_score_weight
         )
         assert 0.999 <= round(s, 9) <= 1.001
+
+
+# ---------------------------------------------------------------------------
+# S10/S11 file form: gold references FASTA + competitor .annot readers
+# ---------------------------------------------------------------------------
+
+
+def test_gold_reference_parser_semantics(ray_session):
+    """ReferenceDescription.constructFromFastaEntry fidelity: accession =
+    first space token; description = header minus EVERY accession
+    occurrence (Java replace-all), trimmed; blacklist empties (does not
+    drop); filter chain rewrites; body lines ignored."""
+    import pyarrow as pa
+
+    from ahrd_ray.sources.goldfiles import GoldReferenceParser
+
+    batch = pa.table(
+        {
+            "text": [
+                ">7 alpha beta a7b",  # '7' removed everywhere: 'a7b' -> 'ab'
+                "SEQSEQSEQ",  # body line: ignored
+                ">8 putative kinase protein",
+                ">9 DUF1234 domain thing",
+            ]
+        }
+    )
+    plain = GoldReferenceParser()(batch).to_pandas().set_index("doc_id")
+    assert set(plain.loc[7, "gold"].split(" ")) == {"alpha", "beta", "ab"}
+    assert plain.loc[8, "n_gold"] == 3
+
+    # blacklist hit -> empty gold set, record kept
+    bl = GoldReferenceParser(description_blacklist=("^DUF\\d+",))(batch)
+    bl = bl.to_pandas().set_index("doc_id")
+    assert bl.loc[9, "gold"] == "" and bl.loc[9, "n_gold"] == 0
+    assert bl.loc[8, "n_gold"] == 3
+
+    # filter chain applies only to blacklist survivors
+    fl = GoldReferenceParser(
+        description_blacklist=("^DUF\\d+",), description_filter=("putative",)
+    )(batch).to_pandas().set_index("doc_id")
+    assert set(fl.loc[8, "gold"].split(" ")) == {"kinase", "protein"}
+
+    # token blacklist drops individual tokens
+    tb = GoldReferenceParser(token_blacklist=("^beta$",))(batch)
+    tb = tb.to_pandas().set_index("doc_id")
+    assert set(tb.loc[7, "gold"].split(" ")) == {"alpha", "ab"}
+
+
+def test_competitor_annot_parser_semantics(ray_session, tmp_path):
+    """Blast2GoAnnot fidelity: cols 0/2, GO accession ignored, rows with
+    empty accession/description dropped, dedup BY DESCRIPTION per doc,
+    short lines error (the reference crashes on vals[2])."""
+    import pytest
+
+    from ahrd_ray.sources.goldfiles import read_competitor_annots
+
+    p = tmp_path / "x.annot"
+    p.write_text(
+        "3\tGO:1\tAlpha beta\n"
+        "3\tGO:2\tAlpha beta\n"  # same description -> one annot
+        "3\tGO:3\tgamma\n"
+        "3\tGO:4\t\t-\n"  # empty description cell -> dropped
+        "\tGO:5\tdelta\n"  # empty accession -> dropped
+    )
+    out = read_competitor_annots(str(p)).to_pandas()
+    assert len(out) == 1 and out["doc_id"].iloc[0] == 3
+    anns = out["anns"].iloc[0].split("|")
+    assert sorted(anns) == ["alpha beta", "gamma"]
+
+    bad = tmp_path / "bad.annot"
+    bad.write_text("3\tGO:1\n")
+    with pytest.raises(Exception):
+        read_competitor_annots(str(bad)).to_pandas()
+
+
+def test_eval_scores_file_matches_duckdb(ray_session):
+    """ev_scores_file fixture path end-to-end vs its DuckDB oracle."""
+    import duckdb
+
+    from ahrd_ray.pipelines import oracle
+    from ahrd_ray.pipelines.queriesdef import registry
+
+    fn, osql = registry()["ev_scores_file"]
+    got = fn(SF).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    con = duckdb.connect()
+    for t in ["region", "nation", "customer", "supplier", "part", "orders",
+              "lineitem", "events", "documents", "embeddings"]:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
+    want = (
+        con.execute(osql).fetchdf().sort_values("doc_id").reset_index(drop=True)
+    )
+    import numpy as np
+
+    assert len(got) == len(want)
+    for c in ["eval_score", "best_comp_score", "delta", "highest_possible"]:
+        assert np.allclose(got[c].to_numpy(), want[c].to_numpy(), atol=1e-12), c
