@@ -13,6 +13,7 @@ weights 100/50/10, description-score bit-score weights 0.2/0.4/0.4.
 
 from __future__ import annotations
 
+import functools
 import importlib.resources
 import math
 import re
@@ -77,6 +78,11 @@ class SourceConfig:
     blacklist_file: str = "blacklist_descline.txt"
     filter_file: str = ""  # defaults to filter_descline_<name>.txt
     token_blacklist_file: str = "blacklist_token.txt"
+    # per-source short-accession extraction override (Settings
+    # SHORT_ACCESSION_REGEX_KEY per blast-db, Settings.java:486-491); empty
+    # means the global default SHORT_ACCESSION_REGEX.  Must expose a
+    # `shortAccession` named group, like the default.
+    short_accession_regex: str = ""
 
     @property
     def filter_name(self) -> str:
@@ -180,6 +186,7 @@ _SOURCE_KEYS = {
     "blacklist": ("blacklist_file", str),
     "filter": ("filter_file", str),
     "token_blacklist": ("token_blacklist_file", str),
+    "short_accession_regex": ("short_accession_regex", str),
 }
 
 
@@ -247,6 +254,11 @@ def config_to_dict(cfg: EngineConfig) -> dict:
             # raw field, so the empty "derive from source name" default
             # round-trips; resolved name is s.filter_name
             **({"filter": s.filter_file} if s.filter_file else {}),
+            **(
+                {"short_accession_regex": s.short_accession_regex}
+                if s.short_accession_regex
+                else {}
+            ),
         }
         for s in cfg.sources
     }
@@ -255,11 +267,18 @@ def config_to_dict(cfg: EngineConfig) -> dict:
 _SHORT_ACC_RE = re.compile(SHORT_ACCESSION_REGEX)
 
 
-def short_accession(accession: str) -> str:
+@functools.lru_cache(maxsize=64)
+def _short_acc_re(pattern: str) -> re.Pattern:
+    return re.compile(pattern)
+
+
+def short_accession(accession: str, pattern: str = "") -> str:
     """Extract the short accession (BlastResult.java:533-547).
 
-    Falls back to the full accession when the regex does not match (the
-    reference warns and continues).
+    ``pattern`` overrides the default regex per source (Settings
+    getShortAccessionRegex per blast-db).  Falls back to the full accession
+    when the regex does not match (the reference warns and continues).
     """
-    m = _SHORT_ACC_RE.search(accession)
+    rx = _short_acc_re(pattern) if pattern else _SHORT_ACC_RE
+    m = rx.search(accession)
     return m.group("shortAccession") if m else accession

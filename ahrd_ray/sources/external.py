@@ -91,7 +91,13 @@ class CandidateLineParser:
     The catalog (cand_id -> ord/source/valid) is fetched once per actor from
     the broadcast ref; parsing is Arrow split + numpy column plucks."""
 
-    def __init__(self, catalog_ref, cfg: EngineConfig, fmt: CandidateTableFormat):
+    def __init__(
+        self,
+        catalog_ref,
+        cfg: EngineConfig,
+        fmt: CandidateTableFormat,
+        expect_source: str | None = None,
+    ):
         from ahrd_ray.stages.score import get_broadcast
 
         bundle = get_broadcast(catalog_ref)
@@ -100,6 +106,7 @@ class CandidateLineParser:
         self.source_of = np.asarray(a.source, dtype=object)
         self.cfg = cfg
         self.fmt = fmt
+        self.expect_source = expect_source
         import re
 
         # full-line anchoring (Java Matcher.matches()) — compile up front so
@@ -149,6 +156,16 @@ class CandidateLineParser:
         if (ords < 0).any():
             unknown = cand_id[ords < 0][:3]
             raise ValueError(f"unknown candidate accession(s): {list(unknown)}")
+        if self.expect_source is not None:
+            srcs = self.source_of[ords]
+            bad = srcs != self.expect_source
+            if bad.any():
+                raise ValueError(
+                    f"candidate table declared source {self.expect_source!r} but "
+                    f"accession(s) {list(cand_id[bad][:3])} belong to "
+                    f"{sorted(set(srcs[bad]))} (each per-source result file may "
+                    "only carry hits of its own database, Settings.java:472-479)"
+                )
         return pa.table(
             {
                 "doc_id": pa.array(doc_id, type=pa.int64()),
@@ -194,20 +211,42 @@ def read_candidate_table(
     cfg: EngineConfig,
     fmt: CandidateTableFormat | None = None,
     concurrency: int | tuple = (2, 32),
+    expect_source: str | None = None,
 ) -> ray.data.Dataset:
     """Parse an external candidate table and attach doc_len by a distributed
     join against ``documents`` (left join + per-batch null check = the
     reference's unknown-query-accession error, without materialization)."""
+    parsed = _parse_candidate_file(
+        path, catalog_ref, cfg, fmt, concurrency, expect_source
+    )
+    return _attach_doc_lens(parsed, sf_dir)
+
+
+def _parse_candidate_file(
+    path: str,
+    catalog_ref,
+    cfg: EngineConfig,
+    fmt: CandidateTableFormat | None,
+    concurrency: int | tuple,
+    expect_source: str | None,
+) -> ray.data.Dataset:
     fmt = fmt or CandidateTableFormat()
     lines = ray.data.read_text(path, file_extensions=["csv", "tsv", "txt"])
-    parsed = lines.map_batches(
+    return lines.map_batches(
         CandidateLineParser,
-        fn_constructor_kwargs={"catalog_ref": catalog_ref, "cfg": cfg, "fmt": fmt},
+        fn_constructor_kwargs={
+            "catalog_ref": catalog_ref,
+            "cfg": cfg,
+            "fmt": fmt,
+            "expect_source": expect_source,
+        },
         batch_format="pyarrow",
         zero_copy_batch=True,
         concurrency=concurrency,
     )
 
+
+def _attach_doc_lens(parsed: ray.data.Dataset, sf_dir: str) -> ray.data.Dataset:
     def doc_lens(batch: pa.Table) -> pa.Table:
         return pa.table(
             {
@@ -237,6 +276,38 @@ def read_candidate_table(
         return df.astype({"doc_len": "int64"})
 
     return joined.map_batches(check, batch_format="pandas")
+
+
+def read_candidate_tables(
+    tables: dict[str, tuple[str, CandidateTableFormat | None]],
+    sf_dir: str,
+    catalog_ref,
+    cfg: EngineConfig,
+) -> ray.data.Dataset:
+    """Per-source candidate files, each with its OWN parser format.
+
+    The reference configures one result file + parser block PER blast
+    database (Settings.java:472-491: separator, column positions, comment
+    regex all per-db); this is that form — ``tables`` maps source name ->
+    (path, format or None for the default).  Every parsed accession must
+    resolve to the file's declared source (a db's result file only carries
+    hits of that db); violations raise.  The per-file PARSED streams union
+    BEFORE the doc-length join, so the pipeline holds exactly one join (and
+    one aggregator pool) however many source files there are — per-file
+    joins would chain and wedge small clusters.  Parser pools are sized
+    (1, 8) per file: with one pool per source, minimum footprints must sum
+    well under the cluster.
+    """
+    parts = [
+        _parse_candidate_file(
+            path, catalog_ref, cfg, fmt, (1, 8), expect_source=src
+        )
+        for src, (path, fmt) in sorted(tables.items())
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.union(p)
+    return _attach_doc_lens(out, sf_dir)
 
 
 # ---------------------------------------------------------------------------

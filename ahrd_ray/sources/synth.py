@@ -91,6 +91,9 @@ def build_catalog(sf_dir: str, cfg: EngineConfig, vocab: list[str]) -> CatalogBu
         )
         for s in cfg.sources
     }
+    # per-source short-accession override (Settings getShortAccessionRegex
+    # per blast-db); "" = global default
+    short_rx = {s.name: s.short_accession_regex for s in cfg.sources}
 
     n = len(pk)
     sources = np.empty(n, dtype=object)
@@ -104,7 +107,7 @@ def build_catalog(sf_dir: str, cfg: EngineConfig, vocab: list[str]) -> CatalogBu
         src = spec.source_of_partkey(int(pk[i]))
         sources[i] = src
         cand_ids[i] = cand_id_of(int(pk[i]), brands[i])
-        shorts[i] = short_accession(cand_ids[i])
+        shorts[i] = short_accession(cand_ids[i], short_rx.get(src, ""))
         raw = decorate_description(int(pk[i]), names[i], types[i])
         raw_desc[i] = raw
         blk, flt, tbl = chains[src]

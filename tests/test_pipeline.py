@@ -357,3 +357,71 @@ def test_subword_counts_deterministic(ray_session):
 
     rows = subword_counts(SF).take(10)
     assert all(r["n_subwords"] >= 0 for r in rows)
+
+
+def test_short_accession_per_source_override():
+    from ahrd_ray.config import SourceConfig, config_from_dict, config_to_dict, short_accession
+
+    # default regex: short = field between first and second '|'
+    assert short_accession("wide|P7|Brand13") == "P7"
+    # per-source override: take the LAST |-separated field
+    assert short_accession("wide|P7|Brand13", r"\|(?P<shortAccession>[^|]+)$") == "Brand13"
+    # YAML round-trip carries the override
+    cfg = config_from_dict(
+        {
+            "sources": {
+                "a": {"weight": 5, "description_score_bit_score_weight": 0.5,
+                      "short_accession_regex": r"\|(?P<shortAccession>[^|]+)$"},
+            }
+        }
+    )
+    assert cfg.sources[0].short_accession_regex.endswith("$")
+    assert config_to_dict(cfg)["sources"]["a"]["short_accession_regex"] == cfg.sources[0].short_accession_regex
+
+
+def test_per_source_candidate_tables(ray_session, tmp_path):
+    """S3 per-source file form: each source's result file has its own
+    separator/comment format (Settings.java:472-491); hits resolving to a
+    different source than the file declares must error."""
+    import pytest
+
+    from ahrd_ray.pipelines.queriesdef import _ctx
+    from ahrd_ray.sources.external import CandidateTableFormat, read_candidate_tables
+
+    ctx = _ctx(SF)
+    a = ctx.bundle.arrays
+    import numpy as np
+
+    src_arr = np.asarray(a.source, dtype=object)
+    wide_ids = [a.cand_id[i] for i in np.nonzero(src_arr == "wide")[0][:2]]
+    mid_ids = [a.cand_id[i] for i in np.nonzero(src_arr == "mid")[0][:1]]
+
+    fa = tmp_path / "wide.csv"
+    fa.write_text(
+        "; wide-db comma table\n"
+        f"3,{wide_ids[0]},1e-5,100.0,1,5,1,5\n"
+        f"4,{wide_ids[1]},e-7,50.0,2,6,1,5\n"
+    )
+    fb = tmp_path / "mid.tsv"
+    fb.write_text(f"5\t{mid_ids[0]}\t1e-3\t75.0\t3\t9\t2\t8\n")
+
+    out = read_candidate_tables(
+        {
+            "wide": (str(fa), CandidateTableFormat(sep=",", comment_regex=";.*")),
+            "mid": (str(fb), None),
+        },
+        SF,
+        ctx.catalog_ref,
+        ctx.cfg,
+    ).to_pandas()
+    assert len(out) == 3
+    assert sorted(out["source"].unique()) == ["mid", "wide"]
+    assert out.loc[out["doc_id"] == 4, "e_rank"].iloc[0] == 1e-7  # validateDouble
+
+    # a wide accession inside the mid-declared file errors
+    bad = tmp_path / "bad.tsv"
+    bad.write_text(f"5\t{wide_ids[0]}\t1e-3\t75.0\t3\t9\t2\t8\n")
+    with pytest.raises(Exception, match="declared source"):
+        read_candidate_tables(
+            {"mid": (str(bad), None)}, SF, ctx.catalog_ref, ctx.cfg
+        ).to_pandas()
