@@ -17,7 +17,8 @@ import pyarrow.parquet as pq
 from ahrd_ray.config import EngineConfig, short_accession
 from ahrd_ray.functions.regexes import apply_filters, compile_chain, passes_blacklist
 from ahrd_ray.functions.scoring import CatalogArrays
-from ahrd_ray.functions.tokenize import tokenize
+from ahrd_ray.functions.regexes import token_passes_blacklist
+from ahrd_ray.functions.tokenize import _SPLITTER, tokenize
 from ahrd_ray.sources import spec
 
 
@@ -95,6 +96,26 @@ def build_catalog(sf_dir: str, cfg: EngineConfig, vocab: list[str]) -> CatalogBu
     # per blast-db); "" = global default
     short_rx = {s.name: s.short_accession_regex for s in cfg.sources}
 
+    # per-source memo of token -> passes-blacklist: the distinct token
+    # vocabulary is tiny next to the token-instance stream, and re.search
+    # per (token, pattern) instance was half of catalog-build wall time
+    tbl_memo: dict[str, dict[str, bool]] = {s.name: {} for s in cfg.sources}
+
+    def tokenize_memo(desc: str, tbl, memo: dict[str, bool]) -> list[str]:
+        """Same result set as tokenize(desc, tbl), M4 checks memoized."""
+        out = []
+        for tok in set(_SPLITTER.split(desc)):
+            tok = tok.lower()
+            if not tok:
+                continue
+            ok = memo.get(tok)
+            if ok is None:
+                ok = token_passes_blacklist(tok, tbl)
+                memo[tok] = ok
+            if ok:
+                out.append(tok)
+        return sorted(set(out))
+
     n = len(pk)
     sources = np.empty(n, dtype=object)
     cand_ids = np.empty(n, dtype=object)
@@ -117,7 +138,7 @@ def build_catalog(sf_dir: str, cfg: EngineConfig, vocab: list[str]) -> CatalogBu
         fd = apply_filters(raw, flt)
         filt_desc[i] = fd
         if passes_blacklist(raw, blk):
-            toks = sorted(tokenize(fd, tbl))
+            toks = tokenize_memo(fd, tbl, tbl_memo[src])
             token_lists.append(toks)
             valid[i] = fd != "" and len(toks) > 0
         else:

@@ -33,7 +33,7 @@ def export_lines(ctx) -> ray.data.Dataset:
     docs = ray.data.read_parquet(
         f"{ctx.sf_dir}/documents.parquet", columns=["doc_id", "text"]
     )
-    winners = kg.winners_dataset(ctx).select_columns(
+    winners = kg.winners_dataset_fused(ctx).select_columns(
         ["doc_id", "cand_id", "quality_code", "description"]
     )
     from ahrd_ray.stages.partitioning import join_parts
