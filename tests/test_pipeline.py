@@ -425,3 +425,18 @@ def test_per_source_candidate_tables(ray_session, tmp_path):
         read_candidate_tables(
             {"mid": (str(bad), None)}, SF, ctx.catalog_ref, ctx.cfg
         ).to_pandas()
+
+
+def test_orders_by_segment_join_fallback(ray_session):
+    """The large-customer hash-join path must agree with the broadcast
+    path (exercised by forcing the threshold to 0)."""
+    from ahrd_ray.stages import generic as g
+
+    a = g.orders_by_segment(SF).to_pandas().sort_values("c_mktsegment").reset_index(drop=True)
+    old = g.BROADCAST_DIM_MAX_ROWS
+    try:
+        g.BROADCAST_DIM_MAX_ROWS = 0
+        b = g.orders_by_segment(SF).to_pandas().sort_values("c_mktsegment").reset_index(drop=True)
+    finally:
+        g.BROADCAST_DIM_MAX_ROWS = old
+    assert (a[sorted(a.columns)].values == b[sorted(b.columns)].values).all()
