@@ -229,3 +229,58 @@ def kg_triples_checkpointed(
         params,
         inputs + [f"{ctx.sf_dir}/orders.parquet"],
     )
+
+
+def kg_triples_sharded(
+    ctx: PipelineContext,
+    out_root: str,
+    doc_paths: list[str] | None = None,
+    num_shards: int = 8,
+) -> ray.data.Dataset:
+    """Flagship with PARTITION-granular resume (north-rule resumability).
+
+    The winners stage is checkpointed per input-file shard: each shard runs
+    the fused detect+score pipeline over only its files and writes
+    ``part=<k>/`` with its own manifest (lineage + rows/bytes/wall metrics).
+    A run killed mid-stage resumes by recomputing only the unfinished
+    partitions — at 100 TB that bounds re-work to ``1/num_shards`` of the
+    corpus instead of the whole stage.  Valid because the fused path is
+    zero-shuffle: every winner row derives from its document's row alone, so
+    a doc-partitioned union equals the unpartitioned pipeline exactly.
+
+    The final triples stage (broadcast attr transfer + the one global sort)
+    runs over the union of winner partitions and is stage-level checkpointed
+    keyed on the winner-partition manifests.
+    """
+    import glob as _glob
+
+    from dataclasses import asdict
+
+    from ahrd_ray.state.checkpoint import (
+        run_stage,
+        run_stage_sharded,
+        shard_input_files,
+    )
+
+    if doc_paths is None:
+        doc_paths = sorted(_glob.glob(f"{ctx.sf_dir}/documents*.parquet")) or sorted(
+            _glob.glob(f"{ctx.sf_dir}/documents.parquet/*.parquet")
+        )
+    params = {"cfg": asdict(ctx.cfg), "from_pages": True}
+    shards = shard_input_files(doc_paths, num_shards)
+
+    def build_shard(paths: list[str]) -> ray.data.Dataset:
+        docs = ray.data.read_parquet(paths, columns=["doc_id", "text", "lang"])
+        return winners_dataset_fused(ctx, from_pages=True, docs=docs)
+
+    winners = run_stage_sharded("winners", out_root, build_shard, params, shards)
+    manifest_inputs = [
+        f"{out_root}/stage=winners/part={k:05d}/manifest.json" for k in range(len(shards))
+    ]
+    return run_stage(
+        "triples",
+        out_root,
+        lambda: materialize_graph(winners, ctx.catalog_ref, ctx.attrs_ref, ctx.cfg),
+        params,
+        manifest_inputs + [f"{ctx.sf_dir}/orders.parquet"],
+    )

@@ -1160,6 +1160,28 @@ def sql_sample_events(rate_num: int = 1, rate_den: int = 10) -> str:
     )
 
 
+def sql_scrub_text() -> str:
+    # DuckDB's regexp engine is RE2 like Arrow's, so the replace and the
+    # non-overlapping match count agree exactly; the 'g' flag mirrors the
+    # replace-all semantics of pc.replace_substring_regex.
+    from ahrd_ray.stages.textstats import SCRUB_PATTERN, SCRUB_TOKEN
+
+    p = _sq(SCRUB_PATTERN)
+    return (
+        f"SELECT doc_id, CAST(len(regexp_extract_all(text, '{p}')) AS BIGINT)"
+        f" AS n_hits, regexp_replace(text, '{p}', '{SCRUB_TOKEN}', 'g')"
+        " AS redacted FROM documents"
+    )
+
+
+def sql_order_customer_join(n: int = 100) -> str:
+    return (
+        "SELECT o_orderkey, o_totalprice, c_name, c_mktsegment FROM orders"
+        " JOIN customer ON o_custkey = c_custkey"
+        f" ORDER BY o_totalprice DESC, o_orderkey LIMIT {n}"
+    )
+
+
 def sql_top_events_per_user(n: int = 3) -> str:
     return f"""SELECT user_id, event_id, value, rank FROM (
   SELECT user_id, event_id, value,

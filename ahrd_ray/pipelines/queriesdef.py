@@ -343,6 +343,7 @@ def _textstats_queries() -> dict[str, tuple[Callable, str | None]]:
             oracle.sql_subword_counts(),
         ),
         "tx_fingerprints": (lambda sf: tx.fingerprints(sf), oracle.sql_fingerprints()),
+        "tx_scrub": (lambda sf: tx.scrub_text(sf), oracle.sql_scrub_text()),
     }
 
 
@@ -411,6 +412,10 @@ def _generic_queries() -> dict[str, tuple[Callable, str | None]]:
         "rel_top_per_user": (
             lambda sf: g.top_events_per_user(sf).map_batches(_int64, batch_format="pyarrow"),
             oracle.sql_top_events_per_user(),
+        ),
+        "rel_order_customer_join": (
+            lambda sf: g.order_customer_join(sf),
+            oracle.sql_order_customer_join(),
         ),
     }
 

@@ -205,6 +205,48 @@ def top_events(sf_dir: str, n: int = 100) -> ray.data.Dataset:
     return partial.sort(["value", "event_id"], descending=[True, False]).limit(n)
 
 
+def order_customer_join(sf_dir: str, n: int = 100) -> ray.data.Dataset:
+    """Row-level distributed hash join (orders ⋈ customer), then global
+    top-N of the joined rows.
+
+    Unlike :func:`orders_by_segment` (which pre-aggregates before joining),
+    this is the generic row-preserving join operator: every surviving order
+    row carries its customer attributes.  Ray Data's hash join shuffles both
+    sides by key into ``join_parts`` partitions (fact side dominates the
+    traffic; at 100 TB the dimension side would usually take the broadcast
+    path instead — both forms exist in this module).  The top-N afterwards
+    uses per-block partials so the final sort moves blocks × N rows."""
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey", "o_totalprice"]
+    )
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name", "c_mktsegment"]
+    )
+    from ahrd_ray.stages.partitioning import join_parts
+
+    joined = orders.join(
+        cust,
+        "inner",
+        num_partitions=join_parts(1),
+        on=("o_custkey",),
+        right_on=("c_custkey",),
+        aggregator_ray_remote_args={"num_cpus": 0.25},
+    )
+
+    def partial_topn(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values(
+            ["o_totalprice", "o_orderkey"], ascending=[False, True], kind="mergesort"
+        ).head(n)
+
+    cols = ["o_orderkey", "o_totalprice", "c_name", "c_mktsegment"]
+    return (
+        joined.map_batches(partial_topn, batch_format="pandas")
+        .sort(["o_totalprice", "o_orderkey"], descending=[True, False])
+        .limit(n)
+        .map_batches(lambda df: df[cols], batch_format="pandas")
+    )
+
+
 def distinct_users(sf_dir: str) -> ray.data.Dataset:
     """Count distinct user_id per event_type — two-phase.
 

@@ -228,3 +228,35 @@ def subword_counts(sf_dir: str) -> ray.data.Dataset:
         )
 
     return docs.map_batches(f, batch_format="pyarrow")
+
+
+# PII-style scrub pattern.  The real-world use is emails/phones/SSNs; the
+# synthetic corpus has no digits, so the shipped demo pattern redacts a word
+# family instead — the MECHANISM (one vectorized RE2 replace + match count
+# per batch, oracle-replicated in DuckDB's RE2) is byte-identical to a PII
+# scrub, only the pattern constant differs.  Word-boundary anchored so only
+# whole tokens starting with the stems are redacted.
+SCRUB_PATTERN = r"\b(scan|merge|stream|shuffle)[a-z]*\b"
+SCRUB_TOKEN = "<scrubbed>"
+
+
+def scrub_text(sf_dir: str, pattern: str = SCRUB_PATTERN) -> ray.data.Dataset:
+    """(doc_id, n_hits, redacted): redact every pattern match and count
+    matches per document — the PII-scrub operator of a training-data
+    pipeline.  Pure map-side (no shuffle); one RE2 count + one RE2 replace
+    kernel per batch."""
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def f(batch: pa.Table) -> pa.Table:
+        n = pc.count_substring_regex(batch["text"], pattern)
+        red = pc.replace_substring_regex(batch["text"], pattern=pattern,
+                                         replacement=SCRUB_TOKEN)
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "n_hits": n.cast(pa.int64()),
+                "redacted": red,
+            }
+        )
+
+    return docs.map_batches(f, batch_format="pyarrow")

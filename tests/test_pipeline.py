@@ -70,6 +70,60 @@ def test_checkpoint_resume(ctx, tmp_path):
         assert os.path.isdir(os.path.join(root, f"stage={stage}", "data"))
 
 
+def test_sharded_partition_resume(ctx, tmp_path):
+    """Partition-granular resume: a run killed mid-stage recomputes ONLY the
+    unfinished partitions, and the sharded output equals the unsharded
+    flagship bit-for-bit."""
+    import pyarrow.parquet as pq
+
+    from ahrd_ray.pipelines.kg import kg_triples, kg_triples_sharded
+    from ahrd_ray.state.checkpoint import stage_metrics
+
+    # split the test corpus into 4 document files (the 100-TB corpus is many
+    # files; one shard = a group of files)
+    t = pq.read_table(f"{SF}/documents.parquet")
+    paths = []
+    for k in range(4):
+        p = str(tmp_path / f"documents_{k}.parquet")
+        pq.write_table(t.slice(k * 125, 125), p)
+        paths.append(p)
+
+    root = str(tmp_path / "ckpt")
+    ds = kg_triples_sharded(ctx, root, doc_paths=paths, num_shards=4)
+    got = ds.to_pandas().sort_values(["subj", "pred", "obj"]).reset_index(drop=True)
+    want = (
+        kg_triples(ctx).to_pandas().sort_values(["subj", "pred", "obj"]).reset_index(drop=True)
+    )
+    assert got.equals(want)
+
+    metrics = stage_metrics(root, "winners")
+    assert len(metrics) == 4 and all(m["complete"] for m in metrics)
+    assert sum(m["total_rows"] for m in metrics) == 500
+
+    # simulate a mid-run failure: partition 2 lost, 0/1/3 finished
+    import shutil as _sh
+
+    p2 = os.path.join(root, "stage=winners", "part=00002")
+    _sh.rmtree(p2)
+    mtimes = {
+        k: os.path.getmtime(os.path.join(root, "stage=winners", f"part={k:05d}", "manifest.json"))
+        for k in (0, 1, 3)
+    }
+    ds2 = kg_triples_sharded(ctx, root, doc_paths=paths, num_shards=4)
+    got2 = ds2.to_pandas().sort_values(["subj", "pred", "obj"]).reset_index(drop=True)
+    assert got2.equals(want)
+    # finished partitions were NOT recomputed
+    for k, mt in mtimes.items():
+        assert (
+            os.path.getmtime(
+                os.path.join(root, "stage=winners", f"part={k:05d}", "manifest.json")
+            )
+            == mt
+        )
+    # the lost partition was rebuilt
+    assert os.path.isfile(os.path.join(p2, "manifest.json"))
+
+
 def test_minhash_lsh_recall_vs_exact(ray_session):
     from ahrd_ray.stages.dedup import minhash_lsh_pairs, ngram_jaccard_pairs
 
