@@ -189,7 +189,16 @@ def run_stage_sharded(
         with open(mpath, "w", encoding="utf-8") as f:
             json.dump(manifest, f, indent=1)
         part_data_dirs.append(ddir)
-    return ray.data.read_parquet(part_data_dirs)
+    # read_parquet with a path LIST requires files, not directories
+    part_files = []
+    for d in part_data_dirs:
+        for dirpath, _dirs, names in os.walk(d):
+            part_files.extend(
+                os.path.join(dirpath, n) for n in sorted(names) if n.endswith(".parquet")
+            )
+    # partitioning=None: the stage=<name>/part=<k> path segments are
+    # layout, not hive partition columns — don't let inference add them
+    return ray.data.read_parquet(part_files, partitioning=None)
 
 
 def stage_metrics(root: str, name: str) -> list[dict]:
@@ -231,7 +240,7 @@ def run_stage(
 
     m = load_manifest(root, name)
     if m and m.get("params_hash") == ph and m.get("input_fingerprint") == fp and m.get("complete"):
-        return ray.data.read_parquet(ddir)
+        return ray.data.read_parquet(ddir, partitioning=None)
 
     # (re)compute: write to a tmp dir, then atomically swap in
     tmp = os.path.join(sdir, f".tmp-{int(time.time() * 1000)}")
@@ -262,4 +271,4 @@ def run_stage(
     }
     with open(manifest_path(root, name), "w", encoding="utf-8") as f:
         json.dump(manifest, f, indent=1)
-    return ray.data.read_parquet(ddir)
+    return ray.data.read_parquet(ddir, partitioning=None)
