@@ -27,6 +27,10 @@ def main(argv: list[str] | None = None) -> int:
                         "input_dir/output run metadata")
     t.add_argument("--checkpoint", action="store_true",
                    help="use checkpoint-resumable stage boundaries")
+    t.add_argument("--shards", type=int, default=0,
+                   help="with --checkpoint: partition-granular resume over N "
+                        "input-file shards (a killed run re-does only "
+                        "unfinished partitions)")
     t.add_argument("--num-cpus", type=int, default=8)
 
     q = sub.add_parser("query", help="run one registry query")
@@ -63,7 +67,9 @@ def main(argv: list[str] | None = None) -> int:
                 out = doc.get("output", out)
             args.out = out
             ctx = kg.PipelineContext(sf_dir, cfg) if cfg else kg.PipelineContext(sf_dir)
-            if args.checkpoint:
+            if args.checkpoint and args.shards:
+                ds = kg.kg_triples_sharded(ctx, args.out + ".ckpt", num_shards=args.shards)
+            elif args.checkpoint:
                 ds = kg.kg_triples_checkpointed(ctx, args.out + ".ckpt")
             else:
                 ds = kg.kg_triples(ctx)
