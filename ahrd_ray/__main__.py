@@ -31,6 +31,10 @@ def main(argv: list[str] | None = None) -> int:
                    help="with --checkpoint: partition-granular resume over N "
                         "input-file shards (a killed run re-does only "
                         "unfinished partitions)")
+    t.add_argument("--stable-shards", action="store_true",
+                   help="with --shards: hash-of-path shard assignment so a "
+                        "grown corpus dirties only the shards holding new "
+                        "files (incremental ingest); default is size-balanced")
     t.add_argument("--num-cpus", type=int, default=8)
 
     q = sub.add_parser("query", help="run one registry query")
@@ -68,7 +72,10 @@ def main(argv: list[str] | None = None) -> int:
             args.out = out
             ctx = kg.PipelineContext(sf_dir, cfg) if cfg else kg.PipelineContext(sf_dir)
             if args.checkpoint and args.shards:
-                ds = kg.kg_triples_sharded(ctx, args.out + ".ckpt", num_shards=args.shards)
+                ds = kg.kg_triples_sharded(
+                    ctx, args.out + ".ckpt",
+                    num_shards=args.shards, stable=args.stable_shards,
+                )
             elif args.checkpoint:
                 ds = kg.kg_triples_checkpointed(ctx, args.out + ".ckpt")
             else:

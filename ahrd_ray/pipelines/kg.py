@@ -236,6 +236,7 @@ def kg_triples_sharded(
     out_root: str,
     doc_paths: list[str] | None = None,
     num_shards: int = 8,
+    stable: bool = False,
 ) -> ray.data.Dataset:
     """Flagship with PARTITION-granular resume (north-rule resumability).
 
@@ -267,7 +268,7 @@ def kg_triples_sharded(
             _glob.glob(f"{ctx.sf_dir}/documents.parquet/*.parquet")
         )
     params = {"cfg": asdict(ctx.cfg), "from_pages": True}
-    shards = shard_input_files(doc_paths, num_shards)
+    shards = shard_input_files(doc_paths, num_shards, stable=stable)
 
     def build_shard(paths: list[str]) -> ray.data.Dataset:
         docs = ray.data.read_parquet(paths, columns=["doc_id", "text", "lang"])
@@ -275,7 +276,9 @@ def kg_triples_sharded(
 
     winners = run_stage_sharded("winners", out_root, build_shard, params, shards)
     manifest_inputs = [
-        f"{out_root}/stage=winners/part={k:05d}/manifest.json" for k in range(len(shards))
+        f"{out_root}/stage=winners/part={k:05d}/manifest.json"
+        for k, s in enumerate(shards)
+        if s  # empty shards (stable mode) write no manifest
     ]
     return run_stage(
         "triples",

@@ -82,13 +82,32 @@ def _collect_lineage(data_dir: str) -> tuple[list[dict], int]:
     return files, total
 
 
-def shard_input_files(paths: list[str], num_shards: int) -> list[list[str]]:
-    """Group input files into size-balanced shards (greedy largest-first) —
-    the unit of partition-granular resume.  At 100 TB the corpus is many
-    thousands of Parquet files; one shard = one resumable partition, so a
-    failed run re-does at most ``corpus/num_shards`` of the work."""
+def shard_input_files(
+    paths: list[str], num_shards: int, stable: bool = False
+) -> list[list[str]]:
+    """Group input files into shards — the unit of partition-granular resume.
+    At 100 TB the corpus is many thousands of Parquet files; one shard = one
+    resumable partition, so a failed run re-does at most
+    ``corpus/num_shards`` of the work.
+
+    ``stable=False`` (default): greedy largest-first size balancing — best
+    wall-clock balance for a one-shot run, but adding/removing ANY file
+    reshuffles assignments and dirties every shard's fingerprint.
+
+    ``stable=True``: hash-of-path assignment — a new file dirties ONLY its
+    own shard, so an incremental run over a growing corpus recomputes one
+    shard per new file and resumes everything else from checkpoint.  With
+    thousands of files per shard the hash balances within a few percent;
+    empty shards are kept (as empty lists) so part indices never shift.
+    """
+    if stable:
+        shards: list[list[str]] = [[] for _ in range(max(1, num_shards))]
+        for p in sorted(paths):
+            h = int.from_bytes(hashlib.sha1(p.encode()).digest()[:8], "big")
+            shards[h % len(shards)].append(p)
+        return shards
     by_size = sorted(paths, key=lambda p: (-os.path.getsize(p), p))
-    shards: list[list[str]] = [[] for _ in range(max(1, num_shards))]
+    shards = [[] for _ in range(max(1, num_shards))]
     sizes = [0] * len(shards)
     for p in by_size:
         i = sizes.index(min(sizes))
@@ -140,6 +159,8 @@ def run_stage_sharded(
 
     part_data_dirs: list[str] = []
     for k, paths in enumerate(shards):
+        if not paths:  # stable sharding keeps empty shards for index stability
+            continue
         pdir = os.path.join(sdir, f"part={k:05d}")
         ddir = os.path.join(pdir, "data")
         mpath = os.path.join(pdir, "manifest.json")

@@ -124,6 +124,52 @@ def test_sharded_partition_resume(ctx, tmp_path):
     assert os.path.isfile(os.path.join(p2, "manifest.json"))
 
 
+def test_stable_sharding_incremental(ctx, tmp_path):
+    """Stable (hash-of-path) sharding: adding a corpus file dirties only its
+    own shard — the incremental-ingest story.  Untouched shards resume from
+    checkpoint (manifest mtimes unchanged); the final output equals the
+    full-corpus flagship."""
+    import pyarrow.parquet as pq
+
+    from ahrd_ray.pipelines.kg import kg_triples, kg_triples_sharded
+    from ahrd_ray.state.checkpoint import shard_input_files
+
+    t = pq.read_table(f"{SF}/documents.parquet")
+    paths = []
+    for k in range(6):
+        p = str(tmp_path / f"docs_{k}.parquet")
+        lo = k * 84
+        pq.write_table(t.slice(lo, min(84, 500 - lo)), p)
+        paths.append(p)
+
+    root = str(tmp_path / "ckpt")
+    first, second = paths[:5], paths
+    kg_triples_sharded(ctx, root, doc_paths=first, num_shards=4, stable=True).count()
+
+    s1 = shard_input_files(first, 4, stable=True)
+    s2 = shard_input_files(second, 4, stable=True)
+    unchanged = [k for k in range(4) if s1[k] and s1[k] == s2[k]]
+    assert unchanged, "hash layout degenerate: every shard changed"
+    mtimes = {
+        k: os.path.getmtime(os.path.join(root, "stage=winners", f"part={k:05d}", "manifest.json"))
+        for k in unchanged
+    }
+
+    ds = kg_triples_sharded(ctx, root, doc_paths=second, num_shards=4, stable=True)
+    got = ds.to_pandas().sort_values(["subj", "pred", "obj"]).reset_index(drop=True)
+    want = (
+        kg_triples(ctx).to_pandas().sort_values(["subj", "pred", "obj"]).reset_index(drop=True)
+    )
+    assert got.equals(want)
+    for k, mt in mtimes.items():
+        assert (
+            os.path.getmtime(
+                os.path.join(root, "stage=winners", f"part={k:05d}", "manifest.json")
+            )
+            == mt
+        ), f"shard {k} was needlessly recomputed"
+
+
 def test_minhash_lsh_recall_vs_exact(ray_session):
     from ahrd_ray.stages.dedup import minhash_lsh_pairs, ngram_jaccard_pairs
 
