@@ -1189,3 +1189,85 @@ def sql_top_events_per_user(n: int = 3) -> str:
                             ORDER BY value DESC, event_id ASC) AS rank
   FROM events
 ) WHERE rank <= {n}"""
+
+
+# ---------------------------------------------------------------------------
+# Crawl-log URL operators (webstats)
+# ---------------------------------------------------------------------------
+
+def cte_crawl() -> str:
+    """Raw crawl-log fetches re-derived from ``documents`` with the SAME
+    spec constants as ``webstats.crawl_batch_from_pages``."""
+    return f"""crawl_v AS (
+  SELECT doc_id, unnest(range(1 + doc_id % {spec.CRAWL_VAR_MOD})) AS variant, lang
+  FROM documents
+), crawl AS (
+  SELECT doc_id, variant,
+    'https://' ||
+    (CASE WHEN (doc_id + variant) % {spec.CRAWL_HOST_CASE_MOD} = 0
+          THEN 'Corpus.LOCAL' ELSE 'corpus.local' END) ||
+    (CASE WHEN (doc_id + variant) % {spec.CRAWL_PORT_MOD} = 0 THEN ':443' ELSE '' END) ||
+    '/' || lang || '/' || CAST(doc_id AS VARCHAR) ||
+    (CASE WHEN (doc_id + variant) % {spec.CRAWL_SLASH_MOD} = 0 THEN '/' ELSE '' END) ||
+    (CASE
+       WHEN variant % 2 = 1 AND doc_id % {spec.CRAWL_REF_MOD} = 0
+         THEN '?utm_source=s' || CAST(doc_id % {spec.CRAWL_UTM_SRC_MOD} AS VARCHAR)
+              || '&utm_medium=m' || CAST(variant AS VARCHAR)
+              || '&ref=r' || CAST(doc_id % {spec.CRAWL_REF_VAL_MOD} AS VARCHAR)
+       WHEN variant % 2 = 1
+         THEN '?utm_source=s' || CAST(doc_id % {spec.CRAWL_UTM_SRC_MOD} AS VARCHAR)
+              || '&utm_medium=m' || CAST(variant AS VARCHAR)
+       WHEN doc_id % {spec.CRAWL_REF_MOD} = 0
+         THEN '?ref=r' || CAST(doc_id % {spec.CRAWL_REF_VAL_MOD} AS VARCHAR)
+       ELSE '' END) ||
+    (CASE WHEN (doc_id + variant) % {spec.CRAWL_FRAG_MOD} = 0
+          THEN '#sec' || CAST(variant AS VARCHAR) ELSE '' END) AS raw_url,
+    TIMESTAMP '{spec.WARC_EPOCH}' + doc_id * INTERVAL 1 SECOND
+      + variant * INTERVAL 1 HOUR AS warc_ts
+  FROM crawl_v
+)"""
+
+
+def cte_url_norm() -> str:
+    """GENUINE SQL re-implementation of the URL canonicalizer (not a
+    re-derivation of the canonical form): regexp part extraction +
+    list_filter of tracking params, mirroring webstats.normalize_urls."""
+    pre = r"^(?:[A-Za-z][A-Za-z0-9+.\-]*)://"
+    return f"""url_parts AS (
+  SELECT doc_id, variant, raw_url, warc_ts,
+    lower(regexp_extract(raw_url, '^([A-Za-z][A-Za-z0-9+.\\-]*)://', 1)) AS scheme,
+    lower(regexp_extract(raw_url, '{pre}([^/:?#]+)', 1)) AS host,
+    regexp_extract(raw_url, '{pre}[^/:?#]+:([0-9]+)', 1) AS port,
+    regexp_extract(raw_url, '{pre}[^/?#]+(/[^?#]*)', 1) AS path,
+    regexp_extract(raw_url, '\\?([^#]*)', 1) AS query
+  FROM crawl
+), url_kept AS (
+  SELECT *, coalesce(array_to_string(list_filter(string_split(query, '&'),
+      x -> x <> '' AND NOT regexp_matches(x, '{spec.TRACKING_PARAM_REGEX}')), '&'), '') AS kq
+  FROM url_parts
+), url_norm AS (
+  SELECT doc_id, variant, raw_url, warc_ts,
+    scheme || '://' || host ||
+    (CASE WHEN port <> '' AND port <> (CASE WHEN scheme = 'https' THEN '443' ELSE '80' END)
+          THEN ':' || port ELSE '' END) ||
+    (CASE WHEN regexp_replace(path, '/$', '') = ''
+          THEN '/' ELSE regexp_replace(path, '/$', '') END) ||
+    (CASE WHEN kq = '' THEN '' ELSE '?' || kq END) AS url
+  FROM url_kept
+)"""
+
+
+def sql_url_normalize() -> str:
+    return (
+        _with(cte_crawl(), cte_url_norm())
+        + "\nSELECT doc_id, variant, raw_url, url FROM url_norm"
+    )
+
+
+def sql_url_dedup() -> str:
+    return (
+        _with(cte_crawl(), cte_url_norm())
+        + """
+SELECT url, min(warc_ts) AS first_ts, CAST(count(*) AS BIGINT) AS n_fetches
+FROM url_norm GROUP BY url"""
+    )

@@ -347,6 +347,24 @@ def _textstats_queries() -> dict[str, tuple[Callable, str | None]]:
     }
 
 
+def _web_queries() -> dict[str, tuple[Callable, str | None]]:
+    from ahrd_ray.stages import webstats as wb
+
+    return {
+        # vectorized URL canonicalizer over the synthesized crawl log; the
+        # oracle re-parses the SAME raw URLs with SQL string functions
+        "wb_url_normalize": (
+            lambda sf: wb.url_normalize(sf).map_batches(_int64, batch_format="pyarrow"),
+            oracle.sql_url_normalize(),
+        ),
+        # crawl-log dedup by canonical URL (earliest fetch + fetch count)
+        "dd_url_dedup": (
+            lambda sf: wb.url_dedup(sf).map_batches(_int64, batch_format="pyarrow"),
+            oracle.sql_url_dedup(),
+        ),
+    }
+
+
 def _generic_queries() -> dict[str, tuple[Callable, str | None]]:
     from ahrd_ray.stages import generic as g
     from ahrd_ray.stages import multimodal as mm
@@ -477,6 +495,7 @@ def registry() -> dict[str, tuple[Callable, str | None]]:
     out = _kg_queries(cfg)
     out.update(_dedup_queries())
     out.update(_textstats_queries())
+    out.update(_web_queries())
     out.update(_generic_queries())
     out.update(_eval_queries())
     return out

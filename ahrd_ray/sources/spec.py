@@ -58,6 +58,22 @@ ATTR_KEEP_MOD = 5  # keep rows with o_orderkey % 5 == 0
 ATTR_SHORT_SPAN = 2  # short = 'P' + (o_orderkey % (ATTR_SHORT_SPAN * n_parts))
 ATTR_VAL_MOD = 37  # attr = 'A' + (o_orderkey % 37)
 
+# --- crawl log (messy URL variants of pages) ------------------------------
+# Every page is fetched 1 + doc_id % CRAWL_VAR_MOD times; fetch v differs
+# only in URL messiness a canonicalizer must strip (host case, default
+# port, trailing slash, tracking params, fragment) plus a KEPT query param
+# that depends only on doc_id (so all of a page's fetches normalize to the
+# same canonical URL).  warc_ts of fetch v = page ts + v hours.
+CRAWL_VAR_MOD = 3
+CRAWL_HOST_CASE_MOD = 2  # (doc_id + v) % 2 == 0 -> "Corpus.LOCAL" host
+CRAWL_PORT_MOD = 3  # (doc_id + v) % 3 == 0 -> explicit ":443"
+CRAWL_SLASH_MOD = 5  # (doc_id + v) % 5 == 0 -> trailing slash
+CRAWL_FRAG_MOD = 4  # (doc_id + v) % 4 == 0 -> "#sec{v}"
+CRAWL_UTM_SRC_MOD = 5  # odd v -> "utm_source=s{doc_id%5}&utm_medium=m{v}"
+CRAWL_REF_MOD = 7  # doc_id % 7 == 0 -> kept param "ref=r{doc_id%4}"
+CRAWL_REF_VAL_MOD = 4
+TRACKING_PARAM_REGEX = "^(utm_|fbclid|gclid)"
+
 # --- triple predicates ---------------------------------------------------
 PRED_LINKED = "kg:linked_entity"
 PRED_DESC = "kg:description"

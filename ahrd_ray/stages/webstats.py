@@ -1,0 +1,207 @@
+"""Web-crawl URL operators: canonicalization and crawl-log dedup.
+
+A Common-Crawl-style corpus fetches the same page many times under messy
+URL variants (host case, explicit default ports, trailing slashes,
+``utm_*`` tracking params, fragments).  Canonicalizing URLs and keeping
+the earliest fetch per canonical URL is the first dedup pass of every
+web-text pipeline — cheaper than any content hash because it never reads
+the payload.
+
+Scale shape:
+
+* ``url_normalize`` is a pure map-side stage built ENTIRELY from Arrow
+  compute kernels (``extract_regex`` / list flatten + mask + ``binary_join``)
+  — no Python loop over rows, zero shuffle;
+* ``url_dedup`` pre-aggregates per batch (one row per distinct URL per
+  block) before the groupby, so the shuffle carries distinct URLs, not
+  fetches.
+
+The crawl log itself is synthesized deterministically from ``pages``
+(constants in :mod:`ahrd_ray.sources.spec`); the DuckDB oracle re-derives
+the SAME raw URLs from ``documents`` and normalizes them with SQL string
+functions — the normalizer logic is genuinely tested on both sides, not
+replicated from one.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data
+
+from ahrd_ray.sources import spec
+
+# one pass splits a raw URL into its five normalization-relevant parts;
+# rows are guaranteed to match by construction (absolute http(s) URLs)
+_URL_PARTS_REGEX = (
+    r"^(?P<scheme>[A-Za-z][A-Za-z0-9+.\-]*)://(?P<host>[^/:?#]+)"
+    r"(?::(?P<port>[0-9]+))?(?P<path>/[^?#]*)?(?:\?(?P<query>[^#]*))?(?:#.*)?$"
+)
+
+
+def crawl_batch_from_pages(batch: pa.Table) -> pa.Table:
+    """pages -> crawl-log fetches (doc_id, variant, raw_url, warc_ts).
+
+    Fixture synthesis (like ``pages_batch_from_documents``), not the
+    operator under test — the string assembly is a per-row comp over the
+    small variant fan-out."""
+    doc_ids = batch["doc_id"].to_numpy()
+    langs = batch["lang"].to_pylist()
+    ts = batch["warc_ts"].to_numpy()
+
+    n_var = 1 + (doc_ids % spec.CRAWL_VAR_MOD)
+    rep = np.repeat(np.arange(len(doc_ids)), n_var)
+    variant = np.arange(len(rep)) - np.repeat(np.cumsum(n_var) - n_var, n_var)
+    d = doc_ids[rep]
+    raws = [
+        raw_url_of(int(di), langs[ri], int(v))
+        for di, ri, v in zip(d, rep, variant)
+    ]
+    out_ts = ts[rep] + variant.astype("timedelta64[h]").astype("timedelta64[us]")
+    return pa.table(
+        {
+            "doc_id": pa.array(d, type=pa.int64()),
+            "variant": pa.array(variant, type=pa.int64()),
+            "raw_url": pa.array(raws, type=pa.string()),
+            "warc_ts": pa.array(out_ts, type=pa.timestamp("us")),
+        }
+    )
+
+
+def raw_url_of(doc_id: int, lang: str, v: int) -> str:
+    """Messy raw URL of fetch ``v`` of a page (spec constants)."""
+    host = "Corpus.LOCAL" if (doc_id + v) % spec.CRAWL_HOST_CASE_MOD == 0 else "corpus.local"
+    port = ":443" if (doc_id + v) % spec.CRAWL_PORT_MOD == 0 else ""
+    path = f"/{lang}/{doc_id}"
+    if (doc_id + v) % spec.CRAWL_SLASH_MOD == 0:
+        path += "/"
+    params = []
+    if v % 2 == 1:
+        params.append(f"utm_source=s{doc_id % spec.CRAWL_UTM_SRC_MOD}")
+        params.append(f"utm_medium=m{v}")
+    if doc_id % spec.CRAWL_REF_MOD == 0:
+        params.append(f"ref=r{doc_id % spec.CRAWL_REF_VAL_MOD}")
+    query = "?" + "&".join(params) if params else ""
+    frag = f"#sec{v}" if (doc_id + v) % spec.CRAWL_FRAG_MOD == 0 else ""
+    return f"https://{host}{port}{path}{query}{frag}"
+
+
+def canonical_url_of(doc_id: int, lang: str) -> str:
+    """What the normalizer must produce for every fetch of a page."""
+    q = (
+        f"?ref=r{doc_id % spec.CRAWL_REF_VAL_MOD}"
+        if doc_id % spec.CRAWL_REF_MOD == 0
+        else ""
+    )
+    return f"{spec.URL_PREFIX}{lang}/{doc_id}{q}"
+
+
+def crawl_log(sf_dir: str) -> ray.data.Dataset:
+    from ahrd_ray.pipelines.kg import pages_dataset
+
+    return pages_dataset(sf_dir).map_batches(
+        crawl_batch_from_pages, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def normalize_urls(raw: pa.Array) -> pa.Array:
+    """Vectorized URL canonicalizer (the operator under test).
+
+    Rules: lowercase scheme+host; strip default port (443/https, 80/http);
+    strip fragment; drop ``utm_*``/``fbclid``/``gclid`` query params
+    (preserving the order of the rest); strip the trailing slash of
+    non-root paths; missing path -> "/".  All Arrow kernels — no Python
+    loop over rows."""
+    if isinstance(raw, pa.ChunkedArray):
+        raw = raw.combine_chunks()
+    parts = pc.extract_regex(raw, _URL_PARTS_REGEX)
+    scheme = pc.utf8_lower(parts.field("scheme"))
+    host = pc.utf8_lower(parts.field("host"))
+    port = parts.field("port")
+
+    # RE2 non-participating optional groups extract as "" (not null)
+    default_port = pc.if_else(pc.equal(scheme, "https"), "443", "80")
+    keep_port = pc.and_(pc.not_equal(port, ""), pc.not_equal(port, default_port))
+    lit = lambda s: pa.array([s] * len(raw), type=pa.string())  # noqa: E731
+    port_sfx = pc.if_else(
+        keep_port, pc.binary_join_element_wise(lit(":"), port, ""), ""
+    )
+
+    path = parts.field("path")
+    stripped = pc.replace_substring_regex(path, pattern="/$", replacement="")
+    path = pc.if_else(pc.equal(stripped, ""), "/", stripped)
+
+    query = parts.field("query")
+    params = pc.split_pattern(query, "&")
+    flat = params.flatten()
+    parents = pc.list_parent_indices(params).to_numpy(zero_copy_only=False)
+    keep = pc.and_(
+        pc.invert(pc.match_substring_regex(flat, spec.TRACKING_PARAM_REGEX)),
+        pc.not_equal(flat, ""),
+    ).to_numpy(zero_copy_only=False)
+    kept_counts = np.bincount(parents[keep], minlength=len(raw))
+    offsets = np.zeros(len(raw) + 1, dtype=np.int32)
+    np.cumsum(kept_counts, out=offsets[1:])
+    kept_list = pa.ListArray.from_arrays(pa.array(offsets), flat.filter(pa.array(keep)))
+    joined = pc.binary_join(kept_list, "&")
+    query_sfx = pc.if_else(
+        pc.equal(joined, ""),
+        "",
+        pc.binary_join_element_wise(lit("?"), joined, ""),
+    )
+
+    return pc.binary_join_element_wise(
+        scheme, lit("://"), host, port_sfx, path, query_sfx, ""
+    )
+
+
+def url_normalize(sf_dir: str) -> ray.data.Dataset:
+    """(doc_id, variant, raw_url, url) — every crawl fetch with its
+    canonical URL.  Pure map-side; gated against the DuckDB string-function
+    normalization of the same raw URLs."""
+
+    def f(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "variant": batch["variant"],
+                "raw_url": batch["raw_url"],
+                "url": normalize_urls(batch["raw_url"]),
+            }
+        )
+
+    return crawl_log(sf_dir).map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def url_dedup(sf_dir: str) -> ray.data.Dataset:
+    """Crawl-log dedup: one row per canonical URL with the earliest fetch
+    time and the fetch count.  Map-side partial (per-block min/count per
+    URL) bounds the shuffle at distinct-URLs-per-block rows."""
+    import pandas as pd
+
+    def partial(batch: pa.Table) -> "pd.DataFrame":
+        df = pa.table(
+            {
+                "url": normalize_urls(batch["raw_url"]),
+                "first_ts": batch["warc_ts"],
+            }
+        ).to_pandas()
+        df["n_fetches"] = np.int64(1)
+        return df.groupby("url", as_index=False).agg(
+            first_ts=("first_ts", "min"), n_fetches=("n_fetches", "sum")
+        )
+
+    def final(df: "pd.DataFrame") -> "pd.DataFrame":
+        out = df.groupby("url", as_index=False).agg(
+            first_ts=("first_ts", "min"), n_fetches=("n_fetches", "sum")
+        )
+        return out.astype({"n_fetches": "int64"})
+
+    return (
+        crawl_log(sf_dir)
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("url")
+        .map_groups(final, batch_format="pandas")
+    )

@@ -1,0 +1,48 @@
+"""URL canonicalization + crawl-log dedup (webstats)."""
+
+import pyarrow as pa
+
+from ahrd_ray.stages.webstats import canonical_url_of, normalize_urls, raw_url_of
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_normalizer_rules():
+    cases = {
+        # host/scheme case + default port
+        "HTTPS://Example.COM:443/a": "https://example.com/a",
+        "http://X.y:80/": "http://x.y/",
+        # non-default port kept
+        "http://x.y:8080/a/": "http://x.y:8080/a",
+        # tracking params dropped, order of the rest preserved
+        "https://h/p?fbclid=1&b=2&utm_x=3&a=4": "https://h/p?b=2&a=4",
+        # all params dropped -> no '?'
+        "https://h/p?utm_source=x&gclid=9": "https://h/p",
+        # fragment stripped; missing path -> '/'
+        "https://h#frag": "https://h/",
+        # root trailing slash kept (root IS '/')
+        "https://h/?utm_a=1": "https://h/",
+    }
+    got = normalize_urls(pa.array(list(cases))).to_pylist()
+    assert got == list(cases.values())
+
+
+def test_variants_normalize_to_canonical():
+    raws, want = [], []
+    for d in range(50):
+        for v in range(1 + d % 3):
+            raws.append(raw_url_of(d, "en", v))
+            want.append(canonical_url_of(d, "en"))
+    assert normalize_urls(pa.array(raws)).to_pylist() == want
+
+
+def test_url_dedup_counts(ray_session):
+    from ahrd_ray.stages.webstats import url_dedup
+
+    df = url_dedup(SF).to_pandas()
+    # one row per page; fetch count = 1 + doc_id % 3
+    assert len(df) == 500
+    assert int(df["n_fetches"].sum()) == sum(1 + d % 3 for d in range(500))
+    # earliest fetch is variant 0 == the page's own warc_ts (no v*1h offset;
+    # doc_id-second offsets stay below one hour at this sf)
+    assert df["first_ts"].dt.hour.eq(0).all()
