@@ -1271,3 +1271,67 @@ def sql_url_dedup() -> str:
 SELECT url, min(warc_ts) AS first_ts, CAST(count(*) AS BIGINT) AS n_fetches
 FROM url_norm GROUP BY url"""
     )
+
+
+def sql_repetition() -> str:
+    """Mirrors textstats.repetition_batch: same lower+regex split (empties
+    dropped BEFORE pairing, so bigrams pair adjacent KEPT tokens), integer
+    counts, double division."""
+    return f"""WITH toks AS (
+  SELECT doc_id, tok, pos FROM (
+    SELECT doc_id, unnest(arr) AS tok, generate_subscripts(arr, 1) AS pos
+    FROM (SELECT doc_id, regexp_split_to_array(lower(text), '{SPLIT_SQL}') AS arr
+          FROM documents)
+  ) WHERE tok <> ''
+), tok_counts AS (
+  SELECT doc_id, tok, count(*) AS c FROM toks GROUP BY doc_id, tok
+), totals AS (
+  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+         CAST(count(*) AS BIGINT) AS n_distinct, max(c) AS top_tok
+  FROM tok_counts GROUP BY doc_id
+), bigrams AS (
+  SELECT doc_id, tok, lead(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt
+  FROM toks
+), big_counts AS (
+  SELECT doc_id, tok, nxt, count(*) AS c FROM bigrams
+  WHERE nxt IS NOT NULL GROUP BY doc_id, tok, nxt
+), big_max AS (
+  SELECT doc_id, max(c) AS top_big FROM big_counts GROUP BY doc_id
+)
+SELECT t.doc_id, t.n_tokens, t.n_distinct,
+  CASE WHEN t.n_tokens > 0 THEN CAST(t.n_distinct AS DOUBLE) / t.n_tokens ELSE 0.0 END AS distinct_ratio,
+  CASE WHEN t.n_tokens > 0 THEN CAST(t.top_tok AS DOUBLE) / t.n_tokens ELSE 0.0 END AS top_token_frac,
+  CASE WHEN t.n_tokens > 1 THEN CAST(coalesce(b.top_big, 0) AS DOUBLE) / (t.n_tokens - 1) ELSE 0.0 END AS top_bigram_frac
+FROM totals t LEFT JOIN big_max b USING (doc_id)"""
+
+
+def sql_price_band_join() -> str:
+    from ahrd_ray.stages.generic import PRICE_BANDS
+
+    rows = ", ".join(f"('{b}', {lo!r}, {hi!r})" for b, lo, hi in PRICE_BANDS)
+    return f"""WITH bands(band, lo, hi) AS (VALUES {rows})
+SELECT band, CAST(count(*) AS BIGINT) AS n_items,
+       sum({_q20('l_extendedprice')}) AS sum_price
+FROM lineitem JOIN bands ON l_extendedprice >= lo AND l_extendedprice < hi
+GROUP BY band"""
+
+
+def sql_customers_without_big_order() -> str:
+    from ahrd_ray.stages.generic import BIG_ORDER_PRICE
+
+    return f"""SELECT c_custkey, c_name, c_acctbal FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_totalprice > {BIG_ORDER_PRICE!r})"""
+
+
+def sql_price_quantiles() -> str:
+    from ahrd_ray.stages.generic import QUANTILE_QS
+
+    legs = "\nUNION ALL\n".join(
+        f"""SELECT l_returnflag, {num / den!r} AS q,
+       quantile_disc(l_extendedprice, {num / den!r}) AS price
+FROM lineitem GROUP BY l_returnflag"""
+        for num, den in QUANTILE_QS
+    )
+    return legs

@@ -344,6 +344,9 @@ def _textstats_queries() -> dict[str, tuple[Callable, str | None]]:
         ),
         "tx_fingerprints": (lambda sf: tx.fingerprints(sf), oracle.sql_fingerprints()),
         "tx_scrub": (lambda sf: tx.scrub_text(sf), oracle.sql_scrub_text()),
+        # Gopher-style repetition/diversity stats (type-token ratio,
+        # top-token/top-bigram fractions)
+        "tx_repetition": (lambda sf: tx.repetition(sf), oracle.sql_repetition()),
     }
 
 
@@ -434,6 +437,23 @@ def _generic_queries() -> dict[str, tuple[Callable, str | None]]:
         "rel_order_customer_join": (
             lambda sf: g.order_customer_join(sf),
             oracle.sql_order_customer_join(),
+        ),
+        # broadcast range join (interval containment, non-uniform bands)
+        "rel_range_join": (
+            lambda sf: g.price_band_join(sf).map_batches(_int64, batch_format="pyarrow"),
+            oracle.sql_price_band_join(),
+        ),
+        # distributed anti-join with a predicate (NOT EXISTS)
+        "rel_anti_join": (
+            lambda sf: g.customers_without_big_order(sf).map_batches(
+                _int64, batch_format="pyarrow"
+            ),
+            oracle.sql_customers_without_big_order(),
+        ),
+        # exact distributed quantiles via two-pass binned selection
+        "rel_quantiles": (
+            lambda sf: g.price_quantiles(sf).map_batches(_int64, batch_format="pyarrow"),
+            oracle.sql_price_quantiles(),
         ),
     }
 

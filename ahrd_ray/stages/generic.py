@@ -567,3 +567,192 @@ def top_events_per_user(sf_dir: str, n: int = 3) -> ray.data.Dataset:
         .groupby("upart")
         .map_groups(final, batch_format="pandas")
     )
+
+
+# Non-uniform price bands for the range join (spec-level constants shared
+# with the oracle; the open top band is encoded as a huge hi edge).
+PRICE_BANDS = [
+    ("b0", 0.0, 1_000.0),
+    ("b1", 1_000.0, 2_500.0),
+    ("b2", 2_500.0, 5_000.0),
+    ("b3", 5_000.0, 10_000.0),
+    ("b4", 10_000.0, 20_000.0),
+    ("b5", 20_000.0, 50_000.0),
+    ("b6", 50_000.0, 1e18),
+]
+
+
+def price_band_join(sf_dir: str) -> ray.data.Dataset:
+    """Range join (an operator Ray Data lacks): lineitem rows land in the
+    price band with lo <= l_extendedprice < hi, then the usual per-band
+    combiner.  The band table is tiny and IMMUTABLE -> broadcast by closure
+    + one vectorized ``np.searchsorted`` per batch; never a shuffle join.
+    Bands are non-uniform, so this is a genuine interval containment, not a
+    bucket transform."""
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_extendedprice"]
+    )
+    los = np.array([b[1] for b in PRICE_BANDS])
+    labels = np.array([b[0] for b in PRICE_BANDS])
+
+    def prep(df: pd.DataFrame) -> pd.DataFrame:
+        p = df["l_extendedprice"].to_numpy()
+        idx = np.searchsorted(los, p, side="right") - 1
+        out = pd.DataFrame(
+            {
+                "band": labels[idx],
+                "n_items": np.ones(len(df), dtype=np.int64),
+                "sum_price": q20(p),
+            }
+        )
+        return out.groupby("band", as_index=False).sum()
+
+    return (
+        li.map_batches(prep, batch_format="pandas")
+        .groupby("band")
+        .map_groups(
+            _final_sum(["band"], ["n_items", "sum_price"]), batch_format="pandas"
+        )
+    )
+
+
+BIG_ORDER_PRICE = 300_000.0
+
+
+def customers_without_big_order(sf_dir: str) -> ray.data.Dataset:
+    """Distributed anti-join with a predicate: customers that never placed
+    an order above BIG_ORDER_PRICE.
+
+    Shape: filter + per-block distinct on the fact side (the shuffle then
+    carries distinct big-spender keys, a small fraction of orders), one
+    hash left-outer join against customer, keep the null side.  No driver
+    collection on either input."""
+    from ahrd_ray.stages.partitioning import join_parts
+
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name", "c_acctbal"]
+    )
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
+    )
+
+    def big_keys(df: pd.DataFrame) -> pd.DataFrame:
+        keys = df.loc[df["o_totalprice"] > BIG_ORDER_PRICE, ["o_custkey"]]
+        out = keys.drop_duplicates()
+        return out.assign(has_big=np.int64(1))
+
+    big = (
+        orders.map_batches(big_keys, batch_format="pandas")
+        .groupby("o_custkey")
+        .map_groups(lambda df: df.head(1), batch_format="pandas")
+    )
+    joined = cust.join(
+        big,
+        "left_outer",
+        num_partitions=join_parts(1),
+        on=("c_custkey",),
+        right_on=("o_custkey",),
+        aggregator_ray_remote_args={"num_cpus": 0.25},
+    )
+
+    def anti(df: pd.DataFrame) -> pd.DataFrame:
+        out = df[df["has_big"].isna()]
+        return out[["c_custkey", "c_name", "c_acctbal"]]
+
+    return joined.map_batches(anti, batch_format="pandas")
+
+
+QUANTILE_QS = ((1, 2), (9, 10), (99, 100))  # exact rationals: 0.5, 0.9, 0.99
+QUANTILE_BIN_W = 16.0
+
+
+def price_quantiles(sf_dir: str) -> ray.data.Dataset:
+    """Exact distributed quantiles (DuckDB ``quantile_disc`` semantics: the
+    k-th smallest with k = ceil(q*n), computed as an exact rational) of
+    l_extendedprice per l_returnflag — two passes, no global sort:
+
+    1. map-side histogram over fixed-width bins -> groupby((flag, bin)) sum.
+       The aggregated histogram is bounded by the VALUE DOMAIN / bin width
+       (a few thousand bins here), independent of row count, so collecting
+       it driver-side is a broadcast-scale step, not a materialization.
+    2. cumulative counts locate each quantile's (bin, within-bin rank);
+       a second streaming pass filters to just the target bins (~n/bins
+       rows) and selects the exact order statistics per bin.
+
+    At 100 TB this reads the column twice and shuffles only histogram rows
+    + target-bin rows — vs. a full all-to-all sort for the naive plan."""
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_returnflag", "l_extendedprice"]
+    )
+    w = QUANTILE_BIN_W
+
+    def hist(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame(
+            {
+                "l_returnflag": df["l_returnflag"],
+                "bin": np.floor(df["l_extendedprice"].to_numpy() / w).astype(np.int64),
+                "cnt": np.ones(len(df), dtype=np.int64),
+            }
+        )
+        return out.groupby(["l_returnflag", "bin"], as_index=False).sum()
+
+    hists = (
+        li.map_batches(hist, batch_format="pandas")
+        .groupby(["l_returnflag", "bin"])
+        .map_groups(_final_sum(["l_returnflag", "bin"], ["cnt"]), batch_format="pandas")
+        .to_pandas()  # bounded: (#flags x #bins) rows, domain-sized not data-sized
+    )
+
+    # (flag, bin) -> [(q_num, q_den, within_bin_rank)] for each quantile
+    targets: dict[tuple[str, int], list[tuple[int, int, int]]] = {}
+    for flag, g in hists.groupby("l_returnflag"):
+        g = g.sort_values("bin")
+        cnts = g["cnt"].to_numpy()
+        bins = g["bin"].to_numpy()
+        cum = np.cumsum(cnts)
+        n = int(cum[-1])
+        for num, den in QUANTILE_QS:
+            k = -((-num * n) // den)  # exact ceil(q*n), 1-based
+            i = int(np.searchsorted(cum, k, side="left"))
+            before = int(cum[i - 1]) if i else 0
+            targets.setdefault((flag, int(bins[i])), []).append((num, den, k - before))
+
+    target_ref = ray.put(targets)
+
+    def pick(df: pd.DataFrame) -> pd.DataFrame:
+        from ahrd_ray.stages.score import get_broadcast
+
+        tg = get_broadcast(target_ref)
+        flag = df["l_returnflag"].iat[0]
+        b = int(df["bin"].iat[0])
+        wanted = tg.get((flag, b), [])
+        if not wanted:
+            return pd.DataFrame(
+                {"l_returnflag": pd.Series([], dtype="object"),
+                 "q": pd.Series([], dtype="float64"),
+                 "price": pd.Series([], dtype="float64")}
+            )
+        vals = np.sort(df["l_extendedprice"].to_numpy(), kind="stable")
+        return pd.DataFrame(
+            {
+                "l_returnflag": [flag] * len(wanted),
+                "q": [num / den for num, den, _ in wanted],
+                "price": [float(vals[r - 1]) for _, _, r in wanted],
+            }
+        )
+
+    # filter on exact (flag, bin) pairs so every group reaching pick() is a
+    # real target (no empty frames -> no degenerate block schemas)
+    pairs = pd.DataFrame(
+        {"l_returnflag": [f for f, _ in targets], "bin": [b for _, b in targets]}
+    )
+
+    def in_targets(df: pd.DataFrame) -> pd.DataFrame:
+        b = np.floor(df["l_extendedprice"].to_numpy() / w).astype(np.int64)
+        return df.assign(bin=b).merge(pairs, on=["l_returnflag", "bin"])
+
+    return (
+        li.map_batches(in_targets, batch_format="pandas")
+        .groupby(["l_returnflag", "bin"])
+        .map_groups(pick, batch_format="pandas")
+    )

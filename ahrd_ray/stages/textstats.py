@@ -260,3 +260,59 @@ def scrub_text(sf_dir: str, pattern: str = SCRUB_PATTERN) -> ray.data.Dataset:
         )
 
     return docs.map_batches(f, batch_format="pyarrow")
+
+
+def repetition_batch(batch: pa.Table) -> pa.Table:
+    """Gopher-style repetition/diversity stats per doc (Rae et al. 2021,
+    'Scaling Language Models' §A1.1 repetition filters, public arXiv):
+    type-token ratio, most-frequent-token fraction, most-frequent-bigram
+    fraction.  Docs dominated by one token/bigram are boilerplate.
+
+    Vectorized: one regex split, np.unique over (row, code) keys for the
+    unigram counts, a hash groupby for bigrams — no per-row loop."""
+    row, toks = _split_counts(batch)
+    n = len(batch)
+    n_tokens = np.bincount(row, minlength=n).astype(np.int64)
+
+    codes, uniq = pd.factorize(toks, sort=False)
+    v = max(1, len(uniq))
+    key = row.astype(np.int64) * v + codes
+    ukey, cnt = np.unique(key, return_counts=True)
+    urow = (ukey // v).astype(np.int64)
+    n_distinct = np.bincount(urow, minlength=n).astype(np.int64)
+    top_tok = np.zeros(n, dtype=np.int64)
+    np.maximum.at(top_tok, urow, cnt)
+
+    adj = row[:-1] == row[1:] if len(row) else np.zeros(0, dtype=bool)
+    brow = row[:-1][adj]
+    bkey = codes[:-1][adj].astype(np.int64) * v + codes[1:][adj]
+    top_big = np.zeros(n, dtype=np.int64)
+    if len(brow):
+        bg = pd.DataFrame({"r": brow, "k": bkey}).groupby(["r", "k"]).size()
+        m = bg.groupby(level=0).max()
+        top_big[m.index.to_numpy()] = m.to_numpy()
+
+    nt = n_tokens.astype(np.float64)
+    safe = np.maximum(n_tokens, 1).astype(np.float64)
+    safe1 = np.maximum(n_tokens - 1, 1).astype(np.float64)
+    return pa.table(
+        {
+            "doc_id": batch["doc_id"],
+            "n_tokens": pa.array(n_tokens, type=pa.int64()),
+            "n_distinct": pa.array(n_distinct, type=pa.int64()),
+            "distinct_ratio": pa.array(
+                np.where(n_tokens > 0, n_distinct / safe, 0.0), type=pa.float64()
+            ),
+            "top_token_frac": pa.array(
+                np.where(n_tokens > 0, top_tok / safe, 0.0), type=pa.float64()
+            ),
+            "top_bigram_frac": pa.array(
+                np.where(n_tokens > 1, top_big / safe1, 0.0), type=pa.float64()
+            ),
+        }
+    )
+
+
+def repetition(sf_dir: str) -> ray.data.Dataset:
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return docs.map_batches(repetition_batch, batch_format="pyarrow")

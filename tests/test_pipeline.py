@@ -337,7 +337,7 @@ def _assert_matches_oracle(name, sf=SF):
     else:
         rdf = res.to_pandas()
     con = duckdb.connect()
-    for t in ["events", "orders", "documents"]:
+    for t in ["events", "orders", "documents", "lineitem", "customer"]:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
     odf = con.sql(sql).df()
     cols = sorted(rdf.columns)
@@ -540,3 +540,23 @@ def test_orders_by_segment_join_fallback(ray_session):
     finally:
         g.BROADCAST_DIM_MAX_ROWS = old
     assert (a[sorted(a.columns)].values == b[sorted(b.columns)].values).all()
+
+
+def test_range_join_oracle(ray_session):
+    """Broadcast interval-containment join into non-uniform price bands."""
+    _assert_matches_oracle("rel_range_join")
+
+
+def test_anti_join_oracle(ray_session):
+    """Distributed NOT EXISTS: customers with no order above the threshold."""
+    _assert_matches_oracle("rel_anti_join")
+
+
+def test_quantiles_oracle(ray_session):
+    """Two-pass binned exact order statistics == DuckDB quantile_disc."""
+    _assert_matches_oracle("rel_quantiles")
+
+
+def test_repetition_oracle(ray_session):
+    """Gopher-style repetition stats, bit-exact double divisions."""
+    _assert_matches_oracle("tx_repetition")
