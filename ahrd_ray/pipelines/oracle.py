@@ -1335,3 +1335,27 @@ FROM lineitem GROUP BY l_returnflag"""
         for num, den in QUANTILE_QS
     )
     return legs
+
+
+def sql_tfidf_top() -> str:
+    """Mirrors textstats.tfidf_top: score = (tf * n_docs) / df as one double
+    division (no log), winner per doc by (score desc, token asc)."""
+    return f"""WITH toks AS (
+  SELECT doc_id, tok FROM (
+    SELECT doc_id, unnest(regexp_split_to_array(lower(text), '{SPLIT_SQL}')) AS tok
+    FROM documents
+  ) WHERE tok <> ''
+), tf AS (
+  SELECT doc_id, tok AS token, CAST(count(*) AS BIGINT) AS tf
+  FROM toks GROUP BY doc_id, tok
+), dfq AS (
+  SELECT token, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY token
+), nd AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents)
+SELECT doc_id, token, tf, df, score FROM (
+  SELECT t.doc_id, t.token, t.tf, d.df,
+         CAST(t.tf * (SELECT n FROM nd) AS DOUBLE) / d.df AS score,
+         row_number() OVER (PARTITION BY t.doc_id
+                            ORDER BY CAST(t.tf * (SELECT n FROM nd) AS DOUBLE) / d.df DESC,
+                                     t.token ASC) AS rn
+  FROM tf t JOIN dfq d USING (token)
+) WHERE rn = 1"""

@@ -347,6 +347,12 @@ def _textstats_queries() -> dict[str, tuple[Callable, str | None]]:
         # Gopher-style repetition/diversity stats (type-token ratio,
         # top-token/top-bigram fractions)
         "tx_repetition": (lambda sf: tx.repetition(sf), oracle.sql_repetition()),
+        # corpus-statistic -> per-doc map: top TF-IDF token (distributed DF
+        # aggregate, broadcast-or-join dual path)
+        "tx_tfidf_top": (
+            lambda sf: tx.tfidf_top(sf).map_batches(_int64, batch_format="pyarrow"),
+            oracle.sql_tfidf_top(),
+        ),
     }
 
 

@@ -316,3 +316,101 @@ def repetition_batch(batch: pa.Table) -> pa.Table:
 def repetition(sf_dir: str) -> ray.data.Dataset:
     docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     return docs.map_batches(repetition_batch, batch_format="pyarrow")
+
+
+# Above this many distinct tokens the document-frequency table stops being
+# broadcastable and the scoring switches to a distributed hash join by
+# token (same dual-path rationale as generic.orders_by_segment).
+DF_BROADCAST_MAX_ROWS = 4_000_000
+
+
+def tfidf_top(sf_dir: str) -> ray.data.Dataset:
+    """Per-doc top TF-IDF token — the corpus-statistic-feeds-per-doc-map
+    pattern (like IDF weighting in retrieval, public BM25/TF-IDF
+    literature).
+
+    Stage 1 (distributed aggregate): document frequency per token — one
+    row per (block, token) leaves each block, then a small groupby.
+    Stage 2 (map-side when the DF table is broadcastable, hash join by
+    token above DF_BROADCAST_MAX_ROWS): score = (tf * n_docs) / df as a
+    single double division (no transcendental log — keeps the result
+    bit-comparable to the SQL oracle), winner per doc by (score desc,
+    token asc).  In the broadcast path a doc's rows never leave its block,
+    so the whole scoring pass is shuffle-free."""
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    n_docs = docs.count()
+
+    def tf_batch(batch: pa.Table) -> pd.DataFrame:
+        row, toks = _split_counts(batch)
+        ids = batch["doc_id"].to_numpy()
+        df = pd.DataFrame({"doc_id": ids[row], "token": toks})
+        out = df.groupby(["doc_id", "token"], as_index=False).size()
+        return out.rename(columns={"size": "tf"})
+
+    tf = docs.map_batches(tf_batch, batch_format="pyarrow")
+
+    def df_partial(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby("token", as_index=False).size()
+        return out.rename(columns={"size": "df"})
+
+    df_tbl = (
+        tf.map_batches(df_partial, batch_format="pandas")
+        .groupby("token")
+        .map_groups(_df_final, batch_format="pandas")
+    )
+
+    def top_per_doc(df: pd.DataFrame) -> pd.DataFrame:
+        score = (df["tf"].to_numpy() * np.float64(n_docs)) / df["df"].to_numpy(
+            dtype=np.float64
+        )
+        df = df.assign(score=score).sort_values(
+            ["doc_id", "score", "token"],
+            ascending=[True, False, True],
+            kind="mergesort",
+        )
+        out = df.groupby("doc_id", as_index=False).head(1)
+        return out[["doc_id", "token", "tf", "df", "score"]].astype(
+            {"tf": "int64", "df": "int64"}
+        )
+
+    df_rows = df_tbl.count()
+    if df_rows <= DF_BROADCAST_MAX_ROWS:
+        df_pdf = df_tbl.to_pandas()
+        df_ref = ray.put(dict(zip(df_pdf["token"], df_pdf["df"].astype(np.int64))))
+
+        # fused map over documents: a doc's (token, tf) rows derive from its
+        # own text row, so per-doc winners are correct under ANY re-batching
+        # (never rely on block boundaries for grouping)
+        def score_map(batch: pa.Table) -> pd.DataFrame:
+            from ahrd_ray.stages.score import get_broadcast
+
+            lut = get_broadcast(df_ref)
+            df = tf_batch(batch)
+            df = df.assign(df=df["token"].map(lut).astype(np.int64))
+            return top_per_doc(df)
+
+        return docs.map_batches(score_map, batch_format="pyarrow")
+
+    from ahrd_ray.stages.partitioning import join_parts, n_hash_parts
+
+    joined = tf.join(
+        df_tbl,
+        "inner",
+        num_partitions=join_parts(1),
+        on=("token",),
+        aggregator_ray_remote_args={"num_cpus": 0.25},
+    )
+    n_parts = n_hash_parts()
+    return (
+        joined.map_batches(
+            lambda d: d.assign(dpart=(d["doc_id"] % n_parts).astype("int32")),
+            batch_format="pandas",
+        )
+        .groupby("dpart")
+        .map_groups(lambda d: top_per_doc(d.drop(columns=["dpart"])), batch_format="pandas")
+    )
+
+
+def _df_final(df: pd.DataFrame) -> pd.DataFrame:
+    out = df.groupby("token", as_index=False)["df"].sum()
+    return out.astype({"df": "int64"})

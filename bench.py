@@ -115,12 +115,15 @@ def run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
     # LLM-data operator family (scale-safe verify paths, vectorized hashing)
     from ahrd_ray.stages import dedup as dd
     from ahrd_ray.stages import textstats as tx
+    from ahrd_ray.stages import webstats as wb
 
     for name, builder in [
         ("dd_exact", lambda: dd.exact_dedup(sf_dir)),
         ("dd_minhash_lsh", lambda: dd.minhash_lsh_pairs(sf_dir)),
         ("dd_simhash_pairs", lambda: dd.simhash_pairs(sf_dir)),
         ("tx_fingerprints", lambda: tx.fingerprints(sf_dir)),
+        ("tx_repetition", lambda: tx.repetition(sf_dir)),
+        ("dd_url_dedup", lambda: wb.url_dedup(sf_dir)),
     ]:
         t0 = time.perf_counter()
         builder().count()

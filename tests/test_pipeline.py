@@ -560,3 +560,20 @@ def test_quantiles_oracle(ray_session):
 def test_repetition_oracle(ray_session):
     """Gopher-style repetition stats, bit-exact double divisions."""
     _assert_matches_oracle("tx_repetition")
+
+
+def test_tfidf_top_oracle_and_join_fallback(ray_session, monkeypatch):
+    """Broadcast DF path matches the oracle; forcing the distributed
+    hash-join path (DF table 'too big' to broadcast) gives the same rows."""
+    from ahrd_ray.stages import textstats as tx
+
+    _assert_matches_oracle("tx_tfidf_top")
+    broadcast = tx.tfidf_top(SF).to_pandas()
+    monkeypatch.setattr(tx, "DF_BROADCAST_MAX_ROWS", 0)
+    joined = tx.tfidf_top(SF).to_pandas()
+    cols = sorted(broadcast.columns)
+    a = broadcast[cols].sort_values(cols, kind="mergesort").reset_index(drop=True)
+    b = joined[cols].sort_values(cols, kind="mergesort").reset_index(drop=True)
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(a, b, check_exact=True)
