@@ -1359,3 +1359,32 @@ SELECT doc_id, token, tf, df, score FROM (
                                      t.token ASC) AS rn
   FROM tf t JOIN dfq d USING (token)
 ) WHERE rn = 1"""
+
+
+def sql_dup_clusters(radius: int = 3) -> str:
+    """Connected components over the SimHash near-dup pairs (same bands/
+    radius as sql_simhash_pairs) via a recursive closure + min label."""
+    return f"""WITH RECURSIVE {_cte_simhash()},
+bands AS (
+  SELECT doc_id, simhash, CAST(b.band AS INTEGER) AS band,
+         (simhash >> (16 * b.band)) & 65535 AS key
+  FROM sim CROSS JOIN (SELECT unnest(range(4)) AS band) b
+),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+  WHERE bit_count(xor(a.simhash, b.simhash)) <= {radius}
+),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION ALL SELECT doc_b, doc_a FROM pairs
+),
+reach(src, dst) AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+),
+rmin AS (SELECT src, min(dst) AS m FROM reach GROUP BY src)
+SELECT d.doc_id, CAST(least(d.doc_id, coalesce(m, d.doc_id)) AS BIGINT) AS cluster_rep
+FROM documents d LEFT JOIN rmin ON d.doc_id = rmin.src"""

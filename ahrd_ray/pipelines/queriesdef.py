@@ -310,6 +310,12 @@ def _dedup_queries() -> dict[str, tuple[Callable, str | None]]:
             lambda sf: dd.simhash_pairs(sf).map_batches(_int64, batch_format="pyarrow"),
             oracle.sql_simhash_pairs(),
         ),
+        # connected components over the near-dup pair graph (iterative
+        # min-label propagation; oracle is a recursive closure)
+        "dd_dup_clusters": (
+            lambda sf: dd.dup_clusters(sf).map_batches(_int64, batch_format="pyarrow"),
+            oracle.sql_dup_clusters(),
+        ),
         "sim_near_dup": (
             lambda sf: ss.embedding_near_dup_exact(sf),
             oracle.sql_embedding_near_dup(),

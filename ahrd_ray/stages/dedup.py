@@ -706,3 +706,68 @@ def simhash_pairs(sf_dir: str, radius: int = 3) -> ray.data.Dataset:
             batch_format="pandas",
         )
     )
+
+
+def dup_clusters(sf_dir: str, max_iters: int = 16) -> ray.data.Dataset:
+    """Near-duplicate CLUSTER assignment: connected components over the
+    SimHash near-dup pair graph — (doc_id, cluster_rep) with the rep the
+    smallest doc_id in the component (isolated docs are their own rep).
+
+    Pair detection finds edges; deduplication needs the transitive closure
+    (A~B, B~C => keep one of {A,B,C}).  Ray Data has no graph operator, so
+    this is iterative min-label propagation: each round joins the current
+    labels onto the symmetrized edge list, takes the per-node min of
+    neighbour labels, and merges with the node's own label.  Rounds needed
+    = component diameter — tiny for near-dup clusters (they are
+    quasi-cliques), never the corpus.  Labels are materialized per round
+    (one slim row per doc — the same object-store-resident-state class as
+    the canonicalize barrier) so lineage does not accumulate; convergence
+    is detected by the monotone non-increasing label sum."""
+    import ray.data
+
+    pairs = simhash_pairs(sf_dir)
+
+    def sym(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "src": np.concatenate([df["doc_a"].to_numpy(), df["doc_b"].to_numpy()]),
+                "dst": np.concatenate([df["doc_b"].to_numpy(), df["doc_a"].to_numpy()]),
+            }
+        )
+
+    edges = pairs.map_batches(sym, batch_format="pandas").materialize()
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    labels = docs.map_batches(
+        lambda df: df.assign(cluster_rep=df["doc_id"].astype("int64")),
+        batch_format="pandas",
+    ).materialize()
+    prev_sum = labels.sum("cluster_rep")
+
+    def nbr_min(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby("dst", as_index=False)["cluster_rep"].min()
+        return out.rename(columns={"dst": "doc_id"})
+
+    def merge_min(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("doc_id", as_index=False)["cluster_rep"].min()
+
+    for _ in range(max_iters):
+        cand = _join(
+            edges, labels, on=("src",), right_on=("doc_id",), n_joins=1
+        ).map_batches(nbr_min, batch_format="pandas")
+        labels = (
+            labels.union(cand)
+            .groupby("doc_id")
+            .map_groups(merge_min, batch_format="pandas")
+            .materialize()
+        )
+        s = labels.sum("cluster_rep")
+        if s == prev_sum:
+            break
+        prev_sum = s
+    else:
+        raise RuntimeError(
+            f"dup_clusters did not converge in {max_iters} rounds "
+            "(component diameter exceeds the bound — raise max_iters)"
+        )
+    return labels

@@ -577,3 +577,17 @@ def test_tfidf_top_oracle_and_join_fallback(ray_session, monkeypatch):
     import pandas as pd
 
     pd.testing.assert_frame_equal(a, b, check_exact=True)
+
+
+def test_dup_clusters_oracle_and_transitivity(ray_session):
+    """Connected components over the near-dup pair graph: matches the
+    recursive-closure oracle, and every detected pair shares a rep."""
+    from ahrd_ray.stages.dedup import dup_clusters, simhash_pairs
+
+    _assert_matches_oracle("dd_dup_clusters")
+    labels = dup_clusters(SF).to_pandas().set_index("doc_id")["cluster_rep"]
+    pairs = simhash_pairs(SF).to_pandas()
+    assert len(pairs) > 0
+    assert (labels[pairs["doc_a"]].to_numpy() == labels[pairs["doc_b"]].to_numpy()).all()
+    # reps are component minima: every rep maps to itself
+    assert (labels[labels.to_numpy()].to_numpy() == labels.to_numpy()).all()
