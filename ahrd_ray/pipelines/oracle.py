@@ -1388,3 +1388,14 @@ reach(src, dst) AS (
 rmin AS (SELECT src, min(dst) AS m FROM reach GROUP BY src)
 SELECT d.doc_id, CAST(least(d.doc_id, coalesce(m, d.doc_id)) AS BIGINT) AS cluster_rep
 FROM documents d LEFT JOIN rmin ON d.doc_id = rmin.src"""
+
+
+def sql_decontaminate(n: int = 3) -> str:
+    from ahrd_ray.stages.dedup import BENCH_DOC_MOD
+
+    return f"""WITH {_cte_shingles(n)},
+bench AS (SELECT DISTINCT s.sh FROM sh s WHERE s.doc_id % {BENCH_DOC_MOD} = 0)
+SELECT s.doc_id, CAST(count(*) AS BIGINT) AS n_shared
+FROM sh s JOIN bench b ON s.sh = b.sh
+WHERE s.doc_id % {BENCH_DOC_MOD} <> 0
+GROUP BY s.doc_id"""

@@ -316,6 +316,12 @@ def _dedup_queries() -> dict[str, tuple[Callable, str | None]]:
             lambda sf: dd.dup_clusters(sf).map_batches(_int64, batch_format="pyarrow"),
             oracle.sql_dup_clusters(),
         ),
+        # benchmark decontamination: shared-shingle counts vs the benchmark
+        # subset (distinct-shingle semi-join, benchmark-sized small side)
+        "dd_decontaminate": (
+            lambda sf: dd.decontaminate(sf).map_batches(_int64, batch_format="pyarrow"),
+            oracle.sql_decontaminate(),
+        ),
         "sim_near_dup": (
             lambda sf: ss.embedding_near_dup_exact(sf),
             oracle.sql_embedding_near_dup(),

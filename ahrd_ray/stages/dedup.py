@@ -771,3 +771,58 @@ def dup_clusters(sf_dir: str, max_iters: int = 16) -> ray.data.Dataset:
             "(component diameter exceeds the bound — raise max_iters)"
         )
     return labels
+
+
+# Deterministic stand-in for a benchmark/eval set: every 97th doc.  A real
+# pipeline would read the benchmark shingles from a separate small input;
+# the operator shape (distinct-shingle semi-join) is identical.
+BENCH_DOC_MOD = 97
+
+
+def decontaminate(sf_dir: str, n: int = 3) -> ray.data.Dataset:
+    """Benchmark decontamination (the eval-overlap filter every training-
+    data pipeline runs, e.g. GPT-3 appendix C / Gopher §A1.2, public
+    arXiv): for every non-benchmark doc, how many of its distinct word
+    n-gram shingles also appear in ANY benchmark doc.
+
+    Distributed shape: one shingle pass over the corpus; the benchmark
+    side reduces to DISTINCT shingle hashes (a small table at any corpus
+    size — it scales with the benchmark, not the corpus) and joins the
+    candidate stream by hash.  Both sides are per-doc-distinct, so the
+    join emits exactly one row per (doc, shared shingle); docs with zero
+    overlap don't appear (they are clean)."""
+    sh = _shingle_dataset(sf_dir, n)
+
+    def split_bench(df: pd.DataFrame) -> pd.DataFrame:
+        out = df[df["doc_id"] % BENCH_DOC_MOD == 0][["sh"]].drop_duplicates()
+        return out.assign(hit=np.int64(1))
+
+    bench = (
+        sh.map_batches(split_bench, batch_format="pandas")
+        .groupby("sh")
+        .map_groups(lambda df: df.head(1), batch_format="pandas")
+    )
+
+    def cand(df: pd.DataFrame) -> pd.DataFrame:
+        return df[df["doc_id"] % BENCH_DOC_MOD != 0]
+
+    joined = _join(
+        sh.map_batches(cand, batch_format="pandas"),
+        bench,
+        on=("sh",),
+        right_on=("sh",),
+        n_joins=1,
+    )
+
+    def count_partial(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby("doc_id", as_index=False)["hit"].sum()
+        return out.rename(columns={"hit": "n_shared"})
+
+    return (
+        joined.map_batches(count_partial, batch_format="pandas")
+        .groupby("doc_id")
+        .map_groups(
+            lambda df: df.groupby("doc_id", as_index=False)["n_shared"].sum(),
+            batch_format="pandas",
+        )
+    )

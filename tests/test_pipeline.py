@@ -591,3 +591,14 @@ def test_dup_clusters_oracle_and_transitivity(ray_session):
     assert (labels[pairs["doc_a"]].to_numpy() == labels[pairs["doc_b"]].to_numpy()).all()
     # reps are component minima: every rep maps to itself
     assert (labels[labels.to_numpy()].to_numpy() == labels.to_numpy()).all()
+
+
+def test_decontaminate_oracle(ray_session):
+    """Shared-shingle counts vs the benchmark subset match the SQL oracle;
+    benchmark docs themselves never appear in the report."""
+    from ahrd_ray.stages.dedup import BENCH_DOC_MOD, decontaminate
+
+    _assert_matches_oracle("dd_decontaminate")
+    df = decontaminate(SF).to_pandas()
+    assert (df["doc_id"] % BENCH_DOC_MOD != 0).all()
+    assert (df["n_shared"] >= 1).all()
