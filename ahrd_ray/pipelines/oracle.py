@@ -1309,9 +1309,12 @@ def sql_price_band_join() -> str:
     from ahrd_ray.stages.generic import PRICE_BANDS
 
     rows = ", ".join(f"('{b}', {lo!r}, {hi!r})" for b, lo, hi in PRICE_BANDS)
+    # integer 2^-20-unit sum, one final unit->double conversion (a per-band
+    # q20 DOUBLE sum exceeds 2^53 units at sf0.1 — mirrors generic.prep)
     return f"""WITH bands(band, lo, hi) AS (VALUES {rows})
 SELECT band, CAST(count(*) AS BIGINT) AS n_items,
-       sum({_q20('l_extendedprice')}) AS sum_price
+       CAST(sum(CAST(floor(l_extendedprice * {QUANT!r} + 0.5) AS BIGINT)) AS DOUBLE)
+         / {QUANT!r} AS sum_price
 FROM lineitem JOIN bands ON l_extendedprice >= lo AND l_extendedprice < hi
 GROUP BY band"""
 

@@ -589,6 +589,8 @@ def price_band_join(sf_dir: str) -> ray.data.Dataset:
     + one vectorized ``np.searchsorted`` per batch; never a shuffle join.
     Bands are non-uniform, so this is a genuine interval containment, not a
     bucket transform."""
+    from ahrd_ray.config import QUANT
+
     li = ray.data.read_parquet(
         f"{sf_dir}/lineitem.parquet", columns=["l_extendedprice"]
     )
@@ -598,21 +600,28 @@ def price_band_join(sf_dir: str) -> ray.data.Dataset:
     def prep(df: pd.DataFrame) -> pd.DataFrame:
         p = df["l_extendedprice"].to_numpy()
         idx = np.searchsorted(los, p, side="right") - 1
+        # sum in INTEGER 2^-20 units: a per-band q20 DOUBLE sum exceeds
+        # 2^53 units at sf0.1 already (order-dependent low-bit loss); the
+        # int64 unit-sum is exact, and the single final unit->double
+        # conversion rounds identically on both sides
         out = pd.DataFrame(
             {
                 "band": labels[idx],
                 "n_items": np.ones(len(df), dtype=np.int64),
-                "sum_price": q20(p),
+                "price_units": np.floor(p * QUANT + 0.5).astype(np.int64),
             }
         )
         return out.groupby("band", as_index=False).sum()
 
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.groupby("band", as_index=False)[["n_items", "price_units"]].sum()
+        df["sum_price"] = df["price_units"].to_numpy(dtype=np.float64) / QUANT
+        return df[["band", "n_items", "sum_price"]]
+
     return (
         li.map_batches(prep, batch_format="pandas")
         .groupby("band")
-        .map_groups(
-            _final_sum(["band"], ["n_items", "sum_price"]), batch_format="pandas"
-        )
+        .map_groups(finish, batch_format="pandas")
     )
 
 
