@@ -566,20 +566,28 @@ def sql_quality() -> str:
     )
 
 
+def _qsum(expr: str) -> str:
+    """Exact group sum of a 2^-20-quantized measure: sum int64 UNITS, one
+    final unit->double conversion.  A q20 DOUBLE sum goes order-dependent
+    once the group total exceeds 2^53 units (~8.6e9 in value) — caught live
+    by the sf0.1 range-join stress compare; the unit sum is exact to 2^63
+    units and the final CAST rounds identically in numpy and DuckDB."""
+    return (
+        f"CAST(sum(CAST(floor(({expr}) * {QUANT!r} + 0.5) AS BIGINT)) AS DOUBLE)"
+        f" / {QUANT!r}"
+    )
+
+
 def sql_lineitem_agg() -> str:
-    rev = _q20("l_extendedprice * (1.0 - l_discount)")
-    return f"""WITH prep AS (
-  SELECT l_returnflag, l_linestatus, l_quantity, {rev} AS rev FROM lineitem
-)
-SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty,
-       sum(rev) AS sum_rev, count(*) AS n_rows,
+    return f"""SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty,
+       {_qsum('l_extendedprice * (1.0 - l_discount)')} AS sum_rev, count(*) AS n_rows,
        sum(l_quantity) / CAST(count(*) AS DOUBLE) AS avg_qty
-FROM prep GROUP BY l_returnflag, l_linestatus"""
+FROM lineitem GROUP BY l_returnflag, l_linestatus"""
 
 
 def sql_orders_by_segment() -> str:
-    price = _q20("o.o_totalprice")
-    return f"""SELECT c.c_mktsegment, sum({price}) AS sum_price, count(*) AS n_orders
+    return f"""SELECT c.c_mktsegment, {_qsum('o.o_totalprice')} AS sum_price,
+       count(*) AS n_orders
 FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
 GROUP BY c.c_mktsegment"""
 

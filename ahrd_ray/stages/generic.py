@@ -44,6 +44,16 @@ def _final_sum(keys: list[str], cols: list[str]):
     return f
 
 
+def _qunits(x: np.ndarray) -> np.ndarray:
+    """Exact int64 2^-20 units of a measure (floor(x*2^20 + 0.5)) — sum
+    these instead of q20 doubles whenever a group total can exceed 2^53
+    units, then divide ONCE at the end (numpy and DuckDB round the final
+    unit->double conversion identically)."""
+    from ahrd_ray.config import QUANT
+
+    return np.floor(np.asarray(x, dtype=np.float64) * QUANT + 0.5).astype(np.int64)
+
+
 def lineitem_agg(sf_dir: str) -> ray.data.Dataset:
     """TPC-H Q1-style: per (returnflag, linestatus): sum qty, quantized
     revenue sum, row count, avg qty."""
@@ -52,16 +62,20 @@ def lineitem_agg(sf_dir: str) -> ray.data.Dataset:
         columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount"],
     )
 
+    from ahrd_ray.config import QUANT
+
     def prep(df: pd.DataFrame) -> pd.DataFrame:
-        rev = q20(
-            df["l_extendedprice"].to_numpy() * (1.0 - df["l_discount"].to_numpy())
-        )
+        # revenue is summed in exact int64 2^-20 units (see _qunits): a q20
+        # DOUBLE sum exceeds 2^53 units per group past ~sf0.35 and goes
+        # order-dependent — the class of bug the sf0.1 range-join stress
+        # compare caught
+        rev = df["l_extendedprice"].to_numpy() * (1.0 - df["l_discount"].to_numpy())
         out = pd.DataFrame(
             {
                 "l_returnflag": df["l_returnflag"],
                 "l_linestatus": df["l_linestatus"],
                 "sum_qty": df["l_quantity"].to_numpy(),
-                "sum_rev": rev,
+                "rev_units": _qunits(rev),
                 "n_rows": np.ones(len(df), dtype=np.int64),
             }
         )
@@ -69,14 +83,15 @@ def lineitem_agg(sf_dir: str) -> ray.data.Dataset:
 
     partial = li.map_batches(prep, batch_format="pandas")
     final = partial.groupby(["l_returnflag", "l_linestatus"]).map_groups(
-        _final_sum(["l_returnflag", "l_linestatus"], ["sum_qty", "sum_rev", "n_rows"]),
+        _final_sum(["l_returnflag", "l_linestatus"], ["sum_qty", "rev_units", "n_rows"]),
         batch_format="pandas",
     )
 
     def post(df: pd.DataFrame) -> pd.DataFrame:
         df = df.copy()
+        df["sum_rev"] = df["rev_units"].to_numpy(dtype=np.float64) / QUANT
         df["avg_qty"] = df["sum_qty"].to_numpy() / df["n_rows"].to_numpy()
-        return df
+        return df.drop(columns=["rev_units"])
 
     return final.map_batches(post, batch_format="pandas")
 
@@ -116,7 +131,7 @@ def orders_by_segment(sf_dir: str) -> ray.data.Dataset:
             out = pd.DataFrame(
                 {
                     "c_mktsegment": df["o_custkey"].map(seg),
-                    "sum_price": q20(df["o_totalprice"].to_numpy()),
+                    "price_units": _qunits(df["o_totalprice"].to_numpy()),
                     "n_orders": np.ones(len(df), dtype=np.int64),
                 }
             )
@@ -124,7 +139,7 @@ def orders_by_segment(sf_dir: str) -> ray.data.Dataset:
 
         partial = orders.map_batches(join_partial, batch_format="pandas")
         return partial.groupby("c_mktsegment").map_groups(
-            _final_sum(["c_mktsegment"], ["sum_price", "n_orders"]), batch_format="pandas"
+            _seg_finish, batch_format="pandas"
         )
 
     from ahrd_ray.stages.partitioning import join_parts
@@ -133,7 +148,7 @@ def orders_by_segment(sf_dir: str) -> ray.data.Dataset:
         out = pd.DataFrame(
             {
                 "o_custkey": df["o_custkey"].to_numpy(),
-                "sum_price": q20(df["o_totalprice"].to_numpy()),
+                "price_units": _qunits(df["o_totalprice"].to_numpy()),
                 "n_orders": np.ones(len(df), dtype=np.int64),
             }
         )
@@ -152,15 +167,21 @@ def orders_by_segment(sf_dir: str) -> ray.data.Dataset:
     )
 
     def seg_partial(df: pd.DataFrame) -> pd.DataFrame:
-        return df.groupby("c_mktsegment", as_index=False)[["sum_price", "n_orders"]].sum()
+        return df.groupby("c_mktsegment", as_index=False)[["price_units", "n_orders"]].sum()
 
     return (
         joined.map_batches(seg_partial, batch_format="pandas")
         .groupby("c_mktsegment")
-        .map_groups(
-            _final_sum(["c_mktsegment"], ["sum_price", "n_orders"]), batch_format="pandas"
-        )
+        .map_groups(_seg_finish, batch_format="pandas")
     )
+
+
+def _seg_finish(df: pd.DataFrame) -> pd.DataFrame:
+    from ahrd_ray.config import QUANT
+
+    out = df.groupby("c_mktsegment", as_index=False)[["price_units", "n_orders"]].sum()
+    out["sum_price"] = out["price_units"].to_numpy(dtype=np.float64) / QUANT
+    return out[["c_mktsegment", "sum_price", "n_orders"]]
 
 
 def events_hourly(sf_dir: str) -> ray.data.Dataset:
