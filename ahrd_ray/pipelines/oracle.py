@@ -593,9 +593,8 @@ GROUP BY c.c_mktsegment"""
 
 
 def sql_events_hourly() -> str:
-    val = _q20("value")
     return f"""SELECT event_type, date_trunc('hour', ts) AS window_start,
-       sum({val}) AS sum_value, count(*) AS n_events
+       {_qsum('value')} AS sum_value, count(*) AS n_events
 FROM events GROUP BY event_type, date_trunc('hour', ts)"""
 
 
@@ -1061,10 +1060,10 @@ def sql_events_sliding(window_min: int = 30, slide_min: int = 10) -> str:
     return f"""WITH fan AS (
   SELECT event_type,
          time_bucket(INTERVAL '{slide_min} minutes', ts) - o.i * INTERVAL '{s} seconds' AS window_start,
-         {_q20('value')} AS qv
+         value
   FROM events CROSS JOIN (SELECT unnest([{offs}]) AS i) o
 )
-SELECT event_type, window_start, sum(qv) AS sum_value,
+SELECT event_type, window_start, {_qsum('value')} AS sum_value,
        count(*) AS n_events
 FROM fan GROUP BY event_type, window_start"""
 

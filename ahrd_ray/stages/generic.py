@@ -197,7 +197,7 @@ def events_hourly(sf_dir: str) -> ray.data.Dataset:
             {
                 "event_type": df["event_type"],
                 "window_start": df["ts"].dt.floor("h"),
-                "sum_value": q20(df["value"].to_numpy()),
+                "value_units": _qunits(df["value"].to_numpy()),
                 "n_events": np.ones(len(df), dtype=np.int64),
             }
         )
@@ -205,9 +205,22 @@ def events_hourly(sf_dir: str) -> ray.data.Dataset:
 
     partial = ev.map_batches(prep, batch_format="pandas")
     return partial.groupby(["event_type", "window_start"]).map_groups(
-        _final_sum(["event_type", "window_start"], ["sum_value", "n_events"]),
-        batch_format="pandas",
+        _window_finish(["event_type", "window_start"]), batch_format="pandas"
     )
+
+
+def _window_finish(keys):
+    """Exact per-window finalize: sum int64 2^-20 units, convert once (a
+    hot window at web-scale event rates can exceed 2^53 q20 units)."""
+
+    def f(df: pd.DataFrame) -> pd.DataFrame:
+        from ahrd_ray.config import QUANT
+
+        out = df.groupby(keys, as_index=False)[["value_units", "n_events"]].sum()
+        out["sum_value"] = out["value_units"].to_numpy(dtype=np.float64) / QUANT
+        return out[keys + ["sum_value", "n_events"]]
+
+    return f
 
 
 def top_events(sf_dir: str, n: int = 100) -> ray.data.Dataset:
@@ -370,7 +383,7 @@ def events_sliding(sf_dir: str) -> ray.data.Dataset:
                     {
                         "event_type": df["event_type"],
                         "window_start": base - pd.Timedelta(minutes=SLIDE_MIN * i),
-                        "sum_value": q20(df["value"].to_numpy()),
+                        "value_units": _qunits(df["value"].to_numpy()),
                         "n_events": np.ones(len(df), dtype=np.int64),
                     }
                 )
@@ -380,8 +393,7 @@ def events_sliding(sf_dir: str) -> ray.data.Dataset:
 
     partial = ev.map_batches(prep, batch_format="pandas")
     return partial.groupby(["event_type", "window_start"]).map_groups(
-        _final_sum(["event_type", "window_start"], ["sum_value", "n_events"]),
-        batch_format="pandas",
+        _window_finish(["event_type", "window_start"]), batch_format="pandas"
     )
 
 
