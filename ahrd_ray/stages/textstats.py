@@ -373,6 +373,9 @@ def tfidf_top(sf_dir: str) -> ray.data.Dataset:
             {"tf": "int64", "df": "int64"}
         )
 
+    # one execution of the DF aggregate serves both the size probe and the
+    # broadcast/join consumer (count() then to_pandas() would run it twice)
+    df_tbl = df_tbl.materialize()
     df_rows = df_tbl.count()
     if df_rows <= DF_BROADCAST_MAX_ROWS:
         df_pdf = df_tbl.to_pandas()

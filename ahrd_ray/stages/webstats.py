@@ -99,11 +99,28 @@ def canonical_url_of(doc_id: int, lang: str) -> str:
 
 
 def crawl_log(sf_dir: str) -> ray.data.Dataset:
-    from ahrd_ray.pipelines.kg import pages_dataset
-
-    return pages_dataset(sf_dir).map_batches(
-        crawl_batch_from_pages, batch_format="pyarrow", zero_copy_batch=True
+    """Synthesized directly from ``documents`` (url/warc_ts are pure
+    functions of doc_id+lang — same values the pages synth produces)
+    WITHOUT the html synthesis the pages path would pay for and this
+    operator never reads; only doc_id and lang leave storage."""
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"]
     )
+
+    def f(batch: pa.Table) -> pa.Table:
+        epoch = np.datetime64(spec.WARC_EPOCH.replace(" ", "T"), "us")
+        ids = batch["doc_id"].to_numpy()
+        ts = epoch + ids.astype("timedelta64[s]").astype("timedelta64[us]")
+        pages = pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "lang": batch["lang"],
+                "warc_ts": pa.array(ts, type=pa.timestamp("us")),
+            }
+        )
+        return crawl_batch_from_pages(pages)
+
+    return docs.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
 
 
 def normalize_urls(raw: pa.Array) -> pa.Array:
