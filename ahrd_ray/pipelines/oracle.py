@@ -1409,3 +1409,201 @@ SELECT s.doc_id, CAST(count(*) AS BIGINT) AS n_shared
 FROM sh s JOIN bench b ON s.sh = b.sh
 WHERE s.doc_id % {BENCH_DOC_MOD} <> 0
 GROUP BY s.doc_id"""
+
+
+def _cte_cooccur_pairs(cfg: EngineConfig) -> str:
+    """Entity co-occurrence edges over the deduped valid candidate set,
+    capped at the COOCCUR_CAP strongest entities per doc
+    (stages/graph.cooccurrence_edges — see the constant's comment for the
+    measured quadratic blowup the cap prevents)."""
+    from ahrd_ray.stages.graph import COOCCUR_CAP
+
+    return f"""ccands AS (
+  SELECT doc_id, cand_ord FROM (
+    SELECT doc_id, cand_ord, row_number() OVER (
+        PARTITION BY doc_id ORDER BY match_score DESC, cand_ord ASC) AS crn
+    FROM dcands
+  ) WHERE crn <= {COOCCUR_CAP}
+),
+pairs AS (
+  SELECT a.cand_ord AS cand_a, b.cand_ord AS cand_b,
+         CAST(count(*) AS BIGINT) AS n_docs
+  FROM ccands a JOIN ccands b
+    ON a.doc_id = b.doc_id AND a.cand_ord < b.cand_ord
+  GROUP BY 1, 2
+)"""
+
+
+def sql_cooccurrence(cfg: EngineConfig) -> str:
+    return (
+        _with(*_cands_prefix(cfg), cte_valid_dedup(), _cte_cooccur_pairs(cfg))
+        + "\nSELECT cand_a, cand_b, n_docs FROM pairs"
+    )
+
+
+def sql_pagerank(cfg: EngineConfig, iters: int = 5) -> str:
+    """Integer-unit PageRank, iterations unrolled (stages/graph.pagerank).
+
+    Identical arithmetic to the numpy side: BIGINT floor division and exact
+    integer sums, so the fixed-point result hashes bit-equal."""
+    from ahrd_ray.stages.graph import PR_DAMP_DEN, PR_DAMP_NUM, PR_UNIT
+
+    teleport = (PR_DAMP_DEN - PR_DAMP_NUM) * PR_UNIT // PR_DAMP_DEN
+    ctes = [
+        *_cands_prefix(cfg),
+        cte_valid_dedup(),
+        _cte_cooccur_pairs(cfg),
+        """edges AS (
+  SELECT cand_a AS src, cand_b AS dst FROM pairs
+  UNION ALL SELECT cand_b, cand_a FROM pairs
+)""",
+        "deg AS (SELECT src AS node, count(*) AS deg FROM edges GROUP BY 1)",
+        f"r0 AS (SELECT node, CAST({PR_UNIT} AS BIGINT) AS r FROM deg)",
+    ]
+    for k in range(1, iters + 1):
+        ctes.append(
+            f"""r{k} AS (
+  SELECT e.dst AS node,
+         {teleport} + CAST(sum(({PR_DAMP_NUM} * (r.r // d.deg)) // {PR_DAMP_DEN}) AS BIGINT) AS r
+  FROM edges e
+  JOIN r{k - 1} r ON r.node = e.src
+  JOIN deg d ON d.node = e.src
+  GROUP BY e.dst
+)"""
+        )
+    return _with(*ctes) + f"\nSELECT node, r AS rank_units FROM r{iters}"
+
+
+def sql_bigram_counts() -> str:
+    """Corpus bigram frequencies (stages/textstats.bigram_counts): zip the
+    filtered token array against itself shifted by one."""
+    arr = _sql_tok_arr()
+    return f"""WITH toks AS (SELECT {arr} AS arr FROM documents),
+bg AS (
+  SELECT unnest(arr[1:len(arr) - 1]) AS tok_a, unnest(arr[2:len(arr)]) AS tok_b
+  FROM toks WHERE len(arr) >= 2
+)
+SELECT tok_a, tok_b, CAST(count(*) AS BIGINT) AS n FROM bg GROUP BY 1, 2"""
+
+
+def sql_events_row_number() -> str:
+    return (
+        "SELECT event_id, user_id, CAST(row_number() OVER ("
+        "PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS rn FROM events"
+    )
+
+
+def sql_customers_with_big_order() -> str:
+    from ahrd_ray.stages.generic import BIG_ORDER_PRICE
+
+    return (
+        "SELECT c_custkey, c_name, c_acctbal FROM customer WHERE EXISTS ("
+        "SELECT 1 FROM orders WHERE o_custkey = c_custkey"
+        f" AND o_totalprice > {BIG_ORDER_PRICE!r})"
+    )
+
+
+def sql_events_rollup() -> str:
+    return f"""WITH b AS (
+  SELECT event_type, CAST(hour(ts) AS BIGINT) AS hr, value FROM events
+)
+SELECT coalesce(event_type, 'ALL') AS event_type,
+       coalesce(CAST(hr AS VARCHAR), 'ALL') AS hr,
+       CAST(count(*) AS BIGINT) AS n,
+       {_qsum('value')} AS sum_value
+FROM b
+GROUP BY GROUPING SETS ((event_type, hr), (event_type), ())"""
+
+
+# the pivot ORACLE pins the synthetic event vocabulary; the Ray operator
+# discovers it with a distinct pass, so a vocabulary drift shows up as a
+# schema mismatch in the gate rather than silently passing
+PIVOT_EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def sql_event_type_pivot() -> str:
+    cols = ",\n       ".join(
+        f"CAST(count(*) FILTER (event_type = '{t}') AS BIGINT) AS n_{t}"
+        for t in PIVOT_EVENT_TYPES
+    )
+    return f"""SELECT user_id,
+       {cols},
+       CAST(count(*) AS BIGINT) AS n_total
+FROM events GROUP BY user_id"""
+
+
+def sql_cooccur_degree(cfg: EngineConfig) -> str:
+    return (
+        _with(*_cands_prefix(cfg), cte_valid_dedup(), _cte_cooccur_pairs(cfg))
+        + """,
+edges AS (
+  SELECT cand_a AS src, n_docs FROM pairs
+  UNION ALL SELECT cand_b, n_docs FROM pairs
+)
+SELECT src AS node, CAST(count(*) AS BIGINT) AS degree,
+       CAST(sum(n_docs) AS BIGINT) AS w_docs
+FROM edges GROUP BY 1"""
+    )
+
+
+def sql_doc_features() -> str:
+    """Fused doc-feature assembly (stages/textstats.doc_features): the
+    per-feature oracle queries joined on doc_id — proves the one-pass fused
+    map equals the operator-at-a-time plan."""
+    return f"""WITH q AS ({sql_quality()}),
+t AS ({sql_token_counts()}),
+l AS ({sql_langid()}),
+f AS ({sql_fingerprints()})
+SELECT q.doc_id, q.n_chars, q.n_tokens, t.n_distinct, q.stopword_ratio,
+       q.type_token_ratio, q.quality, l.pred_lang, f.fingerprint
+FROM q JOIN t USING (doc_id) JOIN l USING (doc_id) JOIN f USING (doc_id)"""
+
+
+def sql_semantic_clusters(threshold: float = 0.2) -> str:
+    """Connected components over the embedding LSH near-dup pairs
+    (stages/simsearch.semantic_clusters): the LSH+verify CTE chain from
+    sql_embedding_near_dup_lsh, then the same recursive min-reach closure
+    as sql_dup_clusters."""
+    cos = "list_inner_product(na.v, nb.v) / (na.nrm * nb.nrm)"
+    return f"""WITH RECURSIVE q AS (
+  SELECT vec_id, {_QVEC} AS v FROM embeddings
+),
+n AS (SELECT vec_id, v, sqrt(list_inner_product(v, v)) AS nrm FROM q),
+dims AS (SELECT max(len(v)) AS dim FROM q),
+comp AS (SELECT vec_id, generate_subscripts(v, 1) - 1 AS j, unnest(v) AS x FROM q),
+js AS (SELECT DISTINCT j FROM comp),
+pr AS (
+  SELECT i.i, js.j,
+         CASE WHEN ((i.i * d.dim + js.j) * 2654435761) % 97 < 48 THEN 1.0 ELSE -1.0 END AS p
+  FROM (SELECT unnest(range(32)) AS i) i CROSS JOIN js CROSS JOIN dims d
+),
+dots AS (
+  SELECT c.vec_id, p.i, sum(c.x * p.p) AS dp
+  FROM comp c JOIN pr p ON p.j = c.j GROUP BY c.vec_id, p.i
+),
+keys AS (
+  SELECT vec_id, CAST(i // 8 AS INTEGER) AS band,
+         CAST(sum(CASE WHEN dp > 0 THEN (CAST(1 AS BIGINT) << (i % 8)) ELSE 0 END) AS BIGINT) AS key
+  FROM dots GROUP BY vec_id, i // 8
+),
+cand AS (
+  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM keys a JOIN keys b ON a.band = b.band AND a.key = b.key AND a.vec_id < b.vec_id
+),
+pairs AS (
+  SELECT c.vec_a, c.vec_b
+  FROM cand c JOIN n na ON na.vec_id = c.vec_a JOIN n nb ON nb.vec_id = c.vec_b
+  WHERE {cos} >= {threshold!r}
+),
+edges AS (
+  SELECT vec_a AS src, vec_b AS dst FROM pairs
+  UNION ALL SELECT vec_b, vec_a FROM pairs
+),
+reach(src, dst) AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+),
+rmin AS (SELECT src, min(dst) AS m FROM reach GROUP BY src)
+SELECT emb.vec_id, CAST(least(emb.vec_id, coalesce(m, emb.vec_id)) AS BIGINT) AS cluster_rep
+FROM embeddings emb LEFT JOIN rmin ON emb.vec_id = rmin.src"""

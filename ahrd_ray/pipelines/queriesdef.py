@@ -332,6 +332,13 @@ def _dedup_queries() -> dict[str, tuple[Callable, str | None]]:
             ),
             oracle.sql_embedding_near_dup_lsh(),
         ),
+        # SemDeDup-style grouping: components over the LSH pair graph
+        "sim_semantic_clusters": (
+            lambda sf: ss.semantic_clusters(sf).map_batches(
+                _int64, batch_format="pyarrow"
+            ),
+            oracle.sql_semantic_clusters(),
+        ),
         "sim_cosine_topk": (
             lambda sf: ss.cosine_topk(sf).map_batches(_int64, batch_format="pyarrow"),
             oracle.sql_cosine_topk(),
@@ -359,6 +366,14 @@ def _textstats_queries() -> dict[str, tuple[Callable, str | None]]:
         # Gopher-style repetition/diversity stats (type-token ratio,
         # top-token/top-bigram fractions)
         "tx_repetition": (lambda sf: tx.repetition(sf), oracle.sql_repetition()),
+        "tx_bigrams": (
+            lambda sf: tx.bigram_counts(sf).map_batches(_int64, batch_format="pyarrow"),
+            oracle.sql_bigram_counts(),
+        ),
+        "tx_doc_features": (
+            lambda sf: tx.doc_features(sf).map_batches(_int64, batch_format="pyarrow"),
+            oracle.sql_doc_features(),
+        ),
         # corpus-statistic -> per-doc map: top TF-IDF token (distributed DF
         # aggregate, broadcast-or-join dual path)
         "tx_tfidf_top": (
@@ -369,9 +384,24 @@ def _textstats_queries() -> dict[str, tuple[Callable, str | None]]:
 
 
 def _web_queries() -> dict[str, tuple[Callable, str | None]]:
+    from ahrd_ray.sources import formats
     from ahrd_ray.stages import webstats as wb
 
     return {
+        # line-oriented source formats: distributed write -> read roundtrip
+        # proven value-exact against the parquet view
+        "src_jsonl_docs": (
+            lambda sf: formats.read_documents_jsonl(sf).map_batches(
+                _int64, batch_format="pyarrow"
+            ),
+            "SELECT doc_id, text, lang, source, n_chars FROM documents",
+        ),
+        "src_csv_events": (
+            lambda sf: formats.read_events_csv(sf).map_batches(
+                _int64, batch_format="pyarrow"
+            ),
+            "SELECT event_id, ts, user_id, event_type, value, props FROM events",
+        ),
         # vectorized URL canonicalizer over the synthesized crawl log; the
         # oracle re-parses the SAME raw URLs with SQL string functions
         "wb_url_normalize": (
@@ -473,6 +503,28 @@ def _generic_queries() -> dict[str, tuple[Callable, str | None]]:
             lambda sf: g.price_quantiles(sf).map_batches(_int64, batch_format="pyarrow"),
             oracle.sql_price_quantiles(),
         ),
+        # window function: per-user sequence numbering
+        "rel_row_number": (
+            lambda sf: g.events_row_number(sf).map_batches(_int64, batch_format="pyarrow"),
+            oracle.sql_events_row_number(),
+        ),
+        # distributed semi-join (EXISTS) — complement of rel_anti_join
+        "rel_semi_join": (
+            lambda sf: g.customers_with_big_order(sf).map_batches(
+                _int64, batch_format="pyarrow"
+            ),
+            oracle.sql_customers_with_big_order(),
+        ),
+        # GROUPING SETS rollup with exact quantized sums
+        "rel_rollup": (
+            lambda sf: g.events_rollup(sf).map_batches(_int64, batch_format="pyarrow"),
+            oracle.sql_events_rollup(),
+        ),
+        # pivot (crosstab) with discovered type vocabulary
+        "rel_pivot": (
+            lambda sf: g.event_type_pivot(sf).map_batches(_int64, batch_format="pyarrow"),
+            oracle.sql_event_type_pivot(),
+        ),
     }
 
 
@@ -559,4 +611,25 @@ def _kg_queries(cfg) -> dict[str, tuple[Callable, str | None]]:
         # set as the mention path by construction, so the oracles are shared
         "kg_external_candidates": (q_external_candidates, oracle.sql_candidates(cfg)),
         "kg_external_winners": (q_external_winners, oracle.sql_winners(cfg)),
+        "kg_cooccurrence": (q_cooccurrence, oracle.sql_cooccurrence(cfg)),
+        "kg_pagerank": (q_pagerank, oracle.sql_pagerank(cfg)),
+        "kg_entity_degree": (q_entity_degree, oracle.sql_cooccur_degree(cfg)),
     }
+
+
+def q_cooccurrence(sf_dir: str):
+    from ahrd_ray.stages.graph import cooccurrence_edges
+
+    return cooccurrence_edges(sf_dir).map_batches(_int64, batch_format="pyarrow")
+
+
+def q_pagerank(sf_dir: str):
+    from ahrd_ray.stages.graph import pagerank
+
+    return pagerank(sf_dir)
+
+
+def q_entity_degree(sf_dir: str):
+    from ahrd_ray.stages.graph import entity_degree
+
+    return entity_degree(sf_dir).map_batches(_int64, batch_format="pyarrow")

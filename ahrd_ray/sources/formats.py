@@ -1,0 +1,89 @@
+"""Line-oriented source formats: JSONL and CSV readers.
+
+Web-text corpora arrive as JSONL shards at least as often as Parquet
+(Common-Crawl-derived sets, exported crawl logs), so the engine reads both.
+Fixtures are rendered ONCE per sf_dir from the canonical parquet tables with
+the engine's own distributed writers (Dataset.write_json / write_csv — one
+file per block, the resumable-output layout), then read back with
+``ray.data.read_json`` / ``read_csv``; the paired oracle selects straight
+from the parquet view, so the correctness gate proves the full
+write->read roundtrip is value-exact (doubles survive via shortest-roundtrip
+formatting; timestamps via explicit Arrow column_types on the CSV reader
+rather than inference).
+
+Scale: both readers stream file-per-block with column projection pushed to
+the Arrow readers; nothing driver-side.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+
+import pyarrow as pa
+import pyarrow.csv as pacsv
+
+import ray.data
+
+FIXTURE_VERSION = "1"
+
+DOC_COLS = ["doc_id", "text", "lang", "source", "n_chars"]
+EVENT_SCHEMA = {
+    "event_id": pa.int64(),
+    "ts": pa.timestamp("us"),
+    "user_id": pa.int64(),
+    "event_type": pa.string(),
+    "value": pa.float64(),
+    "props": pa.string(),
+}
+
+
+def _fixture_dir(sf_dir: str, kind: str) -> str:
+    tag = hashlib.sha1(f"{sf_dir}:{kind}:v{FIXTURE_VERSION}".encode()).hexdigest()[:12]
+    return f"/tmp/ahrd_ray_formats/{kind}-{tag}"
+
+
+def _render(sf_dir: str, kind: str, write) -> str:
+    out_dir = _fixture_dir(sf_dir, kind)
+    # marker lives BESIDE the data dir so format readers never see it
+    done = out_dir + ".done"
+    if os.path.exists(done):
+        return out_dir
+    os.makedirs(out_dir, exist_ok=True)
+    write(out_dir)
+    with open(done, "w") as f:
+        f.write("ok")
+    return out_dir
+
+
+def documents_jsonl_dir(sf_dir: str) -> str:
+    """Documents as JSONL shards (one file per input block)."""
+
+    def write(out_dir: str) -> None:
+        ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=DOC_COLS).write_json(
+            out_dir
+        )
+
+    return _render(sf_dir, "docs-jsonl", write)
+
+
+def read_documents_jsonl(sf_dir: str) -> ray.data.Dataset:
+    ds = ray.data.read_json(documents_jsonl_dir(sf_dir))
+    return ds.select_columns(DOC_COLS)
+
+
+def events_csv_dir(sf_dir: str) -> str:
+    """Events as CSV shards."""
+
+    def write(out_dir: str) -> None:
+        ray.data.read_parquet(f"{sf_dir}/events.parquet").write_csv(out_dir)
+
+    return _render(sf_dir, "events-csv", write)
+
+
+def read_events_csv(sf_dir: str) -> ray.data.Dataset:
+    # explicit column types: CSV carries no schema, and inferring timestamps
+    # or wide ints per file invites per-shard divergence at scale
+    convert = pacsv.ConvertOptions(column_types=EVENT_SCHEMA)
+    ds = ray.data.read_csv(events_csv_dir(sf_dir), convert_options=convert)
+    return ds.select_columns(list(EVENT_SCHEMA))

@@ -711,7 +711,26 @@ def simhash_pairs(sf_dir: str, radius: int = 3) -> ray.data.Dataset:
 def dup_clusters(sf_dir: str, max_iters: int = 16) -> ray.data.Dataset:
     """Near-duplicate CLUSTER assignment: connected components over the
     SimHash near-dup pair graph — (doc_id, cluster_rep) with the rep the
-    smallest doc_id in the component (isolated docs are their own rep).
+    smallest doc_id in the component (isolated docs are their own rep)."""
+    import ray.data
+
+    ids = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    return min_label_components(
+        simhash_pairs(sf_dir), ids, pair_cols=("doc_a", "doc_b"), id_col="doc_id",
+        max_iters=max_iters,
+    )
+
+
+def min_label_components(
+    pairs: "ray.data.Dataset",
+    ids: "ray.data.Dataset",
+    pair_cols: tuple[str, str] = ("doc_a", "doc_b"),
+    id_col: str = "doc_id",
+    max_iters: int = 16,
+) -> "ray.data.Dataset":
+    """Connected components over an undirected pair graph — (id,
+    cluster_rep) with the rep the smallest id in the component (isolated
+    ids are their own rep).
 
     Pair detection finds edges; deduplication needs the transitive closure
     (A~B, B~C => keep one of {A,B,C}).  Ray Data has no graph operator, so
@@ -720,26 +739,30 @@ def dup_clusters(sf_dir: str, max_iters: int = 16) -> ray.data.Dataset:
     neighbour labels, and merges with the node's own label.  Rounds needed
     = component diameter — tiny for near-dup clusters (they are
     quasi-cliques), never the corpus.  Labels are materialized per round
-    (one slim row per doc — the same object-store-resident-state class as
+    (one slim row per id — the same object-store-resident-state class as
     the canonicalize barrier) so lineage does not accumulate; convergence
     is detected by the monotone non-increasing label sum."""
     import ray.data
 
-    pairs = simhash_pairs(sf_dir)
+    ca, cb = pair_cols
 
     def sym(df: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame(
             {
-                "src": np.concatenate([df["doc_a"].to_numpy(), df["doc_b"].to_numpy()]),
-                "dst": np.concatenate([df["doc_b"].to_numpy(), df["doc_a"].to_numpy()]),
+                "src": np.concatenate([df[ca].to_numpy(), df[cb].to_numpy()]),
+                "dst": np.concatenate([df[cb].to_numpy(), df[ca].to_numpy()]),
             }
         )
 
     edges = pairs.map_batches(sym, batch_format="pandas").materialize()
 
-    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
-    labels = docs.map_batches(
-        lambda df: df.assign(cluster_rep=df["doc_id"].astype("int64")),
+    labels = ids.map_batches(
+        lambda df: pd.DataFrame(
+            {
+                "doc_id": df[id_col].astype("int64"),
+                "cluster_rep": df[id_col].astype("int64"),
+            }
+        ),
         batch_format="pandas",
     ).materialize()
     prev_sum = labels.sum("cluster_rep")
@@ -767,7 +790,7 @@ def dup_clusters(sf_dir: str, max_iters: int = 16) -> ray.data.Dataset:
         prev_sum = s
     else:
         raise RuntimeError(
-            f"dup_clusters did not converge in {max_iters} rounds "
+            f"min_label_components did not converge in {max_iters} rounds "
             "(component diameter exceeds the bound — raise max_iters)"
         )
     return labels

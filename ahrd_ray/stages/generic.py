@@ -798,3 +798,176 @@ def price_quantiles(sf_dir: str) -> ray.data.Dataset:
         .groupby(["l_returnflag", "bin"])
         .map_groups(pick, batch_format="pandas")
     )
+
+
+def events_row_number(sf_dir: str) -> ray.data.Dataset:
+    """Per-user sequence numbering: rn = row_number() over (partition by
+    user_id order by ts, event_id).  The window-function surface the
+    sessionizer builds on, exposed as its own operator.
+
+    Shape: one hash shuffle by user (sequence numbering inherently needs a
+    user's rows co-located and ordered); inside a partition the numbering
+    is a sort + segmented cumcount, vectorized.  Skew note: a bot user's
+    whole history lands on one reducer — the same bound sessionize carries;
+    salting cannot help because rn is a total order per user."""
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "ts", "user_id"]
+    )
+    n_parts = n_hash_parts()
+
+    def tag(df: pd.DataFrame) -> pd.DataFrame:
+        return df.assign(upart=(df["user_id"] % n_parts).astype("int32"))
+
+    def number(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        rn = df.groupby("user_id").cumcount().to_numpy() + 1
+        return pd.DataFrame(
+            {
+                "event_id": df["event_id"].to_numpy(),
+                "user_id": df["user_id"].to_numpy(),
+                "rn": rn.astype(np.int64),
+            }
+        )
+
+    return (
+        ev.map_batches(tag, batch_format="pandas")
+        .groupby("upart")
+        .map_groups(number, batch_format="pandas")
+    )
+
+
+def customers_with_big_order(sf_dir: str) -> ray.data.Dataset:
+    """Distributed semi-join (EXISTS): customers that placed >= 1 order
+    above BIG_ORDER_PRICE — the complement of
+    :func:`customers_without_big_order`, same key-distinct-then-join shape
+    (output carries customer attributes exactly once regardless of how
+    many qualifying orders exist — the semi-join contract a plain inner
+    join breaks)."""
+    from ahrd_ray.stages.partitioning import join_parts
+
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name", "c_acctbal"]
+    )
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
+    )
+
+    def big_keys(df: pd.DataFrame) -> pd.DataFrame:
+        keys = df.loc[df["o_totalprice"] > BIG_ORDER_PRICE, ["o_custkey"]]
+        return keys.drop_duplicates()
+
+    big = (
+        orders.map_batches(big_keys, batch_format="pandas")
+        .groupby("o_custkey")
+        .map_groups(lambda df: df.head(1), batch_format="pandas")
+    )
+    joined = cust.join(
+        big,
+        "inner",
+        num_partitions=join_parts(1),
+        on=("c_custkey",),
+        right_on=("o_custkey",),
+        aggregator_ray_remote_args={"num_cpus": 0.25},
+    )
+    return joined.map_batches(
+        lambda df: df[["c_custkey", "c_name", "c_acctbal"]], batch_format="pandas"
+    )
+
+
+def events_rollup(sf_dir: str) -> ray.data.Dataset:
+    """Multi-level aggregate (GROUPING SETS): event counts and exact
+    quantized value sums per (event_type, hour-of-day), per event_type,
+    and the grand total, with 'ALL' as the rolled-up key value.
+
+    Shape: ONE distributed pass builds the finest-grain (type, hour)
+    aggregate (map-side partial, tiny groupby — at most |types| x 24
+    groups); the coarser levels derive from that small table, not from
+    re-scanning the input."""
+    from ahrd_ray.config import QUANT
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["ts", "event_type", "value"]
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame(
+            {
+                "event_type": df["event_type"],
+                "hr": df["ts"].dt.hour.astype(np.int64),
+                "v_units": _qunits(df["value"].to_numpy()),
+                "n": np.ones(len(df), dtype=np.int64),
+            }
+        )
+        return out.groupby(["event_type", "hr"], as_index=False).sum()
+
+    base = (
+        ev.map_batches(partial, batch_format="pandas")
+        .groupby(["event_type", "hr"])
+        .map_groups(
+            _final_sum(["event_type", "hr"], ["v_units", "n"]), batch_format="pandas"
+        )
+    )
+
+    def rollup(df: pd.DataFrame) -> pd.DataFrame:
+        fine = pd.DataFrame(
+            {
+                "event_type": df["event_type"].astype(str),
+                "hr": df["hr"].astype(str),
+                "v_units": df["v_units"],
+                "n": df["n"],
+            }
+        )
+        per_type = df.groupby("event_type", as_index=False)[["v_units", "n"]].sum()
+        mid = per_type.assign(hr="ALL")[["event_type", "hr", "v_units", "n"]]
+        total = pd.DataFrame(
+            {
+                "event_type": ["ALL"],
+                "hr": ["ALL"],
+                "v_units": [df["v_units"].sum()],
+                "n": [df["n"].sum()],
+            }
+        )
+        out = pd.concat([fine, mid, total], ignore_index=True)
+        out["sum_value"] = out["v_units"].to_numpy(dtype=np.float64) / QUANT
+        return out[["event_type", "hr", "n", "sum_value"]].astype({"n": "int64"})
+
+    # the base aggregate is |types| x 24 rows — roll up in one block
+    return base.repartition(1).map_batches(rollup, batch_format="pandas", batch_size=None)
+
+
+def event_type_pivot(sf_dir: str) -> ray.data.Dataset:
+    """Pivot: one row per user_id, one count column per event_type
+    (n_<type>), plus n_total.  The observed type vocabulary is discovered
+    with a tiny distinct pass (broadcast to the pivot stage), NOT
+    hardcoded — at web scale the distinct pass is the standard prelude to
+    any pivot.
+
+    Shape: per-batch crosstab partial (rows leave each block already
+    pivoted: one row per user per block), then a user-keyed finalize."""
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_type"]
+    )
+    types = sorted(
+        r["event_type"]
+        for r in ev.groupby("event_type").count().select_columns(["event_type"]).take_all()
+    )
+    cols = [f"n_{t}" for t in types]
+    n_parts = n_hash_parts()
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        ct = pd.crosstab(df["user_id"], df["event_type"])
+        ct = ct.reindex(columns=types, fill_value=0).astype(np.int64)
+        ct.columns = cols
+        ct = ct.reset_index()
+        return ct.assign(upart=(ct["user_id"] % n_parts).astype("int32"))
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby("user_id", as_index=False)[cols].sum()
+        out["n_total"] = out[cols].sum(axis=1)
+        return out
+
+    return (
+        ev.map_batches(partial, batch_format="pandas")
+        .groupby("upart")
+        .map_groups(final, batch_format="pandas")
+    )

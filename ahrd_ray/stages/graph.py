@@ -1,0 +1,271 @@
+"""Knowledge-graph construction over the mention stream: entity
+co-occurrence edges and an integer-exact PageRank over them.
+
+* ``cooccurrence_edges`` — for every document, the deduped valid candidate
+  set (the same M8 validity + S4 HSP dedup that feeds scoring, see
+  functions/scoring.dedup_valid_candidates; reference semantics
+  BlastResult.java:240-268/:457-465) defines the entities "present" in the
+  doc; each unordered entity pair co-occurring in a doc is one edge
+  observation.  Classic KG edge building: the edge weight ``n_docs`` is the
+  number of documents where both entities appear.
+  Scale shape: pair generation happens INSIDE the existing
+  ``groupby(spart = doc_id % P)`` scoring shuffle (docs never straddle
+  groups), partial pair counts combine map-side, and only the (a, b,
+  partial) triples shuffle to a pair-hash finalize — the dedup.py
+  ``_pair_counts`` shape.  Per-doc pair fan-out is quadratic in
+  entities-per-doc and is bounded by the deterministic COOCCUR_CAP
+  strongest-entities-per-doc cut (see the constant's comment for the
+  measured blowup that forces it).
+
+* ``pagerank`` — damping-0.85 PageRank over the undirected co-occurrence
+  graph, ``iters`` fixed iterations, ALL arithmetic in int64 rank units so
+  the result is bit-identical to the DuckDB oracle and order-independent:
+
+      r0(v)   = U                 (U = 10^9 units = rank 1.0)
+      r_{k+1}(v) = (15*U)//100 + sum_{u->v} (85 * (r_k(u) // deg(u))) // 100
+
+  Integer floor-division both sides; sums of int64 are exact and
+  order-independent, so no float summation-order hazard (the q20-overflow
+  class from round 3).  Undirected edges mean every node has out-degree
+  >= 1 — no dangling-mass term.  int64 bound: contributions are < U each
+  and a node receives < |V| of them, so ranks stay < |V| * U; with
+  U = 10^9 the 85*r intermediate stays below 2^63 while |V| < ~1e8
+  entities.  For a larger entity catalog, shrink U (units are relative).
+
+  Distribution shape: ranks/degrees are |V|-sized dense int64 vectors over
+  the dense ``cand_ord`` ordinal — the same small-side scale class as the
+  broadcast entity catalog this engine already ships to every worker
+  (stages/score.py).  Each iteration is one streaming pass over the edge
+  dataset (map_batches does a per-batch ``np.bincount`` partial, a
+  pair-hash groupby finalizes per-node sums), then the |V| vector updates
+  on the driver and re-broadcasts via ray.put.  Edges are materialized
+  ONCE and re-read zero-copy from the object store across iterations.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray
+import ray.data
+
+from ahrd_ray.functions.scoring import dedup_valid_candidates
+from ahrd_ray.stages.partitioning import n_hash_parts
+
+PR_UNIT = 10**9  # rank 1.0 in int64 units
+PR_DAMP_NUM, PR_DAMP_DEN = 85, 100
+PR_ITERS = 5
+
+# Per-doc entity cap before pair generation.  Pair fan-out is quadratic in
+# entities-per-doc: the synthetic corpus averages ~2800 deduped entities per
+# doc at sf0.1 — 21.8e9 uncapped pairs, measured, i.e. unrunnable at ANY
+# scale — so the edge builder keeps only the strongest COOCCUR_CAP entities
+# per doc (match_score desc, cand_ord asc — a total order), the same
+# bounded-candidate-list move the reference makes (AHRD.java:160's 200-cap).
+# 64 keeps pairs at <= 2016 per doc.
+COOCCUR_CAP = 64
+
+
+def _pairs_within_docs(doc: np.ndarray, cand: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """All unordered (cand_a < cand_b) pairs within each doc, vectorized.
+
+    Rows are (doc, cand) with cand distinct per doc (post-dedup).  Sorts by
+    (doc, cand) and expands each doc segment into its upper-triangle pairs
+    with repeat/cumsum index arithmetic — no per-doc Python loop.
+    """
+    order = np.lexsort((cand, doc))
+    d, c = doc[order], cand[order]
+    n = len(d)
+    if n == 0:
+        empty = np.empty(0, dtype=cand.dtype)
+        return empty, empty
+    starts = np.flatnonzero(np.r_[True, d[1:] != d[:-1]])
+    seg_len = np.diff(np.r_[starts, n])
+    # row r at 0-based position q of a length-L segment is the FIRST element
+    # of (L - 1 - q) pairs
+    pos = np.arange(n) - np.repeat(starts, seg_len)
+    reps = np.repeat(seg_len, seg_len) - 1 - pos
+    firsts = np.repeat(np.arange(n), reps)
+    run_ends = np.cumsum(reps)
+    off = np.arange(run_ends[-1] if len(run_ends) else 0) - np.repeat(
+        run_ends - reps, reps
+    )
+    seconds = firsts + 1 + off
+    return c[firsts], c[seconds]
+
+
+def cooccurrence_edges(sf_dir: str) -> ray.data.Dataset:
+    """(cand_a, cand_b, n_docs) co-occurrence edge list, cand_a < cand_b."""
+    from ahrd_ray.pipelines import kg
+    from ahrd_ray.stages.score import get_broadcast
+
+    ctx = kg.PipelineContext(sf_dir)
+    catalog_ref = ctx.catalog_ref
+    n_parts = n_hash_parts()
+
+    def partial_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        bundle = get_broadcast(catalog_ref)
+        ded = dedup_valid_candidates(df, bundle.arrays)
+        # strongest COOCCUR_CAP entities per doc (see constant above)
+        ded = ded.sort_values(
+            ["doc_id", "match_score", "cand_ord"],
+            ascending=[True, False, True],
+            kind="mergesort",
+        )
+        ded = ded[ded.groupby("doc_id").cumcount() < COOCCUR_CAP]
+        a, b = _pairs_within_docs(
+            ded["doc_id"].to_numpy(), ded["cand_ord"].to_numpy()
+        )
+        out = pd.DataFrame({"cand_a": a, "cand_b": b}).groupby(
+            ["cand_a", "cand_b"], as_index=False
+        ).size().rename(columns={"size": "n_docs"})
+        out["ppart"] = ((out["cand_a"] * 1000003 + out["cand_b"]) % n_parts).astype(
+            "int32"
+        )
+        return out
+
+    return (
+        kg.candidates_dataset(ctx)
+        .groupby("spart")
+        .map_groups(partial_pairs, batch_format="pandas")
+        .groupby("ppart")
+        .map_groups(
+            lambda df: df.groupby(["cand_a", "cand_b"], as_index=False)[
+                "n_docs"
+            ].sum(),
+            batch_format="pandas",
+        )
+    )
+
+
+def entity_degree(sf_dir: str) -> ray.data.Dataset:
+    """(node, degree, w_docs) per entity: distinct co-occurring neighbors
+    and total co-occurrence weight — the KG node-statistics pass.  One
+    map-side partial over the edge list (each edge contributes to both
+    endpoints), node-hash finalize."""
+    n_parts = n_hash_parts()
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        a = batch["cand_a"].to_numpy()
+        b = batch["cand_b"].to_numpy()
+        w = batch["n_docs"].to_numpy()
+        df = pd.DataFrame(
+            {
+                "node": np.concatenate([a, b]),
+                "degree": np.ones(2 * len(a), dtype=np.int64),
+                "w_docs": np.concatenate([w, w]),
+            }
+        )
+        out = df.groupby("node", as_index=False).sum()
+        out["npart"] = (out["node"] % n_parts).astype("int32")
+        return out
+
+    return (
+        cooccurrence_edges(sf_dir)
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("npart")
+        .map_groups(
+            lambda df: df.groupby("node", as_index=False)[["degree", "w_docs"]].sum(),
+            batch_format="pandas",
+        )
+    )
+
+
+def _segment_sums(dst: np.ndarray, contrib: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Exact int64 per-dst sums (np.bincount would go through float64)."""
+    order = np.argsort(dst, kind="stable")
+    ds_, cs_ = dst[order], contrib[order]
+    if len(ds_) == 0:
+        return ds_, cs_
+    starts = np.flatnonzero(np.r_[True, ds_[1:] != ds_[:-1]])
+    return ds_[starts], np.add.reduceat(cs_, starts)
+
+
+def _edge_sweep(edges: ray.data.Dataset, contrib_fn, n_nodes: int) -> np.ndarray:
+    """One streaming pass over the edge dataset: per-batch int64 partial
+    sums per dst node (map-side combine), node-hash groupby finalize, then
+    the small per-node table gathers into a dense |V| vector on the driver
+    (|V| is broadcast-small by the same assumption as the entity catalog).
+    ``contrib_fn(src) -> int64 contribution per edge``."""
+    n_parts = n_hash_parts()
+
+    def partial(batch: pa.Table) -> pa.Table:
+        src = batch["src"].to_numpy()
+        dst = batch["dst"].to_numpy()
+        nodes, totals = _segment_sums(dst, contrib_fn(src))
+        return pa.table(
+            {
+                "node": pa.array(nodes, type=pa.int64()),
+                "c": pa.array(totals, type=pa.int64()),
+                "npart": pa.array((nodes % n_parts).astype(np.int32), type=pa.int32()),
+            }
+        )
+
+    per_node = (
+        edges.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("npart")
+        .map_groups(
+            lambda df: df.groupby("node", as_index=False)["c"].sum(),
+            batch_format="pandas",
+        )
+    )
+    dense = np.zeros(n_nodes, dtype=np.int64)
+    for b in per_node.iter_batches(batch_format="pyarrow"):
+        dense[b["node"].to_numpy()] = b["c"].to_numpy()
+    return dense
+
+
+def pagerank(sf_dir: str, iters: int = PR_ITERS) -> pa.Table:
+    """(node, rank_units) after ``iters`` integer-unit PageRank iterations
+    over the undirected co-occurrence graph.  Nodes are cand_ord values
+    with >= 1 edge."""
+    from ahrd_ray.pipelines import kg
+
+    ctx = kg.PipelineContext(sf_dir)
+    n_nodes = ctx.bundle.n
+
+    # undirected: each (a, b) edge contributes both directions
+    def both_dirs(batch: pa.Table) -> pa.Table:
+        a = batch["cand_a"].to_numpy()
+        b = batch["cand_b"].to_numpy()
+        return pa.table(
+            {
+                "src": pa.array(np.concatenate([a, b]), type=pa.int64()),
+                "dst": pa.array(np.concatenate([b, a]), type=pa.int64()),
+            }
+        )
+
+    edges = (
+        cooccurrence_edges(sf_dir)
+        .map_batches(both_dirs, batch_format="pyarrow")
+        .materialize()
+    )
+
+    # degrees: one sweep with unit contributions (src/dst symmetric)
+    deg = _edge_sweep(edges, lambda src: np.ones(len(src), dtype=np.int64), n_nodes)
+
+    in_graph = deg > 0
+    ranks = np.where(in_graph, np.int64(PR_UNIT), np.int64(0))
+    teleport = (PR_DAMP_DEN - PR_DAMP_NUM) * PR_UNIT // PR_DAMP_DEN
+    safe_deg = np.maximum(deg, 1)
+    for _ in range(iters):
+        state_ref = ray.put((ranks.copy(), safe_deg))
+
+        def contrib(src, _ref=state_ref):
+            from ahrd_ray.stages.score import get_broadcast
+
+            r, d = get_broadcast(_ref)
+            return (PR_DAMP_NUM * (r[src] // d[src])) // PR_DAMP_DEN
+
+        sums = _edge_sweep(edges, contrib, n_nodes)
+        ranks = np.where(in_graph, teleport + sums, 0)
+
+    nodes = np.flatnonzero(in_graph)
+    return pa.table(
+        {
+            "node": pa.array(nodes.astype(np.int64), type=pa.int64()),
+            "rank_units": pa.array(ranks[nodes], type=pa.int64()),
+        }
+    )

@@ -404,3 +404,23 @@ def cosine_topk_ivf(
         return df[["query_id", "neighbor_id", "rank", "cosine"]]
 
     return partial.groupby("query_id").map_groups(final_topk, batch_format="pandas")
+
+
+def semantic_clusters(sf_dir: str, threshold: float = 0.2) -> ray.data.Dataset:
+    """Embedding-space near-duplicate CLUSTERS: connected components over
+    the sign-LSH verified cosine pair graph — (vec_id, cluster_rep) with
+    the rep the smallest vec_id in the component.  The semantic analogue
+    of the SimHash dup_clusters: pair detection finds edges, dedup needs
+    the transitive closure (SemDeDup-style grouping, public literature)."""
+    from ahrd_ray.stages.dedup import min_label_components
+
+    pairs = embedding_near_dup_pairs(sf_dir, threshold)
+    ids = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id"])
+    labels = min_label_components(
+        pairs, ids, pair_cols=("vec_a", "vec_b"), id_col="vec_id"
+    )
+    import pandas as pd
+
+    return labels.map_batches(
+        lambda df: df.rename(columns={"doc_id": "vec_id"}), batch_format="pandas"
+    )

@@ -54,14 +54,16 @@ def token_counts(sf_dir: str) -> ray.data.Dataset:
     return docs.map_batches(token_count_batch, batch_format="pyarrow")
 
 
-def quality_batch(batch: pa.Table) -> pa.Table:
+def quality_batch(batch: pa.Table, split=None) -> pa.Table:
     """Heuristic quality score per doc.
 
     quality = q20((1 - stopword_ratio) * 0.6 + ttr * 0.4) where ttr is the
     type-token ratio; every term is a ratio of exact integers, the final
     combination is a fixed-order expression mirrored in the oracle SQL.
+    ``split`` lets a fused caller pass precomputed ``_split_counts`` output
+    so the tokenizer runs once per batch, not once per feature.
     """
-    row, toks = _split_counts(batch)
+    row, toks = split if split is not None else _split_counts(batch)
     n = len(batch)
     n_tokens = np.bincount(row, minlength=n).astype(np.float64)
     stop_mask = np.isin(toks, STOPWORDS)
@@ -417,3 +419,84 @@ def tfidf_top(sf_dir: str) -> ray.data.Dataset:
 def _df_final(df: pd.DataFrame) -> pd.DataFrame:
     out = df.groupby("token", as_index=False)["df"].sum()
     return out.astype({"df": "int64"})
+
+
+def doc_features(sf_dir: str) -> ray.data.Dataset:
+    """Fused per-document feature assembly: token counts, quality ratios,
+    language-ID and winnowing fingerprint in ONE map pass over documents —
+    the shape a real training-data pipeline ships (one scan, one output
+    row per doc), instead of N scans joined afterwards.  The tokenizer
+    runs once per batch and feeds every token-derived feature.  The oracle
+    composes the per-feature SQL builders with joins, so the fusion is
+    proven equivalent to the operator-at-a-time plan."""
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def f(batch: pa.Table) -> pa.Table:
+        split = _split_counts(batch)
+        q = quality_batch(batch, split=split)
+        row, toks = split
+        dd = pd.DataFrame({"row": row, "tok": toks}).drop_duplicates()
+        n_distinct = np.bincount(
+            dd["row"].to_numpy(), minlength=len(batch)
+        ).astype(np.int64)
+        text = batch["text"].combine_chunks()
+        preds = langid_batch(text)
+        fp = fingerprint_batch(text)
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "n_chars": q["n_chars"],
+                "n_tokens": q["n_tokens"],
+                "n_distinct": pa.array(n_distinct, type=pa.int64()),
+                "stopword_ratio": q["stopword_ratio"],
+                "type_token_ratio": q["type_token_ratio"],
+                "quality": q["quality"],
+                "pred_lang": pa.array(preds, type=pa.string()),
+                "fingerprint": pa.array(fp.astype(np.int64), type=pa.int64()),
+            }
+        )
+
+    return docs.map_batches(f, batch_format="pyarrow")
+
+
+def bigram_counts(sf_dir: str) -> ray.data.Dataset:
+    """Corpus-level bigram frequencies (tok_a, tok_b, n) — the n-gram LM /
+    contamination-analysis staple.  Adjacency is over the non-empty token
+    sequence per document (same tokenizer as token_counts).
+
+    Scale shape: bigrams never cross documents, so the per-batch partial
+    count combines map-side and only (tok_a, tok_b, partial_n) rows — at
+    most vocab² per batch, in practice near the distinct-bigram count —
+    shuffle to a pair-hash finalize."""
+    from ahrd_ray.functions.hash61 import polyhash_arr
+    from ahrd_ray.stages.partitioning import n_hash_parts
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    n_parts = n_hash_parts()
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        row, toks = _split_counts(batch)
+        adj = row[1:] == row[:-1]
+        out = (
+            pd.DataFrame({"tok_a": toks[:-1][adj], "tok_b": toks[1:][adj]})
+            .groupby(["tok_a", "tok_b"], as_index=False)
+            .size()
+            .rename(columns={"size": "n"})
+        )
+        ha = polyhash_arr(out["tok_a"].to_numpy()).astype(np.uint64)
+        hb = polyhash_arr(out["tok_b"].to_numpy()).astype(np.uint64)
+        out["bpart"] = ((ha * np.uint64(1000003) + hb) % np.uint64(n_parts)).astype(
+            "int32"
+        )
+        return out
+
+    return (
+        docs.map_batches(partial, batch_format="pyarrow")
+        .groupby("bpart")
+        .map_groups(
+            lambda df: df.groupby(["tok_a", "tok_b"], as_index=False)["n"]
+            .sum()
+            .astype({"n": "int64"}),
+            batch_format="pandas",
+        )
+    )

@@ -1,0 +1,74 @@
+"""Co-occurrence edge building + integer-unit PageRank (stages/graph)."""
+
+import numpy as np
+import pytest
+
+from ahrd_ray.stages.graph import PR_UNIT, _pairs_within_docs, _segment_sums
+
+SF = "/root/testdata/sf0.001"
+
+
+def _ref_pairs(doc, cand):
+    from collections import defaultdict
+    from itertools import combinations
+
+    by_doc = defaultdict(list)
+    for d, c in zip(doc, cand):
+        by_doc[d].append(c)
+    out = []
+    for d in by_doc:
+        out += [tuple(sorted(p)) for p in combinations(sorted(by_doc[d]), 2)]
+    return sorted(out)
+
+
+def test_pairs_within_docs_matches_itertools():
+    rng = np.random.default_rng(7)
+    doc = rng.integers(0, 40, size=500)
+    # distinct cand per (doc) as post-dedup guarantees: build via unique rows
+    cand = rng.integers(0, 60, size=500)
+    uniq = {(d, c) for d, c in zip(doc, cand)}
+    doc = np.array([d for d, _ in uniq], dtype=np.int64)
+    cand = np.array([c for _, c in uniq], dtype=np.int64)
+    a, b = _pairs_within_docs(doc, cand)
+    got = sorted(zip(a.tolist(), b.tolist()))
+    assert got == _ref_pairs(doc, cand)
+    assert (a < b).all()
+
+
+def test_pairs_within_docs_degenerate():
+    e = np.empty(0, dtype=np.int64)
+    a, b = _pairs_within_docs(e, e)
+    assert len(a) == 0
+    # singleton docs produce no pairs
+    a, b = _pairs_within_docs(np.array([1, 2, 3]), np.array([9, 8, 7]))
+    assert len(a) == 0
+
+
+def test_segment_sums_exact_int64():
+    dst = np.array([3, 1, 3, 1, 3], dtype=np.int64)
+    c = np.array([2**52, 5, 2**52, 7, 1], dtype=np.int64)
+    nodes, totals = _segment_sums(dst, c)
+    assert nodes.tolist() == [1, 3]
+    assert totals.tolist() == [12, 2**53 + 1]
+    assert totals.dtype == np.int64
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_pagerank_mass_and_determinism():
+    from ahrd_ray.stages.graph import cooccurrence_edges, pagerank
+
+    t = pagerank(SF)
+    ranks = t["rank_units"].to_numpy()
+    nodes = t["node"].to_numpy()
+    assert len(nodes) == len(set(nodes.tolist()))
+    # teleport floor: every in-graph node keeps at least the 0.15*U term
+    assert (ranks >= (15 * PR_UNIT) // 100).all()
+    # integer mass is conserved up to floor-division loss: total <= N * U
+    assert ranks.sum() <= len(ranks) * PR_UNIT
+    # deterministic across runs (integer arithmetic, order-independent sums)
+    t2 = pagerank(SF)
+    assert t.sort_by("node").equals(t2.sort_by("node"))
+    # edge list is canonical: a < b, positive weights
+    e = cooccurrence_edges(SF).to_pandas()
+    assert (e.cand_a < e.cand_b).all()
+    assert (e.n_docs > 0).all()

@@ -1,0 +1,59 @@
+"""Window rank, semi-join, rollup, pivot (stages/generic, round-3 batch)."""
+
+import numpy as np
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_row_number_is_dense_per_user():
+    from ahrd_ray.stages.generic import events_row_number
+
+    df = events_row_number(SF).to_pandas()
+    for _, g in df.groupby("user_id"):
+        rn = np.sort(g["rn"].to_numpy())
+        assert (rn == np.arange(1, len(g) + 1)).all()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_semi_and_anti_join_partition_customers():
+    from ahrd_ray.stages.generic import (
+        customers_with_big_order,
+        customers_without_big_order,
+    )
+    import pyarrow.parquet as pq
+
+    with_ = customers_with_big_order(SF).to_pandas()
+    without = customers_without_big_order(SF).to_pandas()
+    n_cust = pq.read_metadata(f"{SF}/customer.parquet").num_rows
+    assert len(with_) + len(without) == n_cust
+    assert not set(with_.c_custkey) & set(without.c_custkey)
+    # semi-join contract: one output row per customer, not per order
+    assert with_.c_custkey.is_unique
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_rollup_levels_are_consistent():
+    from ahrd_ray.stages.generic import events_rollup
+
+    df = events_rollup(SF).to_pandas()
+    fine = df[(df.event_type != "ALL") & (df.hr != "ALL")]
+    mid = df[(df.event_type != "ALL") & (df.hr == "ALL")].set_index("event_type")
+    total = df[(df.event_type == "ALL")]
+    assert len(total) == 1
+    assert total.n.iloc[0] == fine.n.sum() == mid.n.sum()
+    for t, g in fine.groupby("event_type"):
+        assert mid.loc[t, "n"] == g.n.sum()
+        # exact-unit sums: level totals agree bit-for-bit after one division
+        assert mid.loc[t, "sum_value"] == pytest.approx(g.sum_value.sum(), abs=1e-9)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_pivot_counts_sum_to_total():
+    from ahrd_ray.stages.generic import event_type_pivot
+
+    df = event_type_pivot(SF).to_pandas()
+    count_cols = [c for c in df.columns if c.startswith("n_") and c != "n_total"]
+    assert (df[count_cols].sum(axis=1) == df["n_total"]).all()
+    assert df.user_id.is_unique
