@@ -1607,3 +1607,115 @@ reach(src, dst) AS (
 rmin AS (SELECT src, min(dst) AS m FROM reach GROUP BY src)
 SELECT emb.vec_id, CAST(least(emb.vec_id, coalesce(m, emb.vec_id)) AS BIGINT) AS cluster_rep
 FROM embeddings emb LEFT JOIN rmin ON emb.vec_id = rmin.src"""
+
+
+def sql_sample_events_stratified() -> str:
+    from ahrd_ray.stages.generic import (
+        SAMPLE_MOD,
+        SAMPLE_MULT,
+        SAMPLE_RATE_DEN,
+        STRATA_DEFAULT_RATE,
+        STRATA_RATES,
+    )
+
+    cases = " ".join(
+        f"WHEN '{t}' THEN {(SAMPLE_MOD * num) // SAMPLE_RATE_DEN}"
+        for t, num in sorted(STRATA_RATES.items())
+    )
+    default = (SAMPLE_MOD * STRATA_DEFAULT_RATE) // SAMPLE_RATE_DEN
+    return (
+        "SELECT event_id, event_type, user_id FROM events"
+        f" WHERE (CAST(event_id AS HUGEINT) * {SAMPLE_MULT}) % {SAMPLE_MOD}"
+        f" < (CASE event_type {cases} ELSE {default} END)"
+    )
+
+
+def sql_hll_distinct_users() -> str:
+    """HyperLogLog registers + estimate (stages/generic.hll_distinct_users)
+    in SQL: splitmix64 replicated bit-exactly over HUGEINT (64x64 mod-2^64
+    products split into 32x64 pieces — the full product overflows INT128),
+    bit length via binary-format string length (exact — float log2 is not),
+    identical integer register units, one fixed-order division, and the
+    linear-counting small-range correction as a shared integer lookup."""
+    from ahrd_ray.stages.generic import (
+        HLL_BUCKET_SHIFT,
+        HLL_C1,
+        HLL_C2,
+        HLL_C3,
+        HLL_LINEAR_COUNT,
+        HLL_M,
+        HLL_NUM,
+        HLL_RHO_CAP,
+    )
+
+    m64 = 1 << 64
+    two58 = 1 << HLL_BUCKET_SHIFT
+
+    def mulmod(z: str, c: int) -> str:
+        return (
+            f"(((({z}) % 4294967296) * {c}"
+            f" + ((({z}) // 4294967296) * {c} % 4294967296) * 4294967296) % {m64})"
+        )
+
+    lc = " ".join(
+        f"WHEN {v} THEN {e}" for v, e in enumerate(HLL_LINEAR_COUNT, start=1)
+    )
+    return f"""WITH h0 AS (
+  SELECT event_type, (CAST(user_id AS HUGEINT) + {HLL_C1}) % {m64} AS z0 FROM events
+),
+h1 AS (SELECT event_type, {mulmod("xor(z0, z0 // 1073741824)", HLL_C2)} AS z1 FROM h0),
+h2 AS (SELECT event_type, {mulmod("xor(z1, z1 // 134217728)", HLL_C3)} AS z2 FROM h1),
+h AS (SELECT event_type, xor(z2, z2 // 2147483648) AS h64 FROM h2),
+parts AS (
+  SELECT event_type,
+         CAST(h64 // {two58} AS BIGINT) AS bucket,
+         CAST(h64 % {two58} AS BIGINT) AS r
+  FROM h
+),
+rhos AS (
+  SELECT event_type, bucket,
+         least(1 + {HLL_BUCKET_SHIFT} -
+               (CASE WHEN r = 0 THEN 0 ELSE length(format('{{:b}}', r)) END),
+               {HLL_RHO_CAP}) AS rho
+  FROM parts
+),
+regs AS (
+  SELECT event_type, bucket, max(rho) AS mr FROM rhos GROUP BY 1, 2
+),
+sums AS (
+  SELECT event_type,
+         CAST(sum(CAST(1 AS BIGINT) << ({HLL_RHO_CAP} - mr)) AS BIGINT)
+           + ({HLL_M} - count(*)) * {1 << HLL_RHO_CAP} AS s_units,
+         CAST(count(*) AS BIGINT) AS buckets_used
+  FROM regs GROUP BY 1
+),
+raw AS (
+  SELECT event_type,
+         CAST(floor({HLL_NUM!r} / CAST(s_units AS DOUBLE)) AS BIGINT) AS raw_est,
+         buckets_used
+  FROM sums
+)
+SELECT event_type,
+       CASE WHEN raw_est <= {(5 * HLL_M) // 2} AND buckets_used < {HLL_M}
+            THEN CAST((CASE {HLL_M} - buckets_used {lc} END) AS BIGINT)
+            ELSE raw_est END AS est_users,
+       buckets_used
+FROM raw"""
+
+
+def sql_label_centroids() -> str:
+    """Per-label centroid in long form (stages/simsearch.label_centroids):
+    exact q10 unit sums per (label, dim), one final float division."""
+    return """WITH comp AS (
+  SELECT e.label,
+         generate_subscripts(e.embedding, 1) - 1 AS j,
+         CAST(floor(CAST(unnest(e.embedding) AS DOUBLE) * 1024.0 + 0.5) AS BIGINT) AS u
+  FROM embeddings e
+),
+agg AS (
+  SELECT label, j, CAST(sum(u) AS BIGINT) AS units, CAST(count(*) AS BIGINT) AS n
+  FROM comp GROUP BY 1, 2
+)
+SELECT CAST(label AS BIGINT) AS label, j, n,
+       CAST(units AS DOUBLE) / (1024.0 * CAST(n AS DOUBLE)) AS mean_q
+FROM agg"""

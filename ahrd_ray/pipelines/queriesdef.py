@@ -332,6 +332,13 @@ def _dedup_queries() -> dict[str, tuple[Callable, str | None]]:
             ),
             oracle.sql_embedding_near_dup_lsh(),
         ),
+        # grouped vector aggregate: per-label centroid (long form)
+        "sim_label_centroids": (
+            lambda sf: ss.label_centroids(sf).map_batches(
+                _int64, batch_format="pyarrow"
+            ),
+            oracle.sql_label_centroids(),
+        ),
         # SemDeDup-style grouping: components over the LSH pair graph
         "sim_semantic_clusters": (
             lambda sf: ss.semantic_clusters(sf).map_batches(
@@ -401,6 +408,14 @@ def _web_queries() -> dict[str, tuple[Callable, str | None]]:
                 _int64, batch_format="pyarrow"
             ),
             "SELECT event_id, ts, user_id, event_type, value, props FROM events",
+        ),
+        # hive-partitioned parquet sink -> reader roundtrip (the resumable
+        # partitioned-output layout)
+        "snk_partitioned_docs": (
+            lambda sf: formats.read_documents_partitioned(sf).map_batches(
+                _int64, batch_format="pyarrow"
+            ),
+            "SELECT doc_id, text, lang, source, n_chars FROM documents",
         ),
         # vectorized URL canonicalizer over the synthesized crawl log; the
         # oracle re-parses the SAME raw URLs with SQL string functions
@@ -477,6 +492,20 @@ def _generic_queries() -> dict[str, tuple[Callable, str | None]]:
         "rel_sample": (
             lambda sf: g.sample_events(sf).map_batches(_int64, batch_format="pyarrow"),
             oracle.sql_sample_events(),
+        ),
+        # HyperLogLog distinct sketch: fixed 64-register state per key
+        "rel_hll_users": (
+            lambda sf: g.hll_distinct_users(sf).map_batches(
+                _int64, batch_format="pyarrow"
+            ),
+            oracle.sql_hll_distinct_users(),
+        ),
+        # per-stratum keep rates (downsample the head, keep the tail)
+        "rel_sample_stratified": (
+            lambda sf: g.sample_events_stratified(sf).map_batches(
+                _int64, batch_format="pyarrow"
+            ),
+            oracle.sql_sample_events_stratified(),
         ),
         "rel_top_per_user": (
             lambda sf: g.top_events_per_user(sf).map_batches(_int64, batch_format="pyarrow"),

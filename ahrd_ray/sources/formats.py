@@ -87,3 +87,32 @@ def read_events_csv(sf_dir: str) -> ray.data.Dataset:
     convert = pacsv.ConvertOptions(column_types=EVENT_SCHEMA)
     ds = ray.data.read_csv(events_csv_dir(sf_dir), convert_options=convert)
     return ds.select_columns(list(EVENT_SCHEMA))
+
+
+def documents_partitioned_dir(sf_dir: str) -> str:
+    """Documents as hive-partitioned parquet (one directory per lang) —
+    the resumable-output layout this engine writes at scale: a failed run
+    re-lists finished partition directories and skips them."""
+
+    def write(out_dir: str) -> None:
+        ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=DOC_COLS).write_parquet(
+            out_dir, partition_cols=["lang"]
+        )
+
+    return _render(sf_dir, "docs-part", write)
+
+
+def read_documents_partitioned(sf_dir: str) -> ray.data.Dataset:
+    ds = ray.data.read_parquet(documents_partitioned_dir(sf_dir))
+
+    def fix(batch: "pa.Table") -> "pa.Table":
+        # hive partition values come back dictionary-encoded; restore the
+        # plain string column and the canonical column order
+        lang = batch["lang"]
+        if pa.types.is_dictionary(lang.type):
+            lang = lang.cast(pa.string())
+        cols = {c: batch[c] for c in DOC_COLS if c != "lang"}
+        cols["lang"] = lang
+        return pa.table({c: cols[c] for c in DOC_COLS})
+
+    return ds.map_batches(fix, batch_format="pyarrow", zero_copy_batch=True)

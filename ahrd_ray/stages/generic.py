@@ -971,3 +971,131 @@ def event_type_pivot(sf_dir: str) -> ray.data.Dataset:
         .groupby("upart")
         .map_groups(final, batch_format="pandas")
     )
+
+
+# per-event_type sampling rates (numerator over SAMPLE_RATE_DEN): the
+# downsample-the-head / keep-the-tail recipe every training-mix pipeline
+# applies (e.g. keep all rare 'purchase' signals, thin the 'view' firehose)
+STRATA_RATES = {"click": 5, "error": 10, "purchase": 10, "signup": 10, "view": 1}
+STRATA_DEFAULT_RATE = 2
+SAMPLE_RATE_DEN = 10
+
+
+def sample_events_stratified(sf_dir: str) -> ray.data.Dataset:
+    """Stratified deterministic hash sample: per-event_type keep rates,
+    same multiplicative-hash filter as :func:`sample_events` (map-side,
+    no RNG, reproducible across retries) with the threshold looked up per
+    row from the strata table — unknown types fall back to
+    STRATA_DEFAULT_RATE."""
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "event_type", "user_id"]
+    )
+    thresh_of = {
+        t: (SAMPLE_MOD * num) // SAMPLE_RATE_DEN for t, num in STRATA_RATES.items()
+    }
+    default_thresh = (SAMPLE_MOD * STRATA_DEFAULT_RATE) // SAMPLE_RATE_DEN
+
+    def pick(df: pd.DataFrame) -> pd.DataFrame:
+        h = (df["event_id"].to_numpy(dtype=np.uint64) * np.uint64(SAMPLE_MULT)) % np.uint64(
+            SAMPLE_MOD
+        )
+        limit = (
+            df["event_type"].map(thresh_of).fillna(default_thresh).to_numpy(np.uint64)
+        )
+        return df[h < limit]
+
+    return ev.map_batches(pick, batch_format="pandas")
+
+
+# HyperLogLog distinct-count sketch (Flajolet et al. 2007, public paper).
+# m = 64 buckets (top 6 hash bits), rho capped at 40 so the 2^(40-rho)
+# register units sum exactly in int64 (64 buckets x 2^40 = 2^46 max; an
+# uncapped rho of up to 59 would need 2^65).  The cap only fires with
+# probability 2^-40 per bucket — unmeasurable in the estimate.
+# Hash: full splitmix64 (public constants) — a multiplicative-only hash of
+# sequential ids left enough structure to bias the estimate +80%, measured;
+# the SQL oracle replicates splitmix bit-exactly with split 32x64 products
+# (a full 64x64 mod-2^64 product overflows INT128).
+# Small-range correction: linear counting (m ln(m/V), V = empty buckets)
+# when the raw floor estimate <= 2.5m and V > 0 — injected as a
+# 63-entry integer lookup shared verbatim with the oracle, so no
+# transcendental evaluation order can diverge between numpy and DuckDB.
+HLL_C1 = 0x9E3779B97F4A7C15
+HLL_C2 = 0xBF58476D1CE4E5B9
+HLL_C3 = 0x94D049BB133111EB
+HLL_M = 64
+HLL_BUCKET_SHIFT = 58  # 64 - log2(m)
+HLL_RHO_CAP = 40
+HLL_ALPHA = 0.709  # published alpha_64
+HLL_NUM = HLL_ALPHA * (HLL_M * HLL_M) * float(1 << HLL_RHO_CAP)
+# floor(m * ln(m / V)) for V = 1..63 (indexed V-1)
+HLL_LINEAR_COUNT = tuple(
+    int(np.floor(HLL_M * np.log(HLL_M / np.float64(v)))) for v in range(1, HLL_M)
+)
+
+
+def splitmix64(u: np.ndarray) -> np.ndarray:
+    """Vectorized splitmix64 finalizer over uint64 (wraparound intended)."""
+    with np.errstate(over="ignore"):
+        z = u + np.uint64(HLL_C1)
+        z = (z ^ (z >> np.uint64(30))) * np.uint64(HLL_C2)
+        z = (z ^ (z >> np.uint64(27))) * np.uint64(HLL_C3)
+        return z ^ (z >> np.uint64(31))
+
+
+def _bitlen_u64(x: np.ndarray) -> np.ndarray:
+    """Exact vectorized bit length (no float log2 — inexact past 2^53)."""
+    out = np.zeros(len(x), dtype=np.int64)
+    v = x.copy()
+    for s in (32, 16, 8, 4, 2, 1):
+        big = v >= (np.uint64(1) << np.uint64(s))
+        out[big] += s
+        v = np.where(big, v >> np.uint64(s), v)
+    out += (v > 0).astype(np.int64)
+    return out
+
+
+def hll_distinct_users(sf_dir: str) -> ray.data.Dataset:
+    """Approximate distinct user_id per event_type via a HyperLogLog
+    sketch — the mergeable-register shape that replaces the exact
+    two-phase distinct (:func:`distinct_users`) when the per-key distinct
+    set no longer fits anywhere: ONLY m=64 int registers per key ever
+    shuffle or merge, regardless of cardinality.
+
+    Distribution: per-batch register partials (max rho per (type, bucket))
+    combine map-side; the finalize merges register maxes per type and does
+    the one-division estimate.  All register arithmetic is integer and the
+    estimate is a single fixed-order float division, so the result is
+    deterministic and bit-equal to the SQL oracle."""
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "user_id"]
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        h = splitmix64(df["user_id"].to_numpy(dtype=np.uint64))
+        bucket = (h >> np.uint64(HLL_BUCKET_SHIFT)).astype(np.int64)
+        r = h & np.uint64((1 << HLL_BUCKET_SHIFT) - 1)
+        rho = np.minimum(1 + HLL_BUCKET_SHIFT - _bitlen_u64(r), HLL_RHO_CAP)
+        out = pd.DataFrame(
+            {"event_type": df["event_type"], "bucket": bucket, "rho": rho}
+        )
+        return out.groupby(["event_type", "bucket"], as_index=False)["rho"].max()
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        regs = df.groupby(["event_type", "bucket"], as_index=False)["rho"].max()
+        rows = []
+        for t, g in regs.groupby("event_type"):
+            units = np.int64(1) << (HLL_RHO_CAP - g["rho"].to_numpy(np.int64))
+            s_units = int(units.sum()) + (HLL_M - len(g)) * (1 << HLL_RHO_CAP)
+            est = int(np.floor(HLL_NUM / np.float64(s_units)))
+            v_empty = HLL_M - len(g)
+            if est <= (5 * HLL_M) // 2 and v_empty > 0:
+                est = HLL_LINEAR_COUNT[v_empty - 1]
+            rows.append((t, est, len(g)))
+        return pd.DataFrame(rows, columns=["event_type", "est_users", "buckets_used"])
+
+    return (
+        ev.map_batches(partial, batch_format="pandas")
+        .groupby("event_type")
+        .map_groups(final, batch_format="pandas")
+    )

@@ -31,7 +31,18 @@ def quantize_vec(m: np.ndarray) -> np.ndarray:
 
 def _emb_matrix(batch: pa.Table) -> tuple[np.ndarray, np.ndarray]:
     ids = batch["vec_id"].to_numpy()
-    m = np.vstack([np.asarray(v, dtype=np.float64) for v in batch["embedding"].to_pylist()])
+    col = batch["embedding"].combine_chunks()
+    # zero-copy path: rectangular list<float> flattens straight into an
+    # (n, dim) view — no per-row Python materialization
+    lens = np.diff(col.offsets.to_numpy())
+    flat = col.flatten().to_numpy(zero_copy_only=False)
+    if len(lens) and (lens == lens[0]).all() and len(flat) == len(ids) * lens[0]:
+        m = flat.reshape(len(ids), lens[0]).astype(np.float64, copy=False)
+    else:  # sliced/offset chunk — per-row assembly (embeddings are
+        # rectangular by contract; genuinely ragged input still errors)
+        m = np.vstack(
+            [np.asarray(v, dtype=np.float64) for v in batch["embedding"].to_pylist()]
+        )
     return ids, quantize_vec(m)
 
 
@@ -423,4 +434,51 @@ def semantic_clusters(sf_dir: str, threshold: float = 0.2) -> ray.data.Dataset:
 
     return labels.map_batches(
         lambda df: df.rename(columns={"doc_id": "vec_id"}), batch_format="pandas"
+    )
+
+
+def label_centroids(sf_dir: str) -> ray.data.Dataset:
+    """Per-label embedding centroids in long form (label, j, n, mean_q) —
+    the grouped vector aggregate behind class prototypes / cluster
+    initialization.  Components are quantized to 2^-10 and summed as exact
+    int64 units per (label, dimension) inside each batch (one bincount-like
+    segment sum per batch — map-side combine), so only |labels| x dim
+    partial rows shuffle; the mean is ONE float division of two exact
+    integers, bit-equal to the SQL oracle."""
+    import pandas as pd
+
+    emb = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding", "label"]
+    )
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        ids, m = _emb_matrix(batch)
+        units = np.floor(m * EMB_QUANT + 0.5).astype(np.int64)  # exact q10 units
+        labels = batch["label"].to_numpy()
+        n, dim = units.shape
+        lab_u, inv = np.unique(labels, return_inverse=True)
+        sums = np.zeros((len(lab_u), dim), dtype=np.int64)
+        np.add.at(sums, inv, units)
+        counts = np.bincount(inv, minlength=len(lab_u)).astype(np.int64)
+        out = pd.DataFrame(
+            {
+                "label": np.repeat(lab_u, dim).astype(np.int64),
+                "j": np.tile(np.arange(dim, dtype=np.int64), len(lab_u)),
+                "units": sums.reshape(-1),
+                "n": np.repeat(counts, dim),
+            }
+        )
+        return out
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["label", "j"], as_index=False)[["units", "n"]].sum()
+        g["mean_q"] = g["units"].to_numpy(np.float64) / (
+            EMB_QUANT * g["n"].to_numpy(np.float64)
+        )
+        return g[["label", "j", "n", "mean_q"]]
+
+    return (
+        emb.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("label")
+        .map_groups(final, batch_format="pandas")
     )

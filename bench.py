@@ -117,6 +117,9 @@ def run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
     from ahrd_ray.stages import textstats as tx
     from ahrd_ray.stages import webstats as wb
 
+    from ahrd_ray.stages import graph as gr
+    from ahrd_ray.stages import generic as gn
+
     for name, builder in [
         ("dd_exact", lambda: dd.exact_dedup(sf_dir)),
         ("dd_minhash_lsh", lambda: dd.minhash_lsh_pairs(sf_dir)),
@@ -124,9 +127,15 @@ def run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
         ("tx_fingerprints", lambda: tx.fingerprints(sf_dir)),
         ("tx_repetition", lambda: tx.repetition(sf_dir)),
         ("dd_url_dedup", lambda: wb.url_dedup(sf_dir)),
+        ("tx_doc_features", lambda: tx.doc_features(sf_dir)),
+        ("kg_cooccurrence", lambda: gr.cooccurrence_edges(sf_dir)),
+        ("kg_pagerank", lambda: gr.pagerank(sf_dir)),
+        ("rel_hll_users", lambda: gn.hll_distinct_users(sf_dir)),
     ]:
         t0 = time.perf_counter()
-        builder().count()
+        out = builder()
+        if hasattr(out, "count"):
+            out.count()
         timings[name] = round(time.perf_counter() - t0, 3)
 
     n_docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"]).count()

@@ -1,0 +1,64 @@
+"""HyperLogLog sketch: hash quality, estimator accuracy, exact-unit sums."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from ahrd_ray.stages.generic import (
+    HLL_BUCKET_SHIFT,
+    HLL_LINEAR_COUNT,
+    HLL_M,
+    HLL_NUM,
+    HLL_RHO_CAP,
+    _bitlen_u64,
+    splitmix64,
+)
+
+
+def _estimate(user_ids: np.ndarray) -> int:
+    h = splitmix64(user_ids.astype(np.uint64))
+    bucket = (h >> np.uint64(HLL_BUCKET_SHIFT)).astype(np.int64)
+    r = h & np.uint64((1 << HLL_BUCKET_SHIFT) - 1)
+    rho = np.minimum(1 + HLL_BUCKET_SHIFT - _bitlen_u64(r), HLL_RHO_CAP)
+    regs = pd.DataFrame({"b": bucket, "rho": rho}).groupby("b")["rho"].max()
+    units = (np.int64(1) << (HLL_RHO_CAP - regs.to_numpy())).sum() + (
+        HLL_M - len(regs)
+    ) * (1 << HLL_RHO_CAP)
+    est = int(np.floor(HLL_NUM / np.float64(units)))
+    v = HLL_M - len(regs)
+    if est <= (5 * HLL_M) // 2 and v > 0:
+        est = HLL_LINEAR_COUNT[v - 1]
+    return est
+
+
+def test_bitlen_exact_against_python():
+    rng = np.random.default_rng(3)
+    xs = rng.integers(0, 1 << 58, size=2000, dtype=np.uint64)
+    xs[:3] = [0, 1, (1 << 58) - 1]
+    got = _bitlen_u64(xs)
+    want = np.array([int(x).bit_length() for x in xs])
+    assert (got == want).all()
+
+
+@pytest.mark.parametrize("true_n", [15, 100, 10_000, 1_000_000])
+def test_estimate_within_expected_error(true_n):
+    # sequential ids are the adversarial case that exposed the
+    # multiplicative-only hash bias (+80%, measured); splitmix64 + the
+    # linear-counting small-range path keep error within ~3 sigma of the
+    # published 1.04/sqrt(m) standard error
+    est = _estimate(np.arange(true_n, dtype=np.uint64))
+    rel_err = abs(est - true_n) / true_n
+    assert rel_err < 3 * 1.04 / np.sqrt(HLL_M), (true_n, est)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_hll_operator_matches_driver_side_kernel():
+    from ahrd_ray.stages.generic import hll_distinct_users
+    import pyarrow.parquet as pq
+
+    sf = "/root/testdata/sf0.001"
+    got = hll_distinct_users(sf).to_pandas().sort_values("event_type")
+    ev = pq.read_table(f"{sf}/events.parquet", columns=["event_type", "user_id"]).to_pandas()
+    for t, g in ev.groupby("event_type"):
+        want = _estimate(g["user_id"].unique().astype(np.uint64))
+        assert int(got.loc[got.event_type == t, "est_users"].iloc[0]) == want
