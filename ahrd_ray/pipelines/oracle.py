@@ -1719,3 +1719,103 @@ agg AS (
 SELECT CAST(label AS BIGINT) AS label, j, n,
        CAST(units AS DOUBLE) / (1024.0 * CAST(n AS DOUBLE)) AS mean_q
 FROM agg"""
+
+
+def sql_kmeans(k: int | None = None, iters: int | None = None) -> str:
+    """Unrolled Lloyd iterations (stages/simsearch.kmeans_embeddings).
+    Centroids stay on the 2^-10 grid (HUGEINT sum truncate-divided by the
+    count — DuckDB `//` truncates toward zero, mirrored by the pipeline's
+    _truncdiv), so every squared distance is an exact dyadic sum and the
+    argmin is order-independent; ties break to the smaller cluster id.
+    Empty clusters carry the previous centroid (LEFT JOIN + coalesce)."""
+    from ahrd_ray.stages.simsearch import KMEANS_ITERS, KMEANS_K
+
+    k = k or KMEANS_K
+    iters = iters or KMEANS_ITERS
+    ctes = [
+        """comp AS (
+  SELECT vec_id,
+         generate_subscripts(embedding, 1) - 1 AS j,
+         floor(CAST(unnest(embedding) AS DOUBLE) * 1024.0 + 0.5) / 1024.0 AS x,
+         CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1024.0 + 0.5) AS BIGINT) AS u
+  FROM embeddings
+)""",
+        f"cent0 AS (SELECT vec_id AS cluster, j, x AS c FROM comp WHERE vec_id < {k})",
+    ]
+    for it in range(1, iters + 1):
+        prev = f"cent{it - 1}"
+        ctes.append(
+            f"""d{it} AS (
+  SELECT comp.vec_id, p.cluster, sum((comp.x - p.c) * (comp.x - p.c)) AS d
+  FROM comp JOIN {prev} p ON p.j = comp.j
+  GROUP BY 1, 2
+),
+a{it} AS (
+  SELECT vec_id, cluster FROM (
+    SELECT vec_id, cluster,
+           row_number() OVER (PARTITION BY vec_id ORDER BY d ASC, cluster ASC) AS rn
+    FROM d{it}
+  ) WHERE rn = 1
+)"""
+        )
+        if it < iters:
+            ctes.append(
+                f"""cu{it} AS (
+  SELECT a.cluster, comp.j,
+         CAST(CAST(sum(comp.u) AS HUGEINT) // CAST(count(*) AS HUGEINT) AS BIGINT) AS cu
+  FROM comp JOIN a{it} a USING (vec_id)
+  GROUP BY 1, 2
+),
+cent{it} AS (
+  SELECT p.cluster, p.j, coalesce(CAST(cu.cu AS DOUBLE) / 1024.0, p.c) AS c
+  FROM {prev} p LEFT JOIN cu{it} cu ON cu.cluster = p.cluster AND cu.j = p.j
+)"""
+            )
+    return (
+        _with(*ctes)
+        + f"\nSELECT vec_id, CAST(cluster AS BIGINT) AS cluster FROM a{iters}"
+    )
+
+
+def sql_events_regression() -> str:
+    """Grouped least-squares (stages/generic.events_regression): HUGEINT
+    sufficient statistics, the same two fixed-order float ops at the end."""
+    q = QUANT
+    return f"""WITH s AS (
+  SELECT event_type,
+         CAST(count(*) AS HUGEINT) AS n,
+         CAST(sum(hour(ts)) AS HUGEINT) AS sx,
+         CAST(sum(CAST(floor(value * {q!r} + 0.5) AS BIGINT)) AS HUGEINT) AS syu,
+         CAST(sum(hour(ts) * hour(ts)) AS HUGEINT) AS sxx,
+         CAST(sum(hour(ts) * CAST(floor(value * {q!r} + 0.5) AS BIGINT)) AS HUGEINT) AS sxyu
+  FROM events GROUP BY 1
+),
+solved AS (
+  SELECT event_type, n,
+         CAST(n * sxyu - sx * syu AS DOUBLE)
+           / (CAST(n * sxx - sx * sx AS DOUBLE) * {q!r}) AS slope,
+         sx, syu
+  FROM s
+)
+SELECT event_type, CAST(n AS BIGINT) AS n, slope,
+       (CAST(syu AS DOUBLE) / {q!r} - slope * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE)
+         AS intercept
+FROM solved"""
+
+
+def sql_filtered_docs() -> str:
+    """Gopher-gate document filter (stages/textstats.filtered_docs): the
+    quality-feature oracle with the same predicate as a WHERE clause."""
+    from ahrd_ray.stages.textstats import (
+        FILTER_MAX_STOPWORD_RATIO,
+        FILTER_MAX_TOKENS,
+        FILTER_MIN_TOKENS,
+        FILTER_MIN_TTR,
+    )
+
+    return f"""WITH q AS ({sql_quality()})
+SELECT doc_id, n_tokens, stopword_ratio, type_token_ratio, quality
+FROM q
+WHERE n_tokens >= {FILTER_MIN_TOKENS} AND n_tokens <= {FILTER_MAX_TOKENS}
+  AND stopword_ratio <= {FILTER_MAX_STOPWORD_RATIO!r}
+  AND type_token_ratio >= {FILTER_MIN_TTR!r}"""

@@ -332,6 +332,13 @@ def _dedup_queries() -> dict[str, tuple[Callable, str | None]]:
             ),
             oracle.sql_embedding_near_dup_lsh(),
         ),
+        # iterative ML: 2-iteration Lloyd k-means on the q10 grid
+        "sim_kmeans": (
+            lambda sf: ss.kmeans_embeddings(sf).map_batches(
+                _int64, batch_format="pyarrow"
+            ),
+            oracle.sql_kmeans(),
+        ),
         # grouped vector aggregate: per-label centroid (long form)
         "sim_label_centroids": (
             lambda sf: ss.label_centroids(sf).map_batches(
@@ -380,6 +387,11 @@ def _textstats_queries() -> dict[str, tuple[Callable, str | None]]:
         "tx_doc_features": (
             lambda sf: tx.doc_features(sf).map_batches(_int64, batch_format="pyarrow"),
             oracle.sql_doc_features(),
+        ),
+        # Gopher-gate quality filter (kept docs + justifying features)
+        "tx_filtered_docs": (
+            lambda sf: tx.filtered_docs(sf).map_batches(_int64, batch_format="pyarrow"),
+            oracle.sql_filtered_docs(),
         ),
         # corpus-statistic -> per-doc map: top TF-IDF token (distributed DF
         # aggregate, broadcast-or-join dual path)
@@ -492,6 +504,13 @@ def _generic_queries() -> dict[str, tuple[Callable, str | None]]:
         "rel_sample": (
             lambda sf: g.sample_events(sf).map_batches(_int64, batch_format="pyarrow"),
             oracle.sql_sample_events(),
+        ),
+        # grouped least-squares on exact sufficient statistics
+        "rel_regression": (
+            lambda sf: g.events_regression(sf).map_batches(
+                _int64, batch_format="pyarrow"
+            ),
+            oracle.sql_events_regression(),
         ),
         # HyperLogLog distinct sketch: fixed 64-register state per key
         "rel_hll_users": (

@@ -1099,3 +1099,53 @@ def hll_distinct_users(sf_dir: str) -> ray.data.Dataset:
         .groupby("event_type")
         .map_groups(final, batch_format="pandas")
     )
+
+
+def events_regression(sf_dir: str) -> ray.data.Dataset:
+    """Grouped least-squares: per event_type, slope/intercept of value on
+    hour-of-day — the sufficient-statistics aggregation pattern (only five
+    exact int64 sums per group ever shuffle: n, Sx, Sy, Sxx, Sxy with y in
+    2^-20 units).  The closed-form solve happens once per group on exact
+    Python big-ints (numerator/denominator can pass 2^63 at corpus scale),
+    then TWO fixed-order float ops that the SQL oracle replicates:
+    slope = double(num) / (double(den) * QUANT), intercept =
+    (double(Sy)/QUANT - slope * double(Sx)) / double(n)."""
+    from ahrd_ray.config import QUANT
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["ts", "event_type", "value"]
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        x = df["ts"].dt.hour.to_numpy(np.int64)
+        yu = _qunits(df["value"].to_numpy())
+        out = pd.DataFrame(
+            {
+                "event_type": df["event_type"],
+                "n": np.ones(len(df), dtype=np.int64),
+                "sx": x,
+                "syu": yu,
+                "sxx": x * x,
+                "sxyu": x * yu,
+            }
+        )
+        return out.groupby("event_type", as_index=False).sum()
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for t, g in df.groupby("event_type"):
+            n = int(g["n"].sum())
+            sx, syu = int(g["sx"].sum()), int(g["syu"].sum())
+            sxx, sxyu = int(g["sxx"].sum()), int(g["sxyu"].sum())
+            num = n * sxyu - sx * syu  # exact big-int
+            den = n * sxx - sx * sx
+            slope = float(num) / (float(den) * QUANT)
+            intercept = (float(syu) / QUANT - slope * float(sx)) / float(n)
+            rows.append((t, n, slope, intercept))
+        return pd.DataFrame(rows, columns=["event_type", "n", "slope", "intercept"])
+
+    return (
+        ev.map_batches(partial, batch_format="pandas")
+        .groupby("event_type")
+        .map_groups(final, batch_format="pandas")
+    )

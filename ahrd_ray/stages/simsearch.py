@@ -482,3 +482,105 @@ def label_centroids(sf_dir: str) -> ray.data.Dataset:
         .groupby("label")
         .map_groups(final, batch_format="pandas")
     )
+
+
+KMEANS_K = 8
+KMEANS_ITERS = 2
+
+
+def _truncdiv(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Integer division truncating toward zero (DuckDB `//` semantics —
+    numpy floor-divides, which diverges on negative centroid sums)."""
+    q = np.abs(a) // np.abs(b)
+    return np.where((a < 0) ^ (b < 0), -q, q)
+
+
+def kmeans_embeddings(
+    sf_dir: str, k: int = KMEANS_K, iters: int = KMEANS_ITERS
+) -> ray.data.Dataset:
+    """Deterministic mini k-means over the embeddings table: ``iters``
+    Lloyd iterations from a fixed init (the first k vec_ids), returning the
+    final (vec_id, cluster) assignment.
+
+    Exactness design (what makes an ITERATIVE float algorithm
+    oracle-checkable): every centroid lives on the 2^-10 quantization grid
+    — updates are exact int64 unit sums truncate-divided by the count — so
+    each squared distance is a sum of dyadic rationals with denominator
+    2^-20 and magnitude << 2^32, exact in float64 in ANY summation order.
+    Ties break to the smaller cluster id.  Per iteration: centroids (k x
+    dim) broadcast via ray.put, assignment is one vectorized pass over the
+    batches, and only k x dim unit-sum partials shuffle for the update —
+    the textbook broadcast-small-side shape.
+    """
+    emb = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+
+    def init_units(batch: pa.Table) -> pd.DataFrame:
+        ids, m = _emb_matrix(batch)
+        sel = ids < k
+        units = np.floor(m[sel] * EMB_QUANT + 0.5).astype(np.int64)
+        n, dim = units.shape
+        return pd.DataFrame(
+            {
+                "cluster": np.repeat(ids[sel], dim).astype(np.int64),
+                "j": np.tile(np.arange(dim, dtype=np.int64), n),
+                "cu": units.reshape(-1),
+            }
+        )
+
+    seeds = emb.map_batches(init_units, batch_format="pyarrow").to_pandas()
+    dim = seeds["j"].max() + 1
+    cent_u = np.zeros((k, dim), dtype=np.int64)
+    cent_u[seeds["cluster"].to_numpy(), seeds["j"].to_numpy()] = seeds["cu"].to_numpy()
+
+    def assign(m: np.ndarray, cent: np.ndarray) -> np.ndarray:
+        d = ((m[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+        return d.argmin(axis=1)  # argmin takes the FIRST min — smaller id
+
+    last_assign = None
+    for it in range(iters):
+        cent_ref = ray.put(cent_u / EMB_QUANT)
+        final_iter = it == iters - 1
+
+        def pass_fn(batch: pa.Table, _ref=cent_ref, _final=final_iter) -> pd.DataFrame:
+            from ahrd_ray.stages.score import get_broadcast
+
+            cent = get_broadcast(_ref)
+            ids, m = _emb_matrix(batch)
+            cl = assign(m, cent)
+            if _final:
+                return pd.DataFrame(
+                    {"vec_id": ids.astype(np.int64), "cluster": cl.astype(np.int64)}
+                )
+            units = np.floor(m * EMB_QUANT + 0.5).astype(np.int64)
+            sums = np.zeros((k, m.shape[1]), dtype=np.int64)
+            np.add.at(sums, cl, units)
+            counts = np.bincount(cl, minlength=k).astype(np.int64)
+            return pd.DataFrame(
+                {
+                    "cluster": np.repeat(np.arange(k, dtype=np.int64), m.shape[1]),
+                    "j": np.tile(np.arange(m.shape[1], dtype=np.int64), k),
+                    "u": sums.reshape(-1),
+                    "n": np.repeat(counts, m.shape[1]),
+                }
+            )
+
+        out = emb.map_batches(pass_fn, batch_format="pyarrow", zero_copy_batch=True)
+        if final_iter:
+            last_assign = out
+            break
+        upd = (
+            out.groupby("cluster")
+            .map_groups(
+                lambda df: df.groupby(["cluster", "j"], as_index=False)[
+                    ["u", "n"]
+                ].sum(),
+                batch_format="pandas",
+            )
+            .to_pandas()
+        )
+        upd = upd[upd["n"] > 0]  # empty clusters keep their previous centroid
+        cu = _truncdiv(upd["u"].to_numpy(np.int64), upd["n"].to_numpy(np.int64))
+        cent_u[upd["cluster"].to_numpy(), upd["j"].to_numpy()] = cu
+    return last_assign

@@ -459,6 +459,40 @@ def doc_features(sf_dir: str) -> ray.data.Dataset:
     return docs.map_batches(f, batch_format="pyarrow")
 
 
+# Gopher-style document quality gates (Rae et al. 2021 §A1.1, public
+# paper): bounds on token count, mean token length proxy (chars/token),
+# stopword ratio and type-token ratio.  Values tuned to the synthetic
+# corpus so both kept and dropped docs exist at every sf.
+FILTER_MIN_TOKENS = 30
+FILTER_MAX_TOKENS = 5000
+FILTER_MAX_STOPWORD_RATIO = 0.20
+FILTER_MIN_TTR = 0.10
+
+
+def filtered_docs(sf_dir: str) -> ray.data.Dataset:
+    """The pretraining quality-filter step: documents surviving the Gopher
+    gate set, with the per-doc features that justified the decision.  One
+    fused map pass (reuses the doc_features kernel), pure map-side filter —
+    zero shuffle; at 100 TB this is a read -> filter -> write stream."""
+    ds = doc_features(sf_dir)
+
+    def gate(batch: pa.Table) -> pa.Table:
+        nt = batch["n_tokens"].to_numpy()
+        sr = batch["stopword_ratio"].to_numpy()
+        ttr = batch["type_token_ratio"].to_numpy()
+        keep = (
+            (nt >= FILTER_MIN_TOKENS)
+            & (nt <= FILTER_MAX_TOKENS)
+            & (sr <= FILTER_MAX_STOPWORD_RATIO)
+            & (ttr >= FILTER_MIN_TTR)
+        )
+        return batch.filter(pa.array(keep)).select(
+            ["doc_id", "n_tokens", "stopword_ratio", "type_token_ratio", "quality"]
+        )
+
+    return ds.map_batches(gate, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def bigram_counts(sf_dir: str) -> ray.data.Dataset:
     """Corpus-level bigram frequencies (tok_a, tok_b, n) — the n-gram LM /
     contamination-analysis staple.  Adjacency is over the non-empty token
