@@ -22,6 +22,8 @@ read zero-copy in every actor/task (never re-shipped per batch).
 
 from __future__ import annotations
 
+from functools import lru_cache
+
 import pyarrow as pa
 
 import ray
@@ -81,6 +83,15 @@ class PipelineContext:
         """Attr-map keys ∩ catalog shorts (semi-join, S5/S7 analogue)."""
         present = set(self.bundle.arrays.cand_short)
         return frozenset(k for k in self.attrs if k in present)
+
+
+@lru_cache(maxsize=8)
+def cached_context(sf_dir: str) -> PipelineContext:
+    """Process-wide default-config context cache: the broadcast catalog is
+    built and ``ray.put`` ONCE per sf_dir, however many registry queries /
+    graph stages run in the session (the catalog build + broadcast is a
+    multi-second setup at sf0.1 and pure overhead when repeated)."""
+    return PipelineContext(sf_dir)
 
 
 def candidates_dataset(

