@@ -1819,3 +1819,80 @@ FROM q
 WHERE n_tokens >= {FILTER_MIN_TOKENS} AND n_tokens <= {FILTER_MAX_TOKENS}
   AND stopword_ratio <= {FILTER_MAX_STOPWORD_RATIO!r}
   AND type_token_ratio >= {FILTER_MIN_TTR!r}"""
+
+
+def sql_pack_chunks() -> str:
+    """Concat-and-chunk packing (stages/textstats.pack_chunks): window
+    prefix sum over doc_id order, pure BIGINT arithmetic."""
+    from ahrd_ray.stages.textstats import SEQ_LEN
+
+    s = SEQ_LEN
+    return f"""WITH t AS (
+  SELECT doc_id, CAST(len({_sql_tok_arr()}) AS BIGINT) AS n_tokens FROM documents
+), c AS (
+  SELECT doc_id, n_tokens,
+         CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS start_tok
+  FROM t
+)
+SELECT doc_id, n_tokens, start_tok,
+       CAST(start_tok // {s} AS BIGINT) AS seq_start,
+       CAST(start_tok % {s} AS BIGINT) AS seq_offset,
+       CAST(CASE WHEN n_tokens = 0 THEN 0
+            ELSE (start_tok + n_tokens - 1) // {s} - start_tok // {s} + 1 END
+            AS BIGINT) AS n_seqs
+FROM c"""
+
+
+def sql_substring_spans(n: int | None = None) -> str:
+    """Repeated-substring spans (stages/dedup.substring_spans): positional
+    gram hashes, HAVING count(*) > 1, gaps-and-islands merge."""
+    from ahrd_ray.stages.dedup import SPAN_GRAM
+
+    n = n or SPAN_GRAM
+    gram = " || ' ' || ".join(f"arr[i+{j}]" for j in range(n))
+    return f"""WITH warr AS (
+  SELECT doc_id, string_split(text, ' ') AS arr FROM documents
+), idx AS (
+  SELECT doc_id, arr, unnest(generate_series(1, len(arr) - {n - 1})) AS i
+  FROM warr WHERE len(arr) >= {n}
+), pos AS (
+  SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, {_sql_polyhash(gram)} AS sh FROM idx
+), dup AS (
+  SELECT sh FROM pos GROUP BY sh HAVING count(*) > 1
+), dpos AS (
+  SELECT p.doc_id, p.pos FROM pos p JOIN dup d USING (sh)
+), isl AS (
+  SELECT doc_id, pos,
+         pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS island
+  FROM dpos
+)
+SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
+       CAST(max(pos) + {n - 1} AS BIGINT) AS span_end,
+       CAST(count(*) AS BIGINT) AS n_grams
+FROM isl GROUP BY doc_id, island"""
+
+
+def sql_paragraph_dedup(w: int | None = None) -> str:
+    """Paragraph keep-first dedup (stages/dedup.paragraph_dedup): fixed
+    w-word windows, row_number() = 1 per exact window text."""
+    from ahrd_ray.stages.dedup import PARA_WORDS
+
+    w = w or PARA_WORDS
+    return f"""WITH warr AS (
+  SELECT doc_id, string_split(text, ' ') AS arr FROM documents
+), paras AS (
+  SELECT doc_id, CAST(k - 1 AS BIGINT) AS para_idx,
+         array_to_string(arr[(k - 1) * {w} + 1 : k * {w}], ' ') AS ptxt
+  FROM (
+    SELECT doc_id, arr,
+           unnest(generate_series(1, CAST(ceil(len(arr) / {w}.0) AS BIGINT))) AS k
+    FROM warr
+  )
+), ph AS (
+  SELECT doc_id, para_idx, {_sql_polyhash('ptxt')} AS sh FROM paras
+)
+SELECT doc_id, para_idx,
+       row_number() OVER (PARTITION BY sh ORDER BY doc_id, para_idx) = 1 AS keep
+FROM ph"""

@@ -321,6 +321,16 @@ def _dedup_queries() -> dict[str, tuple[Callable, str | None]]:
             lambda sf: dd.decontaminate(sf).map_batches(_int64, batch_format="pyarrow"),
             oracle.sql_decontaminate(),
         ),
+        # ExactSubstr-style span dedup: maximal duplicated word-n-gram runs
+        "dd_substring_spans": (
+            lambda sf: dd.substring_spans(sf).map_batches(_int64, batch_format="pyarrow"),
+            oracle.sql_substring_spans(),
+        ),
+        # C4-style paragraph (fixed word window) keep-first dedup
+        "dd_paragraph_dedup": (
+            lambda sf: dd.paragraph_dedup(sf).map_batches(_int64, batch_format="pyarrow"),
+            oracle.sql_paragraph_dedup(),
+        ),
         "sim_near_dup": (
             lambda sf: ss.embedding_near_dup_exact(sf),
             oracle.sql_embedding_near_dup(),
@@ -391,6 +401,11 @@ def _textstats_queries() -> dict[str, tuple[Callable, str | None]]:
         "tx_filtered_docs": (
             lambda sf: tx.filtered_docs(sf).map_batches(_int64, batch_format="pyarrow"),
             oracle.sql_filtered_docs(),
+        ),
+        # concat-and-chunk training-sequence packing (distributed prefix scan)
+        "tx_pack_chunks": (
+            lambda sf: tx.pack_chunks(sf).map_batches(_int64, batch_format="pyarrow"),
+            oracle.sql_pack_chunks(),
         ),
         # corpus-statistic -> per-doc map: top TF-IDF token (distributed DF
         # aggregate, broadcast-or-join dual path)

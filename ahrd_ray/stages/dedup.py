@@ -849,3 +849,213 @@ def decontaminate(sf_dir: str, n: int = 3) -> ray.data.Dataset:
             batch_format="pandas",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact repeated-substring spans (ExactSubstr-style span dedup: Lee et al.
+# 2022, "Deduplicating Training Data Makes Language Models Better", public
+# arXiv — suffix-array semantics approximated at fixed gram length)
+# ---------------------------------------------------------------------------
+
+SPAN_GRAM = 8  # words per gram; a maximal duplicated span is >= SPAN_GRAM words
+
+
+def positional_shingles(texts, n: int):
+    """(row_idx, word_pos, gram_hash) for EVERY word-n-gram occurrence —
+    the positional (non-deduplicated) variant of :func:`shingle_explode`,
+    same exact polynomial concatenation so each value equals the byte-level
+    hash of the joined gram string.  Docs shorter than ``n`` words emit
+    nothing (no full gram exists at those positions)."""
+    flat, counts = _word_split(texts)
+    h = polyhash_arr(flat)
+    blens = pc.binary_length(flat.cast(pa.large_binary())).to_numpy(
+        zero_copy_only=False
+    )
+    row = np.repeat(np.arange(len(counts), dtype=np.int64), counts)
+    total = len(row)
+    valid = np.zeros(total, dtype=bool)
+    if total >= n:
+        valid[: total - n + 1] = row[: total - n + 1] == row[n - 1 :]
+    ps = np.nonzero(valid)[0]
+    if len(ps) == 0:
+        z = np.empty(0, dtype=np.int64)
+        return z, z, np.empty(0, dtype=np.uint64)
+    g = h[ps].copy()
+    bpow = _bpow_table(int(blens.max()) if len(blens) else 0)
+    for j in range(1, n):
+        g = mod61(_mul_base(g) + _SPACE)
+        g = mulmod61(g, bpow[blens[ps + j]])
+        g = mod61(g + h[ps + j])
+    starts = np.cumsum(counts) - counts
+    rows = row[ps]
+    pos = ps - starts[rows]
+    return rows, pos, g
+
+
+def _positional_batch(batch: pa.Table, n: int) -> pa.Table:
+    rows, pos, g = positional_shingles(batch["text"], n)
+    ids = batch["doc_id"].to_numpy()[rows] if len(rows) else np.empty(0, dtype=np.int64)
+    return pa.table(
+        {
+            "doc_id": pa.array(ids, type=pa.int64()),
+            "pos": pa.array(pos, type=pa.int64()),
+            "sh": pa.array(g.astype(np.int64), type=pa.int64()),
+        }
+    )
+
+
+def substring_spans(sf_dir: str, n: int = SPAN_GRAM) -> ray.data.Dataset:
+    """Maximal duplicated-substring spans per document: (doc_id, span_start,
+    span_end, n_grams) where every word-n-gram starting in
+    [span_start, span_end - n + 1] occurs MORE THAN ONCE in the corpus
+    (another doc or another position of the same doc) — the span-level
+    exact dedup a doc-level hash can't see (boilerplate headers, quoted
+    paragraphs inside otherwise-unique pages).
+
+    Distributed shape: one positional-shingle pass (every occurrence, not
+    per-doc-distinct); duplicated gram hashes found by a two-phase count
+    (map-side partial per batch, hash-partitioned finalize, filter > 1);
+    occurrences semi-join the duplicated-hash table by gram hash; spans
+    merge per doc with vectorized gaps-and-islands (pos - rank) inside a
+    doc-hash partition.  Every shuffle carries integer (hash, id, pos)
+    rows only."""
+    from ahrd_ray.stages.partitioning import n_hash_parts
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    pos_ds = docs.map_batches(
+        lambda b: _positional_batch(b, n), batch_format="pyarrow"
+    )
+    n_parts = n_hash_parts()
+
+    def cnt_partial(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby("sh", as_index=False).size().rename(columns={"size": "cnt"})
+        out["shpart"] = (out["sh"] % n_parts).astype("int32")
+        return out
+
+    dup = (
+        pos_ds.map_batches(cnt_partial, batch_format="pandas")
+        .groupby("shpart")
+        .map_groups(
+            lambda df: df.groupby("sh", as_index=False)["cnt"]
+            .sum()
+            .query("cnt > 1")[["sh"]]
+            .assign(dup=np.int8(1)),
+            batch_format="pandas",
+        )
+    )
+
+    hits = _join(pos_ds, dup, on=("sh",), right_on=("sh",), n_joins=1)
+
+    def islands(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame(
+                {
+                    "doc_id": pd.Series([], dtype="int64"),
+                    "span_start": pd.Series([], dtype="int64"),
+                    "span_end": pd.Series([], dtype="int64"),
+                    "n_grams": pd.Series([], dtype="int64"),
+                }
+            )
+        df = df.sort_values(["doc_id", "pos"], kind="mergesort")
+        isl = df["pos"].to_numpy() - df.groupby("doc_id").cumcount().to_numpy()
+        g = df.assign(isl=isl).groupby(["doc_id", "isl"], as_index=False).agg(
+            span_start=("pos", "min"), span_end=("pos", "max"), n_grams=("pos", "size")
+        )
+        g["span_end"] = g["span_end"] + (n - 1)
+        return g[["doc_id", "span_start", "span_end", "n_grams"]].astype("int64")
+
+    def dpart(df: pd.DataFrame) -> pd.DataFrame:
+        out = df[["doc_id", "pos"]].copy()
+        out["dpart"] = (out["doc_id"] % n_parts).astype("int32")
+        return out
+
+    return (
+        hits.map_batches(dpart, batch_format="pandas")
+        .groupby("dpart")
+        .map_groups(islands, batch_format="pandas")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Paragraph-granularity exact dedup (C4/CCNet-style line dedup, public —
+# Raffel et al. 2020 §2.2 "three-sentence span" dedup; the corpus has no
+# sentence punctuation, so the paragraph unit is a fixed word window)
+# ---------------------------------------------------------------------------
+
+PARA_WORDS = 16  # words per paragraph window (last window may be shorter)
+
+
+def _paragraph_batch(batch: pa.Table, w: int, n_parts: int) -> pa.Table:
+    """(doc_id, para_idx, sh, shpart) — hash of each w-word window, exact
+    polynomial concatenation (equals hashing ' '.join(words[k*w:(k+1)*w]))."""
+    flat, counts = _word_split(batch["text"])
+    h = polyhash_arr(flat)
+    blens = pc.binary_length(flat.cast(pa.large_binary())).to_numpy(
+        zero_copy_only=False
+    )
+    row = np.repeat(np.arange(len(counts), dtype=np.int64), counts)
+    total = len(row)
+    starts = np.cumsum(counts) - counts
+    pos = np.arange(total, dtype=np.int64) - starts[row] if total else np.empty(0, np.int64)
+    ps = np.nonzero(pos % w == 0)[0]
+    if len(ps) == 0:
+        return pa.table(
+            {
+                "doc_id": pa.array([], type=pa.int64()),
+                "para_idx": pa.array([], type=pa.int64()),
+                "sh": pa.array([], type=pa.int64()),
+                "shpart": pa.array([], type=pa.int32()),
+            }
+        )
+    g = h[ps].copy()
+    bpow = _bpow_table(int(blens.max()) if len(blens) else 0)
+    for j in range(1, w):
+        idx = ps + j
+        ok = idx < total
+        ok[ok] = row[idx[ok]] == row[ps[ok]]
+        ii = idx[ok]
+        gj = mod61(_mul_base(g[ok]) + _SPACE)
+        gj = mulmod61(gj, bpow[blens[ii]])
+        g[ok] = mod61(gj + h[ii])
+    ids = batch["doc_id"].to_numpy()[row[ps]]
+    sh = g.astype(np.int64)
+    return pa.table(
+        {
+            "doc_id": pa.array(ids, type=pa.int64()),
+            "para_idx": pa.array(pos[ps] // w, type=pa.int64()),
+            "sh": pa.array(sh, type=pa.int64()),
+            "shpart": pa.array((sh % n_parts).astype(np.int32), type=pa.int32()),
+        }
+    )
+
+
+def paragraph_dedup(sf_dir: str, w: int = PARA_WORDS) -> ray.data.Dataset:
+    """Paragraph-level exact dedup, keep-first: (doc_id, para_idx, keep)
+    with keep = this window is the corpus-first occurrence (min
+    (doc_id, para_idx)) of its exact word sequence.
+
+    One paragraph-hash pass over the corpus, then a single hash-partitioned
+    groupby on the hash — each partition holds every occurrence of its
+    hashes, so keep-first is a partition-local sort + first-marker.  The
+    shuffle carries (hash, doc_id, para_idx) integer rows only; document
+    text never moves."""
+    from ahrd_ray.stages.partitioning import n_hash_parts
+
+    n_parts = n_hash_parts()
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    paras = docs.map_batches(
+        lambda b: _paragraph_batch(b, w, n_parts), batch_format="pyarrow"
+    )
+
+    def keep_first(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["sh", "doc_id", "para_idx"], kind="mergesort")
+        keep = ~df.duplicated("sh", keep="first")
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].to_numpy(),
+                "para_idx": df["para_idx"].to_numpy(),
+                "keep": keep.to_numpy(),
+            }
+        )
+
+    return paras.groupby("shpart").map_groups(keep_first, batch_format="pandas")

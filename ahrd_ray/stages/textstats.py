@@ -534,3 +534,100 @@ def bigram_counts(sf_dir: str) -> ray.data.Dataset:
             batch_format="pandas",
         )
     )
+
+
+SEQ_LEN = 256  # training-sequence length (tokens) for concat-and-chunk packing
+
+
+def pack_chunks(sf_dir: str, seq_len: int = SEQ_LEN) -> ray.data.Dataset:
+    """GPT-style concat-and-chunk sequence packing: all document tokens are
+    conceptually concatenated in doc_id order and cut into fixed ``seq_len``
+    training sequences; per doc this yields its global token offset, first
+    sequence id, offset within that sequence, and how many sequences it
+    spans (the layout every next-token-prediction data loader needs;
+    public GPT-2/3 pretraining data prep).
+
+    Distributed prefix scan (no global sort, no driver-side corpus):
+
+    1. one pass computes the slim (doc_id, n_tokens) table (materialized —
+       1 row/doc, the same slim-state class as the winners barrier);
+    2. per-RANGE token sums (range = doc_id // R, R sized so ranges ≈ a few
+       per CPU) — a tiny table collected to the driver for the exclusive
+       scan over range bases (O(ranges), not O(docs));
+    3. the scan bases broadcast via ray.put; a groupby(range) pass computes
+       the within-range cumulative sum + base — every output column is pure
+       int64 arithmetic on exact token counts, so the result is
+       partitioning-invariant and bit-equal to the SQL window-function
+       oracle.
+    """
+    import ray
+
+    from ahrd_ray.stages.partitioning import n_hash_parts
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def count_batch(batch: pa.Table) -> pa.Table:
+        row, _ = _split_counts(batch)
+        n_tokens = np.bincount(row, minlength=len(batch)).astype(np.int64)
+        return pa.table(
+            {"doc_id": batch["doc_id"], "n_tokens": pa.array(n_tokens, type=pa.int64())}
+        )
+
+    counts = docs.map_batches(count_batch, batch_format="pyarrow").materialize()
+    n_docs = counts.count()
+    n_ranges = max(1, n_hash_parts() * 4)
+    # ranges over the doc_id DOMAIN (ids are dense by corpus contract; gaps
+    # only make some ranges smaller, never wrong)
+    max_id = int(counts.max("doc_id")) if n_docs else 0
+    r_width = max(1, (max_id + n_ranges) // n_ranges)
+
+    def range_partial(batch: pa.Table) -> pd.DataFrame:
+        ids = batch["doc_id"].to_numpy()
+        nt = batch["n_tokens"].to_numpy()
+        rid = ids // r_width
+        u, inv = np.unique(rid, return_inverse=True)
+        sums = np.zeros(len(u), dtype=np.int64)
+        np.add.at(sums, inv, nt)
+        return pd.DataFrame({"rid": u, "tok": sums})
+
+    partials = counts.map_batches(range_partial, batch_format="pyarrow").to_pandas()
+    per_range = partials.groupby("rid")["tok"].sum()
+    bases = np.zeros(n_ranges + 1, dtype=np.int64)
+    dense = np.zeros(n_ranges, dtype=np.int64)
+    idx = per_range.index.to_numpy().astype(np.int64)
+    dense[idx] = per_range.to_numpy()
+    bases[1:] = np.cumsum(dense)
+    base_ref = ray.put(bases)
+
+    def add_rid(batch: pa.Table) -> pa.Table:
+        rid = batch["doc_id"].to_numpy() // r_width
+        return batch.append_column("rid", pa.array(rid.astype(np.int32), type=pa.int32()))
+
+    def pack_group(df: pd.DataFrame) -> pd.DataFrame:
+        from ahrd_ray.stages.score import get_broadcast
+
+        b = get_broadcast(base_ref)
+        df = df.sort_values("doc_id", kind="mergesort")
+        nt = df["n_tokens"].to_numpy()
+        rid = df["rid"].to_numpy()
+        start = b[rid] + np.cumsum(nt) - nt
+        seq_start = start // seq_len
+        n_seqs = np.where(
+            nt == 0, 0, (start + np.maximum(nt, 1) - 1) // seq_len - seq_start + 1
+        )
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].to_numpy(),
+                "n_tokens": nt,
+                "start_tok": start,
+                "seq_start": seq_start,
+                "seq_offset": start % seq_len,
+                "n_seqs": n_seqs.astype(np.int64),
+            }
+        )
+
+    return (
+        counts.map_batches(add_rid, batch_format="pyarrow")
+        .groupby("rid")
+        .map_groups(pack_group, batch_format="pandas")
+    )

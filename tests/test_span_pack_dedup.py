@@ -1,0 +1,107 @@
+"""Span-level dedup, paragraph dedup, and sequence packing semantics
+(stages/dedup.substring_spans / paragraph_dedup, textstats.pack_chunks)."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from ahrd_ray.functions.hash61 import polyhash_arr
+from ahrd_ray.stages.dedup import (
+    PARA_WORDS,
+    SPAN_GRAM,
+    _paragraph_batch,
+    positional_shingles,
+)
+
+
+def test_positional_shingles_match_materialized_gram_hashes():
+    texts = ["a bb ccc dd", "bb ccc dd e f"]
+    rows, pos, g = positional_shingles(texts, 3)
+    # every gram hash equals the byte-level hash of the joined gram string
+    for r, p, h in zip(rows, pos, g):
+        words = texts[r].split(" ")
+        gram = " ".join(words[p : p + 3])
+        assert int(h) == int(polyhash_arr([gram])[0]), (r, p, gram)
+    # positions are 0-based gram starts, per doc
+    assert pos[rows == 0].tolist() == [0, 1]
+    assert pos[rows == 1].tolist() == [0, 1, 2]
+
+
+def test_positional_shingles_skip_short_docs():
+    rows, pos, g = positional_shingles(["a b", "x y z"], 3)
+    assert set(rows.tolist()) == {1}  # doc 0 has no full 3-gram
+
+
+def test_paragraph_hash_equals_joined_window_hash():
+    texts = ["one two three four five", ""]
+    batch = pa.table({"doc_id": [7, 8], "text": texts})
+    out = _paragraph_batch(batch, 3, 8)
+    got = {
+        (d, p): s
+        for d, p, s in zip(
+            out["doc_id"].to_pylist(), out["para_idx"].to_pylist(), out["sh"].to_pylist()
+        )
+    }
+    words = texts[0].split(" ")
+    assert got[(7, 0)] == int(polyhash_arr([" ".join(words[0:3])])[0])
+    assert got[(7, 1)] == int(polyhash_arr([" ".join(words[3:5])])[0])  # short tail
+    assert got[(8, 0)] == int(polyhash_arr([""])[0])  # empty doc = one '' window
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_substring_spans_end_to_end():
+    from ahrd_ray.stages.dedup import substring_spans
+
+    df = substring_spans("/root/testdata/sf0.001").to_pandas()
+    # a span covers at least one full gram and its gram count matches width
+    assert (df["span_end"] - df["span_start"] + 1 >= SPAN_GRAM).all()
+    assert (
+        df["span_end"] - df["span_start"] + 1 - (SPAN_GRAM - 1) == df["n_grams"]
+    ).all()
+    # spans within a doc never overlap (maximal islands are disjoint)
+    for _, g in df.groupby("doc_id"):
+        g = g.sort_values("span_start")
+        assert (
+            g["span_start"].to_numpy()[1:] > g["span_end"].to_numpy()[:-1] - (SPAN_GRAM - 1)
+        ).all()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_paragraph_dedup_keep_first():
+    from ahrd_ray.stages.dedup import paragraph_dedup
+
+    df = paragraph_dedup("/root/testdata/sf0.001").to_pandas()
+    import pyarrow.parquet as pq
+
+    docs = pq.read_table(
+        "/root/testdata/sf0.001/documents.parquet", columns=["doc_id", "text"]
+    ).to_pandas()
+    # exact recount: keep iff first occurrence of the window text by (doc, idx)
+    seen, want = {}, {}
+    for doc_id, text in sorted(zip(docs["doc_id"], docs["text"])):
+        words = text.split(" ")
+        for k in range(0, len(words), PARA_WORDS):
+            key = " ".join(words[k : k + PARA_WORDS])
+            idx = k // PARA_WORDS
+            want[(doc_id, idx)] = key not in seen
+            seen.setdefault(key, (doc_id, idx))
+    got = {(r.doc_id, r.para_idx): r.keep for r in df.itertuples()}
+    assert got == want
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_pack_chunks_is_an_exact_prefix_scan():
+    from ahrd_ray.stages.textstats import SEQ_LEN, pack_chunks
+
+    df = pack_chunks("/root/testdata/sf0.001").to_pandas().sort_values("doc_id")
+    nt = df["n_tokens"].to_numpy()
+    start = df["start_tok"].to_numpy()
+    # global exclusive prefix sum in doc_id order, no gaps or overlaps
+    assert start[0] == 0
+    assert (start[1:] == start[:-1] + nt[:-1]).all()
+    assert (df["seq_start"].to_numpy() == start // SEQ_LEN).all()
+    assert (df["seq_offset"].to_numpy() == start % SEQ_LEN).all()
+    pos = nt > 0
+    want_seqs = (start[pos] + nt[pos] - 1) // SEQ_LEN - start[pos] // SEQ_LEN + 1
+    assert (df["n_seqs"].to_numpy()[pos] == want_seqs).all()
+    assert (df["n_seqs"].to_numpy()[~pos] == 0).all()
