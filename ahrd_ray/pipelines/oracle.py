@@ -1896,3 +1896,49 @@ def sql_paragraph_dedup(w: int | None = None) -> str:
 SELECT doc_id, para_idx,
        row_number() OVER (PARTITION BY sh ORDER BY doc_id, para_idx) = 1 AS keep
 FROM ph"""
+
+
+def sql_lang_resample() -> str:
+    """Language-balanced hash resampling (stages/textstats.lang_resample):
+    per-lang thresholds derived from counts, same multiplicative hash as
+    sql_sample_events; integer floor-division both sides (HUGEINT so the
+    threshold product never overflows BIGINT)."""
+    from ahrd_ray.stages.generic import SAMPLE_MOD, SAMPLE_MULT
+
+    return f"""WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+m AS (SELECT min(n) AS mn FROM c)
+SELECT d.doc_id, d.lang
+FROM documents d JOIN c ON d.lang = c.lang CROSS JOIN m
+WHERE (CAST(d.doc_id AS HUGEINT) * {SAMPLE_MULT}) % {SAMPLE_MOD}
+      < (CAST({SAMPLE_MOD} AS HUGEINT) * m.mn) // c.n"""
+
+
+def sql_lm_score() -> str:
+    """Corpus-bigram-LM doc score (stages/textstats.lm_score): per-position
+    MLE probability quantized to 2^-20 units, exact BIGINT unit sums, one
+    final double division — identical double ops both sides."""
+    from ahrd_ray.stages.textstats import LM_QUANT
+
+    arr = _sql_tok_arr()
+    return f"""WITH toks AS (SELECT doc_id, {arr} AS arr FROM documents),
+bg AS (
+  SELECT doc_id, unnest(arr[1:len(arr) - 1]) AS a, unnest(arr[2:len(arr)]) AS b
+  FROM toks WHERE len(arr) >= 2
+),
+bgn AS (SELECT a, b, CAST(count(*) AS BIGINT) AS n FROM bg GROUP BY a, b),
+pre AS (SELECT a, CAST(sum(n) AS BIGINT) AS np FROM bgn GROUP BY a),
+per AS (
+  SELECT g.doc_id,
+         CAST(floor(CAST(bn.n AS DOUBLE) / CAST(p.np AS DOUBLE) * {LM_QUANT}
+                    + 0.5) AS BIGINT) AS u
+  FROM bg g JOIN bgn bn ON g.a = bn.a AND g.b = bn.b JOIN pre p ON g.a = p.a
+),
+agg AS (
+  SELECT doc_id, CAST(sum(u) AS BIGINT) AS units,
+         CAST(count(*) AS BIGINT) AS n_bigrams
+  FROM per GROUP BY doc_id
+)
+SELECT d.doc_id, COALESCE(a.n_bigrams, 0) AS n_bigrams,
+       CASE WHEN a.n_bigrams IS NULL THEN 0.0
+            ELSE CAST(a.units AS DOUBLE) / ({LM_QUANT}.0 * a.n_bigrams) END AS lm_q
+FROM documents d LEFT JOIN agg a USING (doc_id)"""

@@ -402,6 +402,16 @@ def _textstats_queries() -> dict[str, tuple[Callable, str | None]]:
             lambda sf: tx.filtered_docs(sf).map_batches(_int64, batch_format="pyarrow"),
             oracle.sql_filtered_docs(),
         ),
+        # language-balanced deterministic resampling (data-derived rates)
+        "tx_lang_resample": (
+            lambda sf: tx.lang_resample(sf),
+            oracle.sql_lang_resample(),
+        ),
+        # corpus-bigram-LM quality score (quantized MLE, exact unit sums)
+        "tx_lm_score": (
+            lambda sf: tx.lm_score(sf).map_batches(_int64, batch_format="pyarrow"),
+            oracle.sql_lm_score(),
+        ),
         # concat-and-chunk training-sequence packing (distributed prefix scan)
         "tx_pack_chunks": (
             lambda sf: tx.pack_chunks(sf).map_batches(_int64, batch_format="pyarrow"),

@@ -631,3 +631,209 @@ def pack_chunks(sf_dir: str, seq_len: int = SEQ_LEN) -> ray.data.Dataset:
         .groupby("rid")
         .map_groups(pack_group, batch_format="pandas")
     )
+
+
+def lang_resample(sf_dir: str) -> ray.data.Dataset:
+    """Language-balanced resampling: downsample every language to the
+    minority language's document count (in expectation) with the same
+    deterministic multiplicative-hash filter as generic.sample_events —
+    the data-mix rebalancing step of multilingual corpus prep (public:
+    temperature-sampling literature, e.g. XLM-R data sampling; here the
+    fully-balanced point, rates derived from the data).
+
+    Shape: per-lang counts are a tiny two-phase aggregate (langs x blocks
+    partial rows to the driver); per-lang thresholds broadcast in the task
+    closure; the filter itself is pure map-side — reproducible across
+    retries, no RNG, no shuffle of document rows."""
+    from ahrd_ray.stages.generic import SAMPLE_MOD, SAMPLE_MULT
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"])
+
+    def cnt_partial(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("lang", as_index=False).size().rename(columns={"size": "n"})
+
+    per_lang = (
+        docs.map_batches(cnt_partial, batch_format="pandas")
+        .to_pandas()
+        .groupby("lang")["n"]
+        .sum()
+    )
+    mn = int(per_lang.min())
+    thresh_of = {
+        lang: (SAMPLE_MOD * mn) // int(cnt) for lang, cnt in per_lang.items()
+    }
+
+    def pick(df: pd.DataFrame) -> pd.DataFrame:
+        h = (
+            df["doc_id"].to_numpy(dtype=np.uint64) * np.uint64(SAMPLE_MULT)
+        ) % np.uint64(SAMPLE_MOD)
+        limit = df["lang"].map(thresh_of).to_numpy(np.uint64)
+        return df[h < limit]
+
+    return docs.map_batches(pick, batch_format="pandas")
+
+
+LM_QUANT = 1 << 20  # per-position probability quantum (the engine-wide q20)
+
+
+def lm_score(sf_dir: str) -> ray.data.Dataset:
+    """Per-doc corpus-bigram-LM score — the KenLM-style perplexity-proxy
+    quality signal (CCNet, public) without transcendentals so the result is
+    bit-exact: each bigram position contributes its corpus MLE probability
+    c(a,b)/c(a,·) quantized to 2^-20 units; a doc's score is the exact
+    int64 unit sum divided by (units x n_bigrams) ONCE at the end.
+
+    Shape: the corpus bigram table is a distributed aggregate
+    (bigram_counts); below DF_BROADCAST_MAX_ROWS it broadcasts and scoring
+    is one shuffle-free map over documents (a doc's positions derive from
+    its own row).  Above it, per-doc distinct-bigram position counts join
+    the bigram table by (tok_a, tok_b) and the PREFIX table (<= distinct
+    tokens — the same small-side class as tfidf's DF broadcast) still
+    broadcasts; zero-bigram docs are emitted map-side so the join never
+    needs an outer side."""
+    import ray
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    bg = bigram_counts(sf_dir).materialize()
+
+    def doc_positions(batch: pa.Table) -> pd.DataFrame:
+        row, toks = _split_counts(batch)
+        ids = batch["doc_id"].to_numpy()
+        adj = row[1:] == row[:-1]
+        return pd.DataFrame(
+            {
+                "doc_id": ids[row[:-1][adj]],
+                "tok_a": toks[:-1][adj],
+                "tok_b": toks[1:][adj],
+            }
+        )
+
+    def finish_units(df: pd.DataFrame) -> pd.DataFrame:
+        """(doc_id, u int64-units, one row per position-group) -> final."""
+        g = df.groupby("doc_id", as_index=False).agg(
+            units=("u", "sum"), n_bigrams=("cnt", "sum")
+        )
+        g["lm_q"] = g["units"].to_numpy(np.float64) / (
+            float(LM_QUANT) * g["n_bigrams"].to_numpy(np.float64)
+        )
+        return g[["doc_id", "n_bigrams", "lm_q"]].astype(
+            {"doc_id": "int64", "n_bigrams": "int64", "lm_q": "float64"}
+        )
+
+    n_rows = bg.count()
+    if n_rows <= DF_BROADCAST_MAX_ROWS:
+        pdf = bg.to_pandas()
+        pre = pdf.groupby("tok_a")["n"].sum()
+        lut_n = dict(zip(zip(pdf["tok_a"], pdf["tok_b"]), pdf["n"].astype(np.int64)))
+        lut_p = dict(zip(pre.index, pre.to_numpy(np.int64)))
+        ref = ray.put((lut_n, lut_p))
+
+        def score_map(batch: pa.Table) -> pd.DataFrame:
+            from ahrd_ray.stages.score import get_broadcast
+
+            ln, lp = get_broadcast(ref)
+            pos = doc_positions(batch)
+            ids = batch["doc_id"].to_numpy()
+            if len(pos):
+                n_ab = pos.set_index(["tok_a", "tok_b"]).index.map(ln).to_numpy(np.float64)
+                n_a = pos["tok_a"].map(lp).to_numpy(np.float64)
+                pos = pos.assign(
+                    u=np.floor(n_ab / n_a * LM_QUANT + 0.5).astype(np.int64),
+                    cnt=np.int64(1),
+                )
+                out = finish_units(pos)
+            else:
+                out = finish_units(
+                    pd.DataFrame(
+                        {
+                            "doc_id": pd.Series([], dtype="int64"),
+                            "u": pd.Series([], dtype="int64"),
+                            "cnt": pd.Series([], dtype="int64"),
+                        }
+                    )
+                )
+            missing = np.setdiff1d(ids, out["doc_id"].to_numpy())
+            if len(missing):
+                out = pd.concat(
+                    [
+                        out,
+                        pd.DataFrame(
+                            {
+                                "doc_id": missing.astype(np.int64),
+                                "n_bigrams": np.int64(0),
+                                "lm_q": 0.0,
+                            }
+                        ),
+                    ],
+                    ignore_index=True,
+                )
+            return out
+
+        return docs.map_batches(score_map, batch_format="pyarrow")
+
+    # join path: distinct per-doc bigram positions x corpus bigram table
+    from ahrd_ray.stages.partitioning import join_parts, n_hash_parts
+
+    pre_pdf = (
+        bg.map_batches(
+            lambda d: d.groupby("tok_a", as_index=False)["n"].sum(),
+            batch_format="pandas",
+        )
+        .to_pandas()
+        .groupby("tok_a")["n"]
+        .sum()
+    )
+    pre_ref = ray.put(dict(zip(pre_pdf.index, pre_pdf.to_numpy(np.int64))))
+
+    def pos_partial(batch: pa.Table) -> pd.DataFrame:
+        pos = doc_positions(batch)
+        out = pos.groupby(["doc_id", "tok_a", "tok_b"], as_index=False).size()
+        return out.rename(columns={"size": "cnt"})
+
+    def zero_docs(batch: pa.Table) -> pd.DataFrame:
+        pos = doc_positions(batch)
+        ids = batch["doc_id"].to_numpy()
+        missing = np.setdiff1d(ids, pos["doc_id"].to_numpy())
+        return pd.DataFrame(
+            {
+                "doc_id": missing.astype(np.int64),
+                "n_bigrams": np.zeros(len(missing), dtype=np.int64),
+                "lm_q": np.zeros(len(missing), dtype=np.float64),
+            }
+        )
+
+    joined = docs.map_batches(pos_partial, batch_format="pyarrow").join(
+        bg,
+        "inner",
+        num_partitions=join_parts(1),
+        on=("tok_a", "tok_b"),
+        aggregator_ray_remote_args={"num_cpus": 0.25},
+    )
+    n_parts = n_hash_parts()
+
+    def unitize(df: pd.DataFrame) -> pd.DataFrame:
+        from ahrd_ray.stages.score import get_broadcast
+
+        lp = get_broadcast(pre_ref)
+        n_a = df["tok_a"].map(lp).to_numpy(np.float64)
+        u1 = np.floor(df["n"].to_numpy(np.float64) / n_a * LM_QUANT + 0.5).astype(
+            np.int64
+        )
+        cnt = df["cnt"].to_numpy(np.int64)
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].to_numpy(np.int64),
+                "u": u1 * cnt,
+                "cnt": cnt,
+                "dpart": (df["doc_id"].to_numpy(np.int64) % n_parts).astype(np.int32),
+            }
+        )
+
+    scored = (
+        joined.map_batches(unitize, batch_format="pandas")
+        .groupby("dpart")
+        .map_groups(
+            lambda d: finish_units(d.drop(columns=["dpart"])), batch_format="pandas"
+        )
+    )
+    return scored.union(docs.map_batches(zero_docs, batch_format="pyarrow"))
