@@ -1942,3 +1942,39 @@ SELECT d.doc_id, COALESCE(a.n_bigrams, 0) AS n_bigrams,
        CASE WHEN a.n_bigrams IS NULL THEN 0.0
             ELSE CAST(a.units AS DOUBLE) / ({LM_QUANT}.0 * a.n_bigrams) END AS lm_q
 FROM documents d LEFT JOIN agg a USING (doc_id)"""
+
+
+def sql_postings() -> str:
+    """Inverted-index posting-list heads (stages/textstats.postings)."""
+    from ahrd_ray.stages.textstats import POSTINGS_TOP
+
+    return f"""WITH toks AS (
+  SELECT doc_id, unnest({_sql_tok_arr()}) AS token FROM documents
+), tf AS (
+  SELECT token, doc_id, CAST(count(*) AS BIGINT) AS tf
+  FROM toks GROUP BY token, doc_id
+), r AS (
+  SELECT token, doc_id, tf,
+         CAST(row_number() OVER (PARTITION BY token
+              ORDER BY tf DESC, doc_id) AS BIGINT) AS rank
+  FROM tf
+)
+SELECT token, doc_id, tf, rank FROM r WHERE rank <= {POSTINGS_TOP}"""
+
+
+def sql_length_gate() -> str:
+    """Corpus-relative token-length gate (stages/textstats.length_gate):
+    quantile_disc bounds at exact-binary-rational quantiles."""
+    from ahrd_ray.stages.textstats import LENGTH_GATE_HI, LENGTH_GATE_LO
+
+    lo = LENGTH_GATE_LO[0] / LENGTH_GATE_LO[1]
+    hi = LENGTH_GATE_HI[0] / LENGTH_GATE_HI[1]
+    return f"""WITH t AS (
+  SELECT doc_id, CAST(len({_sql_tok_arr()}) AS BIGINT) AS n_tokens FROM documents
+), q AS (
+  SELECT quantile_disc(n_tokens, {lo!r}) AS lo,
+         quantile_disc(n_tokens, {hi!r}) AS hi
+  FROM t
+)
+SELECT t.doc_id, t.n_tokens FROM t, q
+WHERE t.n_tokens >= q.lo AND t.n_tokens <= q.hi"""

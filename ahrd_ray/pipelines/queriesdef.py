@@ -402,6 +402,16 @@ def _textstats_queries() -> dict[str, tuple[Callable, str | None]]:
             lambda sf: tx.filtered_docs(sf).map_batches(_int64, batch_format="pyarrow"),
             oracle.sql_filtered_docs(),
         ),
+        # inverted-index posting-list heads (per-token top-N by tf)
+        "tx_postings": (
+            lambda sf: tx.postings(sf).map_batches(_int64, batch_format="pyarrow"),
+            oracle.sql_postings(),
+        ),
+        # corpus-relative exact-quantile length gate
+        "tx_length_gate": (
+            lambda sf: tx.length_gate(sf),
+            oracle.sql_length_gate(),
+        ),
         # language-balanced deterministic resampling (data-derived rates)
         "tx_lang_resample": (
             lambda sf: tx.lang_resample(sf),

@@ -837,3 +837,116 @@ def lm_score(sf_dir: str) -> ray.data.Dataset:
         )
     )
     return scored.union(docs.map_batches(zero_docs, batch_format="pyarrow"))
+
+
+POSTINGS_TOP = 10  # posting-list head length per token
+
+
+def postings(sf_dir: str, top: int = POSTINGS_TOP) -> ray.data.Dataset:
+    """Inverted-index posting lists: (token, doc_id, tf, rank) for the
+    ``top`` highest-tf documents per token (tf desc, doc_id asc — a total
+    order), the retrieval-index build every search/RAG corpus pass needs.
+
+    Shape: per-block (token, doc) tf partials already contain each block's
+    local top candidates, so each block emits at most ``top`` rows per
+    distinct token (the global top-N is a subset of the union of per-block
+    top-Ns — same bounded-shuffle argument as generic.top_events_per_user);
+    a token-hash groupby finalizes the exact rank."""
+    from ahrd_ray.functions.hash61 import polyhash_arr
+    from ahrd_ray.stages.partitioning import n_hash_parts
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    n_parts = n_hash_parts()
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        row, toks = _split_counts(batch)
+        ids = batch["doc_id"].to_numpy()
+        tf = (
+            pd.DataFrame({"doc_id": ids[row], "token": toks})
+            .groupby(["token", "doc_id"], as_index=False)
+            .size()
+            .rename(columns={"size": "tf"})
+        )
+        tf = tf.sort_values(
+            ["token", "tf", "doc_id"], ascending=[True, False, True], kind="mergesort"
+        )
+        out = tf.groupby("token", as_index=False).head(top)
+        out["tpart"] = (
+            polyhash_arr(out["token"].to_numpy()) % np.uint64(n_parts)
+        ).astype("int32")
+        return out
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(
+            ["token", "tf", "doc_id"], ascending=[True, False, True], kind="mergesort"
+        )
+        df = df.groupby("token", as_index=False).head(top)
+        df["rank"] = df.groupby("token").cumcount().to_numpy() + 1
+        return df[["token", "doc_id", "tf", "rank"]].astype(
+            {"doc_id": "int64", "tf": "int64", "rank": "int64"}
+        )
+
+    return (
+        docs.map_batches(partial, batch_format="pyarrow")
+        .groupby("tpart")
+        .map_groups(final, batch_format="pandas")
+    )
+
+
+# length-gate quantile bounds (numerator, denominator).  Exact BINARY
+# rationals: 1/16 and 15/16 are exactly representable doubles, so the
+# oracle's quantile_disc(x, q) computes ceil(q*n) with NO rounding hazard
+# at n divisible by the denominator (q=0.05 would put ceil(0.05*500) at 26
+# in IEEE doubles vs the exact 25 — a latent boundary divergence).
+LENGTH_GATE_LO = (1, 16)
+LENGTH_GATE_HI = (15, 16)
+
+
+def length_gate(sf_dir: str) -> ray.data.Dataset:
+    """Corpus-relative length filter: keep documents whose token count lies
+    within the exact [p5, p95] of the corpus distribution (the adaptive
+    variant of Gopher's fixed length bounds — thresholds derived from the
+    data, quantile_disc semantics: k-th smallest, k = ceil(q*n)).
+
+    Shape: token counts are integers, so the exact quantile needs only a
+    VALUE histogram — map-side (n_tokens -> count) partials, one small
+    groupby, the domain-sized table collected to the driver for the
+    cumulative-rank selection (domain-bounded, independent of corpus row
+    count), then a pure map-side filter with the two broadcast bounds."""
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def count_batch(batch: pa.Table) -> pa.Table:
+        row, _ = _split_counts(batch)
+        n_tokens = np.bincount(row, minlength=len(batch)).astype(np.int64)
+        return pa.table(
+            {"doc_id": batch["doc_id"], "n_tokens": pa.array(n_tokens, type=pa.int64())}
+        )
+
+    counts = docs.map_batches(count_batch, batch_format="pyarrow").materialize()
+
+    def hist(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby("n_tokens", as_index=False).size().rename(columns={"size": "cnt"})
+        return out
+
+    h = (
+        counts.map_batches(hist, batch_format="pandas")
+        .to_pandas()
+        .groupby("n_tokens")["cnt"]
+        .sum()
+        .sort_index()
+    )
+    n = int(h.sum())
+    cum = h.cumsum()
+
+    def kth(num: int, den: int) -> int:
+        k = (num * n + den - 1) // den  # ceil(q*n) as an exact rational
+        return int(cum.index[np.searchsorted(cum.to_numpy(), k)])
+
+    lo = kth(*LENGTH_GATE_LO)
+    hi = kth(*LENGTH_GATE_HI)
+
+    def gate(batch: pa.Table) -> pa.Table:
+        nt = batch["n_tokens"].to_numpy()
+        return batch.filter(pa.array((nt >= lo) & (nt <= hi)))
+
+    return counts.map_batches(gate, batch_format="pyarrow")
