@@ -1978,3 +1978,22 @@ def sql_length_gate() -> str:
 )
 SELECT t.doc_id, t.n_tokens FROM t, q
 WHERE t.n_tokens >= q.lo AND t.n_tokens <= q.hi"""
+
+
+def sql_incremental_dedup() -> str:
+    """Cross-snapshot exact dedup (stages/dedup.incremental_dedup).
+
+    The new snapshot is the deterministic synthetic re-crawl from
+    stages/dedup.incremental_snapshot: same pages under doc_id + 1e6,
+    text || ' updated' for doc_id % 3 == 0.  Joining on the raw text
+    (rather than the sha) makes the oracle independent of the pipeline's
+    hashing, so the digest arithmetic is genuinely cross-checked."""
+    return """WITH old AS (
+  SELECT text, min(doc_id) AS dup_of FROM documents GROUP BY text
+), new AS (
+  SELECT doc_id + 1000000 AS doc_id,
+         CASE WHEN doc_id % 3 = 0 THEN text || ' updated' ELSE text END AS text
+  FROM documents
+)
+SELECT n.doc_id, o.dup_of
+FROM new n JOIN old o ON n.text = o.text"""

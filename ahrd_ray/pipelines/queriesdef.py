@@ -321,6 +321,13 @@ def _dedup_queries() -> dict[str, tuple[Callable, str | None]]:
             lambda sf: dd.decontaminate(sf).map_batches(_int64, batch_format="pyarrow"),
             oracle.sql_decontaminate(),
         ),
+        # ingest-time cross-snapshot exact dedup (old = even, new = odd ids)
+        "dd_incremental": (
+            lambda sf: dd.incremental_dedup(sf).map_batches(
+                _int64, batch_format="pyarrow"
+            ),
+            oracle.sql_incremental_dedup(),
+        ),
         # ExactSubstr-style span dedup: maximal duplicated word-n-gram runs
         "dd_substring_spans": (
             lambda sf: dd.substring_spans(sf).map_batches(_int64, batch_format="pyarrow"),

@@ -1059,3 +1059,70 @@ def paragraph_dedup(sf_dir: str, w: int = PARA_WORDS) -> ray.data.Dataset:
         )
 
     return paras.groupby("shpart").map_groups(keep_first, batch_format="pandas")
+
+
+INCR_ID_OFFSET = 1_000_000  # new-snapshot ids = old doc_id + offset
+INCR_EDIT_MOD = 3  # docs with doc_id % 3 == 0 are edited in the re-crawl
+
+
+def incremental_snapshot(sf_dir: str) -> ray.data.Dataset:
+    """Deterministic synthetic re-crawl: every page fetched again under a
+    new doc_id; 1/INCR_EDIT_MOD of the pages changed since last time."""
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def recrawl(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        edited = pc.if_else(
+            pa.array(ids % INCR_EDIT_MOD == 0),
+            pc.binary_join_element_wise(batch["text"], " updated", ""),
+            batch["text"],
+        )
+        return pa.table({"doc_id": pa.array(ids + INCR_ID_OFFSET), "text": edited})
+
+    return docs.map_batches(recrawl, batch_format="pyarrow")
+
+
+def incremental_dedup(sf_dir: str) -> ray.data.Dataset:
+    """Cross-snapshot exact dedup — the ingest-time pass every production
+    corpus runs: flag each NEW document whose byte-identical text already
+    exists in the PREVIOUS snapshot.  The new snapshot is a deterministic
+    synthetic re-crawl (incremental_snapshot): same pages under new ids,
+    1/3 edited — so unedited pages are exact cross-snapshot duplicates.
+    Output: (doc_id, dup_of) for flagged new docs, dup_of = the smallest
+    old doc_id with the same text.
+
+    Shape: both sides hash map-side (64-byte keys, never documents); the
+    old side pre-reduces to one (sha, min doc_id) row per distinct text —
+    it scales with the snapshot's DISTINCT texts.  One hash-partitioned
+    groupby co-locates old representatives with new occurrences; no join
+    operator is held open (the semi-join is the groupby itself)."""
+    old_docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    new_docs = incremental_snapshot(sf_dir)
+
+    def hash_old(batch: pa.Table) -> pd.DataFrame:
+        t = _sha_batch(batch).to_pandas()
+        # map-side partial: one (sha, min doc_id) candidate per block
+        t = t.groupby("text_sha", as_index=False)["doc_id"].min()
+        return t.assign(side=np.int8(0))
+
+    def hash_new(batch: pa.Table) -> pd.DataFrame:
+        t = _sha_batch(batch).to_pandas()
+        return t[["text_sha", "doc_id"]].assign(side=np.int8(1))
+
+    tagged = old_docs.map_batches(hash_old, batch_format="pyarrow").union(
+        new_docs.map_batches(hash_new, batch_format="pyarrow")
+    )
+
+    def flag(df: pd.DataFrame) -> pd.DataFrame:
+        old = df[df["side"] == 0].groupby("text_sha")["doc_id"].min()
+        new = df[df["side"] == 1]
+        dup_of = new["text_sha"].map(old)
+        hit = dup_of.notna().to_numpy()
+        return pd.DataFrame(
+            {
+                "doc_id": new["doc_id"].to_numpy()[hit],
+                "dup_of": dup_of.to_numpy()[hit].astype(np.int64),
+            }
+        )
+
+    return tagged.groupby("text_sha").map_groups(flag, batch_format="pandas")

@@ -105,3 +105,24 @@ def test_pack_chunks_is_an_exact_prefix_scan():
     want_seqs = (start[pos] + nt[pos] - 1) // SEQ_LEN - start[pos] // SEQ_LEN + 1
     assert (df["n_seqs"].to_numpy()[pos] == want_seqs).all()
     assert (df["n_seqs"].to_numpy()[~pos] == 0).all()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_incremental_dedup_flags_unedited_recrawls():
+    import pyarrow.parquet as pq
+
+    from ahrd_ray.stages.dedup import INCR_EDIT_MOD, INCR_ID_OFFSET, incremental_dedup
+
+    sf = "/root/testdata/sf0.001"
+    df = incremental_dedup(sf).to_pandas()
+    docs = pq.read_table(f"{sf}/documents.parquet", columns=["doc_id", "text"]).to_pandas()
+    # old texts are all distinct in the synthetic corpus, so each unedited
+    # re-crawl (doc_id % 3 != 0) maps back to exactly its own source page
+    first_old = docs.groupby("text")["doc_id"].min()
+    keep = docs["doc_id"] % INCR_EDIT_MOD != 0
+    want = {
+        (d + INCR_ID_OFFSET, int(first_old[t]))
+        for d, t in zip(docs["doc_id"][keep], docs["text"][keep])
+    }
+    assert {(r.doc_id, r.dup_of) for r in df.itertuples()} == want
+    assert len(want) > 0
