@@ -1997,3 +1997,32 @@ def sql_incremental_dedup() -> str:
 )
 SELECT n.doc_id, o.dup_of
 FROM new n JOIN old o ON n.text = o.text"""
+
+
+def sql_dedup_docs(radius: int = 3) -> str:
+    """Near-dup survivors: one row per cluster representative with the
+    cluster size — an aggregate over the sql_dup_clusters labels."""
+    return (
+        "SELECT cluster_rep AS doc_id, CAST(count(*) AS BIGINT) AS cluster_size "
+        f"FROM ({sql_dup_clusters(radius)}) labels GROUP BY cluster_rep"
+    )
+
+
+def sql_skew_join_events_customers() -> str:
+    """Plain inner join — the skew-aware hot/cold split is an execution
+    strategy, not a semantics change."""
+    return (
+        "SELECT e.event_id, e.user_id, c.c_name "
+        "FROM events e JOIN customer c ON e.user_id = c.c_custkey"
+    )
+
+
+def sql_bloom_semi_join_revenue() -> str:
+    """Plain semi-join aggregate — the Bloom prefilter is one-sided
+    (false positives only) and the verify join removes those, so the
+    exact semi-join IS the contract."""
+    return f"""SELECT l_suppkey, CAST(count(*) AS BIGINT) AS n_items,
+       {_qsum('l_extendedprice * (1.0 - l_discount)')} AS revenue
+FROM lineitem
+WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT')
+GROUP BY l_suppkey"""

@@ -338,6 +338,11 @@ def _dedup_queries() -> dict[str, tuple[Callable, str | None]]:
             lambda sf: dd.paragraph_dedup(sf).map_batches(_int64, batch_format="pyarrow"),
             oracle.sql_paragraph_dedup(),
         ),
+        # near-dup REMOVAL: cluster representatives + cluster sizes
+        "dd_dedup_docs": (
+            lambda sf: dd.dedup_docs(sf).map_batches(_int64, batch_format="pyarrow"),
+            oracle.sql_dedup_docs(),
+        ),
         "sim_near_dup": (
             lambda sf: ss.embedding_near_dup_exact(sf),
             oracle.sql_embedding_near_dup(),
@@ -596,6 +601,21 @@ def _generic_queries() -> dict[str, tuple[Callable, str | None]]:
         "rel_row_number": (
             lambda sf: g.events_row_number(sf).map_batches(_int64, batch_format="pyarrow"),
             oracle.sql_events_row_number(),
+        ),
+        # skew-aware join: hot keys broadcast map-side, cold keys hash join
+        "rel_skew_join": (
+            lambda sf: g.skew_join_events_customers(sf).map_batches(
+                _int64, batch_format="pyarrow"
+            ),
+            oracle.sql_skew_join_events_customers(),
+        ),
+        # Bloom-prefiltered exact semi-join aggregate (constant-size
+        # bitmap reduction + map-side fact prefilter + verify join)
+        "rel_bloom_semi_join": (
+            lambda sf: g.bloom_semi_join_revenue(sf).map_batches(
+                _int64, batch_format="pyarrow"
+            ),
+            oracle.sql_bloom_semi_join_revenue(),
         ),
         # distributed semi-join (EXISTS) — complement of rel_anti_join
         "rel_semi_join": (

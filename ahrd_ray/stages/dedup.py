@@ -1126,3 +1126,34 @@ def incremental_dedup(sf_dir: str) -> ray.data.Dataset:
         )
 
     return tagged.groupby("text_sha").map_groups(flag, batch_format="pandas")
+
+
+def dedup_docs(sf_dir: str) -> ray.data.Dataset:
+    """Near-duplicate REMOVAL — the step a training-data pipeline actually
+    ships: one row per surviving document (the smallest doc_id of each
+    SimHash near-dup cluster, i.e. ``dup_clusters``'s representative) with
+    the size of the cluster it stands for.
+
+    Shape: map-side partial counts per cluster_rep over the (doc_id,
+    cluster_rep) labels, then a tiny keyed groupby — the representative is
+    by definition a member of its own cluster, so survivors ARE the
+    distinct cluster_rep values; no join back to documents is needed."""
+    import ray.data
+
+    labels = dup_clusters(sf_dir)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby("cluster_rep", as_index=False).size()
+        return out.rename(columns={"size": "n"})
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("cluster_rep", as_index=False)["n"].sum()
+        return pd.DataFrame(
+            {"doc_id": g["cluster_rep"], "cluster_size": g["n"]}
+        ).astype({"doc_id": "int64", "cluster_size": "int64"})
+
+    return (
+        labels.map_batches(partial, batch_format="pandas")
+        .groupby("cluster_rep")
+        .map_groups(final, batch_format="pandas")
+    )

@@ -1149,3 +1149,264 @@ def events_regression(sf_dir: str) -> ray.data.Dataset:
         .groupby("event_type")
         .map_groups(final, batch_format="pandas")
     )
+
+
+# ---------------------------------------------------------------------------
+# Skew-aware join (hot keys broadcast, cold keys hash-joined)
+# ---------------------------------------------------------------------------
+
+# a key is "hot" when it carries more than 1/HOT_KEY_DIVISOR of all fact
+# rows — so the hot set is at most HOT_KEY_DIVISOR keys, a bounded driver
+# collect by construction (the same bounded-small-side contract as the
+# broadcast dimension tables)
+HOT_KEY_DIVISOR = 64
+
+
+def skew_join_events_customers(sf_dir: str) -> ray.data.Dataset:
+    """Skew-aware inner join events.user_id = customer.c_custkey.
+
+    The north-rule scenario: a handful of hot entities (bot users, a viral
+    page) dominate the fact table, so a plain hash join puts most of the
+    corpus through one aggregator partition.  Shape (the Spark-AQE skew
+    recipe re-expressed in Dataset terms):
+
+    1. per-key fact counts — map-side partial + tiny final groupby (one
+       row per distinct key), then keys with ``n > total/HOT_KEY_DIVISOR``
+       are hot: **at most HOT_KEY_DIVISOR of them ever**, so collecting
+       them (plus their dimension rows) to the driver is O(64), not O(data);
+    2. hot fact rows join map-side against the broadcast hot-dim dict —
+       they NEVER enter the shuffle;
+    3. cold fact rows go through the normal partitioned hash join (no
+       single partition can be hot: every remaining key is < 1/64 of rows);
+    4. union of the two streams.
+
+    The split reads the pruned fact columns twice — two embarrassingly-
+    parallel columnar scans, which at 100 TB cost far less than shuffling
+    a hot key's rows through one reducer (scans scale with nodes; a hot
+    partition does not).  Result is identical to the plain join (the SQL
+    oracle) for ANY hot threshold.
+    """
+    from ahrd_ray.stages.partitioning import join_parts
+
+    ev_cols = ["event_id", "user_id"]
+
+    def counts_partial(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby("user_id", as_index=False).size()
+        return out.rename(columns={"size": "n"})
+
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=ev_cols)
+    per_key = (
+        ev.map_batches(counts_partial, batch_format="pandas")
+        .groupby("user_id")
+        .map_groups(
+            lambda df: df.groupby("user_id", as_index=False)["n"].sum(),
+            batch_format="pandas",
+        )
+        .materialize()  # consumed twice (total + hot filter); distinct-key-sized
+    )
+    total = per_key.sum("n")
+    thresh = total / HOT_KEY_DIVISOR
+    hot_keys = {
+        int(r["user_id"])
+        for r in per_key.map_batches(
+            lambda df, t=thresh: df[df["n"] > t], batch_format="pandas"
+        ).take_all()  # bounded: <= HOT_KEY_DIVISOR rows by construction
+    }
+
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"]
+    )
+    hot_dim = {}
+    if hot_keys:
+        hot_dim = {
+            int(r["c_custkey"]): r["c_name"]
+            for r in cust.map_batches(
+                lambda df, hk=hot_keys: df[df["c_custkey"].isin(hk)],
+                batch_format="pandas",
+            ).take_all()  # bounded by |hot_keys|
+        }
+    hot_ref = ray.put(hot_dim)
+
+    hot_arr = pa.array(sorted(hot_keys), type=pa.int64())
+    joined_schema = pa.schema(
+        [("event_id", pa.int64()), ("user_id", pa.int64()), ("c_name", pa.string())]
+    )
+
+    def hot_side(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        from ahrd_ray.stages.score import get_broadcast
+
+        lut = get_broadcast(hot_ref)  # dict of <= HOT_KEY_DIVISOR entries
+        dim_k = pa.array(list(lut.keys()), type=pa.int64())
+        dim_v = pa.array(list(lut.values()), type=pa.string())
+        sel = batch.filter(pc.is_in(batch["user_id"], value_set=hot_arr))
+        # vectorized broadcast lookup: index_in + take (C kernels); a hot
+        # key missing from the dimension yields null -> dropped (inner join)
+        idx = pc.index_in(sel["user_id"], value_set=dim_k)
+        names = pc.take(dim_v, idx)
+        out = pa.table(
+            {"event_id": sel["event_id"], "user_id": sel["user_id"], "c_name": names},
+            schema=joined_schema,
+        )
+        return out.filter(pc.is_valid(names))
+
+    def cold_side(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return batch.filter(
+            pc.invert(pc.is_in(batch["user_id"], value_set=hot_arr))
+        )
+
+    hot_joined = ev.map_batches(hot_side, batch_format="pyarrow")
+    if per_key.count() == len(hot_keys):
+        # every key is hot (tiny-corpus degenerate case): nothing to
+        # hash-join — emitting the empty-side join would wedge on a
+        # zero-block left input
+        return hot_joined
+    cold = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=ev_cols
+    ).map_batches(cold_side, batch_format="pyarrow")
+    cold_joined = cold.join(
+        cust,
+        "inner",
+        num_partitions=join_parts(1),
+        on=("user_id",),
+        right_on=("c_custkey",),
+        aggregator_ray_remote_args={"num_cpus": 0.25},
+    ).map_batches(
+        lambda df: df[["event_id", "user_id", "c_name"]], batch_format="pandas"
+    )
+    return hot_joined.union(cold_joined)
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter-prefiltered semi-join aggregate
+# ---------------------------------------------------------------------------
+
+BLOOM_M_BITS = 1 << 17  # 16 KiB bitmap (sized to the urgent-order key count)
+BLOOM_K = 4
+# splitmix64/wyhash-style odd multipliers (public constants)
+_BLOOM_MULTS = (
+    0x9E3779B97F4A7C15,
+    0xC2B2AE3D27D4EB4F,
+    0xD6E8FEB86659FD93,
+    0xA0761D6478BD642F,
+)
+
+
+def _bloom_positions(keys: np.ndarray, j: int) -> np.ndarray:
+    """Bit position of hash j for each key: top log2(M) bits of the
+    multiplicative hash (uint64 wraparound both sides)."""
+    h = keys.astype(np.uint64) * np.uint64(_BLOOM_MULTS[j])
+    return (h >> np.uint64(64 - BLOOM_M_BITS.bit_length() + 1)).astype(np.int64)
+
+
+def bloom_semi_join_revenue(sf_dir: str) -> ray.data.Dataset:
+    """Per-supplier item count + revenue over lineitems of URGENT orders —
+    a Bloom-prefiltered exact semi-join aggregate.
+
+    The 100-TB shape: the fact table (lineitem) is huge, the qualifying
+    key set (urgent orders) much smaller but too big to broadcast exactly
+    as a hash set per task at full scale.  So:
+
+    1. build-side scan emits ONE fixed-size partial bitmap per block
+       (BLOOM_K multiplicative-hash bits per key); the driver ORs them —
+       a constant-size (16 KiB) reduction regardless of data size — and
+       broadcasts the final bitmap once (``ray.put``);
+    2. the fact scan drops every row whose key misses any of the K bits
+       MAP-SIDE — only survivors (true matches + the bitmap's false-
+       positive rate) enter the network;
+    3. a partitioned hash join against the distinct build keys removes
+       the false positives, so the result is EXACT (Bloom filters are
+       one-sided) — the SQL oracle is the plain semi-join;
+    4. map-side partial aggregation per supplier before the final tiny
+       groupby (revenue summed in exact int64 2^-20 units).
+    """
+    from ahrd_ray.stages.partitioning import join_parts
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderpriority"]
+    )
+
+    def urgent_keys(df: pd.DataFrame) -> pd.DataFrame:
+        return df.loc[
+            df["o_orderpriority"] == "1-URGENT", ["o_orderkey"]
+        ].drop_duplicates()
+
+    keys_ds = orders.map_batches(urgent_keys, batch_format="pandas")
+
+    n_words = BLOOM_M_BITS // 64
+
+    def bloom_partial(df: pd.DataFrame) -> pd.DataFrame:
+        bm = np.zeros(n_words, dtype=np.uint64)
+        k = df["o_orderkey"].to_numpy()
+        if len(k):
+            for j in range(BLOOM_K):
+                pos = _bloom_positions(k, j)
+                np.bitwise_or.at(
+                    bm, pos >> 6, np.uint64(1) << (pos & 63).astype(np.uint64)
+                )
+        return pd.DataFrame({"bm": [bm.tobytes()]})
+
+    # constant-size reduction: one 16 KiB row per block -> OR on the driver
+    parts = keys_ds.map_batches(bloom_partial, batch_format="pandas").take_all()
+    bitmap = np.zeros(n_words, dtype=np.uint64)
+    for r in parts:
+        bitmap |= np.frombuffer(r["bm"], dtype=np.uint64)
+    bm_ref = ray.put(bitmap)
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    )
+
+    def prefilter(df: pd.DataFrame) -> pd.DataFrame:
+        from ahrd_ray.stages.score import get_broadcast
+
+        bm = get_broadcast(bm_ref)
+        k = df["l_orderkey"].to_numpy()
+        keep = np.ones(len(df), dtype=bool)
+        for j in range(BLOOM_K):
+            pos = _bloom_positions(k, j)
+            keep &= (
+                bm[pos >> 6] >> (pos & 63).astype(np.uint64) & np.uint64(1)
+            ).astype(bool)
+        out = df[keep]
+        rev = out["l_extendedprice"].to_numpy() * (1.0 - out["l_discount"].to_numpy())
+        return pd.DataFrame(
+            {
+                "l_orderkey": out["l_orderkey"],
+                "l_suppkey": out["l_suppkey"],
+                "rev_units": _qunits(rev),
+            }
+        )
+
+    survivors = li.map_batches(prefilter, batch_format="pandas")
+    verified = survivors.join(
+        keys_ds,
+        "inner",
+        num_partitions=join_parts(1),
+        on=("l_orderkey",),
+        right_on=("o_orderkey",),
+        aggregator_ray_remote_args={"num_cpus": 0.25},
+    )
+
+    def agg_partial(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby("l_suppkey", as_index=False).agg(
+            n_items=("rev_units", "size"), rev_units=("rev_units", "sum")
+        )
+        return out
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        from ahrd_ray.config import QUANT
+
+        g = df.groupby("l_suppkey", as_index=False)[["n_items", "rev_units"]].sum()
+        g["revenue"] = g["rev_units"].to_numpy(dtype=np.float64) / QUANT
+        return g[["l_suppkey", "n_items", "revenue"]].astype({"n_items": "int64"})
+
+    return (
+        verified.map_batches(agg_partial, batch_format="pandas")
+        .groupby("l_suppkey")
+        .map_groups(final, batch_format="pandas")
+    )
