@@ -1284,22 +1284,12 @@ def skew_join_events_customers(sf_dir: str) -> ray.data.Dataset:
 # Bloom-filter-prefiltered semi-join aggregate
 # ---------------------------------------------------------------------------
 
-BLOOM_M_BITS = 1 << 17  # 16 KiB bitmap (sized to the urgent-order key count)
-BLOOM_K = 4
-# splitmix64/wyhash-style odd multipliers (public constants)
-_BLOOM_MULTS = (
-    0x9E3779B97F4A7C15,
-    0xC2B2AE3D27D4EB4F,
-    0xD6E8FEB86659FD93,
-    0xA0761D6478BD642F,
+# shared bitmap kernels (same constants/positions as before the extraction)
+from ahrd_ray.functions.bloom import (  # noqa: E402
+    BLOOM_K,
+    BLOOM_M_BITS,
+    bloom_positions as _bloom_positions,
 )
-
-
-def _bloom_positions(keys: np.ndarray, j: int) -> np.ndarray:
-    """Bit position of hash j for each key: top log2(M) bits of the
-    multiplicative hash (uint64 wraparound both sides)."""
-    h = keys.astype(np.uint64) * np.uint64(_BLOOM_MULTS[j])
-    return (h >> np.uint64(64 - BLOOM_M_BITS.bit_length() + 1)).astype(np.int64)
 
 
 def bloom_semi_join_revenue(sf_dir: str) -> ray.data.Dataset:
@@ -1336,25 +1326,10 @@ def bloom_semi_join_revenue(sf_dir: str) -> ray.data.Dataset:
 
     keys_ds = orders.map_batches(urgent_keys, batch_format="pandas")
 
-    n_words = BLOOM_M_BITS // 64
-
-    def bloom_partial(df: pd.DataFrame) -> pd.DataFrame:
-        bm = np.zeros(n_words, dtype=np.uint64)
-        k = df["o_orderkey"].to_numpy()
-        if len(k):
-            for j in range(BLOOM_K):
-                pos = _bloom_positions(k, j)
-                np.bitwise_or.at(
-                    bm, pos >> 6, np.uint64(1) << (pos & 63).astype(np.uint64)
-                )
-        return pd.DataFrame({"bm": [bm.tobytes()]})
-
     # constant-size reduction: one 16 KiB row per block -> OR on the driver
-    parts = keys_ds.map_batches(bloom_partial, batch_format="pandas").take_all()
-    bitmap = np.zeros(n_words, dtype=np.uint64)
-    for r in parts:
-        bitmap |= np.frombuffer(r["bm"], dtype=np.uint64)
-    bm_ref = ray.put(bitmap)
+    from ahrd_ray.functions.bloom import build_bloom_ref
+
+    bm_ref = build_bloom_ref(keys_ds, ["o_orderkey"])
 
     li = ray.data.read_parquet(
         f"{sf_dir}/lineitem.parquet",
@@ -1362,17 +1337,11 @@ def bloom_semi_join_revenue(sf_dir: str) -> ray.data.Dataset:
     )
 
     def prefilter(df: pd.DataFrame) -> pd.DataFrame:
+        from ahrd_ray.functions.bloom import bloom_test
         from ahrd_ray.stages.score import get_broadcast
 
         bm = get_broadcast(bm_ref)
-        k = df["l_orderkey"].to_numpy()
-        keep = np.ones(len(df), dtype=bool)
-        for j in range(BLOOM_K):
-            pos = _bloom_positions(k, j)
-            keep &= (
-                bm[pos >> 6] >> (pos & 63).astype(np.uint64) & np.uint64(1)
-            ).astype(bool)
-        out = df[keep]
+        out = df[bloom_test(bm, df["l_orderkey"].to_numpy())]
         rev = out["l_extendedprice"].to_numpy() * (1.0 - out["l_discount"].to_numpy())
         return pd.DataFrame(
             {
