@@ -846,14 +846,30 @@ def decontaminate(sf_dir: str, n: int = 3) -> ray.data.Dataset:
         out = df[df["doc_id"] % BENCH_DOC_MOD == 0][["sh"]].drop_duplicates()
         return out.assign(hit=np.int64(1))
 
+    # materialized: the distinct-benchmark-shingle table is small (scales
+    # with the benchmark, not the corpus) and is consumed twice (Bloom
+    # build + join build side)
     bench = (
         sh.map_batches(split_bench, batch_format="pandas")
         .groupby("sh")
         .map_groups(lambda df: df.head(1), batch_format="pandas")
+        .materialize()
     )
 
+    # Bloom-prefilter the corpus shingle stream: a constant-size bitmap of
+    # the benchmark shingle hashes drops non-overlapping corpus shingles
+    # MAP-SIDE before the join shuffle — the join input then scales with
+    # actual contamination, not corpus size (one-sided; the inner join
+    # keeps the count exact)
+    from ahrd_ray.functions.bloom import bloom_test, build_bloom_ref
+    from ahrd_ray.stages.score import get_broadcast
+
+    bm_ref = build_bloom_ref(bench, ["sh"])
+
     def cand(df: pd.DataFrame) -> pd.DataFrame:
-        return df[df["doc_id"] % BENCH_DOC_MOD != 0]
+        bm = get_broadcast(bm_ref)
+        out = df[df["doc_id"] % BENCH_DOC_MOD != 0]
+        return out[bloom_test(bm, out["sh"].to_numpy())]
 
     joined = _join(
         sh.map_batches(cand, batch_format="pandas"),

@@ -263,12 +263,37 @@ def embedding_near_dup_pairs(sf_dir: str, threshold: float = 0.2) -> ray.data.Da
 
     emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
     banded = emb.map_batches(sketch_batch, batch_format="pyarrow")
-    cand = _dedup_bucket_pairs(banded, ["band", "key"], "key", "vec_id").map_batches(
-        lambda df: df.rename(columns={"doc_a": "vec_a", "doc_b": "vec_b"}),
-        batch_format="pandas",
+    # materialized: small pair table consumed twice (Bloom build + join
+    # build side) — without the barrier the banding shuffle would run twice
+    cand = (
+        _dedup_bucket_pairs(banded, ["band", "key"], "key", "vec_id")
+        .map_batches(
+            lambda df: df.rename(columns={"doc_a": "vec_a", "doc_b": "vec_b"}),
+            batch_format="pandas",
+        )
+        .materialize()
     )
 
+    # Bloom-prefilter the vector stream: only vec_ids appearing in some
+    # candidate pair reach the verify joins, so the blob conversion and the
+    # join shuffles scale with candidate count, not the corpus (one-sided;
+    # the inner joins keep the result exact)
+    from ahrd_ray.functions.bloom import bloom_test, build_bloom_ref
+    from ahrd_ray.stages.score import get_broadcast
+
+    bm_ref = build_bloom_ref(cand, ["vec_a", "vec_b"])
+
     def to_blob(batch: pa.Table) -> pa.Table:
+        bm = get_broadcast(bm_ref)
+        keep = bloom_test(bm, batch["vec_id"].to_numpy())
+        batch = batch.filter(pa.array(keep))
+        if len(batch) == 0:
+            return pa.table(
+                {
+                    "vec_id": pa.array([], type=pa.int64()),
+                    "emb": pa.array([], type=pa.binary()),
+                }
+            )
         ids, m = _emb_matrix(batch)  # quantized float64 rows
         blobs = [row.tobytes() for row in m]
         return pa.table(
