@@ -2026,3 +2026,24 @@ def sql_bloom_semi_join_revenue() -> str:
 FROM lineitem
 WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT')
 GROUP BY l_suppkey"""
+
+
+def sql_customer_order_counts() -> str:
+    return """SELECT c.c_custkey, count(o.o_orderkey) AS n_orders
+FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+GROUP BY c.c_custkey"""
+
+
+def sql_q3_top_orders() -> str:
+    from ahrd_ray.stages.generic import Q3_SEGMENT, Q3_TOP_N
+
+    return f"""SELECT o.o_orderkey, o.o_orderdate,
+       {_qsum('l.l_extendedprice * (1.0 - l.l_discount)')} AS revenue
+FROM customer c
+JOIN orders o ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = '{Q3_SEGMENT}'
+GROUP BY o.o_orderkey, o.o_orderdate
+ORDER BY sum(CAST(floor((l.l_extendedprice * (1.0 - l.l_discount)) * {QUANT!r} + 0.5) AS BIGINT)) DESC, o.o_orderkey
+LIMIT {Q3_TOP_N}"""
+

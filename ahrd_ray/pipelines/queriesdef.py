@@ -634,6 +634,19 @@ def _generic_queries() -> dict[str, tuple[Callable, str | None]]:
             lambda sf: g.event_type_pivot(sf).map_batches(_int64, batch_format="pyarrow"),
             oracle.sql_event_type_pivot(),
         ),
+        # left-outer hash join (null-preserving; zero-order customers kept)
+        "rel_left_join": (
+            lambda sf: g.customer_order_counts(sf).map_batches(
+                _int64, batch_format="pyarrow"
+            ),
+            oracle.sql_customer_order_counts(),
+        ),
+        # chained two-join analytical query (TPC-H Q3 shape) under the
+        # per-pipeline aggregator budget
+        "rel_q3_top_orders": (
+            lambda sf: g.q3_top_orders(sf).map_batches(_int64, batch_format="pyarrow"),
+            oracle.sql_q3_top_orders(),
+        ),
     }
 
 

@@ -1379,3 +1379,152 @@ def bloom_semi_join_revenue(sf_dir: str) -> ray.data.Dataset:
         .groupby("l_suppkey")
         .map_groups(final, batch_format="pandas")
     )
+
+
+# ---------------------------------------------------------------------------
+# Left-outer join (null-preserving)
+# ---------------------------------------------------------------------------
+
+def customer_order_counts(sf_dir: str) -> ray.data.Dataset:
+    """Per-customer order count INCLUDING zero-order customers — a
+    distributed left-outer hash join (the null-preserving join type; the
+    module's other joins are inner/semi/anti).
+
+    The orders side pre-aggregates to one row per customer BEFORE the join
+    (map-side partial + small groupby), so the outer join moves |customers|
+    + |distinct custkeys| rows, never |orders|."""
+    from ahrd_ray.stages.partitioning import join_parts
+
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey"]
+    )
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey"]
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby("o_custkey", as_index=False).size()
+        return out.rename(columns={"size": "n_orders"})
+
+    per_cust = (
+        orders.map_batches(partial, batch_format="pandas")
+        .groupby("o_custkey")
+        .map_groups(
+            lambda df: df.groupby("o_custkey", as_index=False)["n_orders"].sum(),
+            batch_format="pandas",
+        )
+    )
+
+    joined = cust.join(
+        per_cust,
+        "left_outer",
+        num_partitions=join_parts(1),
+        on=("c_custkey",),
+        right_on=("o_custkey",),
+        aggregator_ray_remote_args={"num_cpus": 0.25},
+    )
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        n = df["n_orders"].fillna(0).astype("int64")
+        return pd.DataFrame({"c_custkey": df["c_custkey"], "n_orders": n})
+
+    return joined.map_batches(finish, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# Chained two-join analytical query (TPC-H Q3 shape)
+# ---------------------------------------------------------------------------
+
+Q3_SEGMENT = "BUILDING"
+Q3_TOP_N = 10
+
+
+def q3_top_orders(sf_dir: str, n: int = Q3_TOP_N) -> ray.data.Dataset:
+    """Top-N orders by revenue for one market segment — customer ⋈ orders
+    ⋈ lineitem, the canonical chained-join analytical query.
+
+    Shape notes for 100 TB: the customer side reduces to qualifying KEYS
+    before joining (column-pruned semi-join input); both joins run under
+    the per-pipeline aggregator budget (n_joins=2 — the round-2 deadlock
+    constraint); revenue sums exact int64 2^-20 units map-side per order
+    before the final per-block-partial top-N, so the sort moves blocks x N
+    rows."""
+    from ahrd_ray.stages.partitioning import join_parts
+
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+    )
+
+    def seg_keys(df: pd.DataFrame) -> pd.DataFrame:
+        return df.loc[df["c_mktsegment"] == Q3_SEGMENT, ["c_custkey"]]
+
+    keys = cust.map_batches(seg_keys, batch_format="pandas")
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey", "o_orderdate"]
+    )
+    seg_orders = orders.join(
+        keys,
+        "inner",
+        num_partitions=join_parts(2),
+        on=("o_custkey",),
+        right_on=("c_custkey",),
+        aggregator_ray_remote_args={"num_cpus": 0.25},
+    )
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount"],
+    )
+
+    def li_prep(df: pd.DataFrame) -> pd.DataFrame:
+        rev = df["l_extendedprice"].to_numpy() * (1.0 - df["l_discount"].to_numpy())
+        out = pd.DataFrame({"l_orderkey": df["l_orderkey"], "rev_units": _qunits(rev)})
+        return out.groupby("l_orderkey", as_index=False).sum()
+
+    li_partial = li.map_batches(li_prep, batch_format="pandas")
+
+    joined = li_partial.join(
+        seg_orders,
+        "inner",
+        num_partitions=join_parts(2),
+        on=("l_orderkey",),
+        right_on=("o_orderkey",),
+        aggregator_ray_remote_args={"num_cpus": 0.25},
+    )
+
+    from ahrd_ray.config import QUANT
+
+    def per_order(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["l_orderkey", "o_orderdate"], as_index=False)["rev_units"].sum()
+        return g
+
+    def partial_topn(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values(
+            ["rev_units", "l_orderkey"], ascending=[False, True], kind="mergesort"
+        ).head(n)
+
+    top = (
+        joined.map_batches(per_order, batch_format="pandas")
+        .groupby("l_orderkey")
+        .map_groups(
+            lambda df: df.groupby(["l_orderkey", "o_orderdate"], as_index=False)[
+                "rev_units"
+            ].sum(),
+            batch_format="pandas",
+        )
+        .map_batches(partial_topn, batch_format="pandas")
+        .sort(["rev_units", "l_orderkey"], descending=[True, False])
+        .limit(n)
+    )
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "o_orderkey": df["l_orderkey"].astype("int64"),
+                "o_orderdate": df["o_orderdate"],
+                "revenue": df["rev_units"].to_numpy(dtype=np.float64) / QUANT,
+            }
+        )
+
+    return top.map_batches(finish, batch_format="pandas")
