@@ -974,6 +974,8 @@ def substring_spans(sf_dir: str, n: int = SPAN_GRAM) -> ray.data.Dataset:
         out["shpart"] = (out["sh"] % n_parts).astype("int32")
         return out
 
+    # materialized: the duplicated-hash table is much smaller than the
+    # occurrence stream and is consumed twice (Bloom build + join side)
     dup = (
         pos_ds.map_batches(cnt_partial, batch_format="pandas")
         .groupby("shpart")
@@ -984,9 +986,30 @@ def substring_spans(sf_dir: str, n: int = SPAN_GRAM) -> ray.data.Dataset:
             .assign(dup=np.int8(1)),
             batch_format="pandas",
         )
+        .materialize()
     )
 
-    hits = _join(pos_ds, dup, on=("sh",), right_on=("sh",), n_joins=1)
+    # Bloom-prefilter the occurrence stream: gram occurrences whose hash is
+    # not (probably) duplicated never enter the join shuffle — at web scale
+    # duplicated grams are a small minority of all occurrences, so the join
+    # input scales with actual duplication (one-sided; the inner join keeps
+    # the spans exact)
+    from ahrd_ray.functions.bloom import bloom_test, build_bloom_ref
+    from ahrd_ray.stages.score import get_broadcast
+
+    bm_ref = build_bloom_ref(dup, ["sh"])
+
+    def _prefilter_sh(t: pa.Table) -> pa.Table:
+        bm = get_broadcast(bm_ref)
+        return t.filter(pa.array(bloom_test(bm, t["sh"].to_numpy())))
+
+    hits = _join(
+        pos_ds.map_batches(_prefilter_sh, batch_format="pyarrow"),
+        dup,
+        on=("sh",),
+        right_on=("sh",),
+        n_joins=1,
+    )
 
     def islands(df: pd.DataFrame) -> pd.DataFrame:
         if not len(df):
