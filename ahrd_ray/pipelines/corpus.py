@@ -1,0 +1,67 @@
+"""End-to-end LLM pretraining-corpus composition.
+
+The cleaning pipeline every web-scale training-data run executes —
+exact dedup -> Gopher quality gate -> benchmark decontamination — chained
+over ONE corpus as a single Dataset pipeline.  Each stage is the SAME code
+the standalone registry queries run (``dd_exact``, ``tx_filtered_docs``,
+``dd_decontaminate``); this module only wires their outputs together, so
+the composed result is oracle-gated end-to-end by composing the same SQL.
+
+Output manifest: (doc_id, n_tokens, quality) of documents that
+  1. are the exact-dedup representative of their byte-identical group
+     (lowest doc_id per sha256),
+  2. pass the Gopher gate (length / stopword-ratio / TTR bounds),
+  3. are not benchmark docs and share no word-shingle with any benchmark
+     doc (zero-tolerance decontamination).
+
+Scale shape: the quality gate is a pure map-side filter; the dedup
+survivors arrive by one hash join on doc_id; contamination is removed by a
+distributed left-anti join against the (small) contaminated-doc table.
+Both joins run under the per-pipeline aggregator budget (n_joins=2).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyarrow as pa
+
+import ray.data
+
+
+def clean_corpus(sf_dir: str) -> ray.data.Dataset:
+    from ahrd_ray.stages.dedup import BENCH_DOC_MOD, _join, decontaminate, exact_dedup
+    from ahrd_ray.stages.partitioning import join_parts
+    from ahrd_ray.stages.textstats import filtered_docs
+
+    def not_bench(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy()
+        return t.filter(pa.array(ids % BENCH_DOC_MOD != 0)).select(
+            ["doc_id", "n_tokens", "quality"]
+        )
+
+    feats = filtered_docs(sf_dir).map_batches(
+        not_bench, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    survivors = exact_dedup(sf_dir).map_batches(
+        lambda df: df[["doc_id"]], batch_format="pandas"
+    )
+
+    deduped = _join(feats, survivors, on=("doc_id",), right_on=("doc_id",), n_joins=2)
+
+    contaminated = decontaminate(sf_dir).map_batches(
+        lambda df: df[["doc_id"]], batch_format="pandas"
+    )
+
+    clean = deduped.join(
+        contaminated,
+        "left_anti",
+        num_partitions=join_parts(2),
+        on=("doc_id",),
+        right_on=("doc_id",),
+        aggregator_ray_remote_args={"num_cpus": 0.25},
+    )
+
+    return clean.map_batches(
+        lambda df: df[["doc_id", "n_tokens", "quality"]], batch_format="pandas"
+    )

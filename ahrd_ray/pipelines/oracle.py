@@ -2047,3 +2047,18 @@ GROUP BY o.o_orderkey, o.o_orderdate
 ORDER BY sum(CAST(floor((l.l_extendedprice * (1.0 - l.l_discount)) * {QUANT!r} + 0.5) AS BIGINT)) DESC, o.o_orderkey
 LIMIT {Q3_TOP_N}"""
 
+
+
+def sql_clean_corpus() -> str:
+    """Composed end-to-end cleaning pipeline (pipelines/corpus.clean_corpus):
+    the SAME SQL fragments as the standalone dd_exact / tx_filtered_docs /
+    dd_decontaminate oracles, wired with the same join/anti-join logic."""
+    from ahrd_ray.stages.dedup import BENCH_DOC_MOD
+
+    return f"""WITH feats AS ({sql_filtered_docs()}),
+dedup AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY sha256(text)),
+contam AS ({sql_decontaminate()})
+SELECT f.doc_id, f.n_tokens, f.quality
+FROM feats f JOIN dedup d ON d.doc_id = f.doc_id
+WHERE f.doc_id % {BENCH_DOC_MOD} <> 0
+  AND NOT EXISTS (SELECT 1 FROM contam c WHERE c.doc_id = f.doc_id)"""

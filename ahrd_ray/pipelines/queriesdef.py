@@ -25,6 +25,12 @@ from ahrd_ray.pipelines import kg, oracle
 from ahrd_ray.sources.tables import corpus_vocab, doc_tokens
 
 
+def _corpus_clean(sf: str):
+    from ahrd_ray.pipelines.corpus import clean_corpus
+
+    return clean_corpus(sf).map_batches(_int64, batch_format="pyarrow")
+
+
 def _int64(table: pa.Table) -> pa.Table:
     """Normalize to DuckDB's default types: integer columns -> int64,
     timestamps -> timestamp[us].  Also strips pandas schema metadata so
@@ -320,6 +326,12 @@ def _dedup_queries() -> dict[str, tuple[Callable, str | None]]:
         "dd_decontaminate": (
             lambda sf: dd.decontaminate(sf).map_batches(_int64, batch_format="pyarrow"),
             oracle.sql_decontaminate(),
+        ),
+        # composed end-to-end cleaning pipeline: exact dedup -> Gopher gate
+        # -> decontamination, one Dataset chain (pipelines/corpus.py)
+        "llm_clean_corpus": (
+            lambda sf: _corpus_clean(sf),
+            oracle.sql_clean_corpus(),
         ),
         # ingest-time cross-snapshot exact dedup (old = even, new = odd ids)
         "dd_incremental": (
