@@ -119,6 +119,7 @@ def run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
 
     from ahrd_ray.stages import graph as gr
     from ahrd_ray.stages import generic as gn
+    from ahrd_ray.pipelines.corpus import clean_corpus as _clean_corpus
 
     for name, builder in [
         ("dd_exact", lambda: dd.exact_dedup(sf_dir)),
@@ -135,6 +136,7 @@ def run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
         ("dd_paragraph_dedup", lambda: dd.paragraph_dedup(sf_dir)),
         ("tx_pack_chunks", lambda: tx.pack_chunks(sf_dir)),
         ("tx_lm_score", lambda: tx.lm_score(sf_dir)),
+        ("llm_clean_corpus", lambda: _clean_corpus(sf_dir)),
     ]:
         t0 = time.perf_counter()
         out = builder()
