@@ -2062,3 +2062,14 @@ SELECT f.doc_id, f.n_tokens, f.quality
 FROM feats f JOIN dedup d ON d.doc_id = f.doc_id
 WHERE f.doc_id % {BENCH_DOC_MOD} <> 0
   AND NOT EXISTS (SELECT 1 FROM contam c WHERE c.doc_id = f.doc_id)"""
+
+
+def sql_top_tokens(k: int = 50) -> str:
+    """Exact global top-k tokens (stages/textstats.top_tokens): the
+    pipeline's sketch+certificate+recount machinery must equal the plain
+    exact computation — that equality IS the oracle."""
+    return f"""SELECT token, count(*) AS n
+FROM (SELECT unnest({_sql_tok_arr()}) AS token FROM documents)
+GROUP BY token
+ORDER BY n DESC, token ASC
+LIMIT {k}"""

@@ -457,6 +457,12 @@ def _textstats_queries() -> dict[str, tuple[Callable, str | None]]:
             lambda sf: tx.tfidf_top(sf).map_batches(_int64, batch_format="pyarrow"),
             oracle.sql_tfidf_top(),
         ),
+        # exact top-k heavy hitters: bounded-memory sketch + runtime
+        # exactness certificate + candidate-only recount
+        "tx_top_tokens": (
+            lambda sf: tx.top_tokens(sf).map_batches(_int64, batch_format="pyarrow"),
+            oracle.sql_top_tokens(),
+        ),
     }
 
 

@@ -950,3 +950,113 @@ def length_gate(sf_dir: str) -> ray.data.Dataset:
         return batch.filter(pa.array((nt >= lo) & (nt <= hi)))
 
     return counts.map_batches(gate, batch_format="pyarrow")
+
+# ---------------------------------------------------------------------------
+# Exact top-k heavy hitters: bounded-memory sketch + exactness certificate
+# ---------------------------------------------------------------------------
+
+TOP_TOKENS_K = 50
+# Per-block candidate capacity.  Misra-Gries bound: a token NOT kept among a
+# block's top-`capacity` has block count <= that block's capacity-th kept
+# count, so summing those per-block floors bounds any non-candidate's global
+# count.  4096 makes the certificate trivially tight on real Zipfian text.
+TOP_TOKENS_CAPACITY = 4096
+
+
+def top_tokens(
+    sf_dir: str, k: int = TOP_TOKENS_K, capacity: int = TOP_TOKENS_CAPACITY
+) -> ray.data.Dataset:
+    """EXACT global top-k tokens by occurrence count — computed with
+    bounded per-block state and a runtime exactness certificate instead of
+    a full-vocabulary shuffle (the heavy-hitter pattern: sketch ->
+    certificate -> exact recount of candidates only).
+
+    1. Per block: exact counts, keep the top-``capacity`` tokens as
+       candidates plus ONE scalar bound (the capacity-th kept count —
+       any token not kept in this block has block count <= it).
+    2. The candidate union's exact global counts come from a second
+       streaming pass that drops non-candidate tokens MAP-SIDE (broadcast
+       membership set) — the recount groupby shuffles candidate partials
+       only, never the full vocabulary.
+    3. Certificate: the k-th best candidate count must be >= the summed
+       per-block bounds; then no non-candidate can reach the top k, so the
+       result equals the full exact computation (the SQL oracle).  A
+       failing certificate raises (enlarge ``capacity``) rather than
+       silently returning an approximation.
+    """
+    import ray as _ray
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def sketch(batch: pa.Table) -> pd.DataFrame:
+        _, toks = _split_counts(batch)
+        vc = pd.Series(toks).value_counts()  # exact, descending
+        kept = vc.iloc[:capacity]
+        bound = int(vc.iloc[capacity - 1]) if len(vc) >= capacity else 0
+        out = pd.DataFrame({"token": kept.index, "cnt": kept.to_numpy(np.int64)})
+        out["bound"] = np.int64(0)
+        # one bound row per block (token='' never survives _split_counts)
+        return pd.concat(
+            [out, pd.DataFrame({"token": [""], "cnt": [np.int64(0)], "bound": [np.int64(bound)]})],
+            ignore_index=True,
+        )
+
+    sk = docs.map_batches(sketch, batch_format="pyarrow").materialize()
+
+    # candidate membership + the global certificate bound (both driver-side
+    # reductions over the SMALL sketch table: <= capacity + 1 rows per block)
+    cands: set[str] = set()
+    total_bound = 0
+    for b in sk.iter_batches(batch_format="pandas"):
+        total_bound += int(b["bound"].sum())
+        cands.update(b.loc[b["token"] != "", "token"])
+    cand_ref = _ray.put(frozenset(cands))
+
+    def recount_partial(batch: pa.Table) -> pd.DataFrame:
+        from ahrd_ray.stages.score import get_broadcast
+
+        member = get_broadcast(cand_ref)
+        _, toks = _split_counts(batch)
+        s = pd.Series(toks)
+        s = s[s.isin(member)]
+        vc = s.value_counts()
+        return pd.DataFrame({"token": vc.index, "cnt": vc.to_numpy(np.int64)})
+
+    exact = (
+        docs.map_batches(recount_partial, batch_format="pyarrow")
+        .groupby("token")
+        .map_groups(
+            lambda df: df.groupby("token", as_index=False)["cnt"].sum(),
+            batch_format="pandas",
+        )
+    )
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        top = df.sort_values(["cnt", "token"], ascending=[False, True], kind="mergesort").head(k)
+        # total_bound == 0 means NO token was dropped in any block (every
+        # token is a candidate) — exact by construction.  Otherwise the
+        # k-th count must STRICTLY exceed the bound (a non-candidate tied
+        # at the bound could still win the lexicographic tie-break), and
+        # fewer than k candidates can never be proven complete: dropped
+        # tokens could fill the missing slots.
+        if total_bound > 0 and (
+            len(top) < k or int(top["cnt"].iloc[-1]) <= total_bound
+        ):
+            kth = int(top["cnt"].iloc[-1]) if len(top) else 0
+            raise ValueError(
+                f"heavy-hitter certificate failed: {len(top)} candidates, k-th"
+                f" count {kth} <= missed-count bound {total_bound}; raise"
+                f" capacity ({capacity})"
+            )
+        return top.rename(columns={"cnt": "n"}).astype({"n": "int64"})
+
+    # final top-k: per-block partial top-k bounds the sort input
+    def partial_topk(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values(["cnt", "token"], ascending=[False, True], kind="mergesort").head(k)
+
+    return (
+        exact.map_batches(partial_topk, batch_format="pandas")
+        .sort(["cnt", "token"], descending=[True, False])
+        .limit(k)
+        .map_batches(finish, batch_format="pandas")
+    )
