@@ -1003,14 +1003,28 @@ def top_tokens(
 
     sk = docs.map_batches(sketch, batch_format="pyarrow").materialize()
 
-    # candidate membership + the global certificate bound (both driver-side
-    # reductions over the SMALL sketch table: <= capacity + 1 rows per block)
-    cands: set[str] = set()
-    total_bound = 0
-    for b in sk.iter_batches(batch_format="pandas"):
-        total_bound += int(b["bound"].sum())
-        cands.update(b.loc[b["token"] != "", "token"])
-    cand_ref = _ray.put(frozenset(cands))
+    # global certificate bound: a tiny distributed sum (one int per block)
+    total_bound = int(
+        sk.map_batches(
+            lambda df: pd.DataFrame({"b": [np.int64(df["bound"].sum())]}),
+            batch_format="pandas",
+        ).to_pandas()["b"].sum()
+    )
+
+    # candidate membership: distinct DISTRIBUTED first (per-block dedup +
+    # token-hash groupby), so the driver collects only the distinct heavy
+    # candidates — the same small-side class as the tfidf DF broadcast —
+    # never the capacity x blocks sketch rows
+    cand_tokens = (
+        sk.map_batches(
+            lambda df: df.loc[df["token"] != "", ["token"]].drop_duplicates(),
+            batch_format="pandas",
+        )
+        .groupby("token")
+        .map_groups(lambda df: df.head(1), batch_format="pandas")
+        .to_pandas()["token"]
+    )
+    cand_ref = _ray.put(frozenset(cand_tokens))
 
     def recount_partial(batch: pa.Table) -> pd.DataFrame:
         from ahrd_ray.stages.score import get_broadcast
