@@ -65,3 +65,21 @@ def clean_corpus(sf_dir: str) -> ray.data.Dataset:
     return clean.map_batches(
         lambda df: df[["doc_id", "n_tokens", "quality"]], batch_format="pandas"
     )
+
+
+def clean_corpus_neardup(sf_dir: str) -> ray.data.Dataset:
+    """``clean_corpus`` plus near-duplicate REMOVAL: only the SimHash
+    cluster representatives survive (``dedup_docs`` semantics — smallest
+    doc_id per transitive near-dup cluster).  The full production cleaning
+    chain: exact dedup -> quality gate -> decontamination -> near-dup
+    removal, one Dataset pipeline."""
+    from ahrd_ray.stages.dedup import _join, dedup_docs
+
+    base = clean_corpus(sf_dir)
+    reps = dedup_docs(sf_dir).map_batches(
+        lambda df: df[["doc_id"]], batch_format="pandas"
+    )
+    kept = _join(base, reps, on=("doc_id",), right_on=("doc_id",), n_joins=3)
+    return kept.map_batches(
+        lambda df: df[["doc_id", "n_tokens", "quality"]], batch_format="pandas"
+    )

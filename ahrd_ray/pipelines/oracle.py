@@ -2073,3 +2073,11 @@ FROM (SELECT unnest({_sql_tok_arr()}) AS token FROM documents)
 GROUP BY token
 ORDER BY n DESC, token ASC
 LIMIT {k}"""
+
+
+def sql_clean_corpus_neardup() -> str:
+    """clean_corpus + SimHash near-dup removal (cluster representatives
+    only) — composes sql_clean_corpus with sql_dedup_docs."""
+    return f"""SELECT f.doc_id, f.n_tokens, f.quality
+FROM ({sql_clean_corpus()}) f
+JOIN ({sql_dedup_docs()}) nd ON nd.doc_id = f.doc_id"""

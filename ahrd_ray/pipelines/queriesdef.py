@@ -31,6 +31,12 @@ def _corpus_clean(sf: str):
     return clean_corpus(sf).map_batches(_int64, batch_format="pyarrow")
 
 
+def _corpus_clean_neardup(sf: str):
+    from ahrd_ray.pipelines.corpus import clean_corpus_neardup
+
+    return clean_corpus_neardup(sf).map_batches(_int64, batch_format="pyarrow")
+
+
 def _int64(table: pa.Table) -> pa.Table:
     """Normalize to DuckDB's default types: integer columns -> int64,
     timestamps -> timestamp[us].  Also strips pandas schema metadata so
@@ -332,6 +338,12 @@ def _dedup_queries() -> dict[str, tuple[Callable, str | None]]:
         "llm_clean_corpus": (
             lambda sf: _corpus_clean(sf),
             oracle.sql_clean_corpus(),
+        ),
+        # the full production chain: + SimHash near-dup removal (cluster
+        # representatives only)
+        "llm_clean_corpus_neardup": (
+            lambda sf: _corpus_clean_neardup(sf),
+            oracle.sql_clean_corpus_neardup(),
         ),
         # ingest-time cross-snapshot exact dedup (old = even, new = odd ids)
         "dd_incremental": (
