@@ -1,11 +1,12 @@
 """End-to-end LLM pretraining-corpus composition.
 
 The cleaning pipeline every web-scale training-data run executes —
-exact dedup -> Gopher quality gate -> benchmark decontamination — chained
-over ONE corpus as a single Dataset pipeline.  Each stage is the SAME code
-the standalone registry queries run (``dd_exact``, ``tx_filtered_docs``,
-``dd_decontaminate``); this module only wires their outputs together, so
-the composed result is oracle-gated end-to-end by composing the same SQL.
+exact dedup -> Gopher quality gate -> benchmark decontamination (-> near-dup
+removal) — chained over ONE corpus as a single Dataset pipeline.  Each
+stage is the SAME code the standalone registry queries run (``dd_exact``,
+``tx_filtered_docs``, ``dd_decontaminate``, ``dd_dedup_docs``); this module
+only wires their outputs together, so the composed result is oracle-gated
+end-to-end by composing the same SQL.
 
 Output manifest: (doc_id, n_tokens, quality) of documents that
   1. are the exact-dedup representative of their byte-identical group
@@ -17,7 +18,10 @@ Output manifest: (doc_id, n_tokens, quality) of documents that
 Scale shape: the quality gate is a pure map-side filter; the dedup
 survivors arrive by one hash join on doc_id; contamination is removed by a
 distributed left-anti join against the (small) contaminated-doc table.
-Both joins run under the per-pipeline aggregator budget (n_joins=2).
+EVERY join in the composition — including decontaminate's internal one —
+shares a single ``n_joins`` budget equal to the pipeline's total open join
+count (3 here, 4 with near-dup removal), so the up-front aggregator
+reservation respects the per-pipeline cap ``join_parts`` documents.
 """
 
 from __future__ import annotations
@@ -27,10 +31,14 @@ import pyarrow as pa
 
 import ray.data
 
+# open joins held by each composition (decontaminate's internal join +
+# dedup-survivors join + left-anti; +1 for the near-dup representatives)
+N_JOINS_CLEAN = 3
+N_JOINS_NEARDUP = 4
 
-def clean_corpus(sf_dir: str) -> ray.data.Dataset:
+
+def clean_corpus(sf_dir: str, n_joins: int = N_JOINS_CLEAN) -> ray.data.Dataset:
     from ahrd_ray.stages.dedup import BENCH_DOC_MOD, _join, decontaminate, exact_dedup
-    from ahrd_ray.stages.partitioning import join_parts
     from ahrd_ray.stages.textstats import filtered_docs
 
     def not_bench(t: pa.Table) -> pa.Table:
@@ -47,19 +55,21 @@ def clean_corpus(sf_dir: str) -> ray.data.Dataset:
         lambda df: df[["doc_id"]], batch_format="pandas"
     )
 
-    deduped = _join(feats, survivors, on=("doc_id",), right_on=("doc_id",), n_joins=2)
+    deduped = _join(
+        feats, survivors, on=("doc_id",), right_on=("doc_id",), n_joins=n_joins
+    )
 
-    contaminated = decontaminate(sf_dir).map_batches(
+    contaminated = decontaminate(sf_dir, n_joins=n_joins).map_batches(
         lambda df: df[["doc_id"]], batch_format="pandas"
     )
 
-    clean = deduped.join(
+    clean = _join(
+        deduped,
         contaminated,
-        "left_anti",
-        num_partitions=join_parts(2),
         on=("doc_id",),
         right_on=("doc_id",),
-        aggregator_ray_remote_args={"num_cpus": 0.25},
+        n_joins=n_joins,
+        join_type="left_anti",
     )
 
     return clean.map_batches(
@@ -75,11 +85,13 @@ def clean_corpus_neardup(sf_dir: str) -> ray.data.Dataset:
     removal, one Dataset pipeline."""
     from ahrd_ray.stages.dedup import _join, dedup_docs
 
-    base = clean_corpus(sf_dir)
+    base = clean_corpus(sf_dir, n_joins=N_JOINS_NEARDUP)
     reps = dedup_docs(sf_dir).map_batches(
         lambda df: df[["doc_id"]], batch_format="pandas"
     )
-    kept = _join(base, reps, on=("doc_id",), right_on=("doc_id",), n_joins=3)
+    kept = _join(
+        base, reps, on=("doc_id",), right_on=("doc_id",), n_joins=N_JOINS_NEARDUP
+    )
     return kept.map_batches(
         lambda df: df[["doc_id", "n_tokens", "quality"]], batch_format="pandas"
     )

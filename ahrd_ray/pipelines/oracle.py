@@ -2064,10 +2064,12 @@ WHERE f.doc_id % {BENCH_DOC_MOD} <> 0
   AND NOT EXISTS (SELECT 1 FROM contam c WHERE c.doc_id = f.doc_id)"""
 
 
-def sql_top_tokens(k: int = 50) -> str:
+def sql_top_tokens(k: int | None = None) -> str:
     """Exact global top-k tokens (stages/textstats.top_tokens): the
     pipeline's sketch+certificate+recount machinery must equal the plain
     exact computation — that equality IS the oracle."""
+    if k is None:
+        from ahrd_ray.stages.textstats import TOP_TOKENS_K as k
     return f"""SELECT token, count(*) AS n
 FROM (SELECT unnest({_sql_tok_arr()}) AS token FROM documents)
 GROUP BY token

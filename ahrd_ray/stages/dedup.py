@@ -171,8 +171,9 @@ def _join(
     on,
     right_on,
     n_joins: int = 2,
+    join_type: str = "inner",
 ) -> ray.data.Dataset:
-    """Inner hash join under the per-pipeline aggregator budget.
+    """Hash join under the per-pipeline aggregator budget.
 
     ``n_joins`` is how many chained joins the calling pipeline holds open
     concurrently — Ray Data reserves every join's aggregator pool up front
@@ -182,7 +183,7 @@ def _join(
     now a budget instead of a global <= 8 cap)."""
     return left.join(
         right,
-        "inner",
+        join_type,
         num_partitions=join_parts(n_joins),
         on=tuple(on),
         right_on=tuple(right_on),
@@ -549,7 +550,7 @@ def minhash_lsh_pairs(
     from ahrd_ray.functions.bloom import bloom_test, build_bloom_ref
     from ahrd_ray.stages.score import get_broadcast
 
-    bm_ref = build_bloom_ref(cand, ["doc_a", "doc_b"])
+    bm_ref = build_bloom_ref(cand, ["doc_a", "doc_b"], n_keys=2 * cand.count())
 
     def _prefilter(t: pa.Table) -> pa.Table:
         bm = get_broadcast(bm_ref)
@@ -828,7 +829,7 @@ def min_label_components(
 BENCH_DOC_MOD = 97
 
 
-def decontaminate(sf_dir: str, n: int = 3) -> ray.data.Dataset:
+def decontaminate(sf_dir: str, n: int = 3, n_joins: int = 1) -> ray.data.Dataset:
     """Benchmark decontamination (the eval-overlap filter every training-
     data pipeline runs, e.g. GPT-3 appendix C / Gopher §A1.2, public
     arXiv): for every non-benchmark doc, how many of its distinct word
@@ -864,7 +865,7 @@ def decontaminate(sf_dir: str, n: int = 3) -> ray.data.Dataset:
     from ahrd_ray.functions.bloom import bloom_test, build_bloom_ref
     from ahrd_ray.stages.score import get_broadcast
 
-    bm_ref = build_bloom_ref(bench, ["sh"])
+    bm_ref = build_bloom_ref(bench, ["sh"], n_keys=bench.count())
 
     def cand(df: pd.DataFrame) -> pd.DataFrame:
         bm = get_broadcast(bm_ref)
@@ -876,7 +877,7 @@ def decontaminate(sf_dir: str, n: int = 3) -> ray.data.Dataset:
         bench,
         on=("sh",),
         right_on=("sh",),
-        n_joins=1,
+        n_joins=n_joins,
     )
 
     def count_partial(df: pd.DataFrame) -> pd.DataFrame:
@@ -997,7 +998,7 @@ def substring_spans(sf_dir: str, n: int = SPAN_GRAM) -> ray.data.Dataset:
     from ahrd_ray.functions.bloom import bloom_test, build_bloom_ref
     from ahrd_ray.stages.score import get_broadcast
 
-    bm_ref = build_bloom_ref(dup, ["sh"])
+    bm_ref = build_bloom_ref(dup, ["sh"], n_keys=dup.count())
 
     def _prefilter_sh(t: pa.Table) -> pa.Table:
         bm = get_broadcast(bm_ref)

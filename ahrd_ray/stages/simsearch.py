@@ -281,7 +281,7 @@ def embedding_near_dup_pairs(sf_dir: str, threshold: float = 0.2) -> ray.data.Da
     from ahrd_ray.functions.bloom import bloom_test, build_bloom_ref
     from ahrd_ray.stages.score import get_broadcast
 
-    bm_ref = build_bloom_ref(cand, ["vec_a", "vec_b"])
+    bm_ref = build_bloom_ref(cand, ["vec_a", "vec_b"], n_keys=2 * cand.count())
 
     def to_blob(batch: pa.Table) -> pa.Table:
         bm = get_broadcast(bm_ref)

@@ -956,10 +956,10 @@ def length_gate(sf_dir: str) -> ray.data.Dataset:
 # ---------------------------------------------------------------------------
 
 TOP_TOKENS_K = 50
-# Per-block candidate capacity.  Misra-Gries bound: a token NOT kept among a
-# block's top-`capacity` has block count <= that block's capacity-th kept
-# count, so summing those per-block floors bounds any non-candidate's global
-# count.  4096 makes the certificate trivially tight on real Zipfian text.
+# Per-block candidate capacity.  Misra-Gries-style bound: a token NOT kept
+# among a block's top-`capacity` has block count <= that block's largest
+# dropped count, so summing those per-block bounds caps any non-candidate's
+# global count.  4096 makes the certificate trivially tight on Zipfian text.
 TOP_TOKENS_CAPACITY = 4096
 
 
@@ -972,8 +972,9 @@ def top_tokens(
     certificate -> exact recount of candidates only).
 
     1. Per block: exact counts, keep the top-``capacity`` tokens as
-       candidates plus ONE scalar bound (the capacity-th kept count —
-       any token not kept in this block has block count <= it).
+       candidates plus ONE scalar bound (the largest DROPPED count — any
+       token not kept in this block has block count <= it; 0 when the
+       block's vocabulary fits within capacity).
     2. The candidate union's exact global counts come from a second
        streaming pass that drops non-candidate tokens MAP-SIDE (broadcast
        membership set) — the recount groupby shuffles candidate partials
@@ -992,7 +993,11 @@ def top_tokens(
         _, toks = _split_counts(batch)
         vc = pd.Series(toks).value_counts()  # exact, descending
         kept = vc.iloc[:capacity]
-        bound = int(vc.iloc[capacity - 1]) if len(vc) >= capacity else 0
+        # bound on any token DROPPED by this block: the largest dropped
+        # count.  A block whose vocabulary fits within capacity drops
+        # nothing and must contribute 0 (a >= capacity check here inflated
+        # the bound and could refuse provably-exact inputs).
+        bound = int(vc.iloc[capacity]) if len(vc) > capacity else 0
         out = pd.DataFrame({"token": kept.index, "cnt": kept.to_numpy(np.int64)})
         out["bound"] = np.int64(0)
         # one bound row per block (token='' never survives _split_counts)
@@ -1072,5 +1077,10 @@ def top_tokens(
         exact.map_batches(partial_topk, batch_format="pandas")
         .sort(["cnt", "token"], descending=[True, False])
         .limit(k)
-        .map_batches(finish, batch_format="pandas")
+        # the certificate must see the COMPLETE k-row result: the limit
+        # output can span blocks, and a per-batch check would see partial
+        # row sets and spuriously refuse (caught by review repro).
+        # repartition(1) merges k rows — driver-scale — into one block.
+        .repartition(1)
+        .map_batches(finish, batch_format="pandas", batch_size=None)
     )

@@ -71,3 +71,27 @@ def test_sf_corpus_matches_tokenizer_semantics():
     got = top_tokens(SF, k=5).to_pandas()
     assert len(got) == 5
     assert (got["n"].to_numpy()[:-1] >= got["n"].to_numpy()[1:]).all()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_certificate_sees_complete_topk(tmp_path):
+    """Regression: the certificate must evaluate the COMPLETE k-row result.
+    When the post-sort limit output spans multiple blocks, a per-batch
+    check saw partial row sets and spuriously refused (review repro:
+    k=1500 over a 3000-token vocabulary raised with '590 candidates')."""
+    from ahrd_ray.stages.textstats import top_tokens
+
+    rng = np.random.RandomState(3)
+    vocab = [f"w{i:04d}" for i in range(3000)]
+    probs = 1.0 / np.arange(1, len(vocab) + 1) ** 0.7
+    probs /= probs.sum()
+    text = " ".join(rng.choice(vocab, size=450_000, p=probs))
+    d = tmp_path / "bigdoc"
+    d.mkdir()
+    pd.DataFrame({"doc_id": [0], "text": [text]}).to_parquet(
+        d / "documents.parquet", index=False
+    )
+    got = top_tokens(str(d), k=1500, capacity=2048).to_pandas()
+    assert len(got) == 1500
+    n = got["n"].to_numpy()
+    assert (n[:-1] >= n[1:]).all()
