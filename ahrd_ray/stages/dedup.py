@@ -165,30 +165,9 @@ def exact_dedup(sf_dir: str) -> ray.data.Dataset:
 from ahrd_ray.stages.partitioning import join_parts, n_hash_parts
 
 
-def _join(
-    left: ray.data.Dataset,
-    right: ray.data.Dataset,
-    on,
-    right_on,
-    n_joins: int = 2,
-    join_type: str = "inner",
-) -> ray.data.Dataset:
-    """Hash join under the per-pipeline aggregator budget.
-
-    ``n_joins`` is how many chained joins the calling pipeline holds open
-    concurrently — Ray Data reserves every join's aggregator pool up front
-    (num_cpus=0.25 each), so partitions-per-join scale as 2*cpus/n_joins,
-    keeping the total reservation at half the cluster and leaving the rest
-    for the map tasks that feed the joins (the round-2 deadlock constraint,
-    now a budget instead of a global <= 8 cap)."""
-    return left.join(
-        right,
-        join_type,
-        num_partitions=join_parts(n_joins),
-        on=tuple(on),
-        right_on=tuple(right_on),
-        aggregator_ray_remote_args={"num_cpus": 0.25},
-    )
+# budgeted hash join shared by every pipeline in this repo (the round-2
+# deadlock constraint as a per-pipeline budget — see partitioning.py)
+from ahrd_ray.stages.partitioning import budgeted_join as _join  # noqa: E402
 
 
 def _empty_pairs(a: str = "doc_a", b: str = "doc_b") -> pd.DataFrame:

@@ -1393,7 +1393,7 @@ def customer_order_counts(sf_dir: str) -> ray.data.Dataset:
     The orders side pre-aggregates to one row per customer BEFORE the join
     (map-side partial + small groupby), so the outer join moves |customers|
     + |distinct custkeys| rows, never |orders|."""
-    from ahrd_ray.stages.partitioning import join_parts
+    from ahrd_ray.stages.partitioning import budgeted_join
 
     cust = ray.data.read_parquet(
         f"{sf_dir}/customer.parquet", columns=["c_custkey"]
@@ -1415,13 +1415,13 @@ def customer_order_counts(sf_dir: str) -> ray.data.Dataset:
         )
     )
 
-    joined = cust.join(
+    joined = budgeted_join(
+        cust,
         per_cust,
-        "left_outer",
-        num_partitions=join_parts(1),
         on=("c_custkey",),
         right_on=("o_custkey",),
-        aggregator_ray_remote_args={"num_cpus": 0.25},
+        n_joins=1,
+        join_type="left_outer",
     )
 
     def finish(df: pd.DataFrame) -> pd.DataFrame:
@@ -1449,7 +1449,7 @@ def q3_top_orders(sf_dir: str, n: int = Q3_TOP_N) -> ray.data.Dataset:
     constraint); revenue sums exact int64 2^-20 units map-side per order
     before the final per-block-partial top-N, so the sort moves blocks x N
     rows."""
-    from ahrd_ray.stages.partitioning import join_parts
+    from ahrd_ray.stages.partitioning import budgeted_join
 
     cust = ray.data.read_parquet(
         f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
@@ -1463,13 +1463,8 @@ def q3_top_orders(sf_dir: str, n: int = Q3_TOP_N) -> ray.data.Dataset:
     orders = ray.data.read_parquet(
         f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey", "o_orderdate"]
     )
-    seg_orders = orders.join(
-        keys,
-        "inner",
-        num_partitions=join_parts(2),
-        on=("o_custkey",),
-        right_on=("c_custkey",),
-        aggregator_ray_remote_args={"num_cpus": 0.25},
+    seg_orders = budgeted_join(
+        orders, keys, on=("o_custkey",), right_on=("c_custkey",), n_joins=2
     )
 
     li = ray.data.read_parquet(
@@ -1484,13 +1479,8 @@ def q3_top_orders(sf_dir: str, n: int = Q3_TOP_N) -> ray.data.Dataset:
 
     li_partial = li.map_batches(li_prep, batch_format="pandas")
 
-    joined = li_partial.join(
-        seg_orders,
-        "inner",
-        num_partitions=join_parts(2),
-        on=("l_orderkey",),
-        right_on=("o_orderkey",),
-        aggregator_ray_remote_args={"num_cpus": 0.25},
+    joined = budgeted_join(
+        li_partial, seg_orders, on=("l_orderkey",), right_on=("o_orderkey",), n_joins=2
     )
 
     from ahrd_ray.config import QUANT

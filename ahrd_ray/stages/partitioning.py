@@ -55,3 +55,25 @@ def join_parts(n_joins: int = 2, cap: int = 256) -> int:
     if ov:
         return int(ov)
     return max(2, min(cap, _cpus() // (2 * max(1, n_joins))))
+
+
+def budgeted_join(
+    left,
+    right,
+    on,
+    right_on,
+    n_joins: int = 2,
+    join_type: str = "inner",
+):
+    """Hash join under the per-pipeline aggregator budget (see
+    :func:`join_parts` for the deadlock constraint the budget respects).
+    ``n_joins`` is how many joins the calling pipeline holds open
+    concurrently."""
+    return left.join(
+        right,
+        join_type,
+        num_partitions=join_parts(n_joins),
+        on=tuple(on),
+        right_on=tuple(right_on),
+        aggregator_ray_remote_args={"num_cpus": 0.25},
+    )
