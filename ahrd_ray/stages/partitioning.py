@@ -69,6 +69,16 @@ def budgeted_join(
     :func:`join_parts` for the deadlock constraint the budget respects).
     ``n_joins`` is how many joins the calling pipeline holds open
     concurrently."""
+
+    def _arrow_clean(t):
+        # joins hash block schemas to dedupe them; pandas blocks (and
+        # pandas-metadata-laden Arrow schemas) defeat that and spam
+        # "Failed to hash the schemas" from every aggregator.  One
+        # zero-copy metadata strip per block — fuses with the upstream map.
+        return t.replace_schema_metadata(None)
+
+    left = left.map_batches(_arrow_clean, batch_format="pyarrow", zero_copy_batch=True)
+    right = right.map_batches(_arrow_clean, batch_format="pyarrow", zero_copy_batch=True)
     return left.join(
         right,
         join_type,
