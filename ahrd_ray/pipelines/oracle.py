@@ -2083,3 +2083,65 @@ def sql_clean_corpus_neardup() -> str:
     return f"""SELECT f.doc_id, f.n_tokens, f.quality
 FROM ({sql_clean_corpus()}) f
 JOIN ({sql_dedup_docs()}) nd ON nd.doc_id = f.doc_id"""
+
+
+def sql_bm25_topk() -> str:
+    """BM25 keyword retrieval (stages/textstats.bm25_topk): no-log rational
+    idf, per-term q20 int64 units summed exactly, identical double
+    expression tree on both sides (constants interpolated from the same
+    module the pipeline reads)."""
+    from ahrd_ray.stages.textstats import BM25_B, BM25_K1, BM25_QUERY, BM25_TOPK
+
+    qlist = ", ".join(f"'{_sq(t)}'" for t in BM25_QUERY)
+    k1, b = BM25_K1, BM25_B
+    return f"""WITH toks AS (
+  SELECT doc_id, unnest({_sql_tok_arr()}) AS token FROM documents
+), dl AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM toks GROUP BY doc_id
+), nd AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+ad AS (
+  SELECT CAST(sum(dl) AS DOUBLE) / CAST((SELECT n FROM nd) AS DOUBLE) AS avgdl
+  FROM dl
+), tf AS (
+  SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+  FROM toks WHERE token IN ({qlist}) GROUP BY doc_id, token
+), dfq AS (
+  SELECT token, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY token
+), terms AS (
+  SELECT t.doc_id,
+         CAST(floor(
+           ((CAST((SELECT n FROM nd) AS DOUBLE) - CAST(d.df AS DOUBLE) + 0.5)
+              / (CAST(d.df AS DOUBLE) + 0.5))
+           * (CAST(t.tf AS DOUBLE) * (CAST({k1!r} AS DOUBLE) + 1.0))
+           / (CAST(t.tf AS DOUBLE)
+              + CAST({k1!r} AS DOUBLE)
+                * (1.0 - CAST({b!r} AS DOUBLE)
+                   + CAST({b!r} AS DOUBLE) * (CAST(l.dl AS DOUBLE)
+                                              / (SELECT avgdl FROM ad))))
+           * {QUANT!r} + 0.5) AS BIGINT) AS units
+  FROM tf t JOIN dfq d USING (token) JOIN dl l USING (doc_id)
+), scores AS (
+  SELECT doc_id, CAST(sum(units) AS BIGINT) AS su FROM terms GROUP BY doc_id
+)
+SELECT doc_id, CAST(su AS DOUBLE) / {QUANT!r} AS score,
+       CAST(row_number() OVER (ORDER BY su DESC, doc_id ASC) AS BIGINT) AS rank
+FROM scores ORDER BY su DESC, doc_id ASC LIMIT {BM25_TOPK}"""
+
+
+def sql_full_outer_matrix() -> str:
+    """Full-outer error/purchase day matrix (stages/generic.
+    error_purchase_matrix): epoch-day int64 keys, zero-filled counts."""
+    return """WITH e AS (
+  SELECT user_id, epoch_us(ts) // 86400000000 AS day,
+         CAST(count(*) AS BIGINT) AS n_errors
+  FROM events WHERE event_type = 'error' GROUP BY user_id, day
+), p AS (
+  SELECT user_id, epoch_us(ts) // 86400000000 AS day,
+         CAST(count(*) AS BIGINT) AS n_purchases
+  FROM events WHERE event_type = 'purchase' GROUP BY user_id, day
+)
+SELECT CAST(coalesce(e.user_id, p.user_id) AS BIGINT) AS user_id,
+       CAST(coalesce(e.day, p.day) AS BIGINT) AS day,
+       coalesce(e.n_errors, 0) AS n_errors,
+       coalesce(p.n_purchases, 0) AS n_purchases
+FROM e FULL OUTER JOIN p ON e.user_id = p.user_id AND e.day = p.day"""

@@ -469,6 +469,12 @@ def _textstats_queries() -> dict[str, tuple[Callable, str | None]]:
             lambda sf: tx.tfidf_top(sf).map_batches(_int64, batch_format="pyarrow"),
             oracle.sql_tfidf_top(),
         ),
+        # BM25 keyword retrieval for a fixed query (two linear passes,
+        # exact q20 unit sums, bounded top-k)
+        "tx_bm25": (
+            lambda sf: tx.bm25_topk(sf).map_batches(_int64, batch_format="pyarrow"),
+            oracle.sql_bm25_topk(),
+        ),
         # exact top-k heavy hitters: bounded-memory sketch + runtime
         # exactness certificate + candidate-only recount
         "tx_top_tokens": (
@@ -670,6 +676,14 @@ def _generic_queries() -> dict[str, tuple[Callable, str | None]]:
                 _int64, batch_format="pyarrow"
             ),
             oracle.sql_customer_order_counts(),
+        ),
+        # full-outer join: error vs purchase (user, day) activity matrix,
+        # both sides pre-aggregated before the outer join
+        "rel_full_join": (
+            lambda sf: g.error_purchase_matrix(sf).map_batches(
+                _int64, batch_format="pyarrow"
+            ),
+            oracle.sql_full_outer_matrix(),
         ),
         # chained two-join analytical query (TPC-H Q3 shape) under the
         # per-pipeline aggregator budget

@@ -1518,3 +1518,60 @@ def q3_top_orders(sf_dir: str, n: int = Q3_TOP_N) -> ray.data.Dataset:
         )
 
     return top.map_batches(finish, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# Full-outer alignment (both-sides null-preserving)
+# ---------------------------------------------------------------------------
+
+def error_purchase_matrix(sf_dir: str) -> ray.data.Dataset:
+    """Per (user, day) error count vs purchase count, keeping days where
+    EITHER occurred — full-outer-join semantics (the ops-dashboard shape:
+    incidents against conversions; a day can have errors and no purchases
+    or vice versa, and both sides must survive).
+
+    Implementation note: Ray's hash join aggregator builds a SCHEMA-LESS
+    empty Arrow table for a partition that received zero blocks from one
+    side, and pyarrow's join then KeyErrors on the missing key column —
+    so a ds.join(full_outer) is fragile whenever a partition is one-sided
+    (guaranteed to happen somewhere at small inputs, possible under skew
+    at any size).  Since both sides pre-aggregate to one row per (user,
+    day) anyway, the scale-robust expression of the full outer is a UNION
+    of measure-tagged rows + one groupby-sum: identical semantics, one
+    all-to-all instead of a join, and no empty-partition failure mode.
+    The day is an epoch-day int64 (timestamp microseconds floor-divided)
+    — no date-type round-trip ambiguity against the SQL oracle."""
+    US_PER_DAY = 86_400_000_000
+
+    def side(event_type: str, cnt_col: str, zero_col: str):
+        ev = ray.data.read_parquet(
+            f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_type"]
+        ).filter(expr=f"event_type == '{event_type}'")
+
+        def partial(batch: pa.Table) -> pd.DataFrame:
+            # normalize to microseconds first: parquet written from pandas
+            # carries timestamp[ns], the synthetic tables timestamp[us]
+            ts = batch["ts"].cast(pa.timestamp("us")).cast(pa.int64()).to_numpy()
+            day = ts // US_PER_DAY
+            df = pd.DataFrame({"user_id": batch["user_id"].to_numpy(), "day": day})
+            out = df.groupby(["user_id", "day"], as_index=False).size()
+            out = out.rename(columns={"size": cnt_col})
+            out[zero_col] = np.int64(0)
+            return out[["user_id", "day", "n_errors", "n_purchases"]].astype("int64")
+
+        return ev.map_batches(partial, batch_format="pyarrow")
+
+    errors = side("error", "n_errors", "n_purchases")
+    purchases = side("purchase", "n_purchases", "n_errors")
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby(["user_id", "day"], as_index=False)[
+            ["n_errors", "n_purchases"]
+        ].sum()
+        return out.astype("int64")
+
+    return (
+        errors.union(purchases)
+        .groupby(["user_id", "day"])
+        .map_groups(merge, batch_format="pandas")
+    )

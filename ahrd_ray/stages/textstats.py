@@ -14,7 +14,7 @@ import pyarrow.compute as pc
 
 import ray.data
 
-from ahrd_ray.config import TOKEN_SPLITTER_REGEX, q20
+from ahrd_ray.config import QUANT, TOKEN_SPLITTER_REGEX, q20
 from ahrd_ray.stages.dedup import MERSENNE61, _POLY_BASE
 
 STOPWORDS = ("a", "the")
@@ -1081,6 +1081,112 @@ def top_tokens(
         # output can span blocks, and a per-batch check would see partial
         # row sets and spuriously refuse (caught by review repro).
         # repartition(1) merges k rows — driver-scale — into one block.
+        .repartition(1)
+        .map_batches(finish, batch_format="pandas", batch_size=None)
+    )
+
+
+# ---------------------------------------------------------------------------
+# BM25 keyword retrieval (top-k documents for a fixed query token set)
+# ---------------------------------------------------------------------------
+
+# Okapi BM25 constants (public formula, Robertson/Sparck-Jones).  The idf
+# uses the NO-LOG rational variant idf = (N - df + 0.5) / (df + 0.5): the
+# repo's oracle-parity rule is one double expression tree evaluated
+# identically in numpy and DuckDB, and ln() would add a transcendental
+# whose libm rounding the SQL side cannot be proven to reproduce.
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_QUERY = ("join", "merge", "stream", "window")  # fixed retrieval query
+BM25_TOPK = 10
+
+
+def bm25_topk(sf_dir: str, k: int = BM25_TOPK) -> ray.data.Dataset:
+    """Top-k documents by BM25 score for the fixed query BM25_QUERY — the
+    keyword-retrieval pass a corpus-curation pipeline runs to pull topical
+    slices (or to seed quality classifiers) out of a web crawl.
+
+    Shape (two linear passes, no shuffle):
+      1. stats pass: one slim row PER BLOCK (doc count, total token count,
+         per-query-token document frequency) — driver folds #blocks rows,
+         a bounded collect independent of corpus size.
+      2. score pass: per-doc tf over the |Q| query tokens and the per-doc
+         BM25 sum, all derived from the doc's own text row, so ANY
+         re-batching preserves correctness and nothing shuffles.  Per-term
+         scores quantize to exact int64 2^-20 units before summation (the
+         engine-wide q20 discipline: sums are order-free, retry-safe, and
+         bit-equal to the SQL oracle's).
+    Top-k finalizes like top_tokens: per-block partial head(k) bounds the
+    global sort input to blocks x k slim rows.
+
+    Only docs containing >= 1 query token are candidates (inner-join
+    semantics, mirrored by the oracle's tf CTE).
+    """
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    q_tokens = list(BM25_QUERY)
+
+    def stats_partial(batch: pa.Table) -> pd.DataFrame:
+        row, toks = _split_counts(batch)
+        n = len(batch)
+        out = {"n_docs": np.int64(n), "dl_sum": np.int64(len(row))}
+        hit = pd.DataFrame({"r": row, "token": toks})
+        hit = hit[hit["token"].isin(q_tokens)]
+        per = hit.groupby("token")["r"].nunique()
+        for t in q_tokens:
+            out[f"df_{t}"] = np.int64(per.get(t, 0))
+        return pd.DataFrame([out])
+
+    stats = docs.map_batches(stats_partial, batch_format="pyarrow").to_pandas()
+    n_docs = int(stats["n_docs"].sum())
+    avgdl = int(stats["dl_sum"].sum()) / n_docs  # ints < 2^53: exact doubles
+    df_by_token = {t: float(stats[f"df_{t}"].sum()) for t in q_tokens}
+
+    nd = float(n_docs)
+    k1p1 = BM25_K1 + 1.0
+
+    def score_batch(batch: pa.Table) -> pd.DataFrame:
+        row, toks = _split_counts(batch)
+        ids = batch["doc_id"].to_numpy()
+        dl = np.bincount(row, minlength=len(batch)).astype(np.float64)
+        hit = pd.DataFrame({"r": row, "token": toks})
+        hit = hit[hit["token"].isin(q_tokens)]
+        if not len(hit):
+            return pd.DataFrame({"doc_id": np.array([], "int64"), "units": np.array([], "int64")})
+        tf = hit.groupby(["r", "token"], as_index=False).size()
+        r = tf["r"].to_numpy()
+        tfv = tf["size"].to_numpy(dtype=np.float64)
+        dfv = tf["token"].map(df_by_token).to_numpy(dtype=np.float64)
+        idf = (nd - dfv + 0.5) / (dfv + 0.5)
+        denom = tfv + BM25_K1 * (1.0 - BM25_B + BM25_B * (dl[r] / avgdl))
+        term = idf * (tfv * k1p1) / denom
+        units = np.floor(term * QUANT + 0.5).astype(np.int64)
+        per_doc = pd.DataFrame({"doc_id": ids[r], "units": units}).groupby(
+            "doc_id", as_index=False
+        )["units"].sum()
+        return per_doc.astype({"doc_id": "int64", "units": "int64"})
+
+    def partial_topk(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values(
+            ["units", "doc_id"], ascending=[False, True], kind="mergesort"
+        ).head(k)
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(
+            ["units", "doc_id"], ascending=[False, True], kind="mergesort"
+        ).head(k)
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].to_numpy(),
+                "score": df["units"].to_numpy(dtype=np.float64) / QUANT,
+                "rank": np.arange(1, len(df) + 1, dtype=np.int64),
+            }
+        )
+
+    return (
+        docs.map_batches(score_batch, batch_format="pyarrow")
+        .map_batches(partial_topk, batch_format="pandas")
+        .sort(["units", "doc_id"], descending=[True, False])
+        .limit(k)
         .repartition(1)
         .map_batches(finish, batch_format="pandas", batch_size=None)
     )

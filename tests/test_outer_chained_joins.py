@@ -73,3 +73,96 @@ def test_q3_matches_duckdb_at_sf0001():
     # revenue is an exact unit-sum: repeated runs are bit-identical
     again = q3_top_orders(SF).to_pandas().reset_index(drop=True)
     pd.testing.assert_frame_equal(got_raw, again)
+
+
+def test_full_outer_both_side_misses(ray_session, tmp_path):
+    """Full outer join keeps rows that exist on only ONE side: a user-day
+    with errors and no purchases AND one with purchases and no errors."""
+    ev = pd.DataFrame(
+        {
+            "event_id": np.arange(5, dtype=np.int64),
+            "ts": pd.to_datetime(
+                [
+                    "2024-01-01 10:00",  # u1 error day0
+                    "2024-01-01 11:00",  # u1 error day0 (again)
+                    "2024-01-02 10:00",  # u1 purchase day1 (purchase-only day)
+                    "2024-01-01 09:00",  # u2 purchase day0
+                    "2024-01-03 09:00",  # u2 error day2 (error-only day)
+                ]
+            ),
+            "user_id": np.array([1, 1, 1, 2, 2], dtype=np.int64),
+            "event_type": ["error", "error", "purchase", "purchase", "error"],
+            "value": np.ones(5),
+            "props": ["{}"] * 5,
+        }
+    )
+    ev.to_parquet(tmp_path / "events.parquet", index=False)
+
+    from ahrd_ray.stages.generic import error_purchase_matrix
+
+    got = (
+        error_purchase_matrix(str(tmp_path))
+        .to_pandas()
+        .sort_values(["user_id", "day"])
+        .reset_index(drop=True)
+    )
+    day0 = pd.Timestamp("2024-01-01").value // (86_400 * 10**9)
+    want = pd.DataFrame(
+        {
+            "user_id": np.array([1, 1, 2, 2], dtype=np.int64),
+            "day": np.array([day0, day0 + 1, day0, day0 + 2], dtype=np.int64),
+            "n_errors": np.array([2, 0, 0, 1], dtype=np.int64),
+            "n_purchases": np.array([0, 1, 1, 0], dtype=np.int64),
+        }
+    )
+    pd.testing.assert_frame_equal(got, want)
+
+
+def test_bm25_topk_matches_brute_force(ray_session):
+    """BM25 top-k vs a single-process brute-force recomputation over the
+    same corpus (same constants, same quantization order)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ahrd_ray.config import QUANT
+    from ahrd_ray.stages.textstats import (
+        BM25_B,
+        BM25_K1,
+        BM25_QUERY,
+        BM25_TOPK,
+        _split_counts,
+        bm25_topk,
+    )
+
+    tbl = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    row, toks = _split_counts(tbl)
+    ids = tbl["doc_id"].to_numpy()
+    n = len(tbl)
+    dl = np.bincount(row, minlength=n).astype(np.float64)
+    hits = pd.DataFrame({"r": row, "token": toks})
+    hits = hits[hits["token"].isin(BM25_QUERY)]
+    df_map = hits.groupby("token")["r"].nunique().to_dict()
+    avgdl = int(len(row)) / n
+    tf = hits.groupby(["r", "token"], as_index=False).size()
+    tfv = tf["size"].to_numpy(dtype=np.float64)
+    dfv = tf["token"].map(df_map).to_numpy(dtype=np.float64)
+    idf = (float(n) - dfv + 0.5) / (dfv + 0.5)
+    denom = tfv + BM25_K1 * (1.0 - BM25_B + BM25_B * (dl[tf["r"].to_numpy()] / avgdl))
+    units = np.floor(idf * (tfv * (BM25_K1 + 1.0)) / denom * QUANT + 0.5).astype(np.int64)
+    per = (
+        pd.DataFrame({"doc_id": ids[tf["r"].to_numpy()], "u": units})
+        .groupby("doc_id", as_index=False)["u"]
+        .sum()
+        .sort_values(["u", "doc_id"], ascending=[False, True], kind="mergesort")
+        .head(BM25_TOPK)
+        .reset_index(drop=True)
+    )
+    want = pd.DataFrame(
+        {
+            "doc_id": per["doc_id"].astype("int64"),
+            "score": per["u"].to_numpy(dtype=np.float64) / QUANT,
+            "rank": np.arange(1, len(per) + 1, dtype=np.int64),
+        }
+    )
+    got = bm25_topk(SF).to_pandas().reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want)
