@@ -2145,3 +2145,38 @@ SELECT CAST(coalesce(e.user_id, p.user_id) AS BIGINT) AS user_id,
        coalesce(e.n_errors, 0) AS n_errors,
        coalesce(p.n_purchases, 0) AS n_purchases
 FROM e FULL OUTER JOIN p ON e.user_id = p.user_id AND e.day = p.day"""
+
+
+def sql_chunk_spans() -> str:
+    """RAG-style overlapping token-window chunking
+    (stages/textstats.chunk_spans)."""
+    from ahrd_ray.stages.textstats import CHUNK_S, CHUNK_W
+
+    return f"""WITH toks AS (
+  SELECT doc_id, {_sql_tok_arr()} AS arr FROM documents
+), lens AS (
+  SELECT doc_id, arr, CAST(len(arr) AS BIGINT) AS n FROM toks WHERE len(arr) > 0
+), starts AS (
+  SELECT doc_id, arr, n, CAST(unnest(range(0, n, {CHUNK_S})) AS BIGINT) AS start_tok
+  FROM lens
+)
+SELECT doc_id, start_tok // {CHUNK_S} AS chunk_id, start_tok,
+       least({CHUNK_W}, n - start_tok) AS n_tokens,
+       arr[start_tok + 1] AS first_token,
+       arr[start_tok + least({CHUNK_W}, n - start_tok)] AS last_token
+FROM starts"""
+
+
+def sql_vocab_ids() -> str:
+    """Tokenizer-vocab id assignment (stages/textstats.vocab_ids):
+    contiguous ids 0..V-1 by (count desc, token asc)."""
+    from ahrd_ray.stages.textstats import VOCAB_MIN_COUNT
+
+    return f"""WITH toks AS (
+  SELECT unnest({_sql_tok_arr()}) AS token FROM documents
+), cnt AS (
+  SELECT token, CAST(count(*) AS BIGINT) AS n FROM toks GROUP BY token
+)
+SELECT token, n,
+       CAST(row_number() OVER (ORDER BY n DESC, token ASC) - 1 AS BIGINT) AS token_id
+FROM cnt WHERE n >= {VOCAB_MIN_COUNT}"""

@@ -475,6 +475,17 @@ def _textstats_queries() -> dict[str, tuple[Callable, str | None]]:
             lambda sf: tx.bm25_topk(sf).map_batches(_int64, batch_format="pyarrow"),
             oracle.sql_bm25_topk(),
         ),
+        # RAG-style overlapping token-window chunking (shuffle-free map)
+        "tx_chunks": (
+            lambda sf: tx.chunk_spans(sf).map_batches(_int64, batch_format="pyarrow"),
+            oracle.sql_chunk_spans(),
+        ),
+        # tokenizer-vocab build: contiguous global ids by (count desc,
+        # token) via the 2-level order-statistics range scan
+        "tx_vocab_ids": (
+            lambda sf: tx.vocab_ids(sf).map_batches(_int64, batch_format="pyarrow"),
+            oracle.sql_vocab_ids(),
+        ),
         # exact top-k heavy hitters: bounded-memory sketch + runtime
         # exactness certificate + candidate-only recount
         "tx_top_tokens": (

@@ -1190,3 +1190,145 @@ def bm25_topk(sf_dir: str, k: int = BM25_TOPK) -> ray.data.Dataset:
         .repartition(1)
         .map_batches(finish, batch_format="pandas", batch_size=None)
     )
+
+
+# ---------------------------------------------------------------------------
+# RAG-style overlapping chunking (per-doc token windows)
+# ---------------------------------------------------------------------------
+
+CHUNK_W = 64  # chunk width (tokens)
+CHUNK_S = 48  # chunk stride (tokens) -> 16-token overlap
+
+
+def chunk_spans(sf_dir: str, w: int = CHUNK_W, s: int = CHUNK_S) -> ray.data.Dataset:
+    """Per-document overlapping token windows — the retrieval-corpus
+    chunking pass (fixed width, fixed stride, trailing partial chunk
+    kept): (doc_id, chunk_id, start_tok, n_tokens, first_token,
+    last_token).
+
+    Purely per-doc arithmetic: each doc's chunks derive from its own text
+    row (starts at 0, s, 2s, ... while start < n_tokens), so the pass is
+    one shuffle-free vectorized map — chunk starts by repeat/arange, the
+    boundary tokens gathered from the flat token array by offset."""
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def f(batch: pa.Table) -> pa.Table:
+        row, toks = _split_counts(batch)
+        ids = batch["doc_id"].to_numpy()
+        n = np.bincount(row, minlength=len(batch)).astype(np.int64)
+        doc_off = np.cumsum(n) - n  # each doc's offset into the flat stream
+        n_chunks = (np.maximum(n - 1, 0) // s + 1) * (n > 0)
+        d = np.repeat(np.arange(len(batch)), n_chunks)
+        cid = np.arange(len(d), dtype=np.int64) - np.repeat(
+            np.cumsum(n_chunks) - n_chunks, n_chunks
+        )
+        start = cid * s
+        size = np.minimum(w, n[d] - start)
+        first = toks[doc_off[d] + start]
+        last = toks[doc_off[d] + start + size - 1]
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[d], type=pa.int64()),
+                "chunk_id": pa.array(cid, type=pa.int64()),
+                "start_tok": pa.array(start, type=pa.int64()),
+                "n_tokens": pa.array(size, type=pa.int64()),
+                "first_token": pa.array(first.astype(object), type=pa.string()),
+                "last_token": pa.array(last.astype(object), type=pa.string()),
+            }
+        )
+
+    return docs.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# ---------------------------------------------------------------------------
+# Tokenizer vocabulary build (contiguous ids by global frequency order)
+# ---------------------------------------------------------------------------
+
+VOCAB_MIN_COUNT = 2
+
+
+def vocab_ids(sf_dir: str, min_count: int = VOCAB_MIN_COUNT) -> ray.data.Dataset:
+    """Tokenizer-vocab construction: distinct corpus tokens with count >=
+    ``min_count``, assigned CONTIGUOUS ids 0..V-1 ordered by (count desc,
+    token asc) — the id table every tokenizer/embedding build needs.
+
+    Contiguous global ids without a single-reducer zip-with-index: the
+    rank of token t is |{u : (n_u, u) sorts before (n_t, t)}|, computed by
+    the repo's range-scan recipe (pack_chunks) generalized to the 2-level
+    order key:
+
+    1. distributed token-count aggregate, filter min_count;
+    2. histogram over (count, 2-byte-token-prefix) cells — a bounded
+       driver collect (distinct counts x 65536 at worst, in practice tiny:
+       token prefixes cluster); exclusive scan over cells in global order
+       gives each cell's id base;
+    3. groupby(count, prefix): each cell sorts its own tokens and adds the
+       base — local index + broadcast base, no global sort barrier.
+
+    The 2-byte prefix both bounds cell size (the count==1 hapax mass
+    splits across prefixes) and is order-compatible: UTF-8 byte order
+    equals code-point order, so cross-cell prefix order IS token order."""
+    import ray as _ray
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        _, toks = _split_counts(batch)
+        out = pd.DataFrame({"token": toks}).groupby("token", as_index=False).size()
+        return out.rename(columns={"size": "n"})
+
+    def cell_key(tokens: np.ndarray) -> np.ndarray:
+        """First 2 UTF-8 bytes as a big-endian uint16 (short tokens pad 0)."""
+        enc = [t.encode("utf-8")[:2] for t in tokens]
+        return np.array(
+            [(b[0] << 8) | (b[1] if len(b) > 1 else 0) for b in enc], dtype=np.int64
+        )
+
+    vocab = (
+        docs.map_batches(partial, batch_format="pyarrow")
+        .groupby("token")
+        .map_groups(
+            lambda df: df.groupby("token", as_index=False)["n"].sum(),
+            batch_format="pandas",
+        )
+        .filter(expr=f"n >= {min_count}")
+        .map_batches(
+            lambda df: df.assign(pfx=cell_key(df["token"].to_numpy())),
+            batch_format="pandas",
+        )
+        .materialize()  # one row per distinct kept token: slim state
+    )
+
+    cells = (
+        vocab.map_batches(
+            lambda df: df.groupby(["n", "pfx"], as_index=False).size(),
+            batch_format="pandas",
+        )
+        .to_pandas()
+        .groupby(["n", "pfx"], as_index=False)["size"]
+        .sum()
+        .sort_values(["n", "pfx"], ascending=[False, True], kind="mergesort")
+    )
+    sizes = cells["size"].to_numpy(dtype=np.int64)
+    bases = np.cumsum(sizes) - sizes
+    base_by_cell = {
+        (int(n), int(p)): int(b)
+        for n, p, b in zip(cells["n"].to_numpy(), cells["pfx"].to_numpy(), bases)
+    }
+    base_ref = _ray.put(base_by_cell)
+
+    def assign(df: pd.DataFrame) -> pd.DataFrame:
+        from ahrd_ray.stages.score import get_broadcast
+
+        lut = get_broadcast(base_ref)
+        df = df.sort_values("token", kind="mergesort")
+        base = lut[(int(df["n"].iloc[0]), int(df["pfx"].iloc[0]))]
+        return pd.DataFrame(
+            {
+                "token": df["token"].to_numpy(),
+                "n": df["n"].to_numpy(),
+                "token_id": base + np.arange(len(df), dtype=np.int64),
+            }
+        ).astype({"n": "int64"})
+
+    return vocab.groupby(["n", "pfx"]).map_groups(assign, batch_format="pandas")

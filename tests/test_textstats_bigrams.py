@@ -54,3 +54,87 @@ def test_bigram_counts_end_to_end():
     # corpus text is whitespace-separated words only, so the regex tokenizer
     # and the plain split agree here
     assert got == dict(want)
+
+
+def test_chunk_spans_edges(ray_session, tmp_path):
+    """Docs shorter than one chunk, exactly stride-aligned, and empty."""
+    import pandas as pd
+    import numpy as np
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": np.arange(4, dtype=np.int64),
+            "text": [
+                "a b c",  # 3 tokens -> 1 chunk (n_tokens=3)
+                " ".join(f"t{i}" for i in range(48)),  # == stride -> 1 chunk
+                " ".join(f"t{i}" for i in range(100)),  # -> chunks at 0,48,96
+                "",  # empty -> no chunks
+            ],
+            "lang": ["en"] * 4,
+        }
+    )
+    docs.to_parquet(tmp_path / "documents.parquet", index=False)
+
+    from ahrd_ray.stages.textstats import chunk_spans
+
+    got = (
+        chunk_spans(str(tmp_path))
+        .to_pandas()
+        .sort_values(["doc_id", "chunk_id"])
+        .reset_index(drop=True)
+    )
+    assert got[got.doc_id == 0].n_tokens.tolist() == [3]
+    assert got[got.doc_id == 1].n_tokens.tolist() == [48]
+    d2 = got[got.doc_id == 2]
+    assert d2.start_tok.tolist() == [0, 48, 96]
+    assert d2.n_tokens.tolist() == [64, 52, 4]
+    assert d2.first_token.tolist() == ["t0", "t48", "t96"]
+    assert d2.last_token.tolist() == ["t63", "t99", "t99"]
+    assert (got.doc_id != 3).all()
+
+
+def test_vocab_ids_contiguous_and_ordered(ray_session, tmp_path):
+    """A corpus with many hapax tokens (filtered), count ties across
+    different 2-byte prefixes, and multi-count tokens: ids must be the
+    exact dense rank by (count desc, token asc)."""
+    import pandas as pd
+    import numpy as np
+
+    words = []
+    # 60 hapax tokens spread over prefixes (dropped by min_count=2)
+    words += [f"hapax{i}" for i in range(60)]
+    # ties at count 2 across prefixes aa.., ab.., zz..
+    for t in ["aardvark", "abacus", "zzyzx", "banana", "bandana"]:
+        words += [t, t]
+    # high-frequency tokens
+    words += ["common"] * 9 + ["shared"] * 9 + ["top"] * 20
+    rng = np.random.RandomState(7)
+    rng.shuffle(words)
+    third = len(words) // 3
+    docs = pd.DataFrame(
+        {
+            "doc_id": np.arange(3, dtype=np.int64),
+            "text": [
+                " ".join(words[:third]),
+                " ".join(words[third : 2 * third]),
+                " ".join(words[2 * third :]),
+            ],
+            "lang": ["en"] * 3,
+        }
+    )
+    docs.to_parquet(tmp_path / "documents.parquet", index=False)
+
+    from ahrd_ray.stages.textstats import vocab_ids
+
+    got = vocab_ids(str(tmp_path)).to_pandas().sort_values("token_id").reset_index(drop=True)
+
+    flat = pd.Series(words)
+    cnt = flat.value_counts()
+    kept = cnt[cnt >= 2].reset_index()
+    kept.columns = ["token", "n"]
+    kept = kept.sort_values(["n", "token"], ascending=[False, True], kind="mergesort")
+    want_tokens = kept["token"].tolist()
+
+    assert got["token"].tolist() == want_tokens
+    assert got["token_id"].tolist() == list(range(len(want_tokens)))
+    assert got["n"].tolist() == kept["n"].tolist()
