@@ -2180,3 +2180,21 @@ def sql_vocab_ids() -> str:
 SELECT token, n,
        CAST(row_number() OVER (ORDER BY n DESC, token ASC) - 1 AS BIGINT) AS token_id
 FROM cnt WHERE n >= {VOCAB_MIN_COUNT}"""
+
+
+def sql_knn_join() -> str:
+    """Exact 1-NN cosine self-join (stages/simsearch.knn_join)."""
+    return f"""WITH q AS (
+  SELECT vec_id, {_QVEC} AS v FROM embeddings
+),
+n AS (SELECT vec_id, v, sqrt(list_inner_product(v, v)) AS nrm FROM q),
+scored AS (
+  SELECT a.vec_id, b.vec_id AS nn_id,
+         list_inner_product(a.v, b.v) / (a.nrm * b.nrm) AS cosine
+  FROM n a JOIN n b ON a.vec_id <> b.vec_id
+)
+SELECT vec_id, nn_id, cosine FROM (
+  SELECT *, row_number() OVER (
+      PARTITION BY vec_id ORDER BY cosine DESC, nn_id ASC) AS rn
+  FROM scored
+) WHERE rn = 1"""

@@ -402,6 +402,12 @@ def _dedup_queries() -> dict[str, tuple[Callable, str | None]]:
             lambda sf: ss.cosine_topk(sf).map_batches(_int64, batch_format="pyarrow"),
             oracle.sql_cosine_topk(),
         ),
+        # exact 1-NN cosine self-join (blocked pair partitions, per-partition
+        # partial argmax, exact quantized cosines)
+        "sim_knn": (
+            lambda sf: ss.knn_join(sf).map_batches(_int64, batch_format="pyarrow"),
+            oracle.sql_knn_join(),
+        ),
         "sim_cosine_topk_ivf": (
             lambda sf: ss.cosine_topk_ivf(sf).map_batches(_int64, batch_format="pyarrow"),
             oracle.sql_cosine_topk_ivf(),

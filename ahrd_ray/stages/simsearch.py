@@ -609,3 +609,104 @@ def kmeans_embeddings(
         cu = _truncdiv(upd["u"].to_numpy(np.int64), upd["n"].to_numpy(np.int64))
         cent_u[upd["cluster"].to_numpy(), upd["j"].to_numpy()] = cu
     return last_assign
+
+
+def knn_join(sf_dir: str, n_groups: int | None = None) -> ray.data.Dataset:
+    """Exact 1-NN self-join: for every vector, its nearest OTHER vector by
+    cosine (tie-break: higher cosine, then lower neighbor id) — the
+    embedding-space neighbor assignment a near-dup audit or
+    cluster-seeding pass runs over the whole corpus.
+
+    Same blocked pair-partitioned shape as embedding_near_dup_exact (no
+    driver-side matrix, O(N*G) replication): each (g1, g2) partition
+    reduces its candidates to ONE partial best row per member vector, so
+    the final groupby moves N*G slim rows, never N^2 scores.  Cosines on
+    the 2^-10-quantized vectors are EXACT doubles (every dot product is an
+    integer count of 2^-20 units far below 2^53), so partial argmaxes are
+    partition-order-invariant and bit-equal to the SQL oracle's window
+    ranking."""
+    G = n_groups or max(4, int(np.ceil(np.sqrt(4.0 * _cpus()))))
+
+    def fan_out(batch: pa.Table) -> pa.Table:
+        ids, m = _emb_matrix(batch)
+        n = len(ids)
+        blobs = np.empty(n, dtype=object)
+        for i in range(n):
+            blobs[i] = m[i].tobytes()
+        g = (ids % G).astype(np.int64)
+        rep_ids = np.repeat(ids, G)
+        rep_g = np.repeat(g, G)
+        rep_blob = np.repeat(blobs, G)
+        h = np.tile(np.arange(G, dtype=np.int64), n)
+        lo = np.minimum(rep_g, h)
+        hi = np.maximum(rep_g, h)
+        return pa.table(
+            {
+                "gpart": pa.array((lo * G + hi).astype(np.int32), type=pa.int32()),
+                "vec_id": pa.array(rep_ids, type=pa.int64()),
+                "grp": pa.array(rep_g.astype(np.int32), type=pa.int32()),
+                "emb": pa.array(rep_blob, type=pa.binary()),
+            }
+        )
+
+    def best_of(ids_q, m_q, nrm_q, ids_c, m_c, nrm_c, exclude_self: bool):
+        """Per query row: (best cosine, smallest candidate id among ties)."""
+        cos = (m_q @ m_c.T) / (nrm_q[:, None] * nrm_c[None, :])
+        if exclude_self:
+            np.fill_diagonal(cos, -np.inf)
+        mx = cos.max(axis=1)
+        tied = cos == mx[:, None]
+        nn = np.where(tied, ids_c[None, :], np.iinfo(np.int64).max).min(axis=1)
+        return mx, nn
+
+    def pair_partial(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "vec_id": pd.Series([], dtype="int64"),
+                "nn_id": pd.Series([], dtype="int64"),
+                "cosine": pd.Series([], dtype="float64"),
+            }
+        )
+        outs = []
+        for part, sub in df.groupby("gpart"):
+            g1, g2 = divmod(int(part), G)
+            ids = sub["vec_id"].to_numpy(dtype=np.int64)
+            m = _blob_matrix(sub["emb"].tolist())
+            nrm = np.sqrt((m * m).sum(axis=1))
+            if g1 == g2:
+                if len(ids) < 2:
+                    continue
+                mx, nn = best_of(ids, m, nrm, ids, m, nrm, exclude_self=True)
+                outs.append(pd.DataFrame({"vec_id": ids, "nn_id": nn, "cosine": mx}))
+            else:
+                sel = sub["grp"].to_numpy() == g1
+                ia, ib = ids[sel], ids[~sel]
+                if not len(ia) or not len(ib):
+                    continue
+                ma, mb = m[sel], m[~sel]
+                na, nb = nrm[sel], nrm[~sel]
+                mx, nn = best_of(ia, ma, na, ib, mb, nb, exclude_self=False)
+                outs.append(pd.DataFrame({"vec_id": ia, "nn_id": nn, "cosine": mx}))
+                mx, nn = best_of(ib, mb, nb, ia, ma, na, exclude_self=False)
+                outs.append(pd.DataFrame({"vec_id": ib, "nn_id": nn, "cosine": mx}))
+        if not outs:
+            return empty
+        out = pd.concat(outs, ignore_index=True)
+        return out.astype({"vec_id": "int64", "nn_id": "int64", "cosine": "float64"})
+
+    def final_best(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(
+            ["vec_id", "cosine", "nn_id"],
+            ascending=[True, False, True],
+            kind="mergesort",
+        )
+        return df.groupby("vec_id", as_index=False).head(1)
+
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    return (
+        emb.map_batches(fan_out, batch_format="pyarrow")
+        .groupby("gpart")
+        .map_groups(pair_partial, batch_format="pandas")
+        .groupby("vec_id")
+        .map_groups(final_best, batch_format="pandas")
+    )

@@ -32,3 +32,37 @@ def test_doc_features_matches_individual_operators():
     assert (fused.pred_lang.to_numpy() == l.pred_lang.to_numpy()).all()
     assert (fused.fingerprint.to_numpy() == f.fingerprint.to_numpy()).all()
     assert (fused.n_distinct.to_numpy() >= 1).all()
+
+
+def test_knn_join_tie_break(ray_session, tmp_path):
+    """Two exactly-equidistant neighbors: the LOWER id must win; self is
+    excluded even at cosine 1.0 with itself."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    # vec 0 = [1,0]; vecs 1 and 2 both [0.5, 0.5] (same cosine to 0);
+    # vec 3 = [0,1].  NN(0) -> tie between 1 and 2 -> 1.  NN(1) -> 2
+    # (identical vector, cosine 1).  NN(3) -> tie 1/2 -> 1.
+    vecs = [[1.0, 0.0], [0.5, 0.5], [0.5, 0.5], [0.0, 1.0]]
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(np.arange(4, dtype=np.int64)),
+            "embedding": pa.array(vecs, type=pa.list_(pa.float32())),
+        }
+    )
+    pq.write_table(tbl, tmp_path / "embeddings.parquet")
+
+    from ahrd_ray.stages.simsearch import knn_join
+
+    got = (
+        knn_join(str(tmp_path))
+        .to_pandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    assert got["vec_id"].tolist() == [0, 1, 2, 3]
+    assert got["nn_id"].tolist() == [1, 2, 1, 1]
+    assert abs(got.loc[1, "cosine"] - 1.0) < 1e-12
+    assert got.loc[1, "cosine"] == got.loc[2, "cosine"]
