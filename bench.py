@@ -119,6 +119,7 @@ def run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
 
     from ahrd_ray.stages import graph as gr
     from ahrd_ray.stages import generic as gn
+    from ahrd_ray.stages import simsearch as sms
     from ahrd_ray.pipelines.corpus import clean_corpus as _clean_corpus
 
     for name, builder in [
@@ -136,6 +137,10 @@ def run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
         ("dd_paragraph_dedup", lambda: dd.paragraph_dedup(sf_dir)),
         ("tx_pack_chunks", lambda: tx.pack_chunks(sf_dir)),
         ("tx_lm_score", lambda: tx.lm_score(sf_dir)),
+        ("tx_bm25", lambda: tx.bm25_topk(sf_dir)),
+        ("tx_chunks", lambda: tx.chunk_spans(sf_dir)),
+        ("tx_vocab_ids", lambda: tx.vocab_ids(sf_dir)),
+        ("sim_knn", lambda: sms.knn_join(sf_dir)),
         ("llm_clean_corpus", lambda: _clean_corpus(sf_dir)),
     ]:
         t0 = time.perf_counter()
