@@ -2198,3 +2198,62 @@ SELECT vec_id, nn_id, cosine FROM (
       PARTITION BY vec_id ORDER BY cosine DESC, nn_id ASC) AS rn
   FROM scored
 ) WHERE rn = 1"""
+
+
+def sql_fact_support(cfg: EngineConfig) -> str:
+    """KG fact provenance/freshness per entity (stages/graph.fact_support):
+    mention counts from vcands (pre HSP dedup), distinct-doc counts + the
+    supporting warc_ts range from dcands (pages carry warc_ts = epoch +
+    doc_id seconds, sources/synth.py:221)."""
+    return (
+        _with(*_cands_prefix(cfg), cte_valid_dedup())
+        + """,
+mention_counts AS (
+  SELECT cand_ord, CAST(count(*) AS BIGINT) AS n_mentions
+  FROM vcands GROUP BY cand_ord
+),
+doc_counts AS (
+  SELECT cand_ord, CAST(count(*) AS BIGINT) AS n_docs,
+         min(doc_id) AS mind, max(doc_id) AS maxd
+  FROM dcands GROUP BY cand_ord
+)
+SELECT d.cand_ord, d.n_docs, m.n_mentions,
+       TIMESTAMP '2025-01-01 00:00:00' + to_seconds(d.mind) AS first_seen,
+       TIMESTAMP '2025-01-01 00:00:00' + to_seconds(d.maxd) AS last_seen
+FROM doc_counts d JOIN mention_counts m ON m.cand_ord = d.cand_ord"""
+    )
+
+
+def sql_entity_resolve(cfg: EngineConfig) -> str:
+    """Weighted-vote entity resolution per cand_short
+    (stages/graph.entity_resolve): int64 2^-20 match-score units summed
+    exactly on both sides; argmax tie-break = smaller cand_ord."""
+    from ahrd_ray.stages.graph import SUPPORT_QUANT
+
+    return (
+        _with(*_cands_prefix(cfg), cte_valid_dedup())
+        + f""",
+support AS (
+  SELECT cand_ord,
+         CAST(sum(CAST(floor(match_score * {SUPPORT_QUANT!r} + 0.5) AS BIGINT)) AS BIGINT)
+           AS support_units,
+         CAST(count(*) AS BIGINT) AS n_links
+  FROM dcands GROUP BY cand_ord
+),
+members AS (
+  SELECT c.cand_short, c.cand_id, c.description, s.cand_ord, s.support_units, s.n_links
+  FROM support s JOIN catalog c ON c.cand_ord = s.cand_ord
+),
+ranked AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY cand_short
+                            ORDER BY support_units DESC, cand_ord ASC) AS rn,
+         count(*) OVER (PARTITION BY cand_short) AS n_entities,
+         sum(n_links) OVER (PARTITION BY cand_short) AS total_links
+  FROM members
+)
+SELECT cand_short, cand_id, description, support_units,
+       CAST(n_entities AS BIGINT) AS n_entities,
+       CAST(total_links AS BIGINT) AS total_links
+FROM ranked WHERE rn = 1"""
+    )

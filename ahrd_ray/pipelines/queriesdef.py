@@ -797,7 +797,21 @@ def _kg_queries(cfg) -> dict[str, tuple[Callable, str | None]]:
         "kg_cooccurrence": (q_cooccurrence, oracle.sql_cooccurrence(cfg)),
         "kg_pagerank": (q_pagerank, oracle.sql_pagerank(cfg)),
         "kg_entity_degree": (q_entity_degree, oracle.sql_cooccur_degree(cfg)),
+        "kg_fact_support": (q_fact_support, oracle.sql_fact_support(cfg)),
+        "kg_entity_resolve": (q_entity_resolve, oracle.sql_entity_resolve(cfg)),
     }
+
+
+def q_fact_support(sf_dir: str):
+    from ahrd_ray.stages.graph import fact_support
+
+    return fact_support(sf_dir)
+
+
+def q_entity_resolve(sf_dir: str):
+    from ahrd_ray.stages.graph import entity_resolve
+
+    return entity_resolve(sf_dir)
 
 
 def q_cooccurrence(sf_dir: str):

@@ -308,3 +308,225 @@ def pagerank(sf_dir: str, iters: int = PR_ITERS) -> pa.Table:
             "rank_units": pa.array(ranks[nodes], type=pa.int64()),
         }
     )
+
+
+# ---------------------------------------------------------------------------
+# KG provenance + conflict resolution over the mention stream
+# ---------------------------------------------------------------------------
+
+
+def _valid_mask(df: pd.DataFrame, arrays) -> np.ndarray:
+    """The M8 validity predicate (BlastResult.isValid, java :457-465) —
+    identical to functions/scoring.dedup_valid_candidates' pre-dedup filter
+    (vcands in the SQL oracle)."""
+    cand_ord = df["cand_ord"].to_numpy()
+    return (
+        arrays.valid[cand_ord]
+        & (df["span_start"].to_numpy() < df["span_end"].to_numpy())
+        & (df["cand_start"].to_numpy() < df["cand_end"].to_numpy())
+        & (df["match_score"].to_numpy() > 0)
+    )
+
+
+_PAGE_EPOCH = pd.Timestamp("2025-01-01 00:00:00")
+
+
+def fact_support(sf_dir: str) -> ray.data.Dataset:
+    """(cand_ord, n_docs, n_mentions, first_seen, last_seen) per entity —
+    the KG fact-provenance/freshness aggregate: how many documents assert a
+    link to the entity (post HSP dedup), how many raw valid mentions
+    support it, and the warc_ts range of the supporting crawl snapshots
+    (pages carry warc_ts = epoch + doc_id seconds, sources/synth.py:221).
+
+    Scale shape: the same fused zero-shuffle detection as
+    ``cooccurrence_edges`` — docs never straddle batches, so per-batch
+    distinct-doc counts per entity sum EXACTLY across batches (each doc is
+    detected once); only |entities|-bounded partial rows shuffle to a
+    node-hash finalize.  min/max doc_id combine associatively; the
+    timestamp conversion is one vectorized to_timedelta at the end.
+    """
+    from ahrd_ray.pipelines import kg
+    from ahrd_ray.stages.candidates import FusedMentionScorer, make_detector_task_fn
+
+    ctx = kg.cached_context(sf_dir)
+    arrays = ctx.bundle.arrays
+    n_parts = n_hash_parts()
+    detect = make_detector_task_fn(ctx.catalog_ref, ctx.cfg, slim=False)
+    chunk_docs = FusedMentionScorer.CHUNK_DOCS
+
+    empty = pd.DataFrame(
+        {
+            "cand_ord": pd.Series([], dtype="int64"),
+            "n_docs": pd.Series([], dtype="int64"),
+            "n_mentions": pd.Series([], dtype="int64"),
+            "min_doc": pd.Series([], dtype="int64"),
+            "max_doc": pd.Series([], dtype="int64"),
+            "npart": pd.Series([], dtype="int32"),
+        }
+    )
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        parts = []
+        for off in range(0, len(batch), chunk_docs):
+            cands = detect(batch.slice(off, chunk_docs))
+            df = cands.select(
+                ["doc_id", "cand_ord", "match_score", "span_start", "span_end",
+                 "cand_start", "cand_end", "ingest_seq"]
+            ).to_pandas()
+            vc = df.loc[_valid_mask(df, arrays)]
+            if not len(vc):
+                continue
+            men = vc.groupby("cand_ord").size().rename("n_mentions")
+            ded = dedup_valid_candidates(df, arrays)
+            agg = ded.groupby("cand_ord").agg(
+                n_docs=("doc_id", "size"),
+                min_doc=("doc_id", "min"),
+                max_doc=("doc_id", "max"),
+            )
+            parts.append(agg.join(men).reset_index())
+        if not parts:
+            return empty
+        out = pd.concat(parts, ignore_index=True)
+        out = out.groupby("cand_ord", as_index=False).agg(
+            n_docs=("n_docs", "sum"),
+            n_mentions=("n_mentions", "sum"),
+            min_doc=("min_doc", "min"),
+            max_doc=("max_doc", "max"),
+        )
+        out["npart"] = (out["cand_ord"] % n_parts).astype("int32")
+        return out.astype(
+            {"cand_ord": "int64", "n_docs": "int64", "n_mentions": "int64",
+             "min_doc": "int64", "max_doc": "int64"}
+        )
+
+    def finalize(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("cand_ord", as_index=False).agg(
+            n_docs=("n_docs", "sum"),
+            n_mentions=("n_mentions", "sum"),
+            min_doc=("min_doc", "min"),
+            max_doc=("max_doc", "max"),
+        )
+        g["first_seen"] = _PAGE_EPOCH + pd.to_timedelta(g.pop("min_doc"), unit="s")
+        g["last_seen"] = _PAGE_EPOCH + pd.to_timedelta(g.pop("max_doc"), unit="s")
+        return g[["cand_ord", "n_docs", "n_mentions", "first_seen", "last_seen"]]
+
+    src = kg.pages_dataset(sf_dir).map_batches(
+        kg.extract_text_batch, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return (
+        src.map_batches(partial, batch_format="pyarrow", batch_size=kg.FUSED_BATCH_SIZE)
+        .groupby("npart")
+        .map_groups(finalize, batch_format="pandas")
+    )
+
+
+SUPPORT_QUANT = 1048576.0  # 2^20 — match-score support in exact int64 units
+
+
+def entity_resolve(sf_dir: str) -> ray.data.Dataset:
+    """Weighted-vote entity resolution: per short accession (the group of
+    catalog entities sharing a ``cand_short``, e.g. cross-source aliases of
+    one underlying record), the canonical entity is the member with the
+    highest total supporting match-score over all deduped document links —
+    truth-finding by vote, the canonicalization step a multi-source KG runs
+    before emitting one node per real-world entity.
+
+    Output: (cand_short, cand_id, description, support_units, n_entities,
+    total_links) — the winning member, how many distinct members had any
+    support, and the group's total supporting links.
+
+    Exactness: votes are summed as int64 units of 2^-20 match-score
+    (floor(ms * 2^20 + 0.5), identical on the SQL side), so partial sums
+    are order-independent and the argmax is deterministic; ties break to
+    the smaller cand_ord (catalog admission order, the reference's
+    reading-order convention).  Scale shape: fused detection -> per-batch
+    per-entity partial unit sums (|entities|-bounded) -> one shuffle hashed
+    by cand_short (zlib.crc32, computed per unique short per batch) ->
+    per-group argmax.  Strings (cand_id/description) attach from the
+    broadcast catalog at the partial stage, so the shuffle carries one slim
+    row per (batch, entity), never per mention.
+    """
+    import zlib
+
+    from ahrd_ray.pipelines import kg
+    from ahrd_ray.stages.candidates import FusedMentionScorer, make_detector_task_fn
+
+    ctx = kg.cached_context(sf_dir)
+    arrays = ctx.bundle.arrays
+    n_parts = n_hash_parts()
+    detect = make_detector_task_fn(ctx.catalog_ref, ctx.cfg, slim=False)
+    chunk_docs = FusedMentionScorer.CHUNK_DOCS
+
+    empty = pd.DataFrame(
+        {
+            "cand_short": pd.Series([], dtype="object"),
+            "cand_ord": pd.Series([], dtype="int64"),
+            "support_units": pd.Series([], dtype="int64"),
+            "n_links": pd.Series([], dtype="int64"),
+            "spart": pd.Series([], dtype="int32"),
+        }
+    )
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        parts = []
+        for off in range(0, len(batch), chunk_docs):
+            cands = detect(batch.slice(off, chunk_docs))
+            df = cands.select(
+                ["doc_id", "cand_ord", "match_score", "span_start", "span_end",
+                 "cand_start", "cand_end", "ingest_seq"]
+            ).to_pandas()
+            ded = dedup_valid_candidates(df, arrays)
+            if not len(ded):
+                continue
+            units = np.floor(
+                ded["match_score"].to_numpy() * SUPPORT_QUANT + 0.5
+            ).astype(np.int64)
+            parts.append(
+                pd.DataFrame({"cand_ord": ded["cand_ord"].to_numpy(), "u": units})
+                .groupby("cand_ord", as_index=False)
+                .agg(support_units=("u", "sum"), n_links=("u", "size"))
+            )
+        if not parts:
+            return empty
+        out = pd.concat(parts, ignore_index=True)
+        out = out.groupby("cand_ord", as_index=False)[["support_units", "n_links"]].sum()
+        ords = out["cand_ord"].to_numpy()
+        shorts = arrays.cand_short[ords]
+        out["cand_short"] = shorts
+        # crc32 per UNIQUE short (bounded by catalog size, not row count)
+        uniq, inv = np.unique(shorts, return_inverse=True)
+        h = np.array([zlib.crc32(s.encode()) for s in uniq], dtype=np.int64)
+        out["spart"] = (h[inv] % n_parts).astype("int32")
+        return out[["cand_short", "cand_ord", "support_units", "n_links", "spart"]].astype(
+            {"cand_ord": "int64", "support_units": "int64", "n_links": "int64"}
+        )
+
+    def finalize(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["cand_short", "cand_ord"], as_index=False)[
+            ["support_units", "n_links"]
+        ].sum()
+        grp = g.groupby("cand_short")
+        g["n_entities"] = grp["cand_ord"].transform("size").astype(np.int64)
+        g["total_links"] = grp["n_links"].transform("sum").astype(np.int64)
+        g = g.sort_values(
+            ["cand_short", "support_units", "cand_ord"],
+            ascending=[True, False, True],
+            kind="mergesort",
+        )
+        win = g.groupby("cand_short", as_index=False).head(1).reset_index(drop=True)
+        ords = win["cand_ord"].to_numpy()
+        win["cand_id"] = arrays.cand_id[ords]
+        win["description"] = arrays.description[ords]
+        return win[
+            ["cand_short", "cand_id", "description", "support_units",
+             "n_entities", "total_links"]
+        ]
+
+    src = kg.pages_dataset(sf_dir).map_batches(
+        kg.extract_text_batch, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return (
+        src.map_batches(partial, batch_format="pyarrow", batch_size=kg.FUSED_BATCH_SIZE)
+        .groupby("spart")
+        .map_groups(finalize, batch_format="pandas")
+    )

