@@ -2257,3 +2257,15 @@ SELECT cand_short, cand_id, description, support_units,
        CAST(total_links AS BIGINT) AS total_links
 FROM ranked WHERE rn = 1"""
     )
+
+
+def sql_pred_stats(cfg: EngineConfig) -> str:
+    """Per-predicate KG metrics (stages/graph.pred_stats) over the final
+    edge table — the triples query nested as a CTE."""
+    return (
+        f"WITH edge_table AS (\n{sql_triples(cfg)}\n)\n"
+        "SELECT pred, CAST(count(*) AS BIGINT) AS n_triples,\n"
+        "       CAST(count(DISTINCT subj) AS BIGINT) AS n_subj,\n"
+        "       CAST(count(DISTINCT obj) AS BIGINT) AS n_obj\n"
+        "FROM edge_table GROUP BY pred"
+    )

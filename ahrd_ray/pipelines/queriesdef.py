@@ -799,7 +799,14 @@ def _kg_queries(cfg) -> dict[str, tuple[Callable, str | None]]:
         "kg_entity_degree": (q_entity_degree, oracle.sql_cooccur_degree(cfg)),
         "kg_fact_support": (q_fact_support, oracle.sql_fact_support(cfg)),
         "kg_entity_resolve": (q_entity_resolve, oracle.sql_entity_resolve(cfg)),
+        "kg_pred_stats": (q_pred_stats, oracle.sql_pred_stats(cfg)),
     }
+
+
+def q_pred_stats(sf_dir: str):
+    from ahrd_ray.stages.graph import pred_stats
+
+    return pred_stats(sf_dir)
 
 
 def q_fact_support(sf_dir: str):

@@ -530,3 +530,63 @@ def entity_resolve(sf_dir: str) -> ray.data.Dataset:
         .groupby("spart")
         .map_groups(finalize, batch_format="pandas")
     )
+
+
+def pred_stats(sf_dir: str) -> ray.data.Dataset:
+    """(pred, n_triples, n_subj, n_obj) — per-predicate KG quality metrics
+    over the final edge table: triple count and exact distinct subject /
+    object cardinalities.  The post-materialization audit a KG build runs
+    to catch predicate skew and degenerate fan-out before publishing.
+
+    Scale shape: one pass over the edge table emits per-block PARTIAL
+    counts and per-block-distinct (pred, subj)/(pred, obj) pairs (a
+    block-local combiner, so the shuffle carries distinct pairs, not
+    triples); a pred-hash groupby finalizes exact distincts.  Output is
+    |preds| rows — domain-sized."""
+    from ahrd_ray.pipelines import kg
+
+    ctx = kg.cached_context(sf_dir)
+    triples = kg.kg_triples(ctx)
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        df = batch.select(["subj", "pred", "obj"]).to_pandas()
+        cnt = df.groupby("pred").size().rename("n_triples")
+        su = df.drop_duplicates(["pred", "subj"]).groupby("pred").size().rename("ns")
+        ob = df.drop_duplicates(["pred", "obj"]).groupby("pred").size().rename("no")
+        # long form: per-block distinct pairs ride the shuffle so the
+        # finalize can re-distinct across blocks exactly
+        subs = df.drop_duplicates(["pred", "subj"])[["pred", "subj"]].rename(
+            columns={"subj": "member"}
+        )
+        subs["kind"] = "s"
+        objs = df.drop_duplicates(["pred", "obj"])[["pred", "obj"]].rename(
+            columns={"obj": "member"}
+        )
+        objs["kind"] = "o"
+        cnts = cnt.reset_index().rename(columns={"n_triples": "n"})
+        cnts["member"] = ""
+        cnts["kind"] = "c"
+        pairs = pd.concat([subs.assign(n=0), objs.assign(n=0), cnts], ignore_index=True)
+        return pairs[["pred", "kind", "member", "n"]].astype(
+            {"pred": "object", "kind": "object", "member": "object", "n": "int64"}
+        )
+
+    def finalize(df: pd.DataFrame) -> pd.DataFrame:
+        pred = df["pred"].iat[0]
+        n_triples = int(df.loc[df["kind"] == "c", "n"].sum())
+        n_subj = df.loc[df["kind"] == "s", "member"].nunique()
+        n_obj = df.loc[df["kind"] == "o", "member"].nunique()
+        return pd.DataFrame(
+            {
+                "pred": [pred],
+                "n_triples": np.array([n_triples], dtype=np.int64),
+                "n_subj": np.array([n_subj], dtype=np.int64),
+                "n_obj": np.array([n_obj], dtype=np.int64),
+            }
+        )
+
+    return (
+        triples.map_batches(partial, batch_format="pyarrow")
+        .groupby("pred")
+        .map_groups(finalize, batch_format="pandas")
+    )
