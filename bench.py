@@ -141,6 +141,9 @@ def run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
         ("tx_chunks", lambda: tx.chunk_spans(sf_dir)),
         ("tx_vocab_ids", lambda: tx.vocab_ids(sf_dir)),
         ("sim_knn", lambda: sms.knn_join(sf_dir)),
+        ("kg_fact_support", lambda: gr.fact_support(sf_dir)),
+        ("kg_entity_resolve", lambda: gr.entity_resolve(sf_dir)),
+        ("kg_pred_stats", lambda: gr.pred_stats(sf_dir)),
         ("llm_clean_corpus", lambda: _clean_corpus(sf_dir)),
     ]:
         t0 = time.perf_counter()
