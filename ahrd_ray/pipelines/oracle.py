@@ -2269,3 +2269,18 @@ def sql_pred_stats(cfg: EngineConfig) -> str:
         "       CAST(count(DISTINCT obj) AS BIGINT) AS n_obj\n"
         "FROM edge_table GROUP BY pred"
     )
+
+
+def sql_triangle_count(cfg: EngineConfig) -> str:
+    """Exact triangle count of the co-occurrence graph
+    (stages/graph.triangle_count): the a<b<c 3-way self-join — the global
+    count is orientation-invariant, so it must equal the engine's
+    degree-ordered wedge enumeration exactly."""
+    return (
+        _with(*_cands_prefix(cfg), cte_valid_dedup(), _cte_cooccur_pairs(cfg))
+        + """
+SELECT CAST(count(*) AS BIGINT) AS n_triangles
+FROM pairs e1
+JOIN pairs e2 ON e2.cand_a = e1.cand_a AND e2.cand_b > e1.cand_b
+JOIN pairs e3 ON e3.cand_a = e1.cand_b AND e3.cand_b = e2.cand_b"""
+    )

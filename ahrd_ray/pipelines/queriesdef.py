@@ -800,7 +800,14 @@ def _kg_queries(cfg) -> dict[str, tuple[Callable, str | None]]:
         "kg_fact_support": (q_fact_support, oracle.sql_fact_support(cfg)),
         "kg_entity_resolve": (q_entity_resolve, oracle.sql_entity_resolve(cfg)),
         "kg_pred_stats": (q_pred_stats, oracle.sql_pred_stats(cfg)),
+        "kg_triangles": (q_triangles, oracle.sql_triangle_count(cfg)),
     }
+
+
+def q_triangles(sf_dir: str):
+    from ahrd_ray.stages.graph import triangle_count
+
+    return triangle_count(sf_dir)
 
 
 def q_pred_stats(sf_dir: str):

@@ -105,3 +105,23 @@ def test_entity_resolve_vote_is_group_max():
     # every group's winner support must be >= any member's links-weighted
     # minimum; spot-check internal consistency: support_units > 0
     assert (win["support_units"] > 0).all()
+
+
+def test_triangle_count_matches_bruteforce():
+    """Degree-ordered wedge enumeration == brute-force set-intersection
+    count on the sf0.001 co-occurrence graph."""
+    from collections import defaultdict
+
+    from ahrd_ray.stages.graph import cooccurrence_edges, triangle_count
+
+    edges = cooccurrence_edges(SF).to_pandas()
+    adj = defaultdict(set)
+    for a, b in zip(edges["cand_a"], edges["cand_b"]):
+        adj[a].add(b)  # a < b by construction
+    adj = dict(adj)
+    empty: set = set()
+    brute = sum(
+        len(adj[a] & adj.get(b, empty)) for a in adj for b in adj[a]
+    )  # for each edge (a,b), common higher neighbors c -> (a<b<c) once
+    got = triangle_count(SF).to_pandas()
+    assert int(got["n_triangles"].iloc[0]) == brute
