@@ -2284,3 +2284,30 @@ FROM pairs e1
 JOIN pairs e2 ON e2.cand_a = e1.cand_a AND e2.cand_b > e1.cand_b
 JOIN pairs e3 ON e3.cand_a = e1.cand_b AND e3.cand_b = e2.cand_b"""
     )
+
+
+def sql_alias_pairs(cfg: EngineConfig) -> str:
+    """Edit-distance-1 catalog alias pairs (stages/graph.alias_pairs):
+    deletion-variant candidate join (lossless for distance <= 1) + DuckDB
+    native levenshtein verify."""
+    return (
+        _with(cte_doc_tokens(), cte_vocab(), cte_catalog(cfg))
+        + """,
+positions AS (
+  SELECT cand_ord, cand_id,
+         unnest(generate_series(1, length(cand_id) + 1)) AS i
+  FROM catalog
+),
+variants AS (
+  SELECT cand_ord, cand_id,
+         substr(cand_id, 1, CAST(i AS INT) - 1) || substr(cand_id, CAST(i AS INT) + 1) AS v
+  FROM positions
+),
+cand_pairs AS (
+  SELECT DISTINCT a.cand_ord AS cand_a, b.cand_ord AS cand_b,
+         a.cand_id AS id_a, b.cand_id AS id_b
+  FROM variants a JOIN variants b ON a.v = b.v AND a.cand_ord < b.cand_ord
+)
+SELECT cand_a, cand_b, CAST(levenshtein(id_a, id_b) AS BIGINT) AS dist
+FROM cand_pairs WHERE levenshtein(id_a, id_b) <= 1"""
+    )

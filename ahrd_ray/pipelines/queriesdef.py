@@ -801,7 +801,14 @@ def _kg_queries(cfg) -> dict[str, tuple[Callable, str | None]]:
         "kg_entity_resolve": (q_entity_resolve, oracle.sql_entity_resolve(cfg)),
         "kg_pred_stats": (q_pred_stats, oracle.sql_pred_stats(cfg)),
         "kg_triangles": (q_triangles, oracle.sql_triangle_count(cfg)),
+        "kg_alias_pairs": (q_alias_pairs, oracle.sql_alias_pairs(cfg)),
     }
+
+
+def q_alias_pairs(sf_dir: str):
+    from ahrd_ray.stages.graph import alias_pairs
+
+    return alias_pairs(sf_dir)
 
 
 def q_triangles(sf_dir: str):

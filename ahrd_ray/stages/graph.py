@@ -705,3 +705,109 @@ def triangle_count(sf_dir: str) -> ray.data.Dataset:
         )
 
     return partials.repartition(1).map_batches(total, batch_format="pandas")
+
+
+def _lev_le1(x: str, y: str) -> int:
+    """Exact Levenshtein distance capped at 2 (we only need <= 1): equal ->
+    0; equal length -> one substitution check; length +-1 -> one-gap
+    alignment check; anything else -> 2."""
+    if x == y:
+        return 0
+    lx, ly = len(x), len(y)
+    if lx == ly:
+        diff = sum(1 for cx, cy in zip(x, y) if cx != cy)
+        return 1 if diff == 1 else 2
+    if abs(lx - ly) != 1:
+        return 2
+    if lx > ly:
+        x, y, lx = y, x, ly
+    i = 0
+    while i < lx and x[i] == y[i]:
+        i += 1
+    return 1 if x[i:] == y[i + 1 :] else 2
+
+
+def alias_pairs(sf_dir: str) -> ray.data.Dataset:
+    """(cand_a, cand_b, dist) — catalog entity-id pairs within Levenshtein
+    distance 1, the typo/near-alias discovery pass an entity-resolution
+    stage runs over a multi-source catalog before SAME_AS linking.
+
+    Exact, not approximate: SymSpell-style deletion-variant blocking
+    (public literature) — two strings are within distance 1 IFF they share
+    an entry of {s} ∪ single-deletions(s) — generates candidates with no
+    recall loss, and an exact distance check filters them, so the result
+    is precisely "all unordered pairs with levenshtein <= 1" and the
+    DuckDB oracle can verify it with its native levenshtein() over the
+    same variant join.
+
+    Scale shape: the catalog is the engine's dimension table (the same
+    broadcast-small class as the scoring catalog), but the pass still runs
+    distributed: variants explode per block (len+1 short strings per id),
+    pairs come from the shared _dedup_bucket_pairs machinery (variant-hash
+    partition, vectorized self-join, exact pair dedup), and the verify is
+    a per-pair O(len) check bounded by candidate count.  No stage holds
+    the full catalog in one task.
+    """
+    from ahrd_ray.functions.hash61 import polyhash_arr
+    from ahrd_ray.pipelines import kg
+    from ahrd_ray.stages.dedup import _dedup_bucket_pairs
+
+    ctx = kg.cached_context(sf_dir)
+    arrays = ctx.bundle.arrays
+    tbl = pa.table(
+        {
+            "cand_ord": pa.array(np.arange(len(arrays.cand_id), dtype=np.int64)),
+            "cand_id": pa.array(arrays.cand_id),
+        }
+    )
+    cat = ray.data.from_arrow(tbl).repartition(8)
+
+    def variants(df: pd.DataFrame) -> pd.DataFrame:
+        # per-row Python is acceptable here: the stage is bounded by the
+        # DIMENSION table (catalog ids, short strings), never the corpus
+        ords: list[int] = []
+        ids: list[str] = []
+        vs: list[str] = []
+        for o, s in zip(df["cand_ord"], df["cand_id"]):
+            for i in range(len(s) + 1):
+                ords.append(o)
+                ids.append(s)
+                vs.append(s[:i] + s[i + 1 :])
+        out = pd.DataFrame(
+            {
+                "cand_ord": np.asarray(ords, dtype=np.int64),
+                "cand_id": ids,
+                "v": vs,
+            }
+        )
+        out["vh"] = polyhash_arr(np.asarray(vs, dtype=object)).astype(np.int64)
+        return out
+
+    banded = cat.map_batches(variants, batch_format="pandas")
+    pairs = _dedup_bucket_pairs(
+        banded, ["v"], "vh", "cand_ord", carry={"cand_id": ("id_a", "id_b")}
+    )
+
+    def verify(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "cand_a": pd.Series([], dtype="int64"),
+                "cand_b": pd.Series([], dtype="int64"),
+                "dist": pd.Series([], dtype="int64"),
+            }
+        )
+        if not len(df):
+            return empty
+        dist = np.fromiter(
+            (_lev_le1(x, y) for x, y in zip(df["id_a"], df["id_b"])),
+            dtype=np.int64,
+            count=len(df),
+        )
+        keep = dist <= 1
+        out = df.loc[keep, ["doc_a", "doc_b"]].rename(
+            columns={"doc_a": "cand_a", "doc_b": "cand_b"}
+        )
+        out["dist"] = dist[keep]
+        return out.astype({"cand_a": "int64", "cand_b": "int64", "dist": "int64"})
+
+    return pairs.map_batches(verify, batch_format="pandas")

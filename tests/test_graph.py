@@ -125,3 +125,35 @@ def test_triangle_count_matches_bruteforce():
     )  # for each edge (a,b), common higher neighbors c -> (a<b<c) once
     got = triangle_count(SF).to_pandas()
     assert int(got["n_triangles"].iloc[0]) == brute
+
+
+def test_lev_le1_unit():
+    from ahrd_ray.stages.graph import _lev_le1
+
+    assert _lev_le1("abc", "abc") == 0
+    assert _lev_le1("abc", "abd") == 1  # substitution
+    assert _lev_le1("abc", "ab") == 1  # deletion
+    assert _lev_le1("abc", "xabc") == 1  # insertion (front)
+    assert _lev_le1("abc", "abcd") == 1  # insertion (back)
+    assert _lev_le1("abc", "adc ") == 2
+    assert _lev_le1("abc", "xbd") == 2
+    assert _lev_le1("abc", "acb") == 2  # transposition is distance 2
+
+
+def test_alias_pairs_matches_bruteforce():
+    """Deletion-variant blocking + verify == brute-force O(n^2) distance
+    scan over the sf0.001 catalog ids."""
+    import ray as _ray
+
+    from ahrd_ray.pipelines import kg
+    from ahrd_ray.stages.graph import _lev_le1, alias_pairs
+
+    ids = kg.cached_context(SF).bundle.arrays.cand_id
+    brute = {
+        (i, j)
+        for i in range(len(ids))
+        for j in range(i + 1, len(ids))
+        if _lev_le1(ids[i], ids[j]) <= 1
+    }
+    got = alias_pairs(SF).to_pandas()
+    assert set(zip(got["cand_a"], got["cand_b"])) == brute
