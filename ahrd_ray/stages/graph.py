@@ -762,7 +762,7 @@ def alias_pairs(sf_dir: str) -> ray.data.Dataset:
     )
     cat = ray.data.from_arrow(tbl).repartition(8)
 
-    def variants(df: pd.DataFrame) -> pd.DataFrame:
+    def variants(df: pd.DataFrame) -> pa.Table:
         # per-row Python is acceptable here: the stage is bounded by the
         # DIMENSION table (catalog ids, short strings), never the corpus
         ords: list[int] = []
@@ -773,15 +773,17 @@ def alias_pairs(sf_dir: str) -> ray.data.Dataset:
                 ords.append(o)
                 ids.append(s)
                 vs.append(s[:i] + s[i + 1 :])
-        out = pd.DataFrame(
+        vh = polyhash_arr(np.asarray(vs, dtype=object)).astype(np.int64)
+        # typed Arrow out (metadata-free): pandas-converted blocks carry a
+        # dict schema-metadata that defeats the executor's schema dedup
+        return pa.table(
             {
-                "cand_ord": np.asarray(ords, dtype=np.int64),
-                "cand_id": ids,
-                "v": vs,
+                "cand_ord": pa.array(np.asarray(ords, dtype=np.int64), type=pa.int64()),
+                "cand_id": pa.array(ids, type=pa.string()),
+                "v": pa.array(vs, type=pa.string()),
+                "vh": pa.array(vh, type=pa.int64()),
             }
         )
-        out["vh"] = polyhash_arr(np.asarray(vs, dtype=object)).astype(np.int64)
-        return out
 
     banded = cat.map_batches(variants, batch_format="pandas")
     pairs = _dedup_bucket_pairs(
