@@ -2311,3 +2311,14 @@ cand_pairs AS (
 SELECT cand_a, cand_b, CAST(levenshtein(id_a, id_b) AS BIGINT) AS dist
 FROM cand_pairs WHERE levenshtein(id_a, id_b) <= 1"""
     )
+
+
+def sql_running_totals() -> str:
+    """Cumulative window + lag (stages/generic.running_totals): int64
+    2^-20-unit running sum, bit-exact in any partitioning."""
+    return """SELECT user_id, event_id, ts,
+  sum(CAST(floor(value * 1048576.0 + 0.5) AS BIGINT)) OVER (
+    PARTITION BY user_id ORDER BY ts, event_id
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_units,
+  lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_value
+FROM events"""

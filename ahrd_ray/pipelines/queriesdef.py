@@ -650,6 +650,11 @@ def _generic_queries() -> dict[str, tuple[Callable, str | None]]:
             lambda sf: g.price_quantiles(sf).map_batches(_int64, batch_format="pyarrow"),
             oracle.sql_price_quantiles(),
         ),
+        # window functions: per-user cumulative sum + lag
+        "rel_running_totals": (
+            lambda sf: g.running_totals(sf).map_batches(_int64, batch_format="pyarrow"),
+            oracle.sql_running_totals(),
+        ),
         # window function: per-user sequence numbering
         "rel_row_number": (
             lambda sf: g.events_row_number(sf).map_batches(_int64, batch_format="pyarrow"),

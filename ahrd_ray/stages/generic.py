@@ -1575,3 +1575,37 @@ def error_purchase_matrix(sf_dir: str) -> ray.data.Dataset:
         .groupby(["user_id", "day"])
         .map_groups(merge, batch_format="pandas")
     )
+
+
+def running_totals(sf_dir: str) -> ray.data.Dataset:
+    """Per-user running total + previous-event value (the cumulative-window
+    and lag() shapes): events ordered by (ts, event_id) within each user,
+    ``running_units`` the exact int64 2^-20-unit cumulative sum of value,
+    ``prev_value`` the prior event's raw value (null on the first).
+
+    Scale shape: hash-partition by user (key-complete partitions, the
+    sessionize layout) -> one vectorized sort + groupby-cumsum/shift per
+    partition.  Unit arithmetic keeps the cumulative sums bit-equal to the
+    SQL window regardless of partitioning."""
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "ts", "user_id", "value"]
+    )
+    n_parts = n_hash_parts()
+
+    def add_part(df: pd.DataFrame) -> pd.DataFrame:
+        return df.assign(upart=(df["user_id"] % n_parts).astype("int32"))
+
+    def windows(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        units = np.floor(df["value"].to_numpy() * 1048576.0 + 0.5).astype(np.int64)
+        df = df.assign(u=units)
+        g = df.groupby("user_id")
+        df["running_units"] = g["u"].cumsum().astype(np.int64)
+        df["prev_value"] = g["value"].shift()
+        return df[["user_id", "event_id", "ts", "running_units", "prev_value"]]
+
+    return (
+        ev.map_batches(add_part, batch_format="pandas")
+        .groupby("upart")
+        .map_groups(windows, batch_format="pandas")
+    )
