@@ -2322,3 +2322,53 @@ def sql_running_totals() -> str:
     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_units,
   lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_value
 FROM events"""
+
+
+def sql_entity_components(cfg: EngineConfig, iters: int = 16) -> str:
+    """Connected components of the co-occurrence graph
+    (stages/graph.entity_components): the engine's one-hop min-label
+    update unrolled ``iters`` times — identical fixed point (the engine
+    raises if the diameter exceeds the same bound)."""
+    ctes = [
+        *_cands_prefix(cfg),
+        cte_valid_dedup(),
+        _cte_cooccur_pairs(cfg),
+        """edges AS MATERIALIZED (
+  SELECT cand_a AS src, cand_b AS dst FROM pairs
+  UNION ALL SELECT cand_b, cand_a FROM pairs
+)""",
+        "l0 AS MATERIALIZED (SELECT cand_ord AS node, cand_ord AS lab FROM catalog)",
+    ]
+    for k in range(1, iters + 1):
+        # AS MATERIALIZED: each round references the previous label table
+        # twice — without it DuckDB inlines the CTE chain exponentially
+        ctes.append(
+            f"""l{k} AS MATERIALIZED (
+  SELECT l.node, least(l.lab, coalesce(min(nl.lab), l.lab)) AS lab
+  FROM l{k - 1} l
+  LEFT JOIN edges e ON e.src = l.node
+  LEFT JOIN l{k - 1} nl ON nl.node = e.dst
+  GROUP BY l.node, l.lab
+)"""
+        )
+    return (
+        _with(*ctes)
+        + f"\nSELECT node, CAST(lab AS BIGINT) AS cluster_rep FROM l{iters}"
+    )
+
+
+def sql_top_neighbor(cfg: EngineConfig) -> str:
+    """Strongest co-occurring partner per entity (stages/graph.top_neighbor)."""
+    return (
+        _with(*_cands_prefix(cfg), cte_valid_dedup(), _cte_cooccur_pairs(cfg))
+        + """,
+sides AS (
+  SELECT cand_a AS node, cand_b AS best_neighbor, n_docs FROM pairs
+  UNION ALL SELECT cand_b, cand_a, n_docs FROM pairs
+)
+SELECT node, best_neighbor, n_docs FROM (
+  SELECT *, row_number() OVER (PARTITION BY node
+      ORDER BY n_docs DESC, best_neighbor ASC) AS rn
+  FROM sides
+) WHERE rn = 1"""
+    )

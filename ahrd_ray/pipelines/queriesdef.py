@@ -807,7 +807,21 @@ def _kg_queries(cfg) -> dict[str, tuple[Callable, str | None]]:
         "kg_pred_stats": (q_pred_stats, oracle.sql_pred_stats(cfg)),
         "kg_triangles": (q_triangles, oracle.sql_triangle_count(cfg)),
         "kg_alias_pairs": (q_alias_pairs, oracle.sql_alias_pairs(cfg)),
+        "kg_components": (q_components, oracle.sql_entity_components(cfg)),
+        "kg_top_neighbor": (q_top_neighbor, oracle.sql_top_neighbor(cfg)),
     }
+
+
+def q_components(sf_dir: str):
+    from ahrd_ray.stages.graph import entity_components
+
+    return entity_components(sf_dir)
+
+
+def q_top_neighbor(sf_dir: str):
+    from ahrd_ray.stages.graph import top_neighbor
+
+    return top_neighbor(sf_dir)
 
 
 def q_alias_pairs(sf_dir: str):

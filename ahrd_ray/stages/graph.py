@@ -813,3 +813,78 @@ def alias_pairs(sf_dir: str) -> ray.data.Dataset:
         return out.astype({"cand_a": "int64", "cand_b": "int64", "dist": "int64"})
 
     return pairs.map_batches(verify, batch_format="pandas")
+
+
+def entity_components(sf_dir: str) -> ray.data.Dataset:
+    """(node, cluster_rep) — weakly-connected components of the
+    co-occurrence graph, rep = smallest cand_ord in the component
+    (isolated catalog entities are their own rep).  Entity-community
+    assignment via the shared iterative min-label propagation
+    (dedup.min_label_components): one hop per round, rounds = component
+    diameter, labels materialized per round as one slim row per entity.
+    The SQL oracle unrolls the SAME one-hop update for the propagation
+    bound, so both sides compute the identical fixed point."""
+    from ahrd_ray.pipelines import kg
+    from ahrd_ray.stages.dedup import min_label_components
+
+    ctx = kg.cached_context(sf_dir)
+    n = len(ctx.bundle.arrays.cand_id)
+    ids = ray.data.from_arrow(
+        pa.table({"node": pa.array(np.arange(n, dtype=np.int64), type=pa.int64())})
+    ).repartition(4)
+    labels = min_label_components(
+        cooccurrence_edges(sf_dir), ids, pair_cols=("cand_a", "cand_b"), id_col="node"
+    )
+    return labels.map_batches(
+        lambda df: df.rename(columns={"doc_id": "node"}).astype(
+            {"node": "int64", "cluster_rep": "int64"}
+        ),
+        batch_format="pandas",
+    )
+
+
+def top_neighbor(sf_dir: str) -> ray.data.Dataset:
+    """(node, best_neighbor, n_docs) — each entity's strongest co-occurring
+    partner (max shared-doc weight, ties to the smaller neighbor id): the
+    relatedness lookup a KG serves next to every entity.  One map-side
+    partial argmax over the edge list (each edge is a candidate for both
+    endpoints), node-hash finalize — shuffles one slim row per (block,
+    node), never the edge list."""
+    n_parts = n_hash_parts()
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        a = batch["cand_a"].to_numpy()
+        b = batch["cand_b"].to_numpy()
+        w = batch["n_docs"].to_numpy()
+        df = pd.DataFrame(
+            {
+                "node": np.concatenate([a, b]),
+                "best_neighbor": np.concatenate([b, a]),
+                "n_docs": np.concatenate([w, w]),
+            }
+        )
+        df = df.sort_values(
+            ["node", "n_docs", "best_neighbor"],
+            ascending=[True, False, True],
+            kind="mergesort",
+        )
+        out = df.groupby("node", as_index=False).head(1)
+        out["npart"] = (out["node"] % n_parts).astype("int32")
+        return out.astype({"node": "int64", "best_neighbor": "int64", "n_docs": "int64"})
+
+    def finalize(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(
+            ["node", "n_docs", "best_neighbor"],
+            ascending=[True, False, True],
+            kind="mergesort",
+        )
+        return df.groupby("node", as_index=False).head(1)[
+            ["node", "best_neighbor", "n_docs"]
+        ]
+
+    return (
+        cooccurrence_edges(sf_dir)
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("npart")
+        .map_groups(finalize, batch_format="pandas")
+    )
