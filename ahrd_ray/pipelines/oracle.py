@@ -2372,3 +2372,24 @@ SELECT node, best_neighbor, n_docs FROM (
   FROM sides
 ) WHERE rn = 1"""
     )
+
+
+def sql_users_both_types() -> str:
+    """Set intersection (stages/generic.users_both_types)."""
+    return """SELECT user_id FROM events WHERE event_type = 'click'
+INTERSECT
+SELECT user_id FROM events WHERE event_type = 'purchase'"""
+
+
+def sql_event_sequences() -> str:
+    """Capped ordered string_agg (stages/generic.event_sequences)."""
+    from ahrd_ray.stages.generic import EVENT_SEQ_CAP
+
+    return f"""WITH ranked AS (
+  SELECT user_id, event_type, ts, event_id,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events
+)
+SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+       string_agg(event_type, ',' ORDER BY ts, event_id) AS seq
+FROM ranked WHERE rn <= {EVENT_SEQ_CAP} GROUP BY user_id"""

@@ -650,6 +650,16 @@ def _generic_queries() -> dict[str, tuple[Callable, str | None]]:
             lambda sf: g.price_quantiles(sf).map_batches(_int64, batch_format="pyarrow"),
             oracle.sql_price_quantiles(),
         ),
+        # set intersection: users with both event types
+        "rel_users_both": (
+            lambda sf: g.users_both_types(sf).map_batches(_int64, batch_format="pyarrow"),
+            oracle.sql_users_both_types(),
+        ),
+        # ordered string_agg / collect_list (capped)
+        "rel_event_seq": (
+            lambda sf: g.event_sequences(sf).map_batches(_int64, batch_format="pyarrow"),
+            oracle.sql_event_sequences(),
+        ),
         # window functions: per-user cumulative sum + lag
         "rel_running_totals": (
             lambda sf: g.running_totals(sf).map_batches(_int64, batch_format="pyarrow"),

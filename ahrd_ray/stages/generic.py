@@ -1609,3 +1609,74 @@ def running_totals(sf_dir: str) -> ray.data.Dataset:
         .groupby("upart")
         .map_groups(windows, batch_format="pandas")
     )
+
+
+def users_both_types(sf_dir: str) -> ray.data.Dataset:
+    """(user_id) — users with BOTH a 'click' and a 'purchase' event: the
+    set-intersection shape (INTERSECT of two distinct key sets).  Map-side
+    per-block distinct (user, has_click, has_purchase) flags combine by OR
+    in a user-hash finalize — the shuffle carries one row per (block,
+    user), never the event stream."""
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_type"]
+    )
+    n_parts = n_hash_parts()
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        et = df["event_type"].to_numpy()
+        out = pd.DataFrame(
+            {
+                "user_id": df["user_id"].to_numpy(),
+                "c": (et == "click").astype(np.int8),
+                "p": (et == "purchase").astype(np.int8),
+            }
+        )
+        out = out.groupby("user_id", as_index=False).max()
+        out = out[(out["c"] > 0) | (out["p"] > 0)]
+        out["upart"] = (out["user_id"] % n_parts).astype("int32")
+        return out
+
+    def finalize(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("user_id", as_index=False)[["c", "p"]].max()
+        return g.loc[(g["c"] > 0) & (g["p"] > 0), ["user_id"]].astype(
+            {"user_id": "int64"}
+        )
+
+    return (
+        ev.map_batches(partial, batch_format="pandas")
+        .groupby("upart")
+        .map_groups(finalize, batch_format="pandas")
+    )
+
+
+EVENT_SEQ_CAP = 20
+
+
+def event_sequences(sf_dir: str) -> ray.data.Dataset:
+    """(user_id, n_events, seq) — per user, the comma-joined event-type
+    sequence of their first EVENT_SEQ_CAP events in (ts, event_id) order:
+    the ordered string_agg / collect_list shape (session-path mining).
+    The cap bounds the output row width at any scale (the reference's
+    bounded-candidate-list move); key-complete hash partitions, one
+    vectorized sort + cumcount + per-user join per partition."""
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "ts", "user_id", "event_type"]
+    )
+    n_parts = n_hash_parts()
+
+    def add_part(df: pd.DataFrame) -> pd.DataFrame:
+        return df.assign(upart=(df["user_id"] % n_parts).astype("int32"))
+
+    def agg(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        df = df[df.groupby("user_id").cumcount() < EVENT_SEQ_CAP]
+        g = df.groupby("user_id", as_index=False).agg(
+            n_events=("event_id", "size"), seq=("event_type", ",".join)
+        )
+        return g.astype({"user_id": "int64", "n_events": "int64"})
+
+    return (
+        ev.map_batches(add_part, batch_format="pandas")
+        .groupby("upart")
+        .map_groups(agg, batch_format="pandas")
+    )
