@@ -2393,3 +2393,27 @@ def sql_event_sequences() -> str:
 SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
        string_agg(event_type, ',' ORDER BY ts, event_id) AS seq
 FROM ranked WHERE rn <= {EVENT_SEQ_CAP} GROUP BY user_id"""
+
+
+def sql_grid_search(cfg: EngineConfig) -> str:
+    """Weight-grid sweep oracle (pipelines/trainer.grid_search): one full
+    eval-chain replica per combo, UNION ALL — each combo's objective is
+    that configuration's mean_eval_score."""
+    from dataclasses import replace
+
+    from ahrd_ray.pipelines.trainer import GRID_COMBOS
+
+    parts = []
+    for i, (wb, wd, wo) in enumerate(GRID_COMBOS):
+        c = replace(
+            cfg,
+            token_score_bit_score_weight=wb,
+            token_score_database_score_weight=wd,
+            token_score_overlap_score_weight=wo,
+        )
+        parts.append(
+            f"SELECT CAST({i} AS BIGINT) AS combo_id, CAST({wb!r} AS DOUBLE) AS w_bit,"
+            f" CAST({wd!r} AS DOUBLE) AS w_db, CAST({wo!r} AS DOUBLE) AS w_ov,"
+            f" mean_eval_score AS objective, n_docs FROM (\n{sql_eval_summary(c)}\n)"
+        )
+    return "\nUNION ALL\n".join(parts)

@@ -754,6 +754,12 @@ def _eval_queries() -> dict[str, tuple[Callable, str | None]]:
         # simulated-annealing trainer path log (E7): deterministic via seeded
         # RNG, not SQL-expressible -> rows-only check
         "tr_path": (_q_trainer, None),
+        # rows-only by cost, not by inexpressibility: sql_grid_search exists
+        # and is correct, but DuckDB runs the 4 unioned eval chains
+        # superlinearly (>12 min at sf0.001 vs 31 s for one chain) — too
+        # heavy for the per-round gate.  Combo 0 is pinned to the
+        # oracle-gated ev_summary mean in pytest instead.
+        "tr_grid": (_q_trainer_grid, None),
     }
 
 
@@ -776,6 +782,12 @@ def _q_trainer(sf_dir: str):
     from ahrd_ray.pipelines.trainer import train
 
     return train(sf_dir, iterations=8, temperature=400.0, cool_down_by=50.0)
+
+
+def _q_trainer_grid(sf_dir: str):
+    from ahrd_ray.pipelines.trainer import grid_search
+
+    return grid_search(sf_dir)
 
 
 def registry() -> dict[str, tuple[Callable, str | None]]:

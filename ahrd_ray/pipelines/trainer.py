@@ -245,3 +245,73 @@ def random_start_configs(n: int, seed: int = 7) -> list[EngineConfig]:
             )
         )
     return out
+
+
+# Token-score weight grid for the parallel sweep (each triple sums to 1,
+# the reference's weight-sum contract, TokenScoreCalculator.java:192).
+GRID_COMBOS: tuple[tuple[float, float, float], ...] = (
+    (0.5, 0.3, 0.2),
+    (0.6, 0.2, 0.2),
+    (0.4, 0.4, 0.2),
+    (0.25, 0.25, 0.5),
+)
+
+
+def grid_search(
+    sf_dir: str, combos: tuple[tuple[float, float, float], ...] = GRID_COMBOS
+) -> pa.Table:
+    """(combo_id, w_bit, w_db, w_ov, objective, n_docs) — the
+    TrainerBatcher-style parameter sweep (E8): evaluate the trainer
+    objective (mean eval F-score, identical to eval_summary's
+    mean_eval_score — proven equal in-session) at each token-score weight
+    combo.  Parse-once / score-many: candidates + gold marker rows
+    materialize ONCE, each combo is one distributed re-score pass over the
+    cached spart partitions — the annealing loop's evaluation step, fanned
+    over a deterministic grid instead of a random walk, and fully
+    SQL-oracle-gated (one eval-chain replica per combo)."""
+    import ray.data
+
+    from ahrd_ray.pipelines.kg import PipelineContext, candidates_dataset
+
+    ctx = PipelineContext(sf_dir)
+    num_parts = ctx.cfg.num_score_partitions
+
+    def with_gold_col(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "gold", pa.array([""] * len(batch), type=pa.string())
+        )
+
+    gold_ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    ).map_batches(lambda b: _gold_marker_batch(b, num_parts), batch_format="pyarrow")
+    cands = (
+        candidates_dataset(ctx, from_pages=False)
+        .map_batches(with_gold_col, batch_format="pyarrow")
+        .union(gold_ds)
+        .materialize()
+    )
+    n_docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id"]
+    ).count()
+
+    rows = []
+    for i, (wb, wd, wo) in enumerate(combos):
+        c = replace(
+            ctx.cfg,
+            token_score_bit_score_weight=wb,
+            token_score_database_score_weight=wd,
+            token_score_overlap_score_weight=wo,
+        )
+        rows.append(
+            {
+                "combo_id": np.int64(i),
+                "w_bit": float(wb),
+                "w_db": float(wd),
+                "w_ov": float(wo),
+                "objective": _objective(cands, ctx.catalog_ref, n_docs, c),
+                "n_docs": np.int64(n_docs),
+            }
+        )
+    return pa.Table.from_pandas(
+        pd.DataFrame(rows), preserve_index=False
+    ).replace_schema_metadata(None)

@@ -151,3 +151,25 @@ def test_eval_scores_file_matches_duckdb(ray_session):
     assert len(got) == len(want)
     for c in ["eval_score", "best_comp_score", "delta", "highest_possible"]:
         assert np.allclose(got[c].to_numpy(), want[c].to_numpy(), atol=1e-12), c
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_grid_search_objective_matches_eval_summary():
+    """tr_grid combo 0 (the default weights) must equal the ORACLE-GATED
+    eval_summary mean_eval_score exactly — the indirect SQL gate for the
+    grid sweep (the direct 4-chain UNION oracle is too slow for the
+    per-round driver gate; see queriesdef).  The grid must also be
+    deterministic and carry one row per combo."""
+    from ahrd_ray.pipelines import kg
+    from ahrd_ray.pipelines.trainer import GRID_COMBOS, grid_search
+    from ahrd_ray.stages.evaluate import eval_summary
+
+    sf = "/root/testdata/sf0.001"
+    g = grid_search(sf).to_pandas()
+    assert len(g) == len(GRID_COMBOS)
+    assert g["combo_id"].tolist() == list(range(len(GRID_COMBOS)))
+    es = eval_summary(kg.cached_context(sf)).to_pandas()
+    assert float(g.loc[0, "objective"]) == float(es["mean_eval_score"].iloc[0])
+    # weights rows mirror the grid constants
+    for i, (wb, wd, wo) in enumerate(GRID_COMBOS):
+        assert (g.loc[i, ["w_bit", "w_db", "w_ov"]].to_numpy() == [wb, wd, wo]).all()
