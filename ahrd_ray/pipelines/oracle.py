@@ -2417,3 +2417,15 @@ def sql_grid_search(cfg: EngineConfig) -> str:
             f" mean_eval_score AS objective, n_docs FROM (\n{sql_eval_summary(c)}\n)"
         )
     return "\nUNION ALL\n".join(parts)
+
+
+def sql_lang_confusion() -> str:
+    """Language-ID confusion matrix (stages/textstats.lang_confusion):
+    the langid argmax joined back to the labeled lang column."""
+    inner = sql_langid()
+    return (
+        f"WITH preds AS (\n{inner}\n)\n"
+        "SELECT d.lang, p.pred_lang, CAST(count(*) AS BIGINT) AS n_docs\n"
+        "FROM documents d JOIN preds p ON p.doc_id = d.doc_id\n"
+        "GROUP BY d.lang, p.pred_lang"
+    )

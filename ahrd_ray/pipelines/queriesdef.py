@@ -422,6 +422,10 @@ def _textstats_queries() -> dict[str, tuple[Callable, str | None]]:
         "tx_token_counts": (lambda sf: tx.token_counts(sf), oracle.sql_token_counts()),
         "tx_quality": (lambda sf: tx.quality_scores(sf), oracle.sql_quality()),
         "tx_langid": (lambda sf: tx.langid(sf), oracle.sql_langid()),
+        "tx_lang_confusion": (
+            lambda sf: tx.lang_confusion(sf).map_batches(_int64, batch_format="pyarrow"),
+            oracle.sql_lang_confusion(),
+        ),
         "tx_subword_counts": (
             lambda sf: tx.subword_counts(sf),
             oracle.sql_subword_counts(),

@@ -1332,3 +1332,36 @@ def vocab_ids(sf_dir: str, min_count: int = VOCAB_MIN_COUNT) -> ray.data.Dataset
         ).astype({"n": "int64"})
 
     return vocab.groupby(["n", "pfx"]).map_groups(assign, batch_format="pandas")
+
+
+def lang_confusion(sf_dir: str) -> ray.data.Dataset:
+    """(lang, pred_lang, n_docs) — confusion matrix of the n-gram language
+    identifier against the labeled ``lang`` column: the model-evaluation
+    aggregate a pipeline runs after any classifier stage.  Map-side
+    per-batch cell counts (the matrix is |langs|^2, domain-sized) combine
+    in one tiny groupby — the classifier pass itself stays fused with the
+    read, nothing per-doc shuffles."""
+    import pandas as pd
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
+    )
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        preds = langid_batch(batch["text"].combine_chunks())
+        out = pd.DataFrame(
+            {"lang": batch["lang"].to_pylist(), "pred_lang": preds}
+        )
+        out = out.groupby(["lang", "pred_lang"], as_index=False).size()
+        return out.rename(columns={"size": "n_docs"}).astype({"n_docs": "int64"})
+
+    return (
+        docs.map_batches(partial, batch_format="pyarrow")
+        .groupby(["lang", "pred_lang"])
+        .map_groups(
+            lambda df: df.groupby(["lang", "pred_lang"], as_index=False)[
+                "n_docs"
+            ].sum(),
+            batch_format="pandas",
+        )
+    )
