@@ -2429,3 +2429,81 @@ def sql_lang_confusion() -> str:
         "FROM documents d JOIN preds p ON p.doc_id = d.doc_id\n"
         "GROUP BY d.lang, p.pred_lang"
     )
+
+
+def sql_link_pred(cfg: EngineConfig) -> str:
+    """kNN-graph link prediction (stages/graph.link_pred): per-node top-K
+    strongest partners symmetrized into the kNN edge set, common-neighbor
+    wedge counts, anti-join vs kNN edges, integer-exact q20 Jaccard over
+    symmetrized kNN degrees, deterministic top-N."""
+    from ahrd_ray.stages.graph import LINKPRED_NEIGHBOR_CAP, LINKPRED_TOP_N
+
+    return (
+        _with(*_cands_prefix(cfg), cte_valid_dedup(), _cte_cooccur_pairs(cfg))
+        + f""",
+sides AS (
+  SELECT cand_a AS node, cand_b AS nb, n_docs FROM pairs
+  UNION ALL SELECT cand_b, cand_a, n_docs FROM pairs
+),
+capped AS (
+  SELECT node, nb FROM (
+    SELECT node, nb, row_number() OVER (
+        PARTITION BY node ORDER BY n_docs DESC, nb ASC) AS rn
+    FROM sides
+  ) WHERE rn <= {LINKPRED_NEIGHBOR_CAP}
+),
+knn AS (
+  SELECT DISTINCT least(node, nb) AS cand_a, greatest(node, nb) AS cand_b
+  FROM capped
+),
+ksides AS (
+  SELECT cand_a AS node, cand_b AS nb FROM knn
+  UNION ALL SELECT cand_b, cand_a FROM knn
+),
+deg AS (SELECT node, CAST(count(*) AS BIGINT) AS deg FROM ksides GROUP BY 1),
+cn AS (
+  SELECT s1.nb AS cand_a, s2.nb AS cand_b, CAST(count(*) AS BIGINT) AS common_n
+  FROM ksides s1 JOIN ksides s2 ON s1.node = s2.node AND s1.nb < s2.nb
+  GROUP BY 1, 2
+),
+nonedge AS (
+  SELECT cn.* FROM cn LEFT JOIN knn k
+    ON k.cand_a = cn.cand_a AND k.cand_b = cn.cand_b
+  WHERE k.cand_a IS NULL
+)
+SELECT n.cand_a, n.cand_b, n.common_n,
+       CAST((n.common_n * 1048576) // (da.deg + db.deg - n.common_n) AS BIGINT)
+         AS jaccard_q20
+FROM nonedge n
+JOIN deg da ON da.node = n.cand_a
+JOIN deg db ON db.node = n.cand_b
+ORDER BY jaccard_q20 DESC, common_n DESC, cand_a ASC, cand_b ASC
+LIMIT {LINKPRED_TOP_N}"""
+    )
+
+
+def sql_collocations() -> str:
+    """Lift-scored collocations (stages/textstats.collocations): exact
+    HUGEINT lift arithmetic over the bigram aggregate and its positional
+    marginals."""
+    from ahrd_ray.stages.textstats import COLLOC_MIN_N
+
+    arr = _sql_tok_arr()
+    return f"""WITH toks AS (SELECT {arr} AS arr FROM documents),
+bg AS (
+  SELECT unnest(arr[1:len(arr) - 1]) AS tok_a, unnest(arr[2:len(arr)]) AS tok_b
+  FROM toks WHERE len(arr) >= 2
+),
+counts AS (
+  SELECT tok_a, tok_b, CAST(count(*) AS BIGINT) AS n FROM bg GROUP BY 1, 2
+),
+lt AS (SELECT tok_a, CAST(sum(n) AS HUGEINT) AS la FROM counts GROUP BY 1),
+rt AS (SELECT tok_b, CAST(sum(n) AS HUGEINT) AS rb FROM counts GROUP BY 1),
+tot AS (SELECT CAST(sum(n) AS HUGEINT) AS nbg FROM counts)
+SELECT c.tok_a, c.tok_b, c.n,
+       CAST((t.nbg * c.n * 1048576) // (l.la * r.rb) AS BIGINT) AS lift_q20
+FROM counts c
+CROSS JOIN tot t
+JOIN lt l ON l.tok_a = c.tok_a
+JOIN rt r ON r.tok_b = c.tok_b
+WHERE c.n >= {COLLOC_MIN_N}"""

@@ -439,6 +439,10 @@ def _textstats_queries() -> dict[str, tuple[Callable, str | None]]:
             lambda sf: tx.bigram_counts(sf).map_batches(_int64, batch_format="pyarrow"),
             oracle.sql_bigram_counts(),
         ),
+        "tx_collocations": (
+            lambda sf: tx.collocations(sf).map_batches(_int64, batch_format="pyarrow"),
+            oracle.sql_collocations(),
+        ),
         "tx_doc_features": (
             lambda sf: tx.doc_features(sf).map_batches(_int64, batch_format="pyarrow"),
             oracle.sql_doc_features(),
@@ -835,6 +839,7 @@ def _kg_queries(cfg) -> dict[str, tuple[Callable, str | None]]:
         "kg_alias_pairs": (q_alias_pairs, oracle.sql_alias_pairs(cfg)),
         "kg_components": (q_components, oracle.sql_entity_components(cfg)),
         "kg_top_neighbor": (q_top_neighbor, oracle.sql_top_neighbor(cfg)),
+        "kg_link_pred": (q_link_pred, oracle.sql_link_pred(cfg)),
     }
 
 
@@ -848,6 +853,12 @@ def q_top_neighbor(sf_dir: str):
     from ahrd_ray.stages.graph import top_neighbor
 
     return top_neighbor(sf_dir)
+
+
+def q_link_pred(sf_dir: str):
+    from ahrd_ray.stages.graph import link_pred
+
+    return link_pred(sf_dir)
 
 
 def q_alias_pairs(sf_dir: str):

@@ -888,3 +888,191 @@ def top_neighbor(sf_dir: str) -> ray.data.Dataset:
         .groupby("npart")
         .map_groups(finalize, batch_format="pandas")
     )
+
+
+# ---------------------------------------------------------------------------
+# Link prediction (KG completion) over the co-occurrence graph
+# ---------------------------------------------------------------------------
+
+# the link-prediction graph is the K-nearest-neighbor graph (each node's K
+# strongest co-occurrence partners by weight, deterministic id tie-break,
+# symmetrized) rather than the raw co-occurrence graph: document
+# co-occurrence makes every same-doc entity pair an edge, so the raw graph
+# saturates toward a clique as the corpus grows and "missing link" loses
+# meaning; the kNN graph stays sparse (<= K|V| edges) at EVERY scale, which
+# also hard-bounds the wedge fan-out of the common-neighbor pass
+LINKPRED_NEIGHBOR_CAP = 8
+LINKPRED_TOP_N = 100
+_Q20 = np.int64(1) << np.int64(20)
+
+
+def link_pred(sf_dir: str, n: int = LINKPRED_TOP_N) -> ray.data.Dataset:
+    """(cand_a, cand_b, common_n, jaccard_q20) — top-``n`` predicted links:
+    the KG-completion pass proposing edges between entities that are NOT
+    kNN-adjacent but share many kNN neighbors.
+
+    Graph: per node, its LINKPRED_NEIGHBOR_CAP strongest co-occurrence
+    partners (weight desc, id asc), symmetrized.  For each non-adjacent
+    pair, common_n = shared symmetrized neighbors and jaccard_q20 =
+    floor(cn * 2^20 / (deg_a + deg_b - cn)) over symmetrized kNN degrees —
+    int64-exact both sides, so the DuckDB oracle hashes bit-equal.
+
+    Scale shape: the co-occurrence edge table (already aggregated, far
+    smaller than the corpus) materializes ONCE and feeds both the kNN
+    selection and nothing else twice; the kNN edge set (<= K|V| rows)
+    materializes once and is re-read zero-copy by its three consumers
+    (wedge pass, degree sweep, anti-join).  Wedges are generated inside a
+    node-hash groupby (upper-triangle expansion, no Python loop) and
+    combine map-side; the anti-join is a budgeted hash join; degrees ride
+    the same dense |V| int64 broadcast vector the PageRank stage uses
+    (|V| is entity-catalog-sized — broadcast-small by the same standing
+    assumption as stages/score.py)."""
+    from ahrd_ray.pipelines import kg
+    from ahrd_ray.stages.partitioning import budgeted_join
+
+    ctx = kg.cached_context(sf_dir)
+    n_nodes = ctx.bundle.n
+    n_parts = n_hash_parts()
+
+    def sides(batch: pa.Table) -> pd.DataFrame:
+        a = batch["cand_a"].to_numpy()
+        b = batch["cand_b"].to_numpy()
+        w = batch["n_docs"].to_numpy()
+        df = pd.DataFrame(
+            {
+                "node": np.concatenate([a, b]),
+                "nb": np.concatenate([b, a]),
+                "n_docs": np.concatenate([w, w]),
+            }
+        )
+        df["npart"] = (df["node"] % n_parts).astype("int32")
+        return df
+
+    def knn_partial(df: pd.DataFrame) -> pd.DataFrame:
+        # per node: K strongest partners, then undirected-normalize so the
+        # downstream distinct yields the symmetrized edge set
+        df = df.sort_values(
+            ["node", "n_docs", "nb"], ascending=[True, False, True], kind="mergesort"
+        )
+        df = df[df.groupby("node").cumcount() < LINKPRED_NEIGHBOR_CAP]
+        node = df["node"].to_numpy()
+        nb = df["nb"].to_numpy()
+        out = pd.DataFrame(
+            {"cand_a": np.minimum(node, nb), "cand_b": np.maximum(node, nb)}
+        ).drop_duplicates()
+        out["ppart"] = ((out["cand_a"] * 1000003 + out["cand_b"]) % n_parts).astype(
+            "int32"
+        )
+        return out.astype({"cand_a": "int64", "cand_b": "int64"})
+
+    knn = (
+        cooccurrence_edges(sf_dir)
+        .map_batches(sides, batch_format="pyarrow")
+        .groupby("npart")
+        .map_groups(knn_partial, batch_format="pandas")
+        .groupby("ppart")
+        .map_groups(
+            lambda df: df[["cand_a", "cand_b"]].drop_duplicates(),
+            batch_format="pandas",
+        )
+        .materialize()
+    )
+
+    def both_dirs(batch: pa.Table) -> pa.Table:
+        a = batch["cand_a"].to_numpy()
+        b = batch["cand_b"].to_numpy()
+        return pa.table(
+            {
+                "src": pa.array(np.concatenate([a, b]), type=pa.int64()),
+                "dst": pa.array(np.concatenate([b, a]), type=pa.int64()),
+            }
+        )
+
+    deg = _edge_sweep(
+        knn.map_batches(both_dirs, batch_format="pyarrow"),
+        lambda src: np.ones(len(src), dtype=np.int64),
+        n_nodes,
+    )
+    deg_ref = ray.put(deg)
+
+    def knn_sides(batch: pa.Table) -> pd.DataFrame:
+        a = batch["cand_a"].to_numpy()
+        b = batch["cand_b"].to_numpy()
+        df = pd.DataFrame(
+            {"node": np.concatenate([a, b]), "nb": np.concatenate([b, a])}
+        )
+        df["npart"] = (df["node"] % n_parts).astype("int32")
+        return df
+
+    def wedge_partials(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["node", "nb"], kind="mergesort")
+        a, b = _pairs_within_docs(df["node"].to_numpy(), df["nb"].to_numpy())
+        out = (
+            pd.DataFrame({"cand_a": a, "cand_b": b})
+            .groupby(["cand_a", "cand_b"], as_index=False)
+            .size()
+            .rename(columns={"size": "common_n"})
+        )
+        out["ppart"] = ((out["cand_a"] * 1000003 + out["cand_b"]) % n_parts).astype(
+            "int32"
+        )
+        return out.astype({"cand_a": "int64", "cand_b": "int64", "common_n": "int64"})
+
+    cn = (
+        knn.map_batches(knn_sides, batch_format="pyarrow")
+        .groupby("npart")
+        .map_groups(wedge_partials, batch_format="pandas")
+        .groupby("ppart")
+        .map_groups(
+            lambda df: df.groupby(["cand_a", "cand_b"], as_index=False)[
+                "common_n"
+            ].sum(),
+            batch_format="pandas",
+        )
+    )
+
+    # anti-join: keep only pairs that are NOT already kNN edges
+    marked = knn.map_batches(
+        lambda t: t.append_column("is_edge", pa.array(np.ones(len(t), dtype=np.int64))),
+        batch_format="pyarrow",
+    )
+    joined = budgeted_join(
+        cn,
+        marked,
+        on=("cand_a", "cand_b"),
+        right_on=("cand_a", "cand_b"),
+        n_joins=1,
+        join_type="left_outer",
+    )
+
+    def score_partial(df: pd.DataFrame) -> pd.DataFrame:
+        from ahrd_ray.stages.score import get_broadcast
+
+        df = df[df["is_edge"].isna()]
+        d = get_broadcast(deg_ref)
+        a = df["cand_a"].to_numpy().astype(np.int64)
+        b = df["cand_b"].to_numpy().astype(np.int64)
+        cn_v = df["common_n"].to_numpy().astype(np.int64)
+        denom = d[a] + d[b] - cn_v
+        out = pd.DataFrame(
+            {
+                "cand_a": a,
+                "cand_b": b,
+                "common_n": cn_v,
+                "jaccard_q20": (cn_v * _Q20) // denom,
+            }
+        )
+        return out.sort_values(
+            ["jaccard_q20", "common_n", "cand_a", "cand_b"],
+            ascending=[False, False, True, True],
+            kind="mergesort",
+        ).head(n)
+
+    return (
+        joined.map_batches(score_partial, batch_format="pandas")
+        .sort(
+            ["jaccard_q20", "common_n", "cand_a", "cand_b"],
+            descending=[True, True, False, False],
+        )
+        .limit(n)
+    )

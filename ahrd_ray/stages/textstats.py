@@ -1365,3 +1365,57 @@ def lang_confusion(sf_dir: str) -> ray.data.Dataset:
             batch_format="pandas",
         )
     )
+
+
+# collocation support threshold: bigrams seen fewer times carry no signal
+# and would blow the output toward vocab² at corpus scale
+COLLOC_MIN_N = 3
+
+
+def collocations(sf_dir: str) -> ray.data.Dataset:
+    """(tok_a, tok_b, n, lift_q20) — lift-scored collocations: how much
+    more often the bigram occurs than its parts' positional frequencies
+    predict.  lift = N_bg * n(a,b) / (left(a) * right(b)) with left/right =
+    the token's occurrence counts in first/second bigram position and N_bg
+    the total bigram count; reported as floor(lift * 2^20), the engine's
+    q20 fixed-point convention.  (Lift is the PMI argument before the log —
+    monotone with PMI, exact in integer arithmetic, so the DuckDB oracle
+    hashes bit-equal where a float log never would.)
+
+    Scale shape: rides the aggregated bigram table (vocab²-bounded, far
+    smaller than the corpus), materialized ONCE for its two consumers.
+    The left/right marginals are vocab-sized — the same broadcast-small
+    class as the entity catalog — gathered once on the driver and shipped
+    via ray.put; the scoring pass is map-side over the filtered aggregate.
+    Per-row Python ints in that pass are deliberate: N_bg * n * 2^20
+    overflows int64 at web scale, and the filtered collocation table is
+    domain-sized (the lang_confusion argument), not corpus-sized."""
+    bg = bigram_counts(sf_dir).materialize()
+
+    left: dict = {}
+    right: dict = {}
+    n_bg = 0
+    for b in bg.iter_batches(batch_format="pandas"):
+        for tok, s in b.groupby("tok_a")["n"].sum().items():
+            left[tok] = left.get(tok, 0) + int(s)
+        for tok, s in b.groupby("tok_b")["n"].sum().items():
+            right[tok] = right.get(tok, 0) + int(s)
+        n_bg += int(b["n"].sum())
+    marg_ref = ray.put((left, right, n_bg))
+
+    q20 = 1 << 20
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        from ahrd_ray.stages.score import get_broadcast
+
+        lt, rt, tot = get_broadcast(marg_ref)
+        df = df[df["n"] >= COLLOC_MIN_N]
+        lift = [
+            (tot * int(c) * q20) // (lt[a] * rt[b])
+            for a, b, c in zip(df["tok_a"], df["tok_b"], df["n"])
+        ]
+        out = df[["tok_a", "tok_b", "n"]].copy()
+        out["lift_q20"] = pd.Series(lift, index=df.index, dtype="int64")
+        return out
+
+    return bg.map_batches(score, batch_format="pandas")

@@ -146,6 +146,8 @@ def run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
         ("kg_pred_stats", lambda: gr.pred_stats(sf_dir)),
         ("kg_triangles", lambda: gr.triangle_count(sf_dir)),
         ("kg_alias_pairs", lambda: gr.alias_pairs(sf_dir)),
+        ("kg_link_pred", lambda: gr.link_pred(sf_dir)),
+        ("tx_collocations", lambda: tx.collocations(sf_dir)),
         ("llm_clean_corpus", lambda: _clean_corpus(sf_dir)),
     ]:
         t0 = time.perf_counter()

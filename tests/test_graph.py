@@ -157,3 +157,48 @@ def test_alias_pairs_matches_bruteforce():
     }
     got = alias_pairs(SF).to_pandas()
     assert set(zip(got["cand_a"], got["cand_b"])) == brute
+
+
+def test_link_pred_matches_bruteforce():
+    """kNN-graph common-neighbor/Jaccard prediction == brute force on the
+    sf0.001 co-occurrence graph (cap, symmetrize, wedge, anti-join, q20)."""
+    from collections import defaultdict
+
+    from ahrd_ray.stages.graph import (
+        LINKPRED_NEIGHBOR_CAP,
+        LINKPRED_TOP_N,
+        cooccurrence_edges,
+        link_pred,
+    )
+
+    edges = cooccurrence_edges(SF).to_pandas()
+    nbrs = defaultdict(list)
+    for a, b, w in zip(edges["cand_a"], edges["cand_b"], edges["n_docs"]):
+        nbrs[a].append((-w, b))
+        nbrs[b].append((-w, a))
+    knn = set()
+    for node, lst in nbrs.items():
+        for _, nb in sorted(lst)[:LINKPRED_NEIGHBOR_CAP]:
+            knn.add((min(node, nb), max(node, nb)))
+    adj = defaultdict(set)
+    for a, b in knn:
+        adj[a].add(b)
+        adj[b].add(a)
+    rows = []
+    nodes = sorted(adj)
+    for i, a in enumerate(nodes):
+        for b in nodes[i + 1 :]:
+            if (a, b) in knn:
+                continue
+            cn = len(adj[a] & adj[b])
+            if cn:
+                q20 = (cn * (1 << 20)) // (len(adj[a]) + len(adj[b]) - cn)
+                rows.append((q20, cn, -a, -b))
+    rows.sort(reverse=True)
+    want = [(-na, -nb, cn, q) for q, cn, na, nb in rows[:LINKPRED_TOP_N]]
+    got = link_pred(SF).to_pandas()
+    got_rows = list(
+        zip(got["cand_a"], got["cand_b"], got["common_n"], got["jaccard_q20"])
+    )
+    assert got_rows == want
+    assert len(got_rows) > 0  # non-trivial at test scale by design

@@ -138,3 +138,31 @@ def test_vocab_ids_contiguous_and_ordered(ray_session, tmp_path):
     assert got["token"].tolist() == want_tokens
     assert got["token_id"].tolist() == list(range(len(want_tokens)))
     assert got["n"].tolist() == kept["n"].tolist()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_collocations_exact_lift():
+    """lift_q20 == exact big-int recount from the raw bigram table, and
+    the support filter keeps exactly n >= COLLOC_MIN_N."""
+    from collections import Counter
+
+    from ahrd_ray.stages.textstats import COLLOC_MIN_N, bigram_counts, collocations
+
+    bg = bigram_counts("/root/testdata/sf0.001").to_pandas()
+    left = Counter()
+    right = Counter()
+    for r in bg.itertuples():
+        left[r.tok_a] += int(r.n)
+        right[r.tok_b] += int(r.n)
+    n_bg = int(bg["n"].sum())
+    want = {
+        (r.tok_a, r.tok_b): (n_bg * int(r.n) * (1 << 20))
+        // (left[r.tok_a] * right[r.tok_b])
+        for r in bg.itertuples()
+        if int(r.n) >= COLLOC_MIN_N
+    }
+    got_df = collocations("/root/testdata/sf0.001").to_pandas()
+    got = {(r.tok_a, r.tok_b): int(r.lift_q20) for r in got_df.itertuples()}
+    assert got == want
+    assert (got_df["n"] >= COLLOC_MIN_N).all()
+    assert len(got) > 0
