@@ -2507,3 +2507,75 @@ CROSS JOIN tot t
 JOIN lt l ON l.tok_a = c.tok_a
 JOIN rt r ON r.tok_b = c.tok_b
 WHERE c.n >= {COLLOC_MIN_N}"""
+
+
+def sql_annotation_closure() -> str:
+    """GO-style annotation up-propagation (stages/taxonomy.annotation_closure):
+    assigned nodes UNION their recursive ancestors, distinct per doc."""
+    return """WITH RECURSIVE dag AS (
+  SELECT 'N' || CAST(n_nationkey AS VARCHAR) AS node_id,
+         'R' || CAST(n_regionkey AS VARCHAR) AS parent_id
+  FROM nation
+  UNION ALL
+  SELECT 'R' || CAST(r_regionkey AS VARCHAR), NULL FROM region
+),
+assign AS (
+  SELECT doc_id, 'N' || CAST(doc_id % 25 AS VARCHAR) AS node_id FROM documents
+  UNION
+  SELECT d.doc_id, 'R' || CAST(n.n_regionkey AS VARCHAR)
+  FROM documents d JOIN nation n ON n.n_nationkey = d.doc_id % 25
+  WHERE d.doc_id % 7 = 0
+),
+anc(node_id, anc_id) AS (
+  SELECT node_id, parent_id FROM dag WHERE parent_id IS NOT NULL
+  UNION
+  SELECT a.node_id, d.parent_id FROM anc a
+  JOIN dag d ON d.node_id = a.anc_id WHERE d.parent_id IS NOT NULL
+)
+SELECT doc_id, node_id FROM assign
+UNION
+SELECT a.doc_id, anc.anc_id FROM assign a JOIN anc ON anc.node_id = a.node_id"""
+
+
+def sql_clustering_coeff(cfg: EngineConfig) -> str:
+    """Local clustering coefficient over the kNN graph
+    (stages/graph.clustering_coeff): closed-wedge counts per center,
+    integer-exact q20 over symmetrized degrees, deg >= 2 nodes."""
+    from ahrd_ray.stages.graph import LINKPRED_NEIGHBOR_CAP
+
+    return (
+        _with(*_cands_prefix(cfg), cte_valid_dedup(), _cte_cooccur_pairs(cfg))
+        + f""",
+sides AS (
+  SELECT cand_a AS node, cand_b AS nb, n_docs FROM pairs
+  UNION ALL SELECT cand_b, cand_a, n_docs FROM pairs
+),
+capped AS (
+  SELECT node, nb FROM (
+    SELECT node, nb, row_number() OVER (
+        PARTITION BY node ORDER BY n_docs DESC, nb ASC) AS rn
+    FROM sides
+  ) WHERE rn <= {LINKPRED_NEIGHBOR_CAP}
+),
+knn AS (
+  SELECT DISTINCT least(node, nb) AS cand_a, greatest(node, nb) AS cand_b
+  FROM capped
+),
+ksides AS (
+  SELECT cand_a AS node, cand_b AS nb FROM knn
+  UNION ALL SELECT cand_b, cand_a FROM knn
+),
+deg AS (SELECT node, CAST(count(*) AS BIGINT) AS deg FROM ksides GROUP BY 1),
+tri AS (
+  SELECT s1.node AS center, CAST(count(*) AS BIGINT) AS n_triangles
+  FROM ksides s1
+  JOIN ksides s2 ON s1.node = s2.node AND s1.nb < s2.nb
+  JOIN knn k ON k.cand_a = s1.nb AND k.cand_b = s2.nb
+  GROUP BY 1
+)
+SELECT d.node, coalesce(t.n_triangles, 0) AS n_triangles,
+       CAST((2 * coalesce(t.n_triangles, 0) * 1048576)
+            // (d.deg * (d.deg - 1)) AS BIGINT) AS cc_q20
+FROM deg d LEFT JOIN tri t ON t.center = d.node
+WHERE d.deg >= 2"""
+    )

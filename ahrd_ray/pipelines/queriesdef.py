@@ -759,6 +759,10 @@ def _eval_queries() -> dict[str, tuple[Callable, str | None]]:
             lambda sf: txy.most_informative(sf).map_batches(_int64, batch_format="pyarrow"),
             oracle.sql_most_informative(),
         ),
+        "tax_closure": (
+            lambda sf: txy.annotation_closure(sf).map_batches(_int64, batch_format="pyarrow"),
+            oracle.sql_annotation_closure(),
+        ),
         # simulated-annealing trainer path log (E7): deterministic via seeded
         # RNG, not SQL-expressible -> rows-only check
         "tr_path": (_q_trainer, None),
@@ -840,6 +844,7 @@ def _kg_queries(cfg) -> dict[str, tuple[Callable, str | None]]:
         "kg_components": (q_components, oracle.sql_entity_components(cfg)),
         "kg_top_neighbor": (q_top_neighbor, oracle.sql_top_neighbor(cfg)),
         "kg_link_pred": (q_link_pred, oracle.sql_link_pred(cfg)),
+        "kg_clustering": (q_clustering, oracle.sql_clustering_coeff(cfg)),
     }
 
 
@@ -859,6 +864,12 @@ def q_link_pred(sf_dir: str):
     from ahrd_ray.stages.graph import link_pred
 
     return link_pred(sf_dir)
+
+
+def q_clustering(sf_dir: str):
+    from ahrd_ray.stages.graph import clustering_coeff
+
+    return clustering_coeff(sf_dir)
 
 
 def q_alias_pairs(sf_dir: str):

@@ -906,32 +906,12 @@ LINKPRED_TOP_N = 100
 _Q20 = np.int64(1) << np.int64(20)
 
 
-def link_pred(sf_dir: str, n: int = LINKPRED_TOP_N) -> ray.data.Dataset:
-    """(cand_a, cand_b, common_n, jaccard_q20) — top-``n`` predicted links:
-    the KG-completion pass proposing edges between entities that are NOT
-    kNN-adjacent but share many kNN neighbors.
-
-    Graph: per node, its LINKPRED_NEIGHBOR_CAP strongest co-occurrence
-    partners (weight desc, id asc), symmetrized.  For each non-adjacent
-    pair, common_n = shared symmetrized neighbors and jaccard_q20 =
-    floor(cn * 2^20 / (deg_a + deg_b - cn)) over symmetrized kNN degrees —
-    int64-exact both sides, so the DuckDB oracle hashes bit-equal.
-
-    Scale shape: the co-occurrence edge table (already aggregated, far
-    smaller than the corpus) materializes ONCE and feeds both the kNN
-    selection and nothing else twice; the kNN edge set (<= K|V| rows)
-    materializes once and is re-read zero-copy by its three consumers
-    (wedge pass, degree sweep, anti-join).  Wedges are generated inside a
-    node-hash groupby (upper-triangle expansion, no Python loop) and
-    combine map-side; the anti-join is a budgeted hash join; degrees ride
-    the same dense |V| int64 broadcast vector the PageRank stage uses
-    (|V| is entity-catalog-sized — broadcast-small by the same standing
-    assumption as stages/score.py)."""
-    from ahrd_ray.pipelines import kg
-    from ahrd_ray.stages.partitioning import budgeted_join
-
-    ctx = kg.cached_context(sf_dir)
-    n_nodes = ctx.bundle.n
+def knn_edges(sf_dir: str) -> ray.data.Dataset:
+    """Symmetrized kNN edge set (cand_a < cand_b) over the co-occurrence
+    graph: per node, its LINKPRED_NEIGHBOR_CAP strongest partners (weight
+    desc, id asc), undirected-normalized and distinct.  <= K|V| rows at any
+    scale.  Materialized because every consumer (link_pred, clustering)
+    reads it 2-3 times; the table is aggregate-small."""
     n_parts = n_hash_parts()
 
     def sides(batch: pa.Table) -> pd.DataFrame:
@@ -965,7 +945,7 @@ def link_pred(sf_dir: str, n: int = LINKPRED_TOP_N) -> ray.data.Dataset:
         )
         return out.astype({"cand_a": "int64", "cand_b": "int64"})
 
-    knn = (
+    return (
         cooccurrence_edges(sf_dir)
         .map_batches(sides, batch_format="pyarrow")
         .groupby("npart")
@@ -978,6 +958,11 @@ def link_pred(sf_dir: str, n: int = LINKPRED_TOP_N) -> ray.data.Dataset:
         .materialize()
     )
 
+
+def _knn_degrees(knn: ray.data.Dataset, n_nodes: int) -> np.ndarray:
+    """Dense |V| symmetrized-degree vector — the same broadcast-small class
+    as the PageRank rank vectors (stages/score.py standing assumption)."""
+
     def both_dirs(batch: pa.Table) -> pa.Table:
         a = batch["cand_a"].to_numpy()
         b = batch["cand_b"].to_numpy()
@@ -988,12 +973,19 @@ def link_pred(sf_dir: str, n: int = LINKPRED_TOP_N) -> ray.data.Dataset:
             }
         )
 
-    deg = _edge_sweep(
+    return _edge_sweep(
         knn.map_batches(both_dirs, batch_format="pyarrow"),
         lambda src: np.ones(len(src), dtype=np.int64),
         n_nodes,
     )
-    deg_ref = ray.put(deg)
+
+
+def _knn_wedges(knn: ray.data.Dataset, n_parts: int, keep_center: bool) -> ray.data.Dataset:
+    """All (neighbor_a < neighbor_b) pairs sharing a kNN-adjacent center.
+    keep_center=False pre-counts per pair map-side (link prediction's
+    common-neighbor counts); keep_center=True keeps the center column
+    (clustering's per-node triangle attribution).  Fan-out per center is
+    its symmetrized degree squared — bounded because the kNN graph is."""
 
     def knn_sides(batch: pa.Table) -> pd.DataFrame:
         a = batch["cand_a"].to_numpy()
@@ -1006,22 +998,68 @@ def link_pred(sf_dir: str, n: int = LINKPRED_TOP_N) -> ray.data.Dataset:
 
     def wedge_partials(df: pd.DataFrame) -> pd.DataFrame:
         df = df.sort_values(["node", "nb"], kind="mergesort")
-        a, b = _pairs_within_docs(df["node"].to_numpy(), df["nb"].to_numpy())
-        out = (
-            pd.DataFrame({"cand_a": a, "cand_b": b})
-            .groupby(["cand_a", "cand_b"], as_index=False)
-            .size()
-            .rename(columns={"size": "common_n"})
-        )
+        node = df["node"].to_numpy()
+        a, b = _pairs_within_docs(node, df["nb"].to_numpy())
+        if keep_center:
+            # pairs are emitted per contiguous node segment in order, so the
+            # center of each pair is the segment's node value
+            starts = np.flatnonzero(np.r_[True, node[1:] != node[:-1]])
+            seg_len = np.diff(np.r_[starts, len(node)])
+            n_pairs = seg_len * (seg_len - 1) // 2
+            centers = np.repeat(node[starts], n_pairs)
+            out = pd.DataFrame({"center": centers, "cand_a": a, "cand_b": b})
+        else:
+            out = (
+                pd.DataFrame({"cand_a": a, "cand_b": b})
+                .groupby(["cand_a", "cand_b"], as_index=False)
+                .size()
+                .rename(columns={"size": "common_n"})
+            )
         out["ppart"] = ((out["cand_a"] * 1000003 + out["cand_b"]) % n_parts).astype(
             "int32"
         )
-        return out.astype({"cand_a": "int64", "cand_b": "int64", "common_n": "int64"})
+        cols = {"cand_a": "int64", "cand_b": "int64"}
+        if keep_center:
+            cols["center"] = "int64"
+        else:
+            cols["common_n"] = "int64"
+        return out.astype(cols)
 
-    cn = (
+    return (
         knn.map_batches(knn_sides, batch_format="pyarrow")
         .groupby("npart")
         .map_groups(wedge_partials, batch_format="pandas")
+    )
+
+
+def link_pred(sf_dir: str, n: int = LINKPRED_TOP_N) -> ray.data.Dataset:
+    """(cand_a, cand_b, common_n, jaccard_q20) — top-``n`` predicted links:
+    the KG-completion pass proposing edges between entities that are NOT
+    kNN-adjacent but share many kNN neighbors.
+
+    Graph: the symmetrized kNN edge set (knn_edges).  For each non-adjacent
+    pair, common_n = shared symmetrized neighbors and jaccard_q20 =
+    floor(cn * 2^20 / (deg_a + deg_b - cn)) over symmetrized kNN degrees —
+    int64-exact both sides, so the DuckDB oracle hashes bit-equal.
+
+    Scale shape: the kNN edge set (<= K|V| rows) materializes once and is
+    re-read zero-copy by its three consumers (wedge pass, degree sweep,
+    anti-join).  Wedges are generated inside a node-hash groupby
+    (upper-triangle expansion, no Python loop) and combine map-side; the
+    anti-join is a budgeted hash join; degrees ride a dense |V| int64
+    broadcast vector (catalog-small)."""
+    from ahrd_ray.pipelines import kg
+    from ahrd_ray.stages.partitioning import budgeted_join
+
+    ctx = kg.cached_context(sf_dir)
+    n_nodes = ctx.bundle.n
+    n_parts = n_hash_parts()
+
+    knn = knn_edges(sf_dir)
+    deg_ref = ray.put(_knn_degrees(knn, n_nodes))
+
+    cn = (
+        _knn_wedges(knn, n_parts, keep_center=False)
         .groupby("ppart")
         .map_groups(
             lambda df: df.groupby(["cand_a", "cand_b"], as_index=False)[
@@ -1075,4 +1113,72 @@ def link_pred(sf_dir: str, n: int = LINKPRED_TOP_N) -> ray.data.Dataset:
             descending=[True, True, False, False],
         )
         .limit(n)
+    )
+
+
+def clustering_coeff(sf_dir: str) -> pa.Table:
+    """(node, n_triangles, cc_q20) — local clustering coefficient per
+    entity over the symmetrized kNN graph (deg >= 2 nodes): n_triangles =
+    adjacent neighbor pairs, cc_q20 = floor(2t * 2^20 / (deg(deg-1))) —
+    the hub-vs-clique structure metric next to degree and PageRank.
+    (Raw co-occurrence would read ~1.0 everywhere — same clique-saturation
+    argument as link_pred; the kNN graph keeps the metric informative.)
+
+    Scale shape: centered wedges stream through a budgeted semi-join
+    against the kNN edge set (only CLOSED wedges survive), per-batch
+    partial counts per center combine map-side, and the per-node finalize
+    gathers into a dense |V| vector on the driver — the PageRank output
+    shape (|V| is catalog-small)."""
+    from ahrd_ray.pipelines import kg
+    from ahrd_ray.stages.partitioning import budgeted_join
+
+    ctx = kg.cached_context(sf_dir)
+    n_nodes = ctx.bundle.n
+    n_parts = n_hash_parts()
+
+    knn = knn_edges(sf_dir)
+    deg = _knn_degrees(knn, n_nodes)
+
+    wedges = _knn_wedges(knn, n_parts, keep_center=True)
+    closed = budgeted_join(
+        wedges,
+        knn,
+        on=("cand_a", "cand_b"),
+        right_on=("cand_a", "cand_b"),
+        n_joins=1,
+    )
+
+    def center_counts(batch: pa.Table) -> pa.Table:
+        c = batch["center"].to_numpy()
+        nodes, totals = _segment_sums(c, np.ones(len(c), dtype=np.int64))
+        return pa.table(
+            {
+                "node": pa.array(nodes, type=pa.int64()),
+                "c": pa.array(totals, type=pa.int64()),
+                "npart": pa.array((nodes % n_parts).astype(np.int32), type=pa.int32()),
+            }
+        )
+
+    per_node = (
+        closed.map_batches(center_counts, batch_format="pyarrow")
+        .groupby("npart")
+        .map_groups(
+            lambda df: df.groupby("node", as_index=False)["c"].sum(),
+            batch_format="pandas",
+        )
+    )
+    tri = np.zeros(n_nodes, dtype=np.int64)
+    for b in per_node.iter_batches(batch_format="pyarrow"):
+        tri[b["node"].to_numpy()] = b["c"].to_numpy()
+
+    nodes = np.flatnonzero(deg >= 2)
+    t = tri[nodes]
+    d = deg[nodes]
+    cc = (2 * t * _Q20) // (d * (d - 1))
+    return pa.table(
+        {
+            "node": pa.array(nodes.astype(np.int64), type=pa.int64()),
+            "n_triangles": pa.array(t, type=pa.int64()),
+            "cc_q20": pa.array(cc, type=pa.int64()),
+        }
     )

@@ -129,3 +129,49 @@ def most_informative(sf_dir: str) -> ray.data.Dataset:
         .groupby("dpart")
         .map_groups(filter_part, batch_format="pandas")
     )
+
+
+def annotation_closure(sf_dir: str) -> ray.data.Dataset:
+    """(doc_id, node_id) — each doc's assigned nodes plus ALL their DAG
+    ancestors, distinct per doc: GO-style annotation up-propagation, the
+    inverse of A12's most-informative cut (the reference walks the same
+    recursive parent chain, InterproResult.java:226-244; propagation to
+    the root is what its GO-enrichment consumers do with the result).
+
+    Scale shape: the ancestor closure is precomputed ONCE from the
+    broadcast-small DAG dimension (ontologies are domain-sized) and shipped
+    as a flat (node, anc) frame via ray.put; per doc-hash partition the
+    pass is one merge + concat + distinct — docs never straddle partitions,
+    so the distinct is partition-local and exact."""
+    dag = build_dag(sf_dir)
+    closure = ancestor_closure(dag)
+    closure_df = pd.DataFrame(
+        [(n, a) for n, ancs in closure.items() for a in ancs],
+        columns=["node_id", "anc_id"],
+    )
+    closure_ref = ray.put(closure_df)
+    from ahrd_ray.stages.partitioning import n_hash_parts
+
+    n_parts = n_hash_parts()
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        p = (batch["doc_id"].to_numpy() % n_parts).astype(np.int32)
+        return batch.append_column("dpart", pa.array(p, type=pa.int32()))
+
+    def propagate(df: pd.DataFrame) -> pd.DataFrame:
+        from ahrd_ray.stages.score import get_broadcast
+
+        cdf = get_broadcast(closure_ref)
+        df = df[["doc_id", "node_id"]].drop_duplicates()
+        up = df.merge(cdf, on="node_id")[["doc_id", "anc_id"]].rename(
+            columns={"anc_id": "node_id"}
+        )
+        out = pd.concat([df, up], ignore_index=True).drop_duplicates()
+        return out.astype({"doc_id": "int64"})
+
+    return (
+        doc_nodes(sf_dir)
+        .map_batches(add_part, batch_format="pyarrow")
+        .groupby("dpart")
+        .map_groups(propagate, batch_format="pandas")
+    )

@@ -202,3 +202,69 @@ def test_link_pred_matches_bruteforce():
     )
     assert got_rows == want
     assert len(got_rows) > 0  # non-trivial at test scale by design
+
+
+def test_clustering_coeff_matches_bruteforce():
+    """Per-node triangle counts + q20 coefficient == brute force on the
+    sf0.001 kNN graph; values must be non-trivially varied."""
+    from collections import defaultdict
+
+    from ahrd_ray.stages.graph import (
+        LINKPRED_NEIGHBOR_CAP,
+        clustering_coeff,
+        cooccurrence_edges,
+    )
+
+    edges = cooccurrence_edges(SF).to_pandas()
+    nbrs = defaultdict(list)
+    for a, b, w in zip(edges["cand_a"], edges["cand_b"], edges["n_docs"]):
+        nbrs[a].append((-w, b))
+        nbrs[b].append((-w, a))
+    knn = set()
+    for node, lst in nbrs.items():
+        for _, nb in sorted(lst)[:LINKPRED_NEIGHBOR_CAP]:
+            knn.add((min(node, nb), max(node, nb)))
+    adj = defaultdict(set)
+    for a, b in knn:
+        adj[a].add(b)
+        adj[b].add(a)
+    want = {}
+    for v, ns in adj.items():
+        if len(ns) < 2:
+            continue
+        sn = sorted(ns)
+        t = sum(
+            1
+            for i, x in enumerate(sn)
+            for y in sn[i + 1 :]
+            if (min(x, y), max(x, y)) in knn
+        )
+        want[v] = (t, (2 * t * (1 << 20)) // (len(ns) * (len(ns) - 1)))
+    got = clustering_coeff(SF).to_pandas()
+    got_map = {
+        int(r.node): (int(r.n_triangles), int(r.cc_q20)) for r in got.itertuples()
+    }
+    assert got_map == want
+    ccs = {v for _, v in want.values()}
+    assert len(ccs) > 1  # informative, not clique-saturated
+
+
+def test_annotation_closure_invariants():
+    """Every doc keeps its nation node and gains exactly its region when
+    doc_id % 7 == 0 docs already carried it — propagation is a superset of
+    the assignment and the two-level closure adds one region per doc."""
+    from ahrd_ray.stages.taxonomy import annotation_closure, doc_nodes
+
+    assigned = doc_nodes(SF).to_pandas()
+    closed = annotation_closure(SF).to_pandas()
+    a_set = set(zip(assigned["doc_id"], assigned["node_id"]))
+    c_set = set(zip(closed["doc_id"], closed["node_id"]))
+    assert a_set <= c_set
+    # two-level DAG: closure = assignment + the nation's region per doc
+    import pandas as pd
+
+    per_doc = closed.groupby("doc_id")["node_id"].apply(set)
+    for doc_id, nodes in per_doc.items():
+        regions = {n for n in nodes if n.startswith("R")}
+        nations = {n for n in nodes if n.startswith("N")}
+        assert len(nations) == 1 and len(regions) == 1
