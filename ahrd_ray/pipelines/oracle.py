@@ -2579,3 +2579,59 @@ SELECT d.node, coalesce(t.n_triangles, 0) AS n_triangles,
 FROM deg d LEFT JOIN tri t ON t.center = d.node
 WHERE d.deg >= 2"""
     )
+
+
+def sql_edge_timespan(cfg: EngineConfig) -> str:
+    """Temporal edge provenance (stages/graph.cooccurrence_edges
+    with_span=True): count plus first/last observing doc per pair."""
+    from ahrd_ray.stages.graph import COOCCUR_CAP
+
+    return (
+        _with(
+            *_cands_prefix(cfg),
+            cte_valid_dedup(),
+            f"""ccands AS (
+  SELECT doc_id, cand_ord FROM (
+    SELECT doc_id, cand_ord, row_number() OVER (
+        PARTITION BY doc_id ORDER BY match_score DESC, cand_ord ASC) AS crn
+    FROM dcands
+  ) WHERE crn <= {COOCCUR_CAP}
+)""",
+        )
+        + """
+SELECT a.cand_ord AS cand_a, b.cand_ord AS cand_b,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(min(a.doc_id) AS BIGINT) AS first_doc,
+       CAST(max(a.doc_id) AS BIGINT) AS last_doc
+FROM ccands a JOIN ccands b
+  ON a.doc_id = b.doc_id AND a.cand_ord < b.cand_ord
+GROUP BY 1, 2"""
+    )
+
+
+def sql_neg_samples(cfg: EngineConfig) -> str:
+    """Deterministic tail-corruption negative samples
+    (stages/graph.neg_samples): HUGEINT-exact mod-2^64 hash, modulo the
+    catalog size, anti-joined against the positive edge set."""
+    from ahrd_ray.stages.graph import _MOD64, _NEG_C1, _NEG_C2, _NEG_C3, NEG_PER_POS
+
+    return (
+        _with(*_cands_prefix(cfg), cte_valid_dedup(), _cte_cooccur_pairs(cfg))
+        + f""",
+nv AS (SELECT CAST(count(*) AS HUGEINT) AS n FROM catalog),
+cand_neg AS (
+  SELECT p.cand_a, p.cand_b AS pos_b, CAST(js.j AS BIGINT) AS j,
+         CAST(((CAST(p.cand_a AS HUGEINT) * {_NEG_C1}
+                + CAST(p.cand_b AS HUGEINT) * {_NEG_C2}
+                + (CAST(js.j AS HUGEINT) + 1) * {_NEG_C3})
+               % CAST('{_MOD64}' AS HUGEINT)) % nv.n AS BIGINT) AS neg_b
+  FROM pairs p
+  CROSS JOIN (SELECT CAST(range AS BIGINT) AS j FROM range({NEG_PER_POS})) js
+  CROSS JOIN nv
+)
+SELECT c.cand_a, c.pos_b, c.j, c.neg_b
+FROM cand_neg c
+LEFT JOIN pairs e
+  ON e.cand_a = least(c.cand_a, c.neg_b) AND e.cand_b = greatest(c.cand_a, c.neg_b)
+WHERE c.neg_b <> c.cand_a AND c.neg_b <> c.pos_b AND e.cand_a IS NULL"""
+    )

@@ -845,6 +845,8 @@ def _kg_queries(cfg) -> dict[str, tuple[Callable, str | None]]:
         "kg_top_neighbor": (q_top_neighbor, oracle.sql_top_neighbor(cfg)),
         "kg_link_pred": (q_link_pred, oracle.sql_link_pred(cfg)),
         "kg_clustering": (q_clustering, oracle.sql_clustering_coeff(cfg)),
+        "kg_edge_timespan": (q_edge_timespan, oracle.sql_edge_timespan(cfg)),
+        "kg_neg_samples": (q_neg_samples, oracle.sql_neg_samples(cfg)),
     }
 
 
@@ -870,6 +872,20 @@ def q_clustering(sf_dir: str):
     from ahrd_ray.stages.graph import clustering_coeff
 
     return clustering_coeff(sf_dir)
+
+
+def q_edge_timespan(sf_dir: str):
+    from ahrd_ray.stages.graph import cooccurrence_edges
+
+    return cooccurrence_edges(sf_dir, with_span=True).map_batches(
+        _int64, batch_format="pyarrow"
+    )
+
+
+def q_neg_samples(sf_dir: str):
+    from ahrd_ray.stages.graph import neg_samples
+
+    return neg_samples(sf_dir)
 
 
 def q_alias_pairs(sf_dir: str):

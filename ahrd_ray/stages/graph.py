@@ -68,8 +68,9 @@ PR_ITERS = 5
 COOCCUR_CAP = 64
 
 
-def _pairs_within_docs(doc: np.ndarray, cand: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
-    """All unordered (cand_a < cand_b) pairs within each doc, vectorized.
+def _pairs_within_docs(doc: np.ndarray, cand: np.ndarray, return_keys: bool = False):
+    """All unordered (cand_a < cand_b) pairs within each doc, vectorized;
+    ``return_keys=True`` additionally returns each pair's doc key.
 
     Rows are (doc, cand) with cand distinct per doc (post-dedup).  Sorts by
     (doc, cand) and expands each doc segment into its upper-triangle pairs
@@ -80,6 +81,8 @@ def _pairs_within_docs(doc: np.ndarray, cand: np.ndarray) -> tuple[np.ndarray, n
     n = len(d)
     if n == 0:
         empty = np.empty(0, dtype=cand.dtype)
+        if return_keys:
+            return empty, empty, np.empty(0, dtype=doc.dtype)
         return empty, empty
     starts = np.flatnonzero(np.r_[True, d[1:] != d[:-1]])
     seg_len = np.diff(np.r_[starts, n])
@@ -93,18 +96,24 @@ def _pairs_within_docs(doc: np.ndarray, cand: np.ndarray) -> tuple[np.ndarray, n
         run_ends - reps, reps
     )
     seconds = firsts + 1 + off
+    if return_keys:
+        return c[firsts], c[seconds], d[firsts]
     return c[firsts], c[seconds]
 
 
-def cooccurrence_edges(sf_dir: str) -> ray.data.Dataset:
-    """(cand_a, cand_b, n_docs) co-occurrence edge list, cand_a < cand_b.
+def cooccurrence_edges(sf_dir: str, with_span: bool = False) -> ray.data.Dataset:
+    """(cand_a, cand_b, n_docs) co-occurrence edge list, cand_a < cand_b;
+    ``with_span=True`` adds first_doc/last_doc — the temporal provenance
+    (doc_id is monotone in the crawl fixture's warc_ts, so min/max doc IS
+    first/last observation time) a temporal KG stores per fact.
 
     Fused zero-shuffle shape (same validity argument as the flagship's
     FusedMentionScorer): every candidate of a doc is generated from the
     doc's own row, so dedup + cap + pair generation are batch-local —
     mention detection, HSP dedup and the quadratic pair fan-out all run
     inside ONE task over the doc batch, and the only shuffle is the small
-    partial (cand_a, cand_b, n) count table into the pair-hash finalize.
+    partial (cand_a, cand_b, n[, min, max]) table into the pair-hash
+    finalize (count/min/max all combine associatively map-side).
     (The previous shape shuffled the full 17M-row candidate table through
     groupby(spart) first — measured 25-43 s vs ~6 s fused at sf0.1.)"""
     from ahrd_ray.pipelines import kg
@@ -138,24 +147,31 @@ def cooccurrence_edges(sf_dir: str) -> ray.data.Dataset:
                 kind="mergesort",
             )
             ded = ded[ded.groupby("doc_id").cumcount() < COOCCUR_CAP]
-            a, b = _pairs_within_docs(
-                ded["doc_id"].to_numpy(), ded["cand_ord"].to_numpy()
+            a, b, d = _pairs_within_docs(
+                ded["doc_id"].to_numpy(), ded["cand_ord"].to_numpy(), return_keys=True
             )
-            parts.append(pd.DataFrame({"cand_a": a, "cand_b": b}))
+            parts.append(pd.DataFrame({"cand_a": a, "cand_b": b, "doc": d}))
+        span_cols = (
+            {"first_doc": "int64", "last_doc": "int64"} if with_span else {}
+        )
         if not parts:
             return pd.DataFrame(
                 {
                     "cand_a": pd.Series([], dtype="int64"),
                     "cand_b": pd.Series([], dtype="int64"),
                     "n_docs": pd.Series([], dtype="int64"),
+                    **{c: pd.Series([], dtype=t) for c, t in span_cols.items()},
                     "ppart": pd.Series([], dtype="int32"),
                 }
             )
+        aggs = {"n_docs": ("doc", "size")}
+        if with_span:
+            aggs["first_doc"] = ("doc", "min")
+            aggs["last_doc"] = ("doc", "max")
         out = (
             pd.concat(parts, ignore_index=True)
             .groupby(["cand_a", "cand_b"], as_index=False)
-            .size()
-            .rename(columns={"size": "n_docs"})
+            .agg(**aggs)
         )
         out["ppart"] = ((out["cand_a"] * 1000003 + out["cand_b"]) % n_parts).astype(
             "int32"
@@ -171,9 +187,19 @@ def cooccurrence_edges(sf_dir: str) -> ray.data.Dataset:
         )
         .groupby("ppart")
         .map_groups(
-            lambda df: df.groupby(["cand_a", "cand_b"], as_index=False)[
-                "n_docs"
-            ].sum(),
+            (
+                lambda df: df.groupby(["cand_a", "cand_b"], as_index=False).agg(
+                    n_docs=("n_docs", "sum"),
+                    first_doc=("first_doc", "min"),
+                    last_doc=("last_doc", "max"),
+                )
+            )
+            if with_span
+            else (
+                lambda df: df.groupby(["cand_a", "cand_b"], as_index=False)[
+                    "n_docs"
+                ].sum()
+            ),
             batch_format="pandas",
         )
     )
@@ -1182,3 +1208,88 @@ def clustering_coeff(sf_dir: str) -> pa.Table:
             "cc_q20": pa.array(cc, type=pa.int64()),
         }
     )
+
+
+# ---------------------------------------------------------------------------
+# Negative sampling for KG-embedding training
+# ---------------------------------------------------------------------------
+
+NEG_PER_POS = 2  # corrupted tails generated per positive edge
+# splitmix/LCG-style odd multipliers (< 2^63 so they are plain BIGINT
+# literals in the oracle; the products are exact in HUGEINT)
+_NEG_C1 = 6364136223846793005
+_NEG_C2 = 1442695040888963407
+_NEG_C3 = 2862933555777941757
+_MOD64 = 18446744073709551616  # 2^64, the numpy-uint64 wraparound modulus
+
+
+def neg_samples(sf_dir: str) -> ray.data.Dataset:
+    """(cand_a, pos_b, j, neg_b) — deterministic tail-corruption negative
+    samples for KG-embedding training (TransE-style contrastive pairs):
+    for each positive co-occurrence edge (a, b) and j in [0, NEG_PER_POS),
+    neg = ((a*C1 + b*C2 + (j+1)*C3) mod 2^64) mod |V|, kept only when the
+    corrupted pair is a TRUE negative (neg not in {a, b} and (a, neg) is
+    not an edge).  No RNG: reproducible across retries/workers and
+    replicated exactly by the HUGEINT oracle (the uint64 arithmetic is the
+    same mod-2^64 wraparound both sides — the sql_minhash_lsh convention).
+
+    Scale shape: corruption is a pure map-side expansion (constant
+    NEG_PER_POS fan-out) over the aggregated edge table; the only shuffle
+    is the budgeted anti-join of candidates against the edge set."""
+    from ahrd_ray.pipelines import kg
+    from ahrd_ray.stages.partitioning import budgeted_join
+
+    ctx = kg.cached_context(sf_dir)
+    n_nodes = np.uint64(ctx.bundle.n)
+
+    edges = cooccurrence_edges(sf_dir).materialize()
+
+    def corrupt(batch: pa.Table) -> pd.DataFrame:
+        a = np.repeat(batch["cand_a"].to_numpy(), NEG_PER_POS)
+        b = np.repeat(batch["cand_b"].to_numpy(), NEG_PER_POS)
+        j = np.tile(np.arange(NEG_PER_POS, dtype=np.int64), len(batch))
+        h = (
+            a.astype(np.uint64) * np.uint64(_NEG_C1)
+            + b.astype(np.uint64) * np.uint64(_NEG_C2)
+            + (j.astype(np.uint64) + np.uint64(1)) * np.uint64(_NEG_C3)
+        )
+        neg = (h % n_nodes).astype(np.int64)
+        keep = (neg != a) & (neg != b)
+        df = pd.DataFrame(
+            {
+                "cand_a": a[keep],
+                "pos_b": b[keep],
+                "j": j[keep],
+                "neg_b": neg[keep],
+            }
+        )
+        df["na"] = np.minimum(df["cand_a"], df["neg_b"])
+        df["nb"] = np.maximum(df["cand_a"], df["neg_b"])
+        return df
+
+    marked = edges.map_batches(
+        lambda t: pa.table(
+            {
+                "ea": t["cand_a"],
+                "eb": t["cand_b"],
+                "is_edge": pa.array(np.ones(len(t), dtype=np.int64)),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    joined = budgeted_join(
+        edges.map_batches(corrupt, batch_format="pyarrow"),
+        marked,
+        on=("na", "nb"),
+        right_on=("ea", "eb"),
+        n_joins=1,
+        join_type="left_outer",
+    )
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        out = df[df["is_edge"].isna()][["cand_a", "pos_b", "j", "neg_b"]]
+        return out.astype(
+            {"cand_a": "int64", "pos_b": "int64", "j": "int64", "neg_b": "int64"}
+        )
+
+    return joined.map_batches(finish, batch_format="pandas")

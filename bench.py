@@ -148,6 +148,7 @@ def run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
         ("kg_alias_pairs", lambda: gr.alias_pairs(sf_dir)),
         ("kg_link_pred", lambda: gr.link_pred(sf_dir)),
         ("kg_clustering", lambda: gr.clustering_coeff(sf_dir)),
+        ("kg_neg_samples", lambda: gr.neg_samples(sf_dir)),
         ("tx_collocations", lambda: tx.collocations(sf_dir)),
         ("llm_clean_corpus", lambda: _clean_corpus(sf_dir)),
     ]:

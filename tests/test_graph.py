@@ -268,3 +268,53 @@ def test_annotation_closure_invariants():
         regions = {n for n in nodes if n.startswith("R")}
         nations = {n for n in nodes if n.startswith("N")}
         assert len(nations) == 1 and len(regions) == 1
+
+
+def test_edge_timespan_consistent_with_edges():
+    """with_span=True returns the same pair set + counts as the plain edge
+    list, with sane first/last observation docs."""
+    from ahrd_ray.stages.graph import cooccurrence_edges
+
+    plain = cooccurrence_edges(SF).to_pandas()
+    span = cooccurrence_edges(SF, with_span=True).to_pandas()
+    key = ["cand_a", "cand_b"]
+    p = plain.sort_values(key).reset_index(drop=True)
+    s = span.sort_values(key).reset_index(drop=True)
+    assert (p[key + ["n_docs"]].values == s[key + ["n_docs"]].values).all()
+    assert (s["first_doc"] <= s["last_doc"]).all()
+    one = s[s["n_docs"] == 1]
+    assert (one["first_doc"] == one["last_doc"]).all()
+
+
+def test_neg_samples_matches_bruteforce():
+    """Hash-corrupted tails == pure-python recount; every kept row is a
+    true negative."""
+    from ahrd_ray.pipelines import kg
+    from ahrd_ray.stages.graph import (
+        NEG_PER_POS,
+        _NEG_C1,
+        _NEG_C2,
+        _NEG_C3,
+        cooccurrence_edges,
+        neg_samples,
+    )
+
+    edges = cooccurrence_edges(SF).to_pandas()
+    n_nodes = kg.cached_context(SF).bundle.n
+    edge_set = set(zip(edges["cand_a"], edges["cand_b"]))
+    want = set()
+    for a, b in edge_set:
+        for j in range(NEG_PER_POS):
+            h = (int(a) * _NEG_C1 + int(b) * _NEG_C2 + (j + 1) * _NEG_C3) % (1 << 64)
+            neg = h % n_nodes
+            if neg in (a, b):
+                continue
+            if (min(a, neg), max(a, neg)) in edge_set:
+                continue
+            want.add((a, b, j, neg))
+    got_df = neg_samples(SF).to_pandas()
+    got = set(
+        zip(got_df["cand_a"], got_df["pos_b"], got_df["j"], got_df["neg_b"])
+    )
+    assert got == want
+    assert len(got) > 0
