@@ -2635,3 +2635,30 @@ LEFT JOIN pairs e
   ON e.cand_a = least(c.cand_a, c.neg_b) AND e.cand_b = greatest(c.cand_a, c.neg_b)
 WHERE c.neg_b <> c.cand_a AND c.neg_b <> c.pos_b AND e.cand_a IS NULL"""
     )
+
+
+def sql_evidence_snippets(cfg: EngineConfig) -> str:
+    """Per-doc strongest-mention evidence window
+    (stages/graph.evidence_snippets); substr clamps exactly like the
+    pipeline's python slice (span_start is 1-based strpos both sides)."""
+    from ahrd_ray.stages.graph import EVIDENCE_CTX
+
+    return (
+        _with(*_cands_prefix(cfg), cte_valid_dedup())
+        + f""",
+best AS (
+  SELECT doc_id, cand_ord, span_start, span_end FROM (
+    SELECT doc_id, cand_ord, span_start, span_end, row_number() OVER (
+        PARTITION BY doc_id ORDER BY match_score DESC, cand_ord ASC) AS rn
+    FROM dcands
+  ) WHERE rn = 1
+)
+SELECT b.doc_id, b.cand_ord,
+       CAST(b.span_start AS BIGINT) AS span_start,
+       CAST(b.span_end AS BIGINT) AS span_end,
+       substr(d.text,
+              greatest(1, b.span_start - {EVIDENCE_CTX}),
+              b.span_end - 1 + {EVIDENCE_CTX}
+                - greatest(1, b.span_start - {EVIDENCE_CTX}) + 1) AS snippet
+FROM best b JOIN documents d ON d.doc_id = b.doc_id"""
+    )

@@ -847,6 +847,7 @@ def _kg_queries(cfg) -> dict[str, tuple[Callable, str | None]]:
         "kg_clustering": (q_clustering, oracle.sql_clustering_coeff(cfg)),
         "kg_edge_timespan": (q_edge_timespan, oracle.sql_edge_timespan(cfg)),
         "kg_neg_samples": (q_neg_samples, oracle.sql_neg_samples(cfg)),
+        "kg_evidence": (q_evidence, oracle.sql_evidence_snippets(cfg)),
     }
 
 
@@ -886,6 +887,12 @@ def q_neg_samples(sf_dir: str):
     from ahrd_ray.stages.graph import neg_samples
 
     return neg_samples(sf_dir)
+
+
+def q_evidence(sf_dir: str):
+    from ahrd_ray.stages.graph import evidence_snippets
+
+    return evidence_snippets(sf_dir)
 
 
 def q_alias_pairs(sf_dir: str):

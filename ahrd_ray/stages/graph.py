@@ -1293,3 +1293,77 @@ def neg_samples(sf_dir: str) -> ray.data.Dataset:
         )
 
     return joined.map_batches(finish, batch_format="pandas")
+
+
+EVIDENCE_CTX = 30  # context chars kept on each side of the mention span
+
+
+def evidence_snippets(sf_dir: str) -> ray.data.Dataset:
+    """(doc_id, cand_ord, span_start, span_end, snippet) — per doc, the
+    strongest deduped valid mention (match_score desc, cand_ord asc) with
+    its +-EVIDENCE_CTX-char text window: the evidence snippet a KG stores
+    next to every extracted fact so a human can audit provenance.
+
+    Scale shape: entirely batch-local (the fused zero-shuffle argument —
+    detection, dedup, argmax and the text slice all read only the doc's own
+    row), so the operator is a pure map with NO shuffle at any scale.  The
+    per-doc snippet slice is a bounded-width Python comprehension over one
+    row per doc — O(docs x CTX) bytes, not a hot token-level loop."""
+    from ahrd_ray.pipelines import kg
+    from ahrd_ray.stages.candidates import FusedMentionScorer, make_detector_task_fn
+
+    ctx = kg.cached_context(sf_dir)
+    arrays = ctx.bundle.arrays
+    detect = make_detector_task_fn(ctx.catalog_ref, ctx.cfg, slim=False)
+    chunk_docs = FusedMentionScorer.CHUNK_DOCS
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        texts = dict(
+            zip(batch["doc_id"].to_numpy(), batch["text"].to_pylist())
+        )
+        parts = []
+        for off in range(0, len(batch), chunk_docs):
+            cands = detect(batch.slice(off, chunk_docs))
+            df = cands.select(
+                ["doc_id", "cand_ord", "match_score", "span_start", "span_end",
+                 "cand_start", "cand_end", "ingest_seq"]
+            ).to_pandas()
+            ded = dedup_valid_candidates(df, arrays)
+            if not len(ded):
+                continue
+            ded = ded.sort_values(
+                ["doc_id", "match_score", "cand_ord"],
+                ascending=[True, False, True],
+                kind="mergesort",
+            )
+            best = ded.groupby("doc_id", as_index=False).head(1)
+            parts.append(best[["doc_id", "cand_ord", "span_start", "span_end"]])
+        if not parts:
+            return pd.DataFrame(
+                {
+                    "doc_id": pd.Series([], dtype="int64"),
+                    "cand_ord": pd.Series([], dtype="int64"),
+                    "span_start": pd.Series([], dtype="int64"),
+                    "span_end": pd.Series([], dtype="int64"),
+                    "snippet": pd.Series([], dtype="object"),
+                }
+            )
+        out = pd.concat(parts, ignore_index=True)
+        # span_start is 1-based (strpos convention, shared with the oracle)
+        ss = out["span_start"].to_numpy().astype(np.int64)
+        se = out["span_end"].to_numpy().astype(np.int64)
+        out["snippet"] = [
+            texts[d][max(0, int(s) - 1 - EVIDENCE_CTX) : int(e) - 1 + EVIDENCE_CTX]
+            for d, s, e in zip(out["doc_id"].to_numpy(), ss, se)
+        ]
+        return out.astype(
+            {"doc_id": "int64", "cand_ord": "int64",
+             "span_start": "int64", "span_end": "int64"}
+        )
+
+    src = kg.pages_dataset(sf_dir).map_batches(
+        kg.extract_text_batch, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return src.map_batches(
+        partial, batch_format="pyarrow", batch_size=kg.FUSED_BATCH_SIZE
+    )

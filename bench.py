@@ -149,6 +149,7 @@ def run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
         ("kg_link_pred", lambda: gr.link_pred(sf_dir)),
         ("kg_clustering", lambda: gr.clustering_coeff(sf_dir)),
         ("kg_neg_samples", lambda: gr.neg_samples(sf_dir)),
+        ("kg_evidence", lambda: gr.evidence_snippets(sf_dir)),
         ("tx_collocations", lambda: tx.collocations(sf_dir)),
         ("llm_clean_corpus", lambda: _clean_corpus(sf_dir)),
     ]:

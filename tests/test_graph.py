@@ -318,3 +318,35 @@ def test_neg_samples_matches_bruteforce():
     )
     assert got == want
     assert len(got) > 0
+
+
+def test_evidence_snippets_cover_mention():
+    """Each snippet embeds its mention span verbatim, is bounded by the
+    context window, and there is at most one row per doc."""
+    import pyarrow.parquet as pq
+
+    from ahrd_ray.stages.graph import EVIDENCE_CTX, evidence_snippets
+
+    got = evidence_snippets(SF).to_pandas()
+    texts = dict(
+        zip(
+            *(
+                pq.read_table(
+                    f"{SF}/documents.parquet", columns=["doc_id", "text"]
+                )
+                .to_pandas()[c]
+                for c in ("doc_id", "text")
+            )
+        )
+    )
+    assert not got["doc_id"].duplicated().any()
+    assert len(got) > 0
+    for r in got.itertuples():
+        text = texts[r.doc_id]
+        mention = text[r.span_start - 1 : r.span_end - 1]
+        assert mention and mention in r.snippet
+        assert len(r.snippet) <= (r.span_end - r.span_start) + 2 * EVIDENCE_CTX
+        want = text[
+            max(0, r.span_start - 1 - EVIDENCE_CTX) : r.span_end - 1 + EVIDENCE_CTX
+        ]
+        assert r.snippet == want
