@@ -2662,3 +2662,27 @@ SELECT b.doc_id, b.cand_ord,
                 - greatest(1, b.span_start - {EVIDENCE_CTX}) + 1) AS snippet
 FROM best b JOIN documents d ON d.doc_id = b.doc_id"""
     )
+
+
+def sql_quantile_sketch() -> str:
+    """Bottom-k sample quantile estimate (stages/generic.quantile_sketch):
+    the identical injective mod-2^64 hash order replayed in HUGEINT."""
+    from ahrd_ray.stages.generic import QSKETCH_K, QSKETCH_MULT, QUANTILE_QS
+
+    picks = "\nUNION ALL\n".join(
+        f"SELECT CAST({num} AS DOUBLE) / {den} AS q, value FROM r"
+        f" WHERE rn = ({num} * n + {den} - 1) // {den}"
+        for num, den in QUANTILE_QS
+    )
+    return f"""WITH s AS (
+  SELECT value FROM events
+  ORDER BY (CAST(event_id AS HUGEINT) * {QSKETCH_MULT})
+           % CAST('18446744073709551616' AS HUGEINT) ASC
+  LIMIT {QSKETCH_K}
+),
+r AS (
+  SELECT value, row_number() OVER (ORDER BY value ASC) AS rn,
+         count(*) OVER () AS n
+  FROM s
+)
+{picks}"""

@@ -658,6 +658,11 @@ def _generic_queries() -> dict[str, tuple[Callable, str | None]]:
             lambda sf: g.price_quantiles(sf).map_batches(_int64, batch_format="pyarrow"),
             oracle.sql_price_quantiles(),
         ),
+        # one-pass deterministic bottom-k sample quantile estimate
+        "rel_quantile_sketch": (
+            lambda sf: g.quantile_sketch(sf),
+            oracle.sql_quantile_sketch(),
+        ),
         # set intersection: users with both event types
         "rel_users_both": (
             lambda sf: g.users_both_types(sf).map_batches(_int64, batch_format="pyarrow"),

@@ -1680,3 +1680,48 @@ def event_sequences(sf_dir: str) -> ray.data.Dataset:
         .groupby("upart")
         .map_groups(agg, batch_format="pandas")
     )
+
+
+# one-pass quantile sketch: bottom-k uniform row sample.  2^64-odd
+# multiplier -> injective hash (no ties), so the sample — and therefore the
+# estimate — is DETERMINISTIC and order/partitioning-independent, unlike
+# GK/t-digest sketches whose merge order changes the summary.
+QSKETCH_K = 1024
+QSKETCH_MULT = 6364136223846793005  # odd (Knuth MMIX LCG), injective mod 2^64
+
+
+def quantile_sketch(sf_dir: str) -> "pd.DataFrame":
+    """(q, value) — one-pass mergeable quantile ESTIMATE of events.value:
+    the exact quantiles of a deterministic uniform bottom-k sample (the k
+    smallest hash values of the unique row key).  Complements
+    :func:`price_quantiles` (exact, but needs a binnable value domain and
+    two passes): this needs ONE streaming pass, no domain knowledge, and a
+    constant-size state — per-block partial bottom-k combines map-side and
+    merges associatively, so at 100 TB only blocks x k slim rows move.
+    Rank error is the classic uniform-sampling bound (~n/sqrt(k) ranks);
+    the pytest gate measures it against the exact quantiles.  The DuckDB
+    oracle replays the identical hash order, so the output is bit-exact."""
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "value"]
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        h = df["event_id"].to_numpy(dtype=np.uint64) * np.uint64(QSKETCH_MULT)
+        out = pd.DataFrame({"h": h, "value": df["value"]})
+        return out.nsmallest(QSKETCH_K, "h")
+
+    # blocks x k rows -> the global bottom-k; constant-size (k) result, so
+    # the driver-side finish is broadcast-scale by construction
+    sample = (
+        ev.map_batches(partial, batch_format="pandas")
+        .sort("h")
+        .limit(QSKETCH_K)
+        .to_pandas()
+    )
+    vals = np.sort(sample["value"].to_numpy(), kind="stable")
+    n = len(vals)
+    rows = []
+    for num, den in QUANTILE_QS:
+        r = (num * n + den - 1) // den  # exact ceil(q*n), 1-based
+        rows.append((num / den, float(vals[r - 1])))
+    return pd.DataFrame(rows, columns=["q", "value"])

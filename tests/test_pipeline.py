@@ -602,3 +602,27 @@ def test_decontaminate_oracle(ray_session):
     df = decontaminate(SF).to_pandas()
     assert (df["doc_id"] % BENCH_DOC_MOD != 0).all()
     assert (df["n_shared"] >= 1).all()
+
+
+def test_quantile_sketch_oracle_and_rank_error(ray_session):
+    """Bottom-k sample quantiles == the oracle bit-exactly, and the
+    ESTIMATE lands within the uniform-sampling rank-error bound of the
+    exact quantiles (3/sqrt(k) relative rank, generous vs the ~1/sqrt(k)
+    expectation)."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    _assert_matches_oracle("rel_quantile_sketch")
+
+    from ahrd_ray.stages.generic import QSKETCH_K, QUANTILE_QS, quantile_sketch
+
+    got = quantile_sketch(SF).sort_values("q").reset_index(drop=True)
+    vals = np.sort(
+        pq.read_table(f"{SF}/events.parquet", columns=["value"])["value"].to_numpy()
+    )
+    n = len(vals)
+    tol = 3.0 / np.sqrt(QSKETCH_K)
+    for (num, den), est in zip(QUANTILE_QS, got["value"]):
+        # rank of the estimate in the TRUE distribution vs the target rank
+        rank = np.searchsorted(vals, est, side="right") / n
+        assert abs(rank - num / den) <= tol, (num, den, est, rank)
