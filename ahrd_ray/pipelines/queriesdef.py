@@ -853,6 +853,12 @@ def _kg_queries(cfg) -> dict[str, tuple[Callable, str | None]]:
         "kg_edge_timespan": (q_edge_timespan, oracle.sql_edge_timespan(cfg)),
         "kg_neg_samples": (q_neg_samples, oracle.sql_neg_samples(cfg)),
         "kg_evidence": (q_evidence, oracle.sql_evidence_snippets(cfg)),
+        # lossless-ness gate for the small-file compactor: compacted
+        # directory must hash bit-equal to the source table
+        "snk_compacted_docs": (
+            q_compacted_docs,
+            "SELECT doc_id, lang, n_chars FROM documents",
+        ),
     }
 
 
@@ -898,6 +904,12 @@ def q_evidence(sf_dir: str):
     from ahrd_ray.stages.graph import evidence_snippets
 
     return evidence_snippets(sf_dir)
+
+
+def q_compacted_docs(sf_dir: str):
+    from ahrd_ray.state.compact import compacted_docs
+
+    return compacted_docs(sf_dir).map_batches(_int64, batch_format="pyarrow")
 
 
 def q_alias_pairs(sf_dir: str):
