@@ -859,6 +859,11 @@ def _kg_queries(cfg) -> dict[str, tuple[Callable, str | None]]:
             q_compacted_docs,
             "SELECT doc_id, lang, n_chars FROM documents",
         ),
+        # lossless-ness gate for the JSONL shard sink (LLM-corpus format)
+        "snk_jsonl_docs": (
+            q_jsonl_docs,
+            "SELECT doc_id, lang, text FROM documents",
+        ),
     }
 
 
@@ -910,6 +915,12 @@ def q_compacted_docs(sf_dir: str):
     from ahrd_ray.state.compact import compacted_docs
 
     return compacted_docs(sf_dir).map_batches(_int64, batch_format="pyarrow")
+
+
+def q_jsonl_docs(sf_dir: str):
+    from ahrd_ray.stages.export import jsonl_roundtrip_docs
+
+    return jsonl_roundtrip_docs(sf_dir).map_batches(_int64, batch_format="pyarrow")
 
 
 def q_alias_pairs(sf_dir: str):

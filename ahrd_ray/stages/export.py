@@ -83,3 +83,40 @@ def write_text_export(ctx, out_dir: str) -> str:
 
     export_lines(ctx).write_datasink(LineTextDatasink(out_dir))
     return out_dir
+
+
+def jsonl_export_lines(sf_dir: str) -> ray.data.Dataset:
+    """documents -> one JSON object per line (doc_id, lang, text): the
+    interchange format LLM corpora ship in.  pandas ``to_json`` is the
+    C-vectorized serializer; JSON escaping makes embedded newlines/quotes
+    in text lossless through the line sink."""
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "text"]
+    )
+
+    def fmt(df: pd.DataFrame) -> pa.Table:
+        payload = df.to_json(orient="records", lines=True, force_ascii=False)
+        return pa.table({"line": pa.array(payload.splitlines(), type=pa.string())})
+
+    return docs.map_batches(fmt, batch_format="pandas")
+
+
+def jsonl_roundtrip_docs(sf_dir: str, scratch: str | None = None) -> ray.data.Dataset:
+    """Write the corpus as JSONL shards (one file per block, distributed),
+    read it back with the Arrow JSON reader.  The registry oracle compares
+    the round-trip against the source table — the lossless-ness gate for
+    the JSONL sink, same contract as snk_compacted_docs."""
+    import os
+    import shutil
+
+    from ahrd_ray.sources.textsink import LineTextDatasink
+
+    scratch = scratch or f"/tmp/ahrd_ray_jsonl/{abs(hash(sf_dir)) % (1 << 32)}"
+    shutil.rmtree(scratch, ignore_errors=True)
+    jsonl_export_lines(sf_dir).write_datasink(
+        LineTextDatasink(scratch, file_format="jsonl")
+    )
+    files = [
+        os.path.join(scratch, f) for f in os.listdir(scratch) if f.endswith(".jsonl")
+    ]
+    return ray.data.read_json(files)

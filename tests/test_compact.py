@@ -48,3 +48,32 @@ def test_compact_lossless_and_resumable(tmp_path):
     m2 = compact_parquet_dir(str(src), str(dst), target_bytes=6000)
     assert m2["skipped"] == m2["files_out"] == m1["files_out"]
     assert m2["rows"] == total
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_jsonl_sink_losslessness_hard_content(tmp_path):
+    """JSONL round-trip survives quotes, newlines, unicode and commas in
+    text — the content classes that broke the round-2 CSV sink."""
+    docs = pd.DataFrame(
+        {
+            "doc_id": np.arange(4, dtype=np.int64),
+            "lang": ["en", "de", "fr", "en"],
+            "text": [
+                'say "hi", ok?',
+                "line one\nline two\ttabbed",
+                "café — naïve 中文",
+                "",
+            ],
+        }
+    )
+    docs.to_parquet(tmp_path / "documents.parquet", index=False)
+
+    from ahrd_ray.stages.export import jsonl_roundtrip_docs
+
+    got = (
+        jsonl_roundtrip_docs(str(tmp_path), scratch=str(tmp_path / "out"))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got[["doc_id", "lang", "text"]], docs)
