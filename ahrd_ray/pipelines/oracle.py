@@ -2686,3 +2686,28 @@ r AS (
   FROM s
 )
 {picks}"""
+
+
+def sql_ngram_containment_pairs(n: int = 3, threshold: float = 0.8) -> str:
+    """Asymmetric containment pairs (stages/dedup.ngram_containment_pairs):
+    intersection over the SMALLER shingle set."""
+    gram = " || ' ' || ".join(f"arr[i+{j}]" for j in range(n))
+    return f"""WITH shingles AS (
+  SELECT DISTINCT doc_id, sh FROM (
+    SELECT doc_id, unnest(list_transform(generate_series(1, len(arr) - {n - 1}),
+                                         i -> {gram})) AS sh
+    FROM (SELECT doc_id, string_split(text, ' ') AS arr FROM documents)
+  )
+),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM shingles GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+  FROM shingles a JOIN shingles b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT i.doc_a, i.doc_b,
+       CAST(i.inter AS DOUBLE) / CAST(least(sa.n_sh, sb.n_sh) AS DOUBLE) AS containment
+FROM inter i
+JOIN sizes sa ON sa.doc_id = i.doc_a
+JOIN sizes sb ON sb.doc_id = i.doc_b
+WHERE CAST(i.inter AS DOUBLE) / CAST(least(sa.n_sh, sb.n_sh) AS DOUBLE) >= {threshold!r}"""

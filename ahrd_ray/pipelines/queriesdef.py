@@ -310,6 +310,13 @@ def _dedup_queries() -> dict[str, tuple[Callable, str | None]]:
             lambda sf: dd.ngram_jaccard_pairs(sf).map_batches(_int64, batch_format="pyarrow"),
             oracle.sql_ngram_jaccard_pairs(),
         ),
+        # asymmetric containment: small-doc-inside-big-doc duplication
+        "dd_containment": (
+            lambda sf: dd.ngram_containment_pairs(sf).map_batches(
+                _int64, batch_format="pyarrow"
+            ),
+            oracle.sql_ngram_containment_pairs(),
+        ),
         # approximate methods: the banded candidate generation is
         # fixed-coefficient arithmetic, replicated exactly in DuckDB
         "dd_minhash_lsh": (

@@ -162,7 +162,7 @@ def exact_dedup(sf_dir: str) -> ray.data.Dataset:
 # Shared pair machinery
 # ---------------------------------------------------------------------------
 
-from ahrd_ray.stages.partitioning import join_parts, n_hash_parts
+from ahrd_ray.stages.partitioning import drop_empty_blocks, join_parts, n_hash_parts
 
 
 # budgeted hash join shared by every pipeline in this repo (the round-2
@@ -273,7 +273,7 @@ def _dedup_bucket_pairs(
         )
         return out
 
-    return (
+    return drop_empty_blocks(
         co.map_batches(partial_dedup, batch_format="pandas")
         .groupby("ppart")
         .map_groups(
@@ -308,7 +308,7 @@ def _sizes_dataset(shingles: ray.data.Dataset) -> ray.data.Dataset:
         out["dpart"] = (out["doc_id"] % n_parts).astype("int32")
         return out
 
-    return (
+    return drop_empty_blocks(
         shingles.map_batches(size_partial, batch_format="pandas")
         .groupby("dpart")
         .map_groups(
@@ -331,7 +331,7 @@ def _pair_counts(co: ray.data.Dataset) -> ray.data.Dataset:
         )
         return out
 
-    return (
+    return drop_empty_blocks(
         co.map_batches(partial_counts, batch_format="pandas")
         .groupby("ppart")
         .map_groups(
@@ -342,26 +342,36 @@ def _pair_counts(co: ray.data.Dataset) -> ray.data.Dataset:
 
 
 def _finish_jaccard(
-    inter: ray.data.Dataset, sizes: ray.data.Dataset, threshold: float
+    inter: ray.data.Dataset,
+    sizes: ray.data.Dataset,
+    threshold: float,
+    metric: str = "jaccard",
 ) -> ray.data.Dataset:
     """Attach per-doc set sizes to pair intersection counts by JOIN (no
-    driver-side sizes dict — VERDICT round-1 item #2/#4) and filter on
-    Jaccard."""
+    driver-side sizes dict — VERDICT round-1 item #2/#4) and filter on the
+    metric: symmetric ``jaccard`` = i/(a+b-i), or asymmetric
+    ``containment`` = i/min(a, b) (the smaller doc's coverage — catches a
+    small doc embedded in a large one, where Jaccard stays low)."""
     withA = _join(inter, sizes, on=("doc_a",), right_on=("doc_id",)).rename_columns(
         {"n_sh": "n_a"}
     )
-    withB = _join(withA, sizes, on=("doc_b",), right_on=("doc_id",)).rename_columns(
-        {"n_sh": "n_b"}
-    )
+    # a join's empty output partitions are schema-less blocks too — scrub
+    # before chaining into the next join (see partitioning.drop_empty_blocks)
+    withB = _join(
+        drop_empty_blocks(withA), sizes, on=("doc_b",), right_on=("doc_id",)
+    ).rename_columns({"n_sh": "n_b"})
 
     def finish(df: pd.DataFrame) -> pd.DataFrame:
         na = df["n_a"].to_numpy(dtype=np.float64)
         nb = df["n_b"].to_numpy(dtype=np.float64)
         inter_ = df["inter"].to_numpy(dtype=np.float64)
-        j = inter_ / (na + nb - inter_)
-        out = df.assign(jaccard=j)
-        out = out[out["jaccard"] >= threshold][["doc_a", "doc_b", "jaccard"]]
-        return out.astype({"doc_a": "int64", "doc_b": "int64", "jaccard": "float64"})
+        if metric == "containment":
+            v = inter_ / np.minimum(na, nb)
+        else:
+            v = inter_ / (na + nb - inter_)
+        out = df.assign(**{metric: v})
+        out = out[out[metric] >= threshold][["doc_a", "doc_b", metric]]
+        return out.astype({"doc_a": "int64", "doc_b": "int64", metric: "float64"})
 
     return withB.map_batches(finish, batch_format="pandas")
 
@@ -400,6 +410,32 @@ def ngram_jaccard_pairs(
     inter = _pair_counts(co)
     sizes = _sizes_dataset(shingles)
     return _finish_jaccard(inter, sizes, threshold)
+
+
+def ngram_containment_pairs(
+    sf_dir: str, n: int = 3, threshold: float = 0.8
+) -> ray.data.Dataset:
+    """All doc pairs with word-n-gram CONTAINMENT >= threshold — the
+    asymmetric dedup metric (intersection / smaller set size) that flags a
+    short document embedded verbatim in a long one (quotes, boilerplate,
+    syndicated excerpts), which symmetric Jaccard under-scores.  Identical
+    scale shape to :func:`ngram_jaccard_pairs`; only the final arithmetic
+    differs."""
+    shingles = _shingle_dataset(sf_dir, n)
+    n_parts = n_hash_parts()
+
+    def add_spart(batch: pa.Table) -> pa.Table:
+        sp = (batch["sh"].to_numpy() % n_parts).astype(np.int32)
+        return batch.append_column("spart", pa.array(sp, type=pa.int32()))
+
+    co = (
+        shingles.map_batches(add_spart, batch_format="pyarrow")
+        .groupby("spart")
+        .map_groups(_self_join_pairs(["sh"], "doc_id"), batch_format="pandas")
+    )
+    inter = _pair_counts(co)
+    sizes = _sizes_dataset(shingles)
+    return _finish_jaccard(inter, sizes, threshold, metric="containment")
 
 
 # ---------------------------------------------------------------------------
@@ -546,7 +582,11 @@ def minhash_lsh_pairs(
     # intersection counts: two pair-partitioned joins against the
     # prefiltered distributed shingle table
     a_sh = _join(cand, cand_shingles(), on=("doc_a",), right_on=("doc_id",))
-    both = _join(a_sh, cand_shingles(), on=("doc_b", "sh"), right_on=("doc_id", "sh"))
+    # join outputs can carry schema-less empty partitions — scrub before
+    # chaining into the second join (partitioning.drop_empty_blocks)
+    both = _join(
+        drop_empty_blocks(a_sh), cand_shingles(), on=("doc_b", "sh"), right_on=("doc_id", "sh")
+    )
 
     n_parts = n_hash_parts()
 

@@ -57,6 +57,25 @@ def join_parts(n_joins: int = 2, cap: int = 256) -> int:
     return max(2, min(cap, _cpus() // (2 * max(1, n_joins))))
 
 
+def drop_empty_blocks(ds):
+    """Scrub the schema-less empty blocks a ``map_groups``/``sort`` emits.
+
+    Ray's sort-based shuffle materializes EMPTY range partitions as blocks
+    with no columns at all (``PandasBlockSchema(names=[])``), and every map
+    operator forwards empty blocks without invoking the UDF (internal
+    workaround, ``plan_udf_map_op.py`` "TODO(hchen)"), so they cannot be
+    re-typed by ``map_batches``.  Left alone they poison any downstream hash
+    join: an Acero aggregator whose partition sees the no-column block fails
+    with "No match ... for key field doc_a".  ``repartition(shuffle=True)``
+    is the one public op whose output blocks ALWAYS carry the dataset schema
+    (split-repartition re-emits schema-less empties whenever rows < n, e.g.
+    on near-empty pair tables).  Use on SLIM (post-aggregation) datasets
+    feeding joins — the input is already behind the groupby barrier, so the
+    extra exchange moves only slim aggregated rows.
+    """
+    return ds.repartition(n_hash_parts(), shuffle=True)
+
+
 def budgeted_join(
     left,
     right,

@@ -310,9 +310,13 @@ def embedding_near_dup_pairs(sf_dir: str, threshold: float = 0.2) -> ray.data.Da
     withA = _join(cand, vecs, on=("vec_a",), right_on=("vec_id",)).rename_columns(
         {"emb": "emb_a"}
     )
-    withB = _join(withA, vecs, on=("vec_b",), right_on=("vec_id",)).rename_columns(
-        {"emb": "emb_b"}
-    )
+    # scrub schema-less empty join-output partitions before chaining into
+    # the second join (partitioning.drop_empty_blocks)
+    from ahrd_ray.stages.partitioning import drop_empty_blocks
+
+    withB = _join(
+        drop_empty_blocks(withA), vecs, on=("vec_b",), right_on=("vec_id",)
+    ).rename_columns({"emb": "emb_b"})
 
     def verify(df: pd.DataFrame) -> pd.DataFrame:
         if not len(df):

@@ -626,3 +626,35 @@ def test_quantile_sketch_oracle_and_rank_error(ray_session):
         # rank of the estimate in the TRUE distribution vs the target rank
         rank = np.searchsorted(vals, est, side="right") / n
         assert abs(rank - num / den) <= tol, (num, den, est, rank)
+
+
+def test_containment_oracle_and_asymmetry(ray_session):
+    """Containment pairs match the oracle; a short doc fully embedded in a
+    long one scores containment 1.0 even where Jaccard is far below the
+    dedup threshold (the metric's reason to exist)."""
+    import numpy as np
+    import pandas as pd
+
+    _assert_matches_oracle("dd_containment")
+
+    from ahrd_ray.stages.dedup import ngram_containment_pairs, ngram_jaccard_pairs
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": np.arange(2, dtype=np.int64),
+            "lang": ["en", "en"],
+            "text": [
+                "alpha beta gamma delta epsilon",
+                "alpha beta gamma delta epsilon "
+                + " ".join(f"w{i} x{i} y{i}" for i in range(30)),
+            ],
+        }
+    )
+    import tempfile, os
+
+    with tempfile.TemporaryDirectory() as td:
+        docs.to_parquet(os.path.join(td, "documents.parquet"), index=False)
+        cont = ngram_containment_pairs(td).to_pandas()
+        jac = ngram_jaccard_pairs(td).to_pandas()
+    assert len(cont) == 1 and cont["containment"].iloc[0] == 1.0
+    assert len(jac) == 0  # jaccard misses the embedded duplicate
