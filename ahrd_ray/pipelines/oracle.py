@@ -2711,3 +2711,70 @@ FROM inter i
 JOIN sizes sa ON sa.doc_id = i.doc_a
 JOIN sizes sb ON sb.doc_id = i.doc_b
 WHERE CAST(i.inter AS DOUBLE) / CAST(least(sa.n_sh, sb.n_sh) AS DOUBLE) >= {threshold!r}"""
+
+
+def sql_cocitation(cfg: EngineConfig, min_shared: int | None = None) -> str:
+    """Doc co-citation pairs (stages/graph.cocitation_pairs): doc pairs
+    sharing >= min_shared capped entity links — the bipartite projection
+    over the same ccands relation as the co-occurrence edges (the unused
+    pairs CTE is pruned by DuckDB)."""
+    from ahrd_ray.stages.graph import COCITE_MIN_SHARED
+
+    ms = COCITE_MIN_SHARED if min_shared is None else min_shared
+    return (
+        _with(*_cands_prefix(cfg), cte_valid_dedup(), _cte_cooccur_pairs(cfg))
+        + f"""
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS n_shared
+FROM ccands a JOIN ccands b ON a.cand_ord = b.cand_ord AND a.doc_id < b.doc_id
+GROUP BY 1, 2
+HAVING count(*) >= {ms}"""
+    )
+
+
+def sql_kcore(cfg: EngineConfig, k: int | None = None, iters: int | None = None) -> str:
+    """k-core of the DOC co-citation graph (stages/graph.kcore_nodes):
+    iterative peel unrolled ``iters`` rounds (fixpoint reached far earlier;
+    extra rounds are no-ops — the kg_components precedent), then each
+    survivor's in-core degree.  Builds on the same cocite relation as
+    sql_cocitation."""
+    from ahrd_ray.stages.graph import COCITE_MIN_SHARED, KCORE_ITERS, KCORE_K
+
+    kk = KCORE_K if k is None else k
+    ni = KCORE_ITERS if iters is None else iters
+    ctes = [
+        *_cands_prefix(cfg),
+        cte_valid_dedup(),
+        _cte_cooccur_pairs(cfg),
+        f"""cocite AS MATERIALIZED (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM ccands a JOIN ccands b ON a.cand_ord = b.cand_ord AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+  HAVING count(*) >= {COCITE_MIN_SHARED}
+)""",
+        """edges AS MATERIALIZED (
+  SELECT doc_a AS src, doc_b AS dst FROM cocite
+  UNION ALL SELECT doc_b, doc_a FROM cocite
+)""",
+        "alive0 AS MATERIALIZED (SELECT DISTINCT src AS node FROM edges)",
+    ]
+    for i in range(1, ni + 1):
+        # AS MATERIALIZED: each round references the previous alive set
+        # twice — without it DuckDB inlines the chain exponentially (fd
+        # exhaustion re-scanning the parquet per inlined reference)
+        ctes.append(
+            f"""alive{i} AS MATERIALIZED (
+  SELECT e.dst AS node FROM edges e
+  JOIN alive{i - 1} s ON s.node = e.src
+  JOIN alive{i - 1} d ON d.node = e.dst
+  GROUP BY e.dst HAVING count(*) >= {kk}
+)"""
+        )
+    return (
+        _with(*ctes)
+        + f"""
+SELECT e.dst AS node, CAST(count(*) AS BIGINT) AS core_deg
+FROM edges e
+JOIN alive{ni} s ON s.node = e.src
+JOIN alive{ni} d ON d.node = e.dst
+GROUP BY e.dst"""
+    )

@@ -846,6 +846,10 @@ def _kg_queries(cfg) -> dict[str, tuple[Callable, str | None]]:
         "kg_external_candidates": (q_external_candidates, oracle.sql_candidates(cfg)),
         "kg_external_winners": (q_external_winners, oracle.sql_winners(cfg)),
         "kg_cooccurrence": (q_cooccurrence, oracle.sql_cooccurrence(cfg)),
+        # bipartite doc-entity projection: doc pairs sharing linked entities
+        "kg_cocitation": (q_cocitation, oracle.sql_cocitation(cfg)),
+        # iterative k-core peel over the co-occurrence graph
+        "kg_kcore": (q_kcore, oracle.sql_kcore(cfg)),
         "kg_pagerank": (q_pagerank, oracle.sql_pagerank(cfg)),
         "kg_entity_degree": (q_entity_degree, oracle.sql_cooccur_degree(cfg)),
         "kg_fact_support": (q_fact_support, oracle.sql_fact_support(cfg)),
@@ -970,6 +974,18 @@ def q_pagerank(sf_dir: str):
     from ahrd_ray.stages.graph import pagerank
 
     return pagerank(sf_dir)
+
+
+def q_cocitation(sf_dir: str):
+    from ahrd_ray.stages.graph import cocitation_pairs
+
+    return cocitation_pairs(sf_dir).map_batches(_int64, batch_format="pyarrow")
+
+
+def q_kcore(sf_dir: str):
+    from ahrd_ray.stages.graph import kcore_nodes
+
+    return kcore_nodes(sf_dir)
 
 
 def q_entity_degree(sf_dir: str):

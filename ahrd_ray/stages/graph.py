@@ -1367,3 +1367,218 @@ def evidence_snippets(sf_dir: str) -> ray.data.Dataset:
     return src.map_batches(
         partial, batch_format="pyarrow", batch_size=kg.FUSED_BATCH_SIZE
     )
+
+
+# ---------------------------------------------------------------------------
+# Document co-citation (bipartite doc-entity projection) and k-core
+# ---------------------------------------------------------------------------
+
+# Minimum shared entities for a co-citation pair to be emitted.  The
+# synthetic corpus is dense (64 capped links per doc from a small catalog),
+# so low thresholds make the projection near-quadratic in docs; 32 (= half
+# the per-doc cap) keeps only strongly-overlapping doc pairs — measured
+# 15.7k pairs over 500 docs at sf0.001 vs 124k at threshold 2.
+COCITE_MIN_SHARED = 32
+
+# k-core peel threshold + oracle unroll budget.  k = 64 measured against
+# the sf0.001 co-citation graph: 213 nodes peel to a 176-node core over
+# multiple rounds (lower k peels nothing, the graph is that dense).  The
+# peel reaches its unique fixpoint (k-core is removal-order-independent)
+# in far fewer than KCORE_ITERS rounds at every tested scale; the SQL
+# oracle unrolls exactly KCORE_ITERS rounds, so extra rounds after the
+# fixpoint are no-ops on both sides (the kg_components precedent).
+KCORE_K = 64
+KCORE_ITERS = 16
+
+
+def doc_entity_links(sf_dir: str) -> ray.data.Dataset:
+    """Slim (doc_id, cand_ord, epart) capped doc->entity link stream — the
+    ``ccands`` relation of the oracle (deduped valid candidates, strongest
+    COOCCUR_CAP per doc), fused with detection so nothing wider than two
+    int64 columns ever shuffles."""
+    from ahrd_ray.pipelines import kg
+    from ahrd_ray.stages.candidates import FusedMentionScorer, make_detector_task_fn
+
+    ctx = kg.cached_context(sf_dir)
+    arrays = ctx.bundle.arrays
+    detect = make_detector_task_fn(ctx.catalog_ref, ctx.cfg, slim=False)
+    chunk_docs = FusedMentionScorer.CHUNK_DOCS
+    n_parts = n_hash_parts()
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        parts = []
+        for off in range(0, len(batch), chunk_docs):
+            cands = detect(batch.slice(off, chunk_docs))
+            df = cands.select(
+                ["doc_id", "cand_ord", "match_score", "span_start", "span_end",
+                 "cand_start", "cand_end", "ingest_seq"]
+            ).to_pandas()
+            ded = dedup_valid_candidates(df, arrays)
+            if not len(ded):
+                continue
+            ded = ded.sort_values(
+                ["doc_id", "match_score", "cand_ord"],
+                ascending=[True, False, True],
+                kind="mergesort",
+            )
+            ded = ded[ded.groupby("doc_id").cumcount() < COOCCUR_CAP]
+            parts.append(ded[["doc_id", "cand_ord"]])
+        if not parts:
+            return pd.DataFrame(
+                {
+                    "doc_id": pd.Series([], dtype="int64"),
+                    "cand_ord": pd.Series([], dtype="int64"),
+                    "epart": pd.Series([], dtype="int32"),
+                }
+            )
+        out = pd.concat(parts, ignore_index=True).astype(
+            {"doc_id": "int64", "cand_ord": "int64"}
+        )
+        out["epart"] = (out["cand_ord"] % n_parts).astype("int32")
+        return out
+
+    src = kg.pages_dataset(sf_dir).map_batches(
+        kg.extract_text_batch, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return src.map_batches(
+        partial, batch_format="pyarrow", batch_size=kg.FUSED_BATCH_SIZE
+    )
+
+
+def cocitation_pairs(
+    sf_dir: str, min_shared: int = COCITE_MIN_SHARED
+) -> ray.data.Dataset:
+    """(doc_a, doc_b, n_shared) — document pairs sharing >= ``min_shared``
+    linked entities: the bipartite doc-entity projection (co-citation
+    graph), the dual of ``cooccurrence_edges``.
+
+    Scale shape: the capped link stream hash-partitions by ENTITY, the
+    within-partition vectorized self-join emits doc pairs per shared entity
+    (hot entities bounded by the logged MAX_BUCKET_DOCS cap), partial pair
+    counts combine map-side and finalize in a pair-hash partition — the
+    exact dedup.py machinery, with entities playing the shingle role."""
+    from ahrd_ray.stages.dedup import _pair_counts, _self_join_pairs
+
+    links = doc_entity_links(sf_dir)
+    co = links.groupby("epart").map_groups(
+        _self_join_pairs(["cand_ord"], "doc_id"), batch_format="pandas"
+    )
+    inter = _pair_counts(co)
+
+    def finish(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        t = t.filter(pc.greater_equal(t["inter"], pa.scalar(min_shared)))
+        return pa.table(
+            {
+                "doc_a": t["doc_a"].cast(pa.int64()),
+                "doc_b": t["doc_b"].cast(pa.int64()),
+                "n_shared": t["inter"].cast(pa.int64()),
+            }
+        )
+
+    return inter.map_batches(finish, batch_format="pyarrow")
+
+
+def kcore_nodes(
+    sf_dir: str, k: int = KCORE_K, max_iters: int = KCORE_ITERS
+) -> ray.data.Dataset:
+    """(node, core_deg) — the ``k``-core of the DOC co-citation graph
+    (cocitation_pairs): iteratively peel docs with < k surviving
+    co-citation partners until the unique, removal-order-independent
+    fixpoint, then each survivor's degree inside the core.  Finds the
+    tightly-knit document communities of the corpus — the composition
+    story is bipartite projection -> core decomposition.
+
+    Scale shape: nodes are DOCS (corpus-sized, NOT catalog-small), so the
+    alive set is a distributed table, never a dense driver vector.  Edges
+    materialize once; each round is edges semi-joined against alive on
+    BOTH endpoints (budgeted hash joins of slim int rows), a per-dst count
+    with map-side partials, and a >= k filter.  Rounds = peel depth; early
+    stop when |alive| is unchanged (alive only shrinks, so count equality
+    is set equality).  max_iters matches the oracle's unroll (rounds past
+    the fixpoint are no-ops on both sides — the kg_components precedent)."""
+    from ahrd_ray.stages.partitioning import budgeted_join, drop_empty_blocks
+
+    n_parts = n_hash_parts()
+
+    def both_dirs(batch: pa.Table) -> pa.Table:
+        a = batch["doc_a"].to_numpy()
+        b = batch["doc_b"].to_numpy()
+        return pa.table(
+            {
+                "src": pa.array(np.concatenate([a, b]), type=pa.int64()),
+                "dst": pa.array(np.concatenate([b, a]), type=pa.int64()),
+            }
+        )
+
+    edges = (
+        cocitation_pairs(sf_dir)
+        .map_batches(both_dirs, batch_format="pyarrow")
+        .materialize()
+    )
+
+    def nodes_partial(t: pa.Table) -> pa.Table:
+        u = np.unique(t["src"].to_numpy()).astype(np.int64)
+        return pa.table(
+            {
+                "node": pa.array(u, type=pa.int64()),
+                "npart": pa.array((u % n_parts).astype(np.int32), type=pa.int32()),
+            }
+        )
+
+    alive = drop_empty_blocks(
+        edges.map_batches(nodes_partial, batch_format="pyarrow")
+        .groupby("npart")
+        .map_groups(
+            lambda df: df[["node"]].drop_duplicates(), batch_format="pandas"
+        )
+    ).materialize()
+
+    def core_degrees(alive_ds: ray.data.Dataset) -> ray.data.Dataset:
+        """(node, core_deg) among edges whose BOTH endpoints are alive."""
+        with_src = budgeted_join(
+            edges, alive_ds, on=("src",), right_on=("node",), n_joins=2
+        )
+        both = budgeted_join(
+            drop_empty_blocks(with_src),
+            alive_ds,
+            on=("dst",),
+            right_on=("node",),
+            n_joins=2,
+        )
+
+        def deg_partial(df: pd.DataFrame) -> pd.DataFrame:
+            out = df.groupby("dst", as_index=False).size().rename(
+                columns={"size": "core_deg", "dst": "node"}
+            )
+            out["npart"] = (out["node"] % n_parts).astype("int32")
+            return out
+
+        return drop_empty_blocks(
+            both.map_batches(deg_partial, batch_format="pandas")
+            .groupby("npart")
+            .map_groups(
+                lambda df: df.groupby("node", as_index=False)["core_deg"].sum(),
+                batch_format="pandas",
+            )
+        )
+
+    prev = alive.count()
+    for _ in range(max_iters):
+        deg = core_degrees(alive)
+        alive = drop_empty_blocks(
+            deg.map_batches(
+                lambda df: df[df["core_deg"] >= k][["node"]],
+                batch_format="pandas",
+            )
+        ).materialize()
+        n = alive.count()
+        if n == prev:
+            break
+        prev = n
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        return df.astype({"node": "int64", "core_deg": "int64"})
+
+    return core_degrees(alive).map_batches(finish, batch_format="pandas")

@@ -350,3 +350,73 @@ def test_evidence_snippets_cover_mention():
             max(0, r.span_start - 1 - EVIDENCE_CTX) : r.span_end - 1 + EVIDENCE_CTX
         ]
         assert r.snippet == want
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_cocitation_matches_bruteforce():
+    """Doc co-citation pairs == brute-force projection of the capped link
+    stream (the oracle's ccands relation), threshold applied."""
+    from collections import defaultdict
+    from itertools import combinations
+
+    from ahrd_ray.stages.graph import (
+        COCITE_MIN_SHARED,
+        cocitation_pairs,
+        doc_entity_links,
+    )
+
+    links = doc_entity_links(SF).to_pandas()
+    ents_by_doc = defaultdict(set)
+    for d, c in zip(links["doc_id"], links["cand_ord"]):
+        ents_by_doc[int(d)].add(int(c))
+    expected = {}
+    docs = sorted(ents_by_doc)
+    inv = defaultdict(set)
+    for d, es in ents_by_doc.items():
+        for e in es:
+            inv[e].add(d)
+    counts = defaultdict(int)
+    for e, ds in inv.items():
+        for a, b in combinations(sorted(ds), 2):
+            counts[(a, b)] += 1
+    expected = {p: n for p, n in counts.items() if n >= COCITE_MIN_SHARED}
+
+    got = cocitation_pairs(SF).to_pandas()
+    got_map = {
+        (int(a), int(b)): int(n)
+        for a, b, n in zip(got["doc_a"], got["doc_b"], got["n_shared"])
+    }
+    assert got_map == expected
+    assert (got["doc_a"] < got["doc_b"]).all()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_kcore_is_fixpoint_and_matches_bruteforce():
+    """kg_kcore == driver brute-force peel of the co-citation graph; every
+    survivor's in-core degree >= k (the fixpoint property)."""
+    from ahrd_ray.stages.graph import KCORE_K, cocitation_pairs, kcore_nodes
+
+    pairs = cocitation_pairs(SF).to_pandas()
+    a = pairs["doc_a"].to_numpy()
+    b = pairs["doc_b"].to_numpy()
+    n = int(max(a.max(), b.max())) + 1
+    alive = np.zeros(n, dtype=bool)
+    alive[a] = True
+    alive[b] = True
+    while True:
+        deg = np.zeros(n, dtype=np.int64)
+        m = alive[a] & alive[b]
+        np.add.at(deg, a[m], 1)
+        np.add.at(deg, b[m], 1)
+        new = alive & (deg >= KCORE_K)
+        if (new == alive).all():
+            break
+        alive = new
+
+    got = kcore_nodes(SF).to_pandas().sort_values("node").reset_index(drop=True)
+    assert got["node"].tolist() == np.flatnonzero(alive).tolist()
+    assert got.set_index("node")["core_deg"].to_dict() == {
+        int(v): int(deg[v]) for v in np.flatnonzero(alive)
+    }
+    assert (got["core_deg"] >= KCORE_K).all()
+    assert len(got) > 0  # the chosen k leaves a non-empty core at sf0.001
