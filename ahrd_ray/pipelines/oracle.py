@@ -2778,3 +2778,22 @@ JOIN alive{ni} s ON s.node = e.src
 JOIN alive{ni} d ON d.node = e.dst
 GROUP BY e.dst"""
     )
+
+
+def sql_q5_revenue() -> str:
+    """TPC-H Q5 shape (stages/generic.q5_local_supplier_revenue):
+    intra-nation customer/supplier revenue by nation, one region, one
+    order year — quantized-unit sum so the hash matches bit-exactly."""
+    from ahrd_ray.stages.generic import Q5_DATE_HI, Q5_DATE_LO, Q5_REGION
+
+    return f"""SELECT n.n_name, {_qsum('l.l_extendedprice * (1.0 - l.l_discount)')} AS revenue
+FROM customer c
+JOIN orders o ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey AND s.s_nationkey = c.c_nationkey
+JOIN nation n ON n.n_nationkey = c.c_nationkey
+JOIN region r ON r.r_regionkey = n.n_regionkey
+WHERE r.r_name = '{Q5_REGION}'
+  AND o.o_orderdate >= TIMESTAMP '{Q5_DATE_LO}'
+  AND o.o_orderdate < TIMESTAMP '{Q5_DATE_HI}'
+GROUP BY n.n_name"""

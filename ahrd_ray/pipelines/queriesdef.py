@@ -743,6 +743,14 @@ def _generic_queries() -> dict[str, tuple[Callable, str | None]]:
             lambda sf: g.q3_top_orders(sf).map_batches(_int64, batch_format="pyarrow"),
             oracle.sql_q3_top_orders(),
         ),
+        # 6-table join chain (TPC-H Q5 shape): spec-constant dims broadcast,
+        # sf-scaled joins budgeted, intra-nation equality map-side
+        "rel_q5_revenue": (
+            lambda sf: g.q5_local_supplier_revenue(sf).map_batches(
+                _int64, batch_format="pyarrow"
+            ),
+            oracle.sql_q5_revenue(),
+        ),
     }
 
 

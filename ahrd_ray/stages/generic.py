@@ -1725,3 +1725,124 @@ def quantile_sketch(sf_dir: str) -> "pd.DataFrame":
         r = (num * n + den - 1) // den  # exact ceil(q*n), 1-based
         rows.append((num / den, float(vals[r - 1])))
     return pd.DataFrame(rows, columns=["q", "value"])
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q5 shape: local-supplier revenue by nation (6-table join chain)
+# ---------------------------------------------------------------------------
+
+Q5_REGION = "ASIA"
+Q5_DATE_LO = "1996-01-01"
+Q5_DATE_HI = "1997-01-01"
+
+
+def q5_local_supplier_revenue(sf_dir: str) -> ray.data.Dataset:
+    """(n_name, revenue) — revenue from intra-nation customer/supplier
+    pairs in one region and one order year: the canonical 6-table join
+    chain (region ⋈ nation ⋈ customer ⋈ orders ⋈ lineitem ⋈ supplier).
+
+    Shape notes for 100 TB: region/nation are SPEC-CONSTANT 5/25-row
+    dimensions (not sf-scaled), so they load driver-side once and ship as
+    one broadcast dict; customer/supplier reduce to slim (key, nationkey)
+    pairs filtered to the region's nations MAP-SIDE before any shuffle;
+    orders prune to the date window at the read; lineitem pre-aggregates
+    revenue units per (orderkey, suppkey) map-side.  The three sf-scaled
+    joins run under one aggregator budget (n_joins=3), chained outputs
+    scrubbed of schema-less empty partitions; the c_nationkey =
+    s_nationkey equality applies as a map-side filter after the supplier
+    join, and the final per-nation rollup is a 5-row groupby."""
+    import pyarrow.parquet as pq_
+
+    from ahrd_ray.stages.partitioning import budgeted_join, drop_empty_blocks
+    from ahrd_ray.stages.score import get_broadcast
+
+    nat = pq_.read_table(f"{sf_dir}/nation.parquet").to_pandas()
+    reg = pq_.read_table(f"{sf_dir}/region.parquet").to_pandas()
+    rk = reg.loc[reg["r_name"] == Q5_REGION, "r_regionkey"].iloc[0]
+    nat = nat[nat["n_regionkey"] == rk]
+    names_ref = ray.put(dict(zip(nat["n_nationkey"].astype(int), nat["n_name"])))
+
+    def in_region_cust(df: pd.DataFrame) -> pd.DataFrame:
+        names = get_broadcast(names_ref)
+        out = df[df["c_nationkey"].isin(names)]
+        return out[["c_custkey", "c_nationkey"]]
+
+    def in_region_supp(df: pd.DataFrame) -> pd.DataFrame:
+        names = get_broadcast(names_ref)
+        out = df[df["s_nationkey"].isin(names)]
+        return out[["s_suppkey", "s_nationkey"]]
+
+    # drop_empty_blocks: an over-parallelized read of a small table emits
+    # schema-less empty blocks (16 read tasks over 10 supplier rows at
+    # sf0.001) which poison the hash joins; the scrub cost scales with the
+    # slim filtered side, not the fact tables
+    cust = drop_empty_blocks(
+        ray.data.read_parquet(
+            f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+        ).map_batches(in_region_cust, batch_format="pandas")
+    )
+    supp = drop_empty_blocks(
+        ray.data.read_parquet(
+            f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
+        ).map_batches(in_region_supp, batch_format="pandas")
+    )
+
+    lo = np.datetime64(Q5_DATE_LO)
+    hi = np.datetime64(Q5_DATE_HI)
+
+    def window_orders(df: pd.DataFrame) -> pd.DataFrame:
+        d = df["o_orderdate"].to_numpy()
+        return df.loc[(d >= lo) & (d < hi), ["o_orderkey", "o_custkey"]]
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey", "o_orderdate"]
+    ).map_batches(window_orders, batch_format="pandas")
+
+    j1 = budgeted_join(
+        orders, cust, on=("o_custkey",), right_on=("c_custkey",), n_joins=3
+    )
+
+    def li_prep(df: pd.DataFrame) -> pd.DataFrame:
+        rev = df["l_extendedprice"].to_numpy() * (1.0 - df["l_discount"].to_numpy())
+        out = pd.DataFrame(
+            {
+                "l_orderkey": df["l_orderkey"],
+                "l_suppkey": df["l_suppkey"],
+                "rev_units": _qunits(rev),
+            }
+        )
+        return out.groupby(["l_orderkey", "l_suppkey"], as_index=False).sum()
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    ).map_batches(li_prep, batch_format="pandas")
+
+    j2 = budgeted_join(
+        li, drop_empty_blocks(j1), on=("l_orderkey",), right_on=("o_orderkey",),
+        n_joins=3,
+    )
+    j3 = budgeted_join(
+        drop_empty_blocks(j2), supp, on=("l_suppkey",), right_on=("s_suppkey",),
+        n_joins=3,
+    )
+
+    def local_partial(df: pd.DataFrame) -> pd.DataFrame:
+        names = get_broadcast(names_ref)
+        df = df[df["c_nationkey"].to_numpy() == df["s_nationkey"].to_numpy()]
+        out = df.groupby("c_nationkey", as_index=False)["rev_units"].sum()
+        out["n_name"] = out["c_nationkey"].map(names)
+        return out[["n_name", "rev_units"]]
+
+    from ahrd_ray.config import QUANT
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("n_name", as_index=False)["rev_units"].sum()
+        g["revenue"] = g["rev_units"].to_numpy(dtype=np.float64) / QUANT
+        return g[["n_name", "revenue"]]
+
+    return (
+        j3.map_batches(local_partial, batch_format="pandas")
+        .groupby("n_name")
+        .map_groups(finish, batch_format="pandas")
+    )

