@@ -2797,3 +2797,20 @@ WHERE r.r_name = '{Q5_REGION}'
   AND o.o_orderdate >= TIMESTAMP '{Q5_DATE_LO}'
   AND o.o_orderdate < TIMESTAMP '{Q5_DATE_HI}'
 GROUP BY n.n_name"""
+
+
+def sql_lineitem_profile() -> str:
+    """Column profile (stages/generic.lineitem_profile): per profiled
+    column, exact rows/nulls/distincts/min/max — one UNION ALL branch per
+    column."""
+    from ahrd_ray.stages.generic import PROFILE_COLS
+
+    branches = [
+        f"""SELECT '{c}' AS col, CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(*) - count({c}) AS BIGINT) AS n_nulls,
+       CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct,
+       CAST(min({c}) AS DOUBLE) AS min_v, CAST(max({c}) AS DOUBLE) AS max_v
+FROM lineitem"""
+        for c in PROFILE_COLS
+    ]
+    return "\nUNION ALL\n".join(branches)

@@ -751,6 +751,13 @@ def _generic_queries() -> dict[str, tuple[Callable, str | None]]:
             ),
             oracle.sql_q5_revenue(),
         ),
+        # one-pass data-quality profile: nulls/exact-distinct/min/max per col
+        "rel_profile": (
+            lambda sf: g.lineitem_profile(sf).map_batches(
+                _int64, batch_format="pyarrow"
+            ),
+            oracle.sql_lineitem_profile(),
+        ),
     }
 
 

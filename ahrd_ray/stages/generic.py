@@ -1846,3 +1846,91 @@ def q5_local_supplier_revenue(sf_dir: str) -> ray.data.Dataset:
         .groupby("n_name")
         .map_groups(finish, batch_format="pandas")
     )
+
+
+# ---------------------------------------------------------------------------
+# Column profiling (data-quality report over a fact table)
+# ---------------------------------------------------------------------------
+
+PROFILE_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+
+
+def lineitem_profile(sf_dir: str) -> ray.data.Dataset:
+    """(col, n_rows, n_nulls, n_distinct, min_v, max_v) per profiled
+    lineitem column — the one-pass data-quality profile (Deequ/TFDV-style)
+    a pipeline runs before trusting a new drop.
+
+    Scale shape: rows/nulls/min/max fold per block into ONE tiny partial
+    row per (block, column) — no shuffle; exact distinct counts shuffle
+    only per-block-unique (column, value) pairs hash-partitioned by value
+    bits, count per column finalizes map-side per partition, and the
+    driver folds a parts x columns table.  One read, columns pruned to the
+    profiled set."""
+    n_parts = n_hash_parts()
+    ncols = len(PROFILE_COLS)
+
+    li = ray.data.read_parquet(f"{sf_dir}/lineitem.parquet", columns=PROFILE_COLS)
+
+    def stat_partial(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for i, c in enumerate(PROFILE_COLS):
+            v = df[c]
+            rows.append(
+                (
+                    i,
+                    np.int64(len(v)),
+                    np.int64(v.isna().sum()),
+                    float(v.min()),
+                    float(v.max()),
+                )
+            )
+        return pd.DataFrame(
+            rows, columns=["cid", "n_rows", "n_nulls", "min_v", "max_v"]
+        )
+
+    stats = (
+        li.map_batches(stat_partial, batch_format="pandas")
+        .to_pandas()  # bounded: blocks x |PROFILE_COLS| tiny partial rows
+        .groupby("cid")
+        .agg(
+            n_rows=("n_rows", "sum"),
+            n_nulls=("n_nulls", "sum"),
+            min_v=("min_v", "min"),
+            max_v=("max_v", "max"),
+        )
+    )
+
+    def uniq_partial(df: pd.DataFrame) -> pd.DataFrame:
+        parts = []
+        for i, c in enumerate(PROFILE_COLS):
+            u = df[c].dropna().unique()
+            parts.append(pd.DataFrame({"cid": np.int64(i), "v": u.astype(np.float64)}))
+        out = pd.concat(parts, ignore_index=True)
+        bits = out["v"].to_numpy(dtype=np.float64).view(np.int64)
+        out["vpart"] = ((out["cid"].to_numpy() * 31 + bits) % n_parts).astype("int32")
+        return out
+
+    def count_distinct(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.drop_duplicates(["cid", "v"])
+        return d.groupby("cid", as_index=False).size().rename(columns={"size": "nd"})
+
+    nd = (
+        li.map_batches(uniq_partial, batch_format="pandas")
+        .groupby("vpart")
+        .map_groups(count_distinct, batch_format="pandas")
+        .to_pandas()  # bounded: parts x |PROFILE_COLS| rows
+        .groupby("cid")["nd"]
+        .sum()
+    )
+
+    out = pd.DataFrame(
+        {
+            "col": PROFILE_COLS,
+            "n_rows": [np.int64(stats.loc[i, "n_rows"]) for i in range(ncols)],
+            "n_nulls": [np.int64(stats.loc[i, "n_nulls"]) for i in range(ncols)],
+            "n_distinct": [np.int64(nd.get(i, 0)) for i in range(ncols)],
+            "min_v": [float(stats.loc[i, "min_v"]) for i in range(ncols)],
+            "max_v": [float(stats.loc[i, "max_v"]) for i in range(ncols)],
+        }
+    )
+    return ray.data.from_pandas(out)

@@ -151,6 +151,13 @@ def run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
         ("kg_neg_samples", lambda: gr.neg_samples(sf_dir)),
         ("kg_evidence", lambda: gr.evidence_snippets(sf_dir)),
         ("tx_collocations", lambda: tx.collocations(sf_dir)),
+        # kg_kcore stays OUT of the default list (38.6 s at sf0.1 — the
+        # iterative peel would dominate the session, the kg_components
+        # precedent); it is gated at sf0.001/0.01 like every other query
+        ("dd_containment", lambda: dd.ngram_containment_pairs(sf_dir)),
+        ("kg_cocitation", lambda: gr.cocitation_pairs(sf_dir)),
+        ("rel_q5_revenue", lambda: gn.q5_local_supplier_revenue(sf_dir)),
+        ("rel_profile", lambda: gn.lineitem_profile(sf_dir)),
         ("llm_clean_corpus", lambda: _clean_corpus(sf_dir)),
     ]:
         t0 = time.perf_counter()

@@ -192,3 +192,20 @@ def test_q5_matches_duckdb_and_is_intra_nation():
     assert got["n_name"].tolist() == exp["n_name"].tolist()
     np.testing.assert_array_equal(got["revenue"].to_numpy(), exp["revenue"].to_numpy())
     assert len(got) >= 1
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_lineitem_profile_matches_duckdb():
+    """Exact-distinct/null/min/max profile equals DuckDB's per-column
+    aggregates (the distributed distinct path vs count(DISTINCT))."""
+    from ahrd_ray.pipelines.oracle import sql_lineitem_profile
+    from ahrd_ray.stages.generic import lineitem_profile
+
+    got = lineitem_profile(SF).to_pandas().sort_values("col").reset_index(drop=True)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW lineitem AS SELECT * FROM '{SF}/lineitem.parquet'")
+    exp = con.execute(sql_lineitem_profile()).fetchdf().sort_values("col").reset_index(drop=True)
+    con.close()
+    assert got["col"].tolist() == exp["col"].tolist()
+    for c in ["n_rows", "n_nulls", "n_distinct", "min_v", "max_v"]:
+        np.testing.assert_array_equal(got[c].to_numpy(), exp[c].to_numpy())
