@@ -2814,3 +2814,13 @@ FROM lineitem"""
         for c in PROFILE_COLS
     ]
     return "\nUNION ALL\n".join(branches)
+
+
+def sql_moving_frame() -> str:
+    """ROWS-frame window sums (stages/generic.moving_frame_sums)."""
+    return f"""SELECT event_id, user_id,
+       sum(CAST(floor(value * {QUANT!r} + 0.5) AS BIGINT)) OVER w AS frame_sum_units,
+       CAST(count(*) OVER w AS BIGINT) AS frame_n
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)"""

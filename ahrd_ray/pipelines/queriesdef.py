@@ -751,6 +751,13 @@ def _generic_queries() -> dict[str, tuple[Callable, str | None]]:
             ),
             oracle.sql_q5_revenue(),
         ),
+        # ROWS-frame window aggregate (trailing 3-row sum/count per user)
+        "rel_moving_frame": (
+            lambda sf: g.moving_frame_sums(sf).map_batches(
+                _int64, batch_format="pyarrow"
+            ),
+            oracle.sql_moving_frame(),
+        ),
         # one-pass data-quality profile: nulls/exact-distinct/min/max per col
         "rel_profile": (
             lambda sf: g.lineitem_profile(sf).map_batches(

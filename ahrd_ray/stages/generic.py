@@ -1934,3 +1934,53 @@ def lineitem_profile(sf_dir: str) -> ray.data.Dataset:
         }
     )
     return ray.data.from_pandas(out)
+
+
+# ---------------------------------------------------------------------------
+# Moving window frame (ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+# ---------------------------------------------------------------------------
+
+MOVING_FRAME = 3  # current row + 2 preceding
+
+
+def moving_frame_sums(sf_dir: str) -> ray.data.Dataset:
+    """(event_id, user_id, frame_sum_units, frame_n) — per event, the sum
+    and count of the trailing 3-row value frame within the user's history
+    ordered by (ts, event_id): the ROWS-frame window aggregate (moving
+    average = frame_sum_units / frame_n, kept as exact int64 units so the
+    oracle hashes bit-equal).
+
+    Scale shape: hash-partition by user (key-complete, like sessionize),
+    one vectorized sort + grouped rolling sum per partition — no per-row
+    Python, no global sort."""
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "ts", "user_id", "value"]
+    )
+    n_parts = n_hash_parts()
+
+    def add_part(df: pd.DataFrame) -> pd.DataFrame:
+        return df.assign(upart=(df["user_id"] % n_parts).astype("int32"))
+
+    def frames(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        qv = _qunits(df["value"].to_numpy())
+        g = df.assign(qv=qv).groupby("user_id")["qv"]
+        # rolling sums of int64 units go through float64 — exact while the
+        # 3-row frame total stays < 2^53 units (value magnitudes are far
+        # below that; the q20 convention's standing bound)
+        s = g.rolling(MOVING_FRAME, min_periods=1).sum().to_numpy()
+        n = np.minimum(df.groupby("user_id").cumcount().to_numpy() + 1, MOVING_FRAME)
+        return pd.DataFrame(
+            {
+                "event_id": df["event_id"].to_numpy(),
+                "user_id": df["user_id"].to_numpy(),
+                "frame_sum_units": s.astype(np.int64),
+                "frame_n": n.astype(np.int64),
+            }
+        )
+
+    return (
+        ev.map_batches(add_part, batch_format="pandas")
+        .groupby("upart")
+        .map_groups(frames, batch_format="pandas")
+    )

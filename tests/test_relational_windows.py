@@ -57,3 +57,31 @@ def test_pivot_counts_sum_to_total():
     count_cols = [c for c in df.columns if c.startswith("n_") and c != "n_total"]
     assert (df[count_cols].sum(axis=1) == df["n_total"]).all()
     assert df.user_id.is_unique
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_moving_frame_trailing_window():
+    """Trailing 3-row frame: first rows of each user have frame_n 1, 2;
+    sums equal the brute-force trailing-window sums in int64 units."""
+    import numpy as np
+    import pandas as pd
+
+    from ahrd_ray.stages.generic import _qunits, moving_frame_sums
+
+    got = moving_frame_sums(SF).to_pandas()
+    ev = pd.read_parquet(
+        f"{SF}/events.parquet", columns=["event_id", "ts", "user_id", "value"]
+    ).sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+    qv = _qunits(ev["value"].to_numpy())
+    exp_rows = {}
+    prev = {}
+    for eid, uid, q in zip(ev["event_id"], ev["user_id"], qv):
+        w = prev.setdefault(int(uid), [])
+        w.append(int(q))
+        del w[:-3]
+        exp_rows[int(eid)] = (sum(w), len(w))
+    got_map = {
+        int(e): (int(s), int(n))
+        for e, s, n in zip(got["event_id"], got["frame_sum_units"], got["frame_n"])
+    }
+    assert got_map == exp_rows
