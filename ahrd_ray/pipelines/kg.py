@@ -298,3 +298,73 @@ def kg_triples_sharded(
         params,
         manifest_inputs + [f"{ctx.sf_dir}/orders.parquet"],
     )
+
+
+# ---------------------------------------------------------------------------
+# Snapshot diff: which docs' winning entity changed after a re-crawl
+# ---------------------------------------------------------------------------
+
+
+def swap_snapshot_docs(sf_dir: str) -> ray.data.Dataset:
+    """Deterministic synthetic re-crawl for the snapshot-diff operator:
+    each doc's text swaps with its (doc_id XOR 1) partner, ids and langs
+    unchanged.  Swapping preserves the corpus-level text multiset — vocab,
+    catalog and every corpus-global statistic are identical across
+    snapshots, so the SAME broadcast context scores both (and the oracle
+    can derive snapshot-B winners from the one winners relation).  Pairs
+    co-locate by doc_id // 2 hash — a slim one-column shuffle."""
+    from ahrd_ray.stages.partitioning import n_hash_parts
+
+    docs = read_documents(sf_dir)
+    n_parts = n_hash_parts()
+
+    def add_pair(df):
+        return df.assign(pgrp=((df["doc_id"] // 2) % n_parts).astype("int32"))
+
+    def swap(df):
+        other = df[["doc_id", "text"]].copy()
+        other["doc_id"] = other["doc_id"] ^ 1
+        other = other.rename(columns={"text": "new_text"})
+        out = df.merge(other, on="doc_id", how="left")
+        out["text"] = out["new_text"].where(out["new_text"].notna(), out["text"])
+        return out[["doc_id", "text", "lang"]]
+
+    return (
+        docs.map_batches(add_pair, batch_format="pandas")
+        .groupby("pgrp")
+        .map_groups(swap, batch_format="pandas")
+    )
+
+
+def winner_delta(ctx: PipelineContext) -> ray.data.Dataset:
+    """(doc_id, old_cand_id, new_cand_id) — docs whose WINNING entity
+    changed between the current snapshot and the synthetic re-crawl
+    (swap_snapshot_docs): the incremental-KG-refresh diff that decides
+    which triples to retract/assert without rebuilding the graph.
+
+    Scale shape: two full fused winner passes (each zero-shuffle) and ONE
+    slim budgeted join on doc_id; the diff filter is map-side.  Inner-join
+    semantics: the delta covers docs holding a winner in both snapshots."""
+    from ahrd_ray.stages.partitioning import budgeted_join, drop_empty_blocks
+
+    wa = winners_dataset_fused(ctx).select_columns(["doc_id", "cand_id"])
+    docs_b = swap_snapshot_docs(ctx.sf_dir)
+    wb = winners_dataset_fused(ctx, docs=docs_b).select_columns(["doc_id", "cand_id"])
+
+    def ren(t: pa.Table) -> pa.Table:
+        return t.rename_columns(["doc_id", "new_cand_id"])
+
+    joined = budgeted_join(
+        drop_empty_blocks(wa),
+        drop_empty_blocks(wb.map_batches(ren, batch_format="pyarrow")),
+        on=("doc_id",),
+        right_on=("doc_id",),
+        n_joins=1,
+    )
+
+    def diff(df):
+        out = df[df["cand_id"].fillna("") != df["new_cand_id"].fillna("")]
+        out = out.rename(columns={"cand_id": "old_cand_id"})
+        return out[["doc_id", "old_cand_id", "new_cand_id"]]
+
+    return joined.map_batches(diff, batch_format="pandas")

@@ -2824,3 +2824,60 @@ def sql_moving_frame() -> str:
 FROM events
 WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
              ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)"""
+
+
+def sql_winner_delta(cfg: EngineConfig) -> str:
+    """Snapshot-diff oracle (pipelines/kg.winner_delta): the full winners
+    chain runs TWICE — once over ``documents`` and once over the mutated
+    snapshot (texts swapped within (doc_id XOR 1) pairs, ids/langs fixed),
+    with the B chain's doc-dependent CTEs mechanically renamed ``*_b``.
+    Corpus-level CTEs (vocab, catalog, aliases, attrs) are swap-invariant
+    and shared.  A partner-equality shortcut is NOT valid: the synthetic
+    match-score generator hashes doc_id into e_rank/match_score (the
+    re-crawl analogue of fresh alignment scores), so snapshot B must be
+    scored for real on both sides."""
+    import re
+
+    doc_dep = [
+        "doc_tokens", "candidates", "vcands", "dcands", "fcands", "totals",
+        "cum", "token_scores", "topk", "doc_high", "filtered_ts",
+        "cand_tok_agg", "scored", "elig2", "winners",
+    ]
+
+    def rename_b(s: str) -> str:
+        s = re.sub(r"\bdocuments\b", "docs_b", s)
+        for n in doc_dep:
+            s = re.sub(rf"\b{n}\b", f"{n}_b", s)
+        return s
+
+    docs_b = """docs_b AS (
+  SELECT a.doc_id, coalesce(b.text, a.text) AS text, a.lang
+  FROM documents a
+  LEFT JOIN documents b ON b.doc_id = xor(a.doc_id, CAST(1 AS BIGINT))
+)"""
+    chain_b = [
+        rename_b(c)
+        for c in (
+            cte_doc_tokens(),
+            cte_candidates(),
+            cte_valid_dedup(),
+            cte_scoring(cfg),
+            cte_winners(restrict_annotated=False),
+        )
+    ]
+    return (
+        _with(
+            *_cands_prefix(cfg),
+            cte_valid_dedup(),
+            cte_attrs(),
+            cte_scoring(cfg),
+            cte_winners(restrict_annotated=False),
+            docs_b,
+            *chain_b,
+        )
+        + """
+SELECT a.doc_id, a.cand_id AS old_cand_id, w.cand_id AS new_cand_id
+FROM winners a
+JOIN winners_b w ON w.doc_id = a.doc_id
+WHERE coalesce(a.cand_id, '') != coalesce(w.cand_id, '')"""
+    )

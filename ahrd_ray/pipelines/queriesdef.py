@@ -867,6 +867,14 @@ def _kg_queries(cfg) -> dict[str, tuple[Callable, str | None]]:
         # set as the mention path by construction, so the oracles are shared
         "kg_external_candidates": (q_external_candidates, oracle.sql_candidates(cfg)),
         "kg_external_winners": (q_external_winners, oracle.sql_winners(cfg)),
+        # incremental-KG-refresh diff: winners recomputed over a synthetic
+        # re-crawl, joined and diffed against the current snapshot
+        "kg_snapshot_delta": (
+            lambda sf: kg.winner_delta(_ctx(sf)).map_batches(
+                _int64, batch_format="pyarrow"
+            ),
+            oracle.sql_winner_delta(cfg),
+        ),
         "kg_cooccurrence": (q_cooccurrence, oracle.sql_cooccurrence(cfg)),
         # bipartite doc-entity projection: doc pairs sharing linked entities
         "kg_cocitation": (q_cocitation, oracle.sql_cocitation(cfg)),

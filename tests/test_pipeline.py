@@ -658,3 +658,23 @@ def test_containment_oracle_and_asymmetry(ray_session):
         jac = ngram_jaccard_pairs(td).to_pandas()
     assert len(cont) == 1 and cont["containment"].iloc[0] == 1.0
     assert len(jac) == 0  # jaccard misses the embedded duplicate
+
+
+def test_snapshot_delta_only_flags_changed_texts(ray_session):
+    """Every doc in the winner delta actually received different text in
+    the re-crawl (texts equal -> identical pipeline input under the same
+    doc_id -> same winner), and old != new on every row."""
+    import pandas as pd
+
+    from ahrd_ray.pipelines import kg
+
+    ctx = kg.cached_context(SF)
+    delta = kg.winner_delta(ctx).to_pandas()
+    assert len(delta) > 0
+    assert (delta["old_cand_id"].fillna("") != delta["new_cand_id"].fillna("")).all()
+
+    docs = pd.read_parquet(
+        f"{SF}/documents.parquet", columns=["doc_id", "text"]
+    ).set_index("doc_id")["text"]
+    for d in delta["doc_id"]:
+        assert docs[d] != docs[int(d) ^ 1], d
