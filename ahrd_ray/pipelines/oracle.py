@@ -2881,3 +2881,53 @@ FROM winners a
 JOIN winners_b w ON w.doc_id = a.doc_id
 WHERE coalesce(a.cand_id, '') != coalesce(w.cand_id, '')"""
     )
+
+
+def sql_attr_vote(cfg: EngineConfig) -> str:
+    """Neighbor-vote attribute completion (stages/graph.attr_vote): over
+    the kNN entity graph (sql_link_pred's chain), unlabeled nodes take the
+    majority attribute of their labeled neighbors; tie-break votes DESC,
+    attr ASC.  Labels come from the FULL attr map joined to the catalog
+    (the engine's broadcast ctx.attrs), not the vcands-semi-joined
+    attrs_present."""
+    from ahrd_ray.stages.graph import LINKPRED_NEIGHBOR_CAP
+
+    return (
+        _with(*_cands_prefix(cfg), cte_valid_dedup(), cte_attrs(), _cte_cooccur_pairs(cfg))
+        + f""",
+sides AS (
+  SELECT cand_a AS node, cand_b AS nb, n_docs FROM pairs
+  UNION ALL SELECT cand_b, cand_a, n_docs FROM pairs
+),
+capped AS (
+  SELECT node, nb FROM (
+    SELECT node, nb, row_number() OVER (
+        PARTITION BY node ORDER BY n_docs DESC, nb ASC) AS rn
+    FROM sides
+  ) WHERE rn <= {LINKPRED_NEIGHBOR_CAP}
+),
+knn AS (
+  SELECT DISTINCT least(node, nb) AS cand_a, greatest(node, nb) AS cand_b
+  FROM capped
+),
+ksides AS (
+  SELECT cand_a AS node, cand_b AS nb FROM knn
+  UNION ALL SELECT cand_b, cand_a FROM knn
+),
+node_attrs AS (
+  SELECT DISTINCT c.cand_ord AS node, a.attr
+  FROM catalog c JOIN attrs_all a ON a.cand_short = c.cand_short
+),
+votes AS (
+  SELECT s.node, na.attr, CAST(count(*) AS BIGINT) AS votes
+  FROM ksides s
+  JOIN node_attrs na ON na.node = s.nb
+  WHERE s.node NOT IN (SELECT node FROM node_attrs)
+  GROUP BY 1, 2
+)
+SELECT node, attr AS pred_attr, votes FROM (
+  SELECT *, row_number() OVER (
+      PARTITION BY node ORDER BY votes DESC, attr ASC) AS rn
+  FROM votes
+) WHERE rn = 1"""
+    )

@@ -876,6 +876,11 @@ def _kg_queries(cfg) -> dict[str, tuple[Callable, str | None]]:
             oracle.sql_winner_delta(cfg),
         ),
         "kg_cooccurrence": (q_cooccurrence, oracle.sql_cooccurrence(cfg)),
+        # KG completion: unlabeled entities take the neighbor-majority attr
+        "kg_attr_vote": (
+            lambda sf: _attr_vote(sf),
+            oracle.sql_attr_vote(cfg),
+        ),
         # bipartite doc-entity projection: doc pairs sharing linked entities
         "kg_cocitation": (q_cocitation, oracle.sql_cocitation(cfg)),
         # iterative k-core peel over the co-occurrence graph
@@ -1004,6 +1009,12 @@ def q_pagerank(sf_dir: str):
     from ahrd_ray.stages.graph import pagerank
 
     return pagerank(sf_dir)
+
+
+def _attr_vote(sf_dir: str):
+    from ahrd_ray.stages.graph import attr_vote
+
+    return attr_vote(sf_dir).map_batches(_int64, batch_format="pyarrow")
 
 
 def q_cocitation(sf_dir: str):

@@ -1582,3 +1582,77 @@ def kcore_nodes(
         return df.astype({"node": "int64", "core_deg": "int64"})
 
     return core_degrees(alive).map_batches(finish, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# Attribute completion by neighbor vote (KG completion over the kNN graph)
+# ---------------------------------------------------------------------------
+
+
+def attr_vote(sf_dir: str) -> ray.data.Dataset:
+    """(node, pred_attr, votes) — for every kNN-graph entity WITHOUT
+    attributes, the majority attribute among its neighbors that have them
+    (votes = neighbor count carrying that attr; deterministic tie-break
+    votes DESC, attr ASC): label propagation one hop out, the classic
+    KG-completion pass that fills sparse attribute coverage.
+
+    Scale shape: the attr map and the entity->short mapping are the
+    broadcast catalog bundle this engine already ships; edges stream once,
+    neighbor attrs explode MAP-SIDE from the broadcast dict, and one
+    node-hash groupby tallies votes and takes the per-node argmax."""
+    from ahrd_ray.pipelines import kg
+    from ahrd_ray.stages.score import get_broadcast
+
+    ctx = kg.cached_context(sf_dir)
+    shorts = ctx.bundle.arrays.cand_short
+    # nodes that already HAVE attrs never get a prediction
+    attrs_by_ord = {
+        int(o): sorted(ctx.attrs[s])
+        for o, s in enumerate(shorts)
+        if s in ctx.attrs and ctx.attrs[s]
+    }
+    attrs_ref = ray.put(attrs_by_ord)
+    n_parts = n_hash_parts()
+
+    def votes_partial(batch: pa.Table) -> pd.DataFrame:
+        amap = get_broadcast(attrs_ref)
+        a = batch["cand_a"].to_numpy()
+        b = batch["cand_b"].to_numpy()
+        # undirected: each edge lets either endpoint vote for the other;
+        # dict-map + explode keeps the fan-out in pandas C paths
+        node = pd.Series(np.concatenate([a, b]), dtype="int64")
+        nbr = pd.Series(np.concatenate([b, a]), dtype="int64")
+        df = pd.DataFrame({"node": node, "attr": nbr.map(amap)})
+        df = df[df["attr"].notna() & ~df["node"].isin(amap)]
+        df = df.explode("attr", ignore_index=True)
+        if not len(df):
+            return pd.DataFrame(
+                {
+                    "node": pd.Series([], dtype="int64"),
+                    "attr": pd.Series([], dtype="object"),
+                    "votes": pd.Series([], dtype="int64"),
+                    "npart": pd.Series([], dtype="int32"),
+                }
+            )
+        out = df.groupby(["node", "attr"], as_index=False).size().rename(
+            columns={"size": "votes"}
+        )
+        out["npart"] = (out["node"] % n_parts).astype("int32")
+        return out
+
+    def argmax(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["node", "attr"], as_index=False)["votes"].sum()
+        g = g.sort_values(
+            ["node", "votes", "attr"], ascending=[True, False, True], kind="mergesort"
+        )
+        top = g[~g.duplicated("node", keep="first")]
+        return top.rename(columns={"attr": "pred_attr"})[
+            ["node", "pred_attr", "votes"]
+        ].astype({"node": "int64", "votes": "int64"})
+
+    return (
+        knn_edges(sf_dir)
+        .map_batches(votes_partial, batch_format="pyarrow")
+        .groupby("npart")
+        .map_groups(argmax, batch_format="pandas")
+    )

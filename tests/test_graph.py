@@ -420,3 +420,45 @@ def test_kcore_is_fixpoint_and_matches_bruteforce():
     }
     assert (got["core_deg"] >= KCORE_K).all()
     assert len(got) > 0  # the chosen k leaves a non-empty core at sf0.001
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_attr_vote_matches_bruteforce():
+    """Neighbor-vote predictions == brute-force majority over the kNN
+    graph; predicted nodes are exactly the unlabeled nodes with >= 1
+    labeled neighbor."""
+    from collections import Counter, defaultdict
+
+    from ahrd_ray.pipelines import kg
+    from ahrd_ray.stages.graph import attr_vote, knn_edges
+
+    ctx = kg.cached_context(SF)
+    shorts = ctx.bundle.arrays.cand_short
+    amap = {
+        int(o): sorted(ctx.attrs[s])
+        for o, s in enumerate(shorts)
+        if s in ctx.attrs and ctx.attrs[s]
+    }
+    edges = knn_edges(SF).to_pandas()
+    nbrs = defaultdict(set)
+    for a, b in zip(edges["cand_a"], edges["cand_b"]):
+        nbrs[int(a)].add(int(b))
+        nbrs[int(b)].add(int(a))
+    expected = {}
+    for u, vs in nbrs.items():
+        if u in amap:
+            continue
+        c = Counter()
+        for v in vs:
+            for attr in amap.get(v, ()):
+                c[attr] += 1
+        if c:
+            best = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+            expected[u] = best
+    got = attr_vote(SF).to_pandas()
+    got_map = {
+        int(n): (a, int(v))
+        for n, a, v in zip(got["node"], got["pred_attr"], got["votes"])
+    }
+    assert got_map == expected
+    assert len(got_map) > 0
