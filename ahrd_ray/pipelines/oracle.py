@@ -2931,3 +2931,45 @@ SELECT node, attr AS pred_attr, votes FROM (
   FROM votes
 ) WHERE rn = 1"""
     )
+
+
+def sql_personalized_pagerank(cfg: EngineConfig, iters: int | None = None) -> str:
+    """Seeded-teleport PageRank (stages/graph.personalized_pagerank):
+    sql_pagerank's unrolled integer arithmetic with r0 / teleport restricted
+    to the seed set (node % PPR_SEED_MOD == 0)."""
+    from ahrd_ray.stages.graph import (
+        PPR_SEED_MOD,
+        PR_DAMP_DEN,
+        PR_DAMP_NUM,
+        PR_ITERS,
+        PR_UNIT,
+    )
+
+    ni = PR_ITERS if iters is None else iters
+    teleport = (PR_DAMP_DEN - PR_DAMP_NUM) * PR_UNIT // PR_DAMP_DEN
+    ctes = [
+        *_cands_prefix(cfg),
+        cte_valid_dedup(),
+        _cte_cooccur_pairs(cfg),
+        """edges AS (
+  SELECT cand_a AS src, cand_b AS dst FROM pairs
+  UNION ALL SELECT cand_b, cand_a FROM pairs
+)""",
+        "deg AS (SELECT src AS node, count(*) AS deg FROM edges GROUP BY 1)",
+        f"""r0 AS (SELECT node,
+  CAST(CASE WHEN node % {PPR_SEED_MOD} = 0 THEN {PR_UNIT} ELSE 0 END AS BIGINT) AS r
+FROM deg)""",
+    ]
+    for k in range(1, ni + 1):
+        ctes.append(
+            f"""r{k} AS (
+  SELECT e.dst AS node,
+         CAST(CASE WHEN e.dst % {PPR_SEED_MOD} = 0 THEN {teleport} ELSE 0 END AS BIGINT)
+         + CAST(sum(({PR_DAMP_NUM} * (r.r // d.deg)) // {PR_DAMP_DEN}) AS BIGINT) AS r
+  FROM edges e
+  JOIN r{k - 1} r ON r.node = e.src
+  JOIN deg d ON d.node = e.src
+  GROUP BY e.dst
+)"""
+        )
+    return _with(*ctes) + f"\nSELECT node, r AS rank_units FROM r{ni}"

@@ -886,6 +886,8 @@ def _kg_queries(cfg) -> dict[str, tuple[Callable, str | None]]:
         # iterative k-core peel over the co-occurrence graph
         "kg_kcore": (q_kcore, oracle.sql_kcore(cfg)),
         "kg_pagerank": (q_pagerank, oracle.sql_pagerank(cfg)),
+        # seeded-teleport variant: proximity to a deterministic seed set
+        "kg_ppr": (q_ppr, oracle.sql_personalized_pagerank(cfg)),
         "kg_entity_degree": (q_entity_degree, oracle.sql_cooccur_degree(cfg)),
         "kg_fact_support": (q_fact_support, oracle.sql_fact_support(cfg)),
         "kg_entity_resolve": (q_entity_resolve, oracle.sql_entity_resolve(cfg)),
@@ -1015,6 +1017,12 @@ def _attr_vote(sf_dir: str):
     from ahrd_ray.stages.graph import attr_vote
 
     return attr_vote(sf_dir).map_batches(_int64, batch_format="pyarrow")
+
+
+def q_ppr(sf_dir: str):
+    from ahrd_ray.stages.graph import personalized_pagerank
+
+    return personalized_pagerank(sf_dir)
 
 
 def q_cocitation(sf_dir: str):

@@ -824,12 +824,13 @@ def min_label_components(
         cand = _join(
             edges, labels, on=("src",), right_on=("doc_id",), n_joins=1
         ).map_batches(nbr_min, batch_format="pandas")
-        labels = (
+        # scrub: the map_groups finalize can emit schema-less empty blocks
+        # that would poison next round's hash join (partitioning helper)
+        labels = drop_empty_blocks(
             labels.union(cand)
             .groupby("doc_id")
             .map_groups(merge_min, batch_format="pandas")
-            .materialize()
-        )
+        ).materialize()
         s = labels.sum("cluster_rep")
         if s == prev_sum:
             break

@@ -1406,7 +1406,11 @@ def customer_order_counts(sf_dir: str) -> ray.data.Dataset:
         out = df.groupby("o_custkey", as_index=False).size()
         return out.rename(columns={"size": "n_orders"})
 
-    per_cust = (
+    from ahrd_ray.stages.partitioning import drop_empty_blocks
+
+    # scrubbed: the map_groups finalize can emit schema-less empty blocks
+    # that would poison the join below (partitioning helper)
+    per_cust = drop_empty_blocks(
         orders.map_batches(partial, batch_format="pandas")
         .groupby("o_custkey")
         .map_groups(

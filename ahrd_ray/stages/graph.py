@@ -1084,7 +1084,11 @@ def link_pred(sf_dir: str, n: int = LINKPRED_TOP_N) -> ray.data.Dataset:
     knn = knn_edges(sf_dir)
     deg_ref = ray.put(_knn_degrees(knn, n_nodes))
 
-    cn = (
+    from ahrd_ray.stages.partitioning import drop_empty_blocks
+
+    # scrubbed: the map_groups finalize can emit schema-less empty blocks
+    # that would poison the anti-join below (partitioning helper)
+    cn = drop_empty_blocks(
         _knn_wedges(knn, n_parts, keep_center=False)
         .groupby("ppart")
         .map_groups(
@@ -1655,4 +1659,67 @@ def attr_vote(sf_dir: str) -> ray.data.Dataset:
         .map_batches(votes_partial, batch_format="pyarrow")
         .groupby("npart")
         .map_groups(argmax, batch_format="pandas")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Personalized PageRank (seeded teleport — entity recommendation)
+# ---------------------------------------------------------------------------
+
+PPR_SEED_MOD = 7  # deterministic seed set: cand_ord % 7 == 0
+
+
+def personalized_pagerank(sf_dir: str, iters: int = PR_ITERS) -> pa.Table:
+    """(node, rank_units) — PageRank whose teleport mass is restricted to a
+    deterministic seed set (cand_ord % PPR_SEED_MOD == 0): rank measures
+    proximity to the seeds through the co-occurrence graph — the
+    "entities related to this portfolio" recommendation query.  Identical
+    integer-unit arithmetic and distribution shape as :func:`pagerank`
+    (edges materialize once, dense |V| int64 state re-broadcast per
+    round); only the r0 / teleport vectors differ."""
+    from ahrd_ray.pipelines import kg
+
+    ctx = kg.cached_context(sf_dir)
+    n_nodes = ctx.bundle.n
+
+    def both_dirs(batch: pa.Table) -> pa.Table:
+        a = batch["cand_a"].to_numpy()
+        b = batch["cand_b"].to_numpy()
+        return pa.table(
+            {
+                "src": pa.array(np.concatenate([a, b]), type=pa.int64()),
+                "dst": pa.array(np.concatenate([b, a]), type=pa.int64()),
+            }
+        )
+
+    edges = (
+        cooccurrence_edges(sf_dir)
+        .map_batches(both_dirs, batch_format="pyarrow")
+        .materialize()
+    )
+
+    deg = _edge_sweep(edges, lambda src: np.ones(len(src), dtype=np.int64), n_nodes)
+    in_graph = deg > 0
+    seed = (np.arange(n_nodes) % PPR_SEED_MOD == 0) & in_graph
+    ranks = np.where(seed, np.int64(PR_UNIT), np.int64(0))
+    teleport = (PR_DAMP_DEN - PR_DAMP_NUM) * PR_UNIT // PR_DAMP_DEN
+    safe_deg = np.maximum(deg, 1)
+    for _ in range(iters):
+        state_ref = ray.put((ranks.copy(), safe_deg))
+
+        def contrib(src, _ref=state_ref):
+            from ahrd_ray.stages.score import get_broadcast
+
+            r, d = get_broadcast(_ref)
+            return (PR_DAMP_NUM * (r[src] // d[src])) // PR_DAMP_DEN
+
+        sums = _edge_sweep(edges, contrib, n_nodes)
+        ranks = np.where(in_graph, np.where(seed, teleport, 0) + sums, 0)
+
+    nodes = np.flatnonzero(in_graph)
+    return pa.table(
+        {
+            "node": pa.array(nodes.astype(np.int64), type=pa.int64()),
+            "rank_units": pa.array(ranks[nodes], type=pa.int64()),
+        }
     )

