@@ -2973,3 +2973,34 @@ FROM deg)""",
 )"""
         )
     return _with(*ctes) + f"\nSELECT node, r AS rank_units FROM r{ni}"
+
+
+def sql_quarantine(cfg: EngineConfig) -> str:
+    """Quarantine-channel oracle (sources/external.quarantine_candidate_table
+    over write_corrupt_fixture): the fixture's defects are pure functions of
+    doc_id, so the flagged (line, reason) rows reconstruct from documents +
+    the catalog CTE."""
+    from ahrd_ray.sources.external import QUAR_MOD, QUAR_UNKNOWN_ID
+
+    t = "chr(9)"
+    good_tail = (
+        f"{t} || '1e-05' || {t} || '50.0' || {t} || '1' || {t} || '5' || {t} || '1' || {t} || '4'"
+    )
+    bad_tail = (
+        f"{t} || 'bogus' || {t} || '50.0' || {t} || '1' || {t} || '5' || {t} || '1' || {t} || '4'"
+    )
+    return (
+        _with(*_cands_prefix(cfg))
+        + f""",
+qdocs AS (SELECT doc_id, doc_id % {QUAR_MOD} AS m FROM documents)
+SELECT CAST(doc_id AS VARCHAR) || {t} || 'corrupt' AS line, 'columns' AS reason
+FROM qdocs WHERE m = 0
+UNION ALL
+SELECT CAST(doc_id AS VARCHAR) || {t} || '{QUAR_UNKNOWN_ID}' || {good_tail}, 'unknown_accession'
+FROM qdocs WHERE m = 1
+UNION ALL
+SELECT CAST(q.doc_id AS VARCHAR) || {t} || c.cand_id || {bad_tail}, 'bad_number'
+FROM qdocs q
+JOIN catalog c ON c.cand_ord = q.doc_id % (SELECT count(*) FROM part)
+WHERE q.m = 2"""
+    )

@@ -245,6 +245,17 @@ def q_external_candidates(sf_dir: str):
     return parsed.select_columns(_CAND_COLS).map_batches(_int64, batch_format="pyarrow")
 
 
+def q_external_quarantine(sf_dir: str):
+    from ahrd_ray.sources.external import (
+        quarantine_candidate_table,
+        write_corrupt_fixture,
+    )
+
+    ctx = _ctx(sf_dir)
+    path = write_corrupt_fixture(ctx)
+    return quarantine_candidate_table(path, ctx.catalog_ref)
+
+
 def q_external_winners(sf_dir: str):
     """Winners scored from the externally-read candidate table — proves the
     general scoring path accepts user-supplied similarity tables and agrees
@@ -866,6 +877,12 @@ def _kg_queries(cfg) -> dict[str, tuple[Callable, str | None]]:
         # external candidate-table source (S3 file form + M7): same candidate
         # set as the mention path by construction, so the oracles are shared
         "kg_external_candidates": (q_external_candidates, oracle.sql_candidates(cfg)),
+        # ingest quarantine channel: malformed lines -> (line, reason) side
+        # table instead of a first-error crash
+        "kg_external_quarantine": (
+            q_external_quarantine,
+            oracle.sql_quarantine(cfg),
+        ),
         "kg_external_winners": (q_external_winners, oracle.sql_winners(cfg)),
         # incremental-KG-refresh diff: winners recomputed over a synthetic
         # re-crawl, joined and diffed against the current snapshot

@@ -376,3 +376,152 @@ def write_external_fixture(ctx) -> str:
     with open(done, "w", encoding="utf-8") as fh:
         fh.write("ok\n")
     return out_dir
+
+
+# ---------------------------------------------------------------------------
+# Quarantine channel: malformed lines routed to a side table, not a crash
+# ---------------------------------------------------------------------------
+
+# corrupt-fixture cycle: doc_id % QUAR_MOD selects the injected defect
+# (0 = truncated line, 1 = unknown accession, 2 = unparseable e-value,
+# 3+ = well-formed line that must NOT be flagged)
+QUAR_MOD = 7
+QUAR_UNKNOWN_ID = "zz|P0|XX"  # no catalog source is named 'zz'
+
+
+def write_corrupt_fixture(ctx) -> str:
+    """Deterministic corrupt candidate table: one line per document whose
+    defect (or well-formedness) is a pure function of doc_id, so the
+    quarantine oracle reconstructs the flagged lines from ``documents``
+    alone.  Well-formed lines borrow a REAL accession (catalog ordinal
+    doc_id % |catalog|) to prove clean rows pass the quarantine untouched."""
+    out_dir = _fixture_dir(ctx.sf_dir) + "_corrupt"
+    done = os.path.join(out_dir, "_DONE")
+    if os.path.exists(done):
+        return out_dir
+    ids_ref = ray.put(np.asarray(ctx.bundle.arrays.cand_id, dtype=object))
+    n_cat = ctx.bundle.n
+
+    def to_lines(batch: pa.Table) -> pa.Table:
+        from ahrd_ray.stages.score import get_broadcast
+
+        ids = get_broadcast(ids_ref)
+        d = batch["doc_id"].to_numpy()
+        out = ["# corrupt fixture"]
+        for doc in d:
+            doc = int(doc)
+            m = doc % QUAR_MOD
+            if m == 0:
+                out.append(f"{doc}\tcorrupt")
+            elif m == 1:
+                out.append(f"{doc}\t{QUAR_UNKNOWN_ID}\t1e-05\t50.0\t1\t5\t1\t4")
+            elif m == 2:
+                out.append(f"{doc}\t{ids[doc % n_cat]}\tbogus\t50.0\t1\t5\t1\t4")
+            else:
+                out.append(f"{doc}\t{ids[doc % n_cat]}\t1e-05\t50.0\t1\t5\t1\t4")
+        return pa.table({"line": pa.array(out, type=pa.string())})
+
+    from ahrd_ray.sources.textsink import LineTextDatasink
+
+    docs = ray.data.read_parquet(
+        f"{ctx.sf_dir}/documents.parquet", columns=["doc_id"]
+    )
+    docs.map_batches(to_lines, batch_format="pyarrow").write_datasink(
+        LineTextDatasink(out_dir)
+    )
+    with open(done, "w", encoding="utf-8") as fh:
+        fh.write("ok\n")
+    return out_dir
+
+
+class QuarantineParser:
+    """Per-line triage of a candidate table: instead of the strict parser's
+    first-error crash, every malformed line lands in a (line, reason) side
+    table — the production ingest pattern that keeps one bad shard from
+    failing a 100-TB load.  Reasons, by check order: ``columns`` (too few
+    fields), ``bad_number`` (unparseable e-value / score / span), and
+    ``unknown_accession`` (cand_id absent from the catalog).  Well-formed
+    lines produce NO output here — the strict parser path consumes them."""
+
+    def __init__(self, catalog_ref, fmt: CandidateTableFormat):
+        from ahrd_ray.stages.score import get_broadcast
+
+        bundle = get_broadcast(catalog_ref)
+        self.known = frozenset(bundle.arrays.cand_id)
+        self.fmt = fmt
+        import re
+
+        self.comment = (
+            re.compile(f"^(?:{fmt.comment_regex})$") if fmt.comment_regex else None
+        )
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        lines = batch["text"]
+        if self.comment is not None:
+            keep = pc.invert(pc.match_substring_regex(lines, self.comment.pattern))
+            lines = lines.filter(keep) if isinstance(lines, pa.ChunkedArray) else pc.filter(lines, keep)
+        keep2 = pc.invert(pc.equal(lines, ""))
+        lines = lines.filter(keep2) if isinstance(lines, pa.ChunkedArray) else pc.filter(lines, keep2)
+        if len(lines) == 0:
+            return pa.table(
+                {"line": pa.array([], type=pa.string()),
+                 "reason": pa.array([], type=pa.string())}
+            )
+        f = self.fmt
+        cells = pc.split_pattern(lines, pattern=f.sep)
+        if isinstance(cells, pa.ChunkedArray):
+            cells = cells.combine_chunks()
+        ncol = pc.list_value_length(cells).to_numpy(zero_copy_only=False)
+        line_np = lines.to_numpy(zero_copy_only=False)
+        reasons = np.full(len(line_np), "", dtype=object)
+        short = ncol < f.n_cols
+        reasons[short] = "columns"
+        wide = ~short
+        if wide.any():
+            idx = np.nonzero(wide)[0]
+            sub = cells.take(pa.array(idx))
+
+            def col(i: int) -> np.ndarray:
+                return pc.list_element(sub, i).to_numpy(zero_copy_only=False)
+
+            ev = col(f.col_e_value).astype(object)
+            fix = np.char.startswith(ev.astype(str), "e") | np.char.startswith(
+                ev.astype(str), "E"
+            )
+            ev[fix] = "1" + ev[fix]
+            bad_num = pd.to_numeric(pd.Series(ev), errors="coerce").isna().to_numpy()
+            for c in (f.col_match_score, f.col_span_start, f.col_span_end,
+                      f.col_cand_start, f.col_cand_end):
+                bad_num |= pd.to_numeric(
+                    pd.Series(col(c)), errors="coerce"
+                ).isna().to_numpy()
+            unknown = ~pd.Series(col(f.col_cand_id)).isin(self.known).to_numpy()
+            reasons[idx[bad_num]] = "bad_number"
+            reasons[idx[~bad_num & unknown]] = "unknown_accession"
+        flag = reasons != ""
+        return pa.table(
+            {
+                "line": pa.array(line_np[flag], type=pa.string()),
+                "reason": pa.array(reasons[flag].astype(str), type=pa.string()),
+            }
+        )
+
+
+def quarantine_candidate_table(
+    path: str,
+    catalog_ref,
+    fmt: CandidateTableFormat | None = None,
+    concurrency: int | tuple = (1, 8),
+) -> ray.data.Dataset:
+    """(line, reason) quarantine table of a candidate file — one streaming
+    pass, actor pool holding the broadcast catalog id set."""
+    fmt = fmt or CandidateTableFormat()
+    # file_extensions: skip the _DONE marker, like _parse_candidate_file
+    return ray.data.read_text(path, file_extensions=["csv", "tsv", "txt"]).map_batches(
+        QuarantineParser,
+        fn_constructor_kwargs={"catalog_ref": catalog_ref, "fmt": fmt},
+        batch_format="pyarrow",
+        concurrency=concurrency,
+    )

@@ -26,3 +26,32 @@ def test_csv_events_roundtrip_typed():
     want = want[list(EVENT_SCHEMA)].sort_values("event_id").reset_index(drop=True)
     # doubles and timestamps must survive the text roundtrip bit-exact
     assert got.equals(want)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_quarantine_flags_exactly_the_injected_defects():
+    """Quarantine pass: every injected defect is flagged with its reason;
+    well-formed lines never appear; the strict parser would have crashed on
+    this file (first-error semantics), the quarantine pass does not."""
+    import numpy as np
+    import pandas as pd
+
+    from ahrd_ray.pipelines.queriesdef import _ctx
+    from ahrd_ray.sources.external import (
+        QUAR_MOD,
+        quarantine_candidate_table,
+        write_corrupt_fixture,
+    )
+
+    ctx = _ctx(SF)
+    path = write_corrupt_fixture(ctx)
+    got = quarantine_candidate_table(path, ctx.catalog_ref).to_pandas()
+
+    docs = pd.read_parquet(f"{SF}/documents.parquet", columns=["doc_id"])
+    m = docs["doc_id"].to_numpy() % QUAR_MOD
+    n_bad = int((m == 0).sum() + (m == 1).sum() + (m == 2).sum())
+    assert len(got) == n_bad
+    by_reason = got["reason"].value_counts()
+    assert by_reason["columns"] == (m == 0).sum()
+    assert by_reason["unknown_accession"] == (m == 1).sum()
+    assert by_reason["bad_number"] == (m == 2).sum()
