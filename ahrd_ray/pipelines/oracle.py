@@ -3004,3 +3004,14 @@ FROM qdocs q
 JOIN catalog c ON c.cand_ord = q.doc_id % (SELECT count(*) FROM part)
 WHERE q.m = 2"""
     )
+
+
+def sql_bucketed_orders() -> str:
+    """Co-bucketed join oracle (stages/bucketed.bucketed_orders_per_customer):
+    plain relational semantics — the bucketing is pure physical layout."""
+    return f"""SELECT c.c_custkey, c.c_mktsegment,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(CAST(floor(o.o_totalprice * {QUANT!r} + 0.5) AS BIGINT)) AS BIGINT)
+         AS sum_price_units
+FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+GROUP BY 1, 2"""

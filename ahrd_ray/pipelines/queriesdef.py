@@ -769,6 +769,11 @@ def _generic_queries() -> dict[str, tuple[Callable, str | None]]:
             ),
             oracle.sql_moving_frame(),
         ),
+        # co-bucketed layout: the zero-shuffle bucket-pairwise join
+        "rel_bucketed_join": (
+            lambda sf: _bucketed_join(sf),
+            oracle.sql_bucketed_orders(),
+        ),
         # one-pass data-quality profile: nulls/exact-distinct/min/max per col
         "rel_profile": (
             lambda sf: g.lineitem_profile(sf).map_batches(
@@ -1040,6 +1045,14 @@ def q_ppr(sf_dir: str):
     from ahrd_ray.stages.graph import personalized_pagerank
 
     return personalized_pagerank(sf_dir)
+
+
+def _bucketed_join(sf_dir: str):
+    from ahrd_ray.stages.bucketed import bucketed_orders_per_customer
+
+    return bucketed_orders_per_customer(sf_dir).map_batches(
+        _int64, batch_format="pyarrow"
+    )
 
 
 def q_cocitation(sf_dir: str):

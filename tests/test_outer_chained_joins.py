@@ -209,3 +209,44 @@ def test_lineitem_profile_matches_duckdb():
     assert got["col"].tolist() == exp["col"].tolist()
     for c in ["n_rows", "n_nulls", "n_distinct", "min_v", "max_v"]:
         np.testing.assert_array_equal(got[c].to_numpy(), exp[c].to_numpy())
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_bucketed_layout_colocates_keys():
+    """Co-bucketed layout invariant: every row in bucket i has key % N == i
+    on BOTH sides (this is what makes the bucket-pairwise join exchange-free),
+    and the joined result matches a plain DuckDB join."""
+    import pyarrow.parquet as pq
+
+    from ahrd_ray.pipelines.oracle import sql_bucketed_orders
+    from ahrd_ray.stages.bucketed import (
+        N_BUCKETS,
+        bucketed_layout_dir,
+        bucketed_orders_per_customer,
+    )
+
+    root = bucketed_layout_dir(SF)
+    for b in (0, N_BUCKETS - 1):
+        o = pq.read_table(f"{root}/orders/bucket={b}").to_pandas()
+        c = pq.read_table(f"{root}/customer/bucket={b}").to_pandas()
+        assert (o["o_custkey"] % N_BUCKETS == b).all()
+        assert (c["c_custkey"] % N_BUCKETS == b).all()
+
+    got = (
+        bucketed_orders_per_customer(SF)
+        .to_pandas()
+        .sort_values("c_custkey")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    for t in ["customer", "orders"]:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
+    exp = (
+        con.execute(sql_bucketed_orders())
+        .fetchdf()
+        .sort_values("c_custkey")
+        .reset_index(drop=True)
+    )
+    con.close()
+    for col in exp.columns:
+        np.testing.assert_array_equal(got[col].to_numpy(), exp[col].to_numpy())
