@@ -3015,3 +3015,30 @@ def sql_bucketed_orders() -> str:
          AS sum_price_units
 FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
 GROUP BY 1, 2"""
+
+
+def sql_funnel() -> str:
+    """Funnel conversion oracle (stages/generic.funnel_steps)."""
+    from ahrd_ray.stages.generic import FUNNEL_STEPS, FUNNEL_WINDOW_MIN
+
+    s1, s2, s3 = FUNNEL_STEPS
+    w = f"INTERVAL {FUNNEL_WINDOW_MIN} MINUTE"
+    return f"""WITH f1 AS (
+  SELECT user_id, min(ts) AS t1 FROM events WHERE event_type = '{s1}' GROUP BY 1
+),
+f2 AS (
+  SELECT e.user_id, min(e.ts) AS t2 FROM events e
+  JOIN f1 ON f1.user_id = e.user_id AND e.ts > f1.t1 AND e.ts <= f1.t1 + {w}
+  WHERE e.event_type = '{s2}' GROUP BY 1
+),
+f3 AS (
+  SELECT e.user_id, min(e.ts) AS t3 FROM events e
+  JOIN f2 ON f2.user_id = e.user_id AND e.ts > f2.t2 AND e.ts <= f2.t2 + {w}
+  WHERE e.event_type = '{s3}' GROUP BY 1
+)
+SELECT f1.user_id,
+       CAST(1 + (f2.user_id IS NOT NULL)::INT + (f3.user_id IS NOT NULL)::INT AS BIGINT)
+         AS steps_completed
+FROM f1
+LEFT JOIN f2 ON f2.user_id = f1.user_id
+LEFT JOIN f3 ON f3.user_id = f1.user_id"""

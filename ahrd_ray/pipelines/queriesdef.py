@@ -769,6 +769,11 @@ def _generic_queries() -> dict[str, tuple[Callable, str | None]]:
             ),
             oracle.sql_moving_frame(),
         ),
+        # ordered-step funnel conversion per user
+        "rel_funnel": (
+            lambda sf: g.funnel_steps(sf).map_batches(_int64, batch_format="pyarrow"),
+            oracle.sql_funnel(),
+        ),
         # co-bucketed layout: the zero-shuffle bucket-pairwise join
         "rel_bucketed_join": (
             lambda sf: _bucketed_join(sf),

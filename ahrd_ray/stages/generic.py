@@ -1988,3 +1988,60 @@ def moving_frame_sums(sf_dir: str) -> ray.data.Dataset:
         .groupby("upart")
         .map_groups(frames, batch_format="pandas")
     )
+
+
+# ---------------------------------------------------------------------------
+# Funnel analysis (ordered step conversion per user)
+# ---------------------------------------------------------------------------
+
+FUNNEL_STEPS = ("view", "click", "purchase")
+FUNNEL_WINDOW_MIN = 1440  # each step must land within 24h of the previous
+
+
+def funnel_steps(sf_dir: str) -> ray.data.Dataset:
+    """(user_id, steps_completed) for every user who entered the funnel
+    (has a 'view'): 2 means a 'click' STRICTLY after the first view and
+    within FUNNEL_WINDOW_MIN minutes of it, 3 a 'purchase' likewise after
+    that click — the windowed ordered-step conversion query of product
+    analytics (the window is what makes conversion non-trivial: an
+    unbounded funnel saturates on any long-lived user).
+
+    Scale shape: user-hash partitions are key-complete (the sessionize
+    pattern); within a partition the three step times resolve with
+    groupby-min + map lookups — no per-user Python, no global sort."""
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["ts", "user_id", "event_type"]
+    )
+    n_parts = n_hash_parts()
+
+    def add_part(df: pd.DataFrame) -> pd.DataFrame:
+        keep = df[df["event_type"].isin(FUNNEL_STEPS)]
+        return keep.assign(upart=(keep["user_id"] % n_parts).astype("int32"))
+
+    def steps(df: pd.DataFrame) -> pd.DataFrame:
+        s1, s2, s3 = FUNNEL_STEPS
+        t1 = df[df["event_type"] == s1].groupby("user_id")["ts"].min()
+        w = pd.Timedelta(minutes=FUNNEL_WINDOW_MIN)
+        c = df[df["event_type"] == s2]
+        base1 = c["user_id"].map(t1)
+        c = c[(c["ts"] > base1) & (c["ts"] <= base1 + w)]
+        t2 = c.groupby("user_id")["ts"].min()
+        p = df[df["event_type"] == s3]
+        base2 = p["user_id"].map(t2)
+        p = p[(p["ts"] > base2) & (p["ts"] <= base2 + w)]
+        t3 = p.groupby("user_id")["ts"].min()
+        users = t1.index.to_numpy()
+        completed = (
+            1
+            + pd.Series(users).isin(t2.index).to_numpy().astype(np.int64)
+            + pd.Series(users).isin(t3.index).to_numpy().astype(np.int64)
+        )
+        return pd.DataFrame(
+            {"user_id": users.astype(np.int64), "steps_completed": completed}
+        )
+
+    return (
+        ev.map_batches(add_part, batch_format="pandas")
+        .groupby("upart")
+        .map_groups(steps, batch_format="pandas")
+    )

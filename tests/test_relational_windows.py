@@ -85,3 +85,38 @@ def test_moving_frame_trailing_window():
         for e, s, n in zip(got["event_id"], got["frame_sum_units"], got["frame_n"])
     }
     assert got_map == exp_rows
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_funnel_steps_ordered_bruteforce():
+    """Funnel conversion == brute-force per-user ordered scan; strictly-after
+    + within-window semantics (a click at/before the first view, or later
+    than the window, does not count)."""
+    import pandas as pd
+
+    from ahrd_ray.stages.generic import FUNNEL_STEPS, FUNNEL_WINDOW_MIN, funnel_steps
+
+    got = funnel_steps(SF).to_pandas()
+    ev = pd.read_parquet(
+        f"{SF}/events.parquet", columns=["ts", "user_id", "event_type"]
+    ).sort_values(["user_id", "ts"], kind="mergesort")
+    s1, s2, s3 = FUNNEL_STEPS
+    expected = {}
+    for uid, g in ev.groupby("user_id"):
+        v = g[g["event_type"] == s1]["ts"]
+        if not len(v):
+            continue
+        t1 = v.min()
+        w = pd.Timedelta(minutes=FUNNEL_WINDOW_MIN)
+        steps = 1
+        c = g[(g["event_type"] == s2) & (g["ts"] > t1) & (g["ts"] <= t1 + w)]["ts"]
+        if len(c):
+            steps = 2
+            t2 = c.min()
+            p = g[(g["event_type"] == s3) & (g["ts"] > t2) & (g["ts"] <= t2 + w)]["ts"]
+            if len(p):
+                steps = 3
+        expected[int(uid)] = steps
+    got_map = dict(zip(got["user_id"].astype(int), got["steps_completed"].astype(int)))
+    assert got_map == expected
+    assert set(got_map.values()) >= {1, 2, 3}  # all stages populated at sf0.001
