@@ -540,6 +540,13 @@ def _web_queries() -> dict[str, tuple[Callable, str | None]]:
             ),
             "SELECT doc_id, text, lang, source, n_chars FROM documents",
         ),
+        # schema evolution: mixed old/new-schema shard dir unified at read
+        "src_evolved_docs": (
+            lambda sf: formats.read_documents_evolved(sf).map_batches(
+                _int64, batch_format="pyarrow"
+            ),
+            "SELECT doc_id, text, lang FROM documents",
+        ),
         "src_csv_events": (
             lambda sf: formats.read_events_csv(sf).map_batches(
                 _int64, batch_format="pyarrow"

@@ -116,3 +116,87 @@ def read_documents_partitioned(sf_dir: str) -> ray.data.Dataset:
         return pa.table({c: cols[c] for c in DOC_COLS})
 
     return ds.map_batches(fix, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# ---------------------------------------------------------------------------
+# Schema evolution: mixed-schema shard directory unified at the read
+# ---------------------------------------------------------------------------
+
+# legacy shard column names -> canonical (the v1 -> v2 rename a long-lived
+# corpus accumulates; shards from both eras coexist in one directory)
+LEGACY_DOC_MAP = {"id": "doc_id", "body": "text", "language": "lang"}
+
+
+def documents_evolved_dir(sf_dir: str) -> str:
+    """A shard directory spanning a schema migration: even doc_ids written
+    with the CANONICAL schema (doc_id, text, lang), odd doc_ids with the
+    LEGACY one (id, body, language) — the mixed layout a real corpus has
+    mid-migration."""
+
+    def write(out_dir: str) -> None:
+        import pyarrow as pa_
+
+        docs = ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
+        )
+
+        def new_half(t: "pa.Table") -> "pa.Table":
+            import pyarrow.compute as pc_
+
+            return t.filter(pc_.equal(pc_.bit_wise_and(t["doc_id"], 1), 0))
+
+        def old_half(t: "pa.Table") -> "pa.Table":
+            import pyarrow.compute as pc_
+
+            t = t.filter(pc_.equal(pc_.bit_wise_and(t["doc_id"], 1), 1))
+            return t.rename_columns(["id", "body", "language"])
+
+        docs.map_batches(new_half, batch_format="pyarrow").write_parquet(
+            f"{out_dir}/new"
+        )
+        docs.map_batches(old_half, batch_format="pyarrow").write_parquet(
+            f"{out_dir}/old"
+        )
+
+    return _render(sf_dir, "docs-evolved", write)
+
+
+def read_documents_evolved(
+    sf_dir: str, column_map: dict[str, str] | None = None
+) -> ray.data.Dataset:
+    """Unified read over a mixed-schema shard directory: files are grouped
+    by schema signature (one cheap footer read per file — metadata only,
+    no data IO), each group streams through its own ``read_parquet``, legacy
+    groups rename to canonical, and the union is one Dataset with ONE
+    schema.  A plain ``read_parquet`` over such a directory fails on the
+    schema mismatch; this is the migration-tolerant read path."""
+    import pyarrow.parquet as pq_
+
+    column_map = column_map or LEGACY_DOC_MAP
+    root = documents_evolved_dir(sf_dir)
+    files_by_sig: dict[tuple, list[str]] = {}
+    for dirpath, _, names in os.walk(root):
+        for n in sorted(names):
+            if not n.endswith(".parquet"):
+                continue
+            p = os.path.join(dirpath, n)
+            sig = tuple(pq_.read_schema(p).names)
+            files_by_sig.setdefault(sig, []).append(p)
+
+    parts = []
+    for sig, files in sorted(files_by_sig.items()):
+        ds = ray.data.read_parquet(files)
+        rename = {c: column_map[c] for c in sig if c in column_map}
+        if rename:
+            canonical = [column_map.get(c, c) for c in sig]
+            ds = ds.map_batches(
+                lambda t, _names=canonical: t.rename_columns(_names),
+                batch_format="pyarrow",
+                zero_copy_batch=True,
+            )
+        ds = ds.select_columns(["doc_id", "text", "lang"])
+        parts.append(ds)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.union(p)
+    return out

@@ -55,3 +55,42 @@ def test_quarantine_flags_exactly_the_injected_defects():
     assert by_reason["columns"] == (m == 0).sum()
     assert by_reason["unknown_accession"] == (m == 1).sum()
     assert by_reason["bad_number"] == (m == 2).sum()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_evolved_reader_unifies_mixed_schemas():
+    """The migration-tolerant reader recovers the full table from a
+    directory whose shards straddle a column rename; a naive read_parquet
+    over the same directory must NOT silently succeed with a unified
+    schema (it either raises or yields mismatched columns)."""
+    import pandas as pd
+
+    from ahrd_ray.sources.formats import (
+        documents_evolved_dir,
+        read_documents_evolved,
+    )
+
+    got = (
+        read_documents_evolved(SF)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    exp = (
+        pd.read_parquet(f"{SF}/documents.parquet", columns=["doc_id", "text", "lang"])
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, exp)
+
+    import ray as _ray
+
+    naive_ok = True
+    try:
+        naive = _ray.data.read_parquet(documents_evolved_dir(SF)).to_pandas()
+        naive_ok = set(naive.columns) == {"doc_id", "text", "lang"} and len(
+            naive
+        ) == len(exp)
+    except Exception:
+        naive_ok = False
+    assert not naive_ok  # the evolved reader is doing real work
