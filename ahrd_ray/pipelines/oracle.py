@@ -3042,3 +3042,16 @@ SELECT f1.user_id,
 FROM f1
 LEFT JOIN f2 ON f2.user_id = f1.user_id
 LEFT JOIN f3 ON f3.user_id = f1.user_id"""
+
+
+def sql_entity_timeline(cfg: EngineConfig) -> str:
+    """Node-level temporal provenance (stages/graph.entity_timeline) over
+    the same capped ccands relation as the co-occurrence edges."""
+    return (
+        _with(*_cands_prefix(cfg), cte_valid_dedup(), _cte_cooccur_pairs(cfg))
+        + """
+SELECT cand_ord, CAST(min(doc_id) AS BIGINT) AS first_doc,
+       CAST(max(doc_id) AS BIGINT) AS last_doc,
+       CAST(count(*) AS BIGINT) AS n_docs
+FROM ccands GROUP BY 1"""
+    )

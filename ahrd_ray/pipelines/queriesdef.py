@@ -540,6 +540,14 @@ def _web_queries() -> dict[str, tuple[Callable, str | None]]:
             ),
             "SELECT doc_id, text, lang, source, n_chars FROM documents",
         ),
+        # partition pruning: only the lang=en directory is listed and read
+        "src_pruned_docs": (
+            lambda sf: formats.read_documents_pruned(sf).map_batches(
+                _int64, batch_format="pyarrow"
+            ),
+            "SELECT doc_id, text, lang, source, n_chars FROM documents"
+            " WHERE lang = 'en'",
+        ),
         # schema evolution: mixed old/new-schema shard dir unified at read
         "src_evolved_docs": (
             lambda sf: formats.read_documents_evolved(sf).map_batches(
@@ -933,6 +941,8 @@ def _kg_queries(cfg) -> dict[str, tuple[Callable, str | None]]:
         "kg_link_pred": (q_link_pred, oracle.sql_link_pred(cfg)),
         "kg_clustering": (q_clustering, oracle.sql_clustering_coeff(cfg)),
         "kg_edge_timespan": (q_edge_timespan, oracle.sql_edge_timespan(cfg)),
+        # node-level temporal provenance (first/last appearance per entity)
+        "kg_entity_timeline": (q_entity_timeline, oracle.sql_entity_timeline(cfg)),
         "kg_neg_samples": (q_neg_samples, oracle.sql_neg_samples(cfg)),
         "kg_evidence": (q_evidence, oracle.sql_evidence_snippets(cfg)),
         # lossless-ness gate for the small-file compactor: compacted
@@ -944,6 +954,11 @@ def _kg_queries(cfg) -> dict[str, tuple[Callable, str | None]]:
         # lossless-ness gate for the JSONL shard sink (LLM-corpus format)
         "snk_jsonl_docs": (
             q_jsonl_docs,
+            "SELECT doc_id, lang, text FROM documents",
+        ),
+        # lossless-ness gate for the fully-quoted CSV sink
+        "snk_csv_docs": (
+            q_csv_docs,
             "SELECT doc_id, lang, text FROM documents",
         ),
     }
@@ -1005,6 +1020,12 @@ def q_jsonl_docs(sf_dir: str):
     return jsonl_roundtrip_docs(sf_dir).map_batches(_int64, batch_format="pyarrow")
 
 
+def q_csv_docs(sf_dir: str):
+    from ahrd_ray.stages.export import csv_roundtrip_docs
+
+    return csv_roundtrip_docs(sf_dir).map_batches(_int64, batch_format="pyarrow")
+
+
 def q_alias_pairs(sf_dir: str):
     from ahrd_ray.stages.graph import alias_pairs
 
@@ -1057,6 +1078,12 @@ def q_ppr(sf_dir: str):
     from ahrd_ray.stages.graph import personalized_pagerank
 
     return personalized_pagerank(sf_dir)
+
+
+def q_entity_timeline(sf_dir: str):
+    from ahrd_ray.stages.graph import entity_timeline
+
+    return entity_timeline(sf_dir).map_batches(_int64, batch_format="pyarrow")
 
 
 def _bucketed_join(sf_dir: str):

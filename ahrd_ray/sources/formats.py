@@ -200,3 +200,18 @@ def read_documents_evolved(
     for p in parts[1:]:
         out = out.union(p)
     return out
+
+
+def read_documents_pruned(sf_dir: str, lang: str = "en") -> ray.data.Dataset:
+    """Partition-pruned read: only the ``lang=<x>`` directory of the
+    hive-partitioned layout is listed and read — the other partitions'
+    bytes never leave storage (prune-at-the-read, the 100-TB rule).  The
+    partition value returns as a constant column."""
+    ds = ray.data.read_parquet(f"{documents_partitioned_dir(sf_dir)}/lang={lang}")
+
+    def fix(batch: "pa.Table") -> "pa.Table":
+        cols = {c: batch[c] for c in DOC_COLS if c != "lang"}
+        cols["lang"] = pa.array([lang] * len(batch), type=pa.string())
+        return pa.table({c: cols[c] for c in DOC_COLS})
+
+    return ds.map_batches(fix, batch_format="pyarrow")

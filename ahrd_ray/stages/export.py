@@ -120,3 +120,30 @@ def jsonl_roundtrip_docs(sf_dir: str, scratch: str | None = None) -> ray.data.Da
         os.path.join(scratch, f) for f in os.listdir(scratch) if f.endswith(".jsonl")
     ]
     return ray.data.read_json(files)
+
+
+def csv_roundtrip_docs(sf_dir: str, scratch: str | None = None) -> ray.data.Dataset:
+    """Write the corpus as CSV shards with FULL quoting (Arrow's writer
+    quotes every field, so embedded commas/quotes/newlines in text survive),
+    read it back with explicit column types.  The registry oracle compares
+    the round-trip against the source table — the lossless-ness gate for
+    the CSV sink, the same contract as snk_jsonl_docs (and the fix-class of
+    the round-2 ADVICE on quoting_style="none" exports)."""
+    import os
+    import shutil
+
+    import pyarrow.csv as pacsv
+
+    scratch = scratch or f"/tmp/ahrd_ray_csv/{abs(hash(sf_dir)) % (1 << 32)}"
+    shutil.rmtree(scratch, ignore_errors=True)
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "text"]
+    )
+    docs.write_csv(scratch)
+    files = sorted(
+        os.path.join(scratch, f) for f in os.listdir(scratch) if not f.startswith("_")
+    )
+    convert = pacsv.ConvertOptions(
+        column_types={"doc_id": pa.int64(), "lang": pa.string(), "text": pa.string()}
+    )
+    return ray.data.read_csv(files, convert_options=convert)

@@ -1723,3 +1723,39 @@ def personalized_pagerank(sf_dir: str, iters: int = PR_ITERS) -> pa.Table:
             "rank_units": pa.array(ranks[nodes], type=pa.int64()),
         }
     )
+
+
+def entity_timeline(sf_dir: str) -> ray.data.Dataset:
+    """(cand_ord, first_doc, last_doc, n_docs) per linked entity — the
+    node-level temporal provenance (doc_id is monotone in the crawl
+    fixture's warc_ts): when an entity first/last appeared and in how many
+    docs.  One fused detection pass emits slim capped links; min/max/count
+    combine map-side and finalize in the entity-hash partition."""
+    n_parts = n_hash_parts()
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("cand_ord", as_index=False).agg(
+            first_doc=("doc_id", "min"),
+            last_doc=("doc_id", "max"),
+            n_docs=("doc_id", "size"),
+        )
+        g["epart"] = (g["cand_ord"] % n_parts).astype("int32")
+        return g
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby("cand_ord", as_index=False).agg(
+            first_doc=("first_doc", "min"),
+            last_doc=("last_doc", "max"),
+            n_docs=("n_docs", "sum"),
+        )
+        return out.astype(
+            {"cand_ord": "int64", "first_doc": "int64",
+             "last_doc": "int64", "n_docs": "int64"}
+        )
+
+    return (
+        doc_entity_links(sf_dir)
+        .map_batches(partial, batch_format="pandas")
+        .groupby("epart")
+        .map_groups(final, batch_format="pandas")
+    )
