@@ -3055,3 +3055,30 @@ SELECT cand_ord, CAST(min(doc_id) AS BIGINT) AS first_doc,
        CAST(count(*) AS BIGINT) AS n_docs
 FROM ccands GROUP BY 1"""
     )
+
+
+def sql_above_avg_orders() -> str:
+    """Correlated-subquery oracle (stages/generic.above_avg_orders):
+    decorrelated, integer cross-multiplied — no division anywhere."""
+    return f"""WITH u AS (
+  SELECT o_orderkey, o_custkey,
+         CAST(floor(o_totalprice * {QUANT!r} + 0.5) AS BIGINT) AS price_units
+  FROM orders
+),
+pc AS (
+  SELECT o_custkey AS custkey, sum(price_units) AS sum_units,
+         CAST(count(*) AS BIGINT) AS n_orders
+  FROM u GROUP BY 1
+)
+SELECT u.o_orderkey, u.o_custkey, u.price_units
+FROM u JOIN pc ON pc.custkey = u.o_custkey
+WHERE u.price_units * pc.n_orders > pc.sum_units"""
+
+
+def sql_price_histogram() -> str:
+    """Equi-width histogram oracle (stages/generic.price_histogram)."""
+    from ahrd_ray.stages.generic import HIST_BIN_WIDTH
+
+    return f"""SELECT CAST(floor(o_totalprice / {HIST_BIN_WIDTH!r}) * {HIST_BIN_WIDTH!r} AS DOUBLE) AS bin_lo,
+       CAST(count(*) AS BIGINT) AS n_orders
+FROM orders GROUP BY 1"""

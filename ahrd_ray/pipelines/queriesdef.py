@@ -784,6 +784,20 @@ def _generic_queries() -> dict[str, tuple[Callable, str | None]]:
             ),
             oracle.sql_moving_frame(),
         ),
+        # correlated subquery (decorrelated, integer cross-multiplied)
+        "rel_above_avg_orders": (
+            lambda sf: g.above_avg_orders(sf).map_batches(
+                _int64, batch_format="pyarrow"
+            ),
+            oracle.sql_above_avg_orders(),
+        ),
+        # equi-width histogram
+        "rel_histogram": (
+            lambda sf: g.price_histogram(sf).map_batches(
+                _int64, batch_format="pyarrow"
+            ),
+            oracle.sql_price_histogram(),
+        ),
         # ordered-step funnel conversion per user
         "rel_funnel": (
             lambda sf: g.funnel_steps(sf).map_batches(_int64, batch_format="pyarrow"),

@@ -2045,3 +2045,112 @@ def funnel_steps(sf_dir: str) -> ray.data.Dataset:
         .groupby("upart")
         .map_groups(steps, batch_format="pandas")
     )
+
+
+# ---------------------------------------------------------------------------
+# Correlated-subquery shape: orders above their customer's own average
+# ---------------------------------------------------------------------------
+
+
+def above_avg_orders(sf_dir: str) -> ray.data.Dataset:
+    """(o_orderkey, o_custkey, price_units) — orders whose price exceeds
+    the placing customer's average order price: the classic correlated
+    subquery, decorrelated into per-key aggregate + join + map-side filter.
+
+    Exactness: the comparison is cross-multiplied integer arithmetic
+    (price_units * n_orders > sum_units), so there is NO division and the
+    oracle replicates it bit-exactly — avg-as-double would diverge between
+    numpy and DuckDB in the last ulp."""
+    from ahrd_ray.stages.partitioning import budgeted_join, drop_empty_blocks
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey", "o_totalprice"]
+    )
+
+    def prep(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "o_orderkey": df["o_orderkey"],
+                "o_custkey": df["o_custkey"],
+                "price_units": _qunits(df["o_totalprice"].to_numpy()),
+            }
+        )
+
+    slim = orders.map_batches(prep, batch_format="pandas")
+    n_parts = n_hash_parts()
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("o_custkey", as_index=False).agg(
+            sum_units=("price_units", "sum"), n_orders=("price_units", "size")
+        )
+        g["cpart"] = (g["o_custkey"] % n_parts).astype("int32")
+        return g
+
+    per_cust = drop_empty_blocks(
+        slim.map_batches(partial, batch_format="pandas")
+        .groupby("cpart")
+        .map_groups(
+            lambda df: df.groupby("o_custkey", as_index=False)[
+                ["sum_units", "n_orders"]
+            ].sum(),
+            batch_format="pandas",
+        )
+    )
+
+    joined = budgeted_join(
+        slim,
+        per_cust.map_batches(
+            lambda df: df.rename(columns={"o_custkey": "custkey"}),
+            batch_format="pandas",
+        ),
+        on=("o_custkey",),
+        right_on=("custkey",),
+        n_joins=1,
+    )
+
+    def keep_above(df: pd.DataFrame) -> pd.DataFrame:
+        p = df["price_units"].to_numpy(dtype=np.int64)
+        s = df["sum_units"].to_numpy(dtype=np.int64)
+        n = df["n_orders"].to_numpy(dtype=np.int64)
+        out = df[(p * n) > s]
+        return out[["o_orderkey", "o_custkey", "price_units"]].astype(
+            {"o_orderkey": "int64", "o_custkey": "int64", "price_units": "int64"}
+        )
+
+    return joined.map_batches(keep_above, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# Equi-width histogram
+# ---------------------------------------------------------------------------
+
+HIST_BIN_WIDTH = 25_000.0  # o_totalprice bin width
+
+
+def price_histogram(sf_dir: str) -> ray.data.Dataset:
+    """(bin_lo, n_orders) equi-width histogram of order prices — per-block
+    bincount partials, one tiny bin-keyed finalize."""
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_totalprice"]
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        b = np.floor(df["o_totalprice"].to_numpy() / HIST_BIN_WIDTH).astype(np.int64)
+        out = pd.DataFrame({"bin": b})
+        g = out.groupby("bin", as_index=False).size().rename(columns={"size": "n"})
+        return g
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("bin", as_index=False)["n"].sum()
+        return pd.DataFrame(
+            {
+                "bin_lo": (g["bin"].to_numpy() * HIST_BIN_WIDTH).astype(np.float64),
+                "n_orders": g["n"].to_numpy().astype(np.int64),
+            }
+        )
+
+    return (
+        orders.map_batches(partial, batch_format="pandas")
+        .groupby("bin")
+        .map_groups(final, batch_format="pandas")
+    )

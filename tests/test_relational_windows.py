@@ -120,3 +120,24 @@ def test_funnel_steps_ordered_bruteforce():
     got_map = dict(zip(got["user_id"].astype(int), got["steps_completed"].astype(int)))
     assert got_map == expected
     assert set(got_map.values()) >= {1, 2, 3}  # all stages populated at sf0.001
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_above_avg_orders_bruteforce():
+    """Decorrelated above-average filter == per-customer brute force; the
+    integer cross-multiplication keeps strictly-above semantics exact."""
+    import pandas as pd
+
+    from ahrd_ray.stages.generic import _qunits, above_avg_orders
+
+    got = set(above_avg_orders(SF).to_pandas()["o_orderkey"].astype(int))
+    o = pd.read_parquet(
+        f"{SF}/orders.parquet", columns=["o_orderkey", "o_custkey", "o_totalprice"]
+    )
+    o["u"] = _qunits(o["o_totalprice"].to_numpy())
+    exp = set()
+    for ck, g in o.groupby("o_custkey"):
+        s = int(g["u"].sum())
+        n = len(g)
+        exp |= {int(k) for k, u in zip(g["o_orderkey"], g["u"]) if int(u) * n > s}
+    assert got == exp and len(exp) > 0
