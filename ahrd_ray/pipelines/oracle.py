@@ -3082,3 +3082,39 @@ def sql_price_histogram() -> str:
     return f"""SELECT CAST(floor(o_totalprice / {HIST_BIN_WIDTH!r}) * {HIST_BIN_WIDTH!r} AS DOUBLE) AS bin_lo,
        CAST(count(*) AS BIGINT) AS n_orders
 FROM orders GROUP BY 1"""
+
+
+def sql_bfs_reach(cfg: EngineConfig, depth: int | None = None) -> str:
+    """Bounded multi-source BFS (stages/graph.bfs_reach): the engine's
+    per-round min-fold unrolled ``depth`` times over the co-occurrence
+    edge list — identical bounded fixed point."""
+    from ahrd_ray.stages.graph import BFS_DEPTH, BFS_SEED_MOD
+
+    depth = BFS_DEPTH if depth is None else depth
+    ctes = [
+        *_cands_prefix(cfg),
+        cte_valid_dedup(),
+        _cte_cooccur_pairs(cfg),
+        """edges AS MATERIALIZED (
+  SELECT cand_a AS src, cand_b AS dst FROM pairs
+  UNION ALL SELECT cand_b, cand_a FROM pairs
+)""",
+        f"d0 AS MATERIALIZED (SELECT cand_ord AS node, 0 AS dist"
+        f" FROM catalog WHERE cand_ord % {BFS_SEED_MOD} = 0)",
+    ]
+    for k in range(1, depth + 1):
+        # AS MATERIALIZED: each round references the previous distance
+        # table twice — same CTE-inlining hazard as sql_entity_components
+        ctes.append(
+            f"""d{k} AS MATERIALIZED (
+  SELECT node, MIN(dist) AS dist FROM (
+    SELECT node, dist FROM d{k - 1}
+    UNION ALL
+    SELECT e.dst AS node, l.dist + 1 FROM d{k - 1} l JOIN edges e ON e.src = l.node
+  ) GROUP BY node
+)"""
+        )
+    return (
+        _with(*ctes)
+        + f"\nSELECT node, CAST(dist AS BIGINT) AS dist FROM d{depth}"
+    )

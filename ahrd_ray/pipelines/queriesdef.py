@@ -951,6 +951,8 @@ def _kg_queries(cfg) -> dict[str, tuple[Callable, str | None]]:
         "kg_triangles": (q_triangles, oracle.sql_triangle_count(cfg)),
         "kg_alias_pairs": (q_alias_pairs, oracle.sql_alias_pairs(cfg)),
         "kg_components": (q_components, oracle.sql_entity_components(cfg)),
+        # bounded multi-source BFS: min hop distance from the seed set
+        "kg_bfs_reach": (q_bfs_reach, oracle.sql_bfs_reach(cfg)),
         "kg_top_neighbor": (q_top_neighbor, oracle.sql_top_neighbor(cfg)),
         "kg_link_pred": (q_link_pred, oracle.sql_link_pred(cfg)),
         "kg_clustering": (q_clustering, oracle.sql_clustering_coeff(cfg)),
@@ -982,6 +984,12 @@ def q_components(sf_dir: str):
     from ahrd_ray.stages.graph import entity_components
 
     return entity_components(sf_dir)
+
+
+def q_bfs_reach(sf_dir: str):
+    from ahrd_ray.stages.graph import bfs_reach
+
+    return bfs_reach(sf_dir)
 
 
 def q_top_neighbor(sf_dir: str):

@@ -1759,3 +1759,135 @@ def entity_timeline(sf_dir: str) -> ray.data.Dataset:
         .groupby("epart")
         .map_groups(final, batch_format="pandas")
     )
+
+
+# ---------------------------------------------------------------------------
+# Bounded multi-source BFS (entity reachability)
+# ---------------------------------------------------------------------------
+
+# Deterministic seed predicate (every 19th catalog entity — ~5% of the
+# catalog, dense enough that seeds hit the giant component at every test
+# scale) — a stand-in for "the curated seed entities" a real KG enrichment
+# pass starts from; the operator shape is identical for any seed set.
+BFS_SEED_MOD = 19
+BFS_DEPTH = 3
+
+
+def bfs_reach(
+    sf_dir: str, depth: int = BFS_DEPTH, seed_mod: int = BFS_SEED_MOD
+) -> ray.data.Dataset:
+    """(node, dist) — multi-source BFS over the co-occurrence graph:
+    minimum hop distance from the seed entity set (cand_ord % seed_mod
+    == 0), bounded at ``depth`` hops.  The "neighborhood enrichment"
+    query of KG construction: which entities are within k hops of the
+    curated seeds (and how close), e.g. to scope a subgraph export or a
+    crawl-frontier priority.
+
+    Distributed shape — per-level frontier expansion, NOT whole-graph
+    relaxation: round k joins only the *frontier* (nodes first reached at
+    k-1, a shrinking slim table) against the symmetrized edge list, then
+    folds the new (node, k) rows into the distance table with a per-node
+    min.  Nodes reached earlier keep their smaller dist via the min, so a
+    node filtered at ``dist == k`` after the fold is exactly the round-k
+    frontier — no anti-join needed.  The edge table is materialized once
+    and re-read zero-copy each round (the pagerank precedent); per-round
+    state is one slim (node, dist) row per reached node — the same
+    object-store-resident-state class as min_label_components.  Rounds =
+    ``depth`` (fixed), unlike components' diameter-bound iteration.
+
+    The DuckDB oracle (sql_bfs_reach) unrolls the SAME per-round min-fold,
+    so both sides compute the identical bounded-BFS fixed point."""
+    from ahrd_ray.pipelines import kg
+
+    ctx = kg.cached_context(sf_dir)
+    n = len(ctx.bundle.arrays.cand_id)
+
+    def sym(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "src": np.concatenate(
+                    [df["cand_a"].to_numpy(), df["cand_b"].to_numpy()]
+                ),
+                "dst": np.concatenate(
+                    [df["cand_b"].to_numpy(), df["cand_a"].to_numpy()]
+                ),
+            }
+        )
+
+    edges = (
+        cooccurrence_edges(sf_dir)
+        .map_batches(sym, batch_format="pandas")
+        .materialize()
+    )
+    seeds = np.arange(0, n, seed_mod, dtype=np.int64)
+    return bounded_bfs(edges, seeds, depth)
+
+
+def bounded_bfs(
+    edges: ray.data.Dataset, seeds: np.ndarray, depth: int
+) -> ray.data.Dataset:
+    """Frontier-expansion BFS core over a symmetrized (src, dst) edge
+    Dataset — see :func:`bfs_reach` for the distributed-shape rationale."""
+    from ahrd_ray.stages.partitioning import budgeted_join, drop_empty_blocks
+
+    dist = (
+        ray.data.from_arrow(
+            pa.table(
+                {
+                    "node": pa.array(seeds, type=pa.int64()),
+                    "dist": pa.array(
+                        np.zeros(len(seeds), np.int64), type=pa.int64()
+                    ),
+                }
+            )
+        )
+        # schema-carrying partitions (drop_empty_blocks): split-repartition
+        # empties would poison the round-1 Acero join's right side
+        .repartition(4, shuffle=True)
+        # pandas blocks throughout: the per-round union would otherwise mix
+        # Arrow (seed table) with pandas (map_groups fold) block types,
+        # which the groupby sort-sampler rejects
+        .map_batches(lambda df: df, batch_format="pandas")
+        .materialize()
+    )
+    frontier = dist.map_batches(
+        lambda df: df[["node"]], batch_format="pandas"
+    )
+
+    def nbr(df: pd.DataFrame) -> pd.DataFrame:
+        # per-join-partition dedup: each newly-touched dst once per block
+        return pd.DataFrame({"node": np.unique(df["dst"].to_numpy())})
+
+    def fold_min(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("node", as_index=False)["dist"].min()
+
+    for k in range(1, depth + 1):
+        cand = budgeted_join(
+            edges, frontier, on=("src",), right_on=("node",), n_joins=1
+        ).map_batches(nbr, batch_format="pandas")
+        cand = cand.map_batches(
+            lambda df, k=k: df.assign(dist=np.int64(k)), batch_format="pandas"
+        )
+        dist = drop_empty_blocks(
+            dist.union(cand)
+            .groupby("node")
+            .map_groups(fold_min, batch_format="pandas")
+        ).materialize()
+        if k < depth:
+            frontier = drop_empty_blocks(
+                dist.map_batches(
+                    lambda df, k=k: df.loc[df["dist"] == k, ["node"]]
+                    .reset_index(drop=True),
+                    batch_format="pandas",
+                )
+            ).materialize()
+            # BFS complete: nothing newly reached this round.  (Also load-
+            # bearing: a zero-row shuffled dataset re-emits schema-less
+            # blocks that would poison the next round's join right side.)
+            if frontier.count() == 0:
+                break
+
+    return dist.map_batches(
+        lambda df: df.astype({"node": "int64", "dist": "int64"}),
+        batch_format="pandas",
+    )

@@ -479,3 +479,88 @@ def test_ppr_mass_concentrates_on_seeds():
     assert seeds.any() and (~seeds).any()
     assert ranks[seeds].mean() > ranks[~seeds].mean()
     assert (ranks >= 0).all()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_bfs_reach_depth_cap_and_min_dist_on_path_graph():
+    """bounded_bfs on a 7-node path 0-1-2-3-4-5-6 seeded at {0}: dists are
+    the hop counts, capped at depth 3 (nodes 4..6 unreachable within the
+    bound; 4 would be dist 4)."""
+    import pandas as pd
+    import ray.data
+    import pyarrow as pa
+
+    from ahrd_ray.stages.graph import bounded_bfs
+
+    a = np.arange(6, dtype=np.int64)
+    edges = ray.data.from_arrow(
+        pa.table(
+            {
+                "src": pa.array(np.concatenate([a, a + 1]), type=pa.int64()),
+                "dst": pa.array(np.concatenate([a + 1, a]), type=pa.int64()),
+            }
+        )
+    ).map_batches(lambda df: df, batch_format="pandas")
+    out = (
+        bounded_bfs(edges, np.array([0], dtype=np.int64), depth=3)
+        .to_pandas()
+        .sort_values("node")
+        .reset_index(drop=True)
+    )
+    assert out["node"].tolist() == [0, 1, 2, 3]
+    assert out["dist"].tolist() == [0, 1, 2, 3]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_bfs_reach_multi_seed_min_and_early_exit():
+    """Two seeds on the same path: every node takes the NEAREST seed's
+    distance (min fold); a disconnected node never appears.  depth larger
+    than the eccentricity exercises the drained-frontier early exit."""
+    import pyarrow as pa
+    import ray.data
+
+    from ahrd_ray.stages.graph import bounded_bfs
+
+    a = np.arange(4, dtype=np.int64)  # path 0-1-2-3-4, plus isolated 9
+    edges = ray.data.from_arrow(
+        pa.table(
+            {
+                "src": pa.array(np.concatenate([a, a + 1]), type=pa.int64()),
+                "dst": pa.array(np.concatenate([a + 1, a]), type=pa.int64()),
+            }
+        )
+    ).map_batches(lambda df: df, batch_format="pandas")
+    out = (
+        bounded_bfs(edges, np.array([0, 4], dtype=np.int64), depth=3)
+        .to_pandas()
+        .sort_values("node")
+        .reset_index(drop=True)
+    )
+    assert out["node"].tolist() == [0, 1, 2, 3, 4]
+    # node 2 is 2 hops from both seeds; 1 and 3 are 1 hop from the nearer
+    assert out["dist"].tolist() == [0, 1, 2, 1, 0]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_bfs_reach_matches_duckdb_oracle_at_sf0001():
+    import duckdb
+    import pandas as pd
+
+    from ahrd_ray.config import DEFAULT_CONFIG
+    from ahrd_ray.pipelines.oracle import sql_bfs_reach
+    from ahrd_ray.stages.graph import bfs_reach
+
+    got = bfs_reach(SF).to_pandas().sort_values("node").reset_index(drop=True)
+    con = duckdb.connect()
+    for t in ["documents", "part", "orders", "lineitem"]:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
+    want = (
+        con.execute(sql_bfs_reach(DEFAULT_CONFIG))
+        .df()
+        .sort_values("node")
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(want) > 0
+    pd.testing.assert_frame_equal(
+        got[want.columns].astype("int64"), want.astype("int64")
+    )
