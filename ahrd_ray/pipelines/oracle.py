@@ -3118,3 +3118,19 @@ def sql_bfs_reach(cfg: EngineConfig, depth: int | None = None) -> str:
         _with(*ctes)
         + f"\nSELECT node, CAST(dist AS BIGINT) AS dist FROM d{depth}"
     )
+
+
+def sql_cdc_merge() -> str:
+    """CDC snapshot compaction oracle (stages/generic.cdc_merge): global
+    last-writer-wins per payload key, tombstoned keys absent."""
+    from ahrd_ray.stages.generic import CDC_TOMBSTONE
+
+    return f"""SELECT k, last_event_id, last_value, last_ts FROM (
+  SELECT CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT) AS k,
+         event_id AS last_event_id, value AS last_value, ts AS last_ts,
+         event_type,
+         row_number() OVER (
+           PARTITION BY CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT)
+           ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+) WHERE rn = 1 AND event_type <> '{CDC_TOMBSTONE}'"""

@@ -624,6 +624,11 @@ def _generic_queries() -> dict[str, tuple[Callable, str | None]]:
             lambda sf: g.props_agg(sf).map_batches(_int64, batch_format="pyarrow"),
             oracle.sql_props_agg(),
         ),
+        # CDC change-log compaction: last-writer-wins snapshot w/ tombstones
+        "rel_cdc_merge": (
+            lambda sf: g.cdc_merge(sf),
+            oracle.sql_cdc_merge(),
+        ),
         "rel_salted_user_counts": (
             lambda sf: g.salted_user_counts(sf).map_batches(_int64, batch_format="pyarrow"),
             oracle.sql_salted_user_counts(),

@@ -2154,3 +2154,73 @@ def price_histogram(sf_dir: str) -> ray.data.Dataset:
         .groupby("bin")
         .map_groups(final, batch_format="pandas")
     )
+
+
+# ---------------------------------------------------------------------------
+# CDC change-log merge (latest-row compaction with tombstones)
+# ---------------------------------------------------------------------------
+
+# Change op that deletes its key (last-writer-wins): the merge-on-read
+# compaction every CDC-fed lakehouse table needs (Iceberg/Delta style).
+CDC_TOMBSTONE = "error"
+
+
+def cdc_merge(sf_dir: str) -> ray.data.Dataset:
+    """(k, last_event_id, last_value, last_ts) — compact the event change
+    log into its current snapshot: the ``props`` payload key ``k`` is the
+    upsert key, last writer by (ts, event_id) wins, and a key whose
+    LATEST op is a tombstone (event_type == 'error') is absent from the
+    snapshot.  event_id is unique, so the winner is fully deterministic.
+
+    Distributed shape: per-batch keep-latest partial (one slim row per key
+    per block — the change log compresses BEFORE the shuffle, so the
+    exchange carries ~|keys| x blocks rows, not the full log), then a
+    key-hash groupby finalize that re-applies the same keep-latest and
+    drops tombstoned keys.  Keep-latest is associative, so the two-level
+    fold equals a global sort-and-tail without ever sorting the log."""
+    import pyarrow.compute as pc
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "event_type", "value", "props"],
+    )
+    n_parts = n_hash_parts()
+
+    def keep_latest(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["k", "ts", "event_id"], kind="mergesort")
+        return df.groupby("k", as_index=False).tail(1)
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        ks = pc.struct_field(
+            pc.extract_regex(batch["props"], r'"k": (?P<k>[0-9]+)'), "k"
+        )
+        df = pd.DataFrame(
+            {
+                "k": pc.cast(ks, pa.int64()).to_numpy(),
+                "event_id": batch["event_id"].to_numpy(),
+                "ts": batch["ts"].to_pandas().to_numpy(),
+                "event_type": batch["event_type"].to_pylist(),
+                "value": batch["value"].to_numpy(),
+            }
+        )
+        df = keep_latest(df)
+        df["kpart"] = (df["k"] % n_parts).astype("int32")
+        return df
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        df = keep_latest(df)
+        df = df[df["event_type"] != CDC_TOMBSTONE]
+        return pd.DataFrame(
+            {
+                "k": df["k"].astype("int64"),
+                "last_event_id": df["event_id"].astype("int64"),
+                "last_value": df["value"].astype("float64"),
+                "last_ts": df["ts"],
+            }
+        )
+
+    return (
+        ev.map_batches(partial, batch_format="pyarrow")
+        .groupby("kpart")
+        .map_groups(final, batch_format="pandas")
+    )

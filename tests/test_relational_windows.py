@@ -141,3 +141,64 @@ def test_above_avg_orders_bruteforce():
         n = len(g)
         exp |= {int(k) for k, u in zip(g["o_orderkey"], g["u"]) if int(u) * n > s}
     assert got == exp and len(exp) > 0
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_cdc_merge_last_writer_wins_and_tombstones():
+    """Crafted change log: key 1 is updated then survives; key 2's LATEST
+    op is a tombstone (absent); key 3 is tombstoned then re-inserted
+    (present with the post-delete row)."""
+    import os
+    import tempfile
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ahrd_ray.stages.generic import cdc_merge
+
+    ts = pd.to_datetime(
+        ["2024-01-01", "2024-01-02", "2024-01-03", "2024-01-04",
+         "2024-01-05", "2024-01-06"]
+    ).astype("datetime64[us]")
+    t = pa.table(
+        {
+            "event_id": pa.array([1, 2, 3, 4, 5, 6], type=pa.int64()),
+            "ts": pa.array(ts, type=pa.timestamp("us")),
+            "user_id": pa.array([0] * 6, type=pa.int64()),
+            "event_type": pa.array(
+                ["view", "click", "error", "error", "view", "purchase"]
+            ),
+            "value": pa.array([1.0, 2.0, 0.0, 0.0, 5.0, 6.0]),
+            "props": pa.array(
+                ['{"k": 1}', '{"k": 1}', '{"k": 2}', '{"k": 3}',
+                 '{"k": 3}', '{"k": 1}']
+            ),
+        }
+    )
+    with tempfile.TemporaryDirectory() as d:
+        pq.write_table(t, os.path.join(d, "events.parquet"))
+        got = (
+            cdc_merge(d).to_pandas().sort_values("k").reset_index(drop=True)
+        )
+    assert got["k"].tolist() == [1, 3]
+    assert got["last_event_id"].tolist() == [6, 5]
+    assert got["last_value"].tolist() == [6.0, 5.0]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_cdc_merge_matches_duckdb_at_sf0001():
+    import duckdb
+    import pandas as pd
+
+    from ahrd_ray.pipelines.oracle import sql_cdc_merge
+    from ahrd_ray.stages.generic import cdc_merge
+
+    got = cdc_merge(SF).to_pandas().sort_values("k").reset_index(drop=True)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM '{SF}/events.parquet'")
+    want = con.execute(sql_cdc_merge()).df().sort_values("k").reset_index(drop=True)
+    got = got[want.columns]
+    got["last_ts"] = pd.to_datetime(got["last_ts"])
+    assert len(got) == len(want) > 0
+    pd.testing.assert_frame_equal(got, want)
