@@ -3134,3 +3134,21 @@ def sql_cdc_merge() -> str:
            ORDER BY ts DESC, event_id DESC) AS rn
   FROM events
 ) WHERE rn = 1 AND event_type <> '{CDC_TOMBSTONE}'"""
+
+
+def sql_char_stats() -> str:
+    """Char-frequency concentration oracle (stages/textstats.char_stats):
+    all-integer, so exact.  ``string_split(text, '')`` yields [''] for an
+    empty string — the ch <> '' guard drops it, so empty docs emit no row
+    on either side."""
+    return """WITH chars AS (
+  SELECT doc_id, unnest(string_split(text, '')) AS ch FROM documents
+), cc AS (
+  SELECT doc_id, ch, CAST(count(*) AS BIGINT) AS c
+  FROM chars WHERE ch <> '' GROUP BY doc_id, ch
+)
+SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_chars,
+       CAST(count(*) AS BIGINT) AS n_distinct_chars,
+       CAST(sum(c * c) AS BIGINT) AS sum_sq,
+       CAST(max(c) AS BIGINT) AS top_char_count
+FROM cc GROUP BY doc_id"""

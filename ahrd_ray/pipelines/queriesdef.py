@@ -453,6 +453,8 @@ def _textstats_queries() -> dict[str, tuple[Callable, str | None]]:
         # Gopher-style repetition/diversity stats (type-token ratio,
         # top-token/top-bigram fractions)
         "tx_repetition": (lambda sf: tx.repetition(sf), oracle.sql_repetition()),
+        # char-frequency concentration (integer Renyi-2 core): junk detector
+        "tx_char_stats": (lambda sf: tx.char_stats(sf), oracle.sql_char_stats()),
         "tx_bigrams": (
             lambda sf: tx.bigram_counts(sf).map_batches(_int64, batch_format="pyarrow"),
             oracle.sql_bigram_counts(),

@@ -1419,3 +1419,56 @@ def collocations(sf_dir: str) -> ray.data.Dataset:
         return out
 
     return bg.map_batches(score, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# Character-level concentration stats (junk / binary-noise detector)
+# ---------------------------------------------------------------------------
+
+
+def char_stats_batch(batch: pa.Table) -> pa.Table:
+    """(doc_id, n_chars, n_distinct_chars, sum_sq, top_char_count) — exact
+    codepoint-frequency concentration per doc.  ``sum_sq`` (the collision
+    count, sum of squared per-char counts) is the integer core of the
+    Renyi-2 / Simpson concentration index: sum_sq/n_chars^2 near 1/n means
+    one character dominates (binary junk, ASCII-art, padding), near
+    1/alphabet means ordinary prose — the char-level complement of the
+    token-level repetition filter.  All-integer output (the bm25 oracle's
+    determinism rule: no log/float on either side), so the SQL comparison
+    is bit-exact.  Docs with empty text emit no row (both sides).
+
+    Vectorized: one utf-32 decode of the batch's concatenated text, then
+    np.unique over packed (row, codepoint) keys — no per-row loop."""
+    texts = batch["text"].to_pylist()
+    lens = pc.utf8_length(batch["text"]).to_numpy(zero_copy_only=False)
+    flat = np.frombuffer("".join(texts).encode("utf-32-le"), dtype=np.uint32)
+    row = np.repeat(np.arange(len(batch), dtype=np.int64), lens)
+    n = len(batch)
+    n_chars = lens.astype(np.int64)
+    # codepoints < 0x110000 < 2^21: pack (row, cp) into one int64 key
+    key = (row << np.int64(21)) | flat.astype(np.int64)
+    ukey, cnt = np.unique(key, return_counts=True)
+    urow = (ukey >> np.int64(21)).astype(np.int64)
+    n_distinct = np.bincount(urow, minlength=n).astype(np.int64)
+    sum_sq = np.zeros(n, dtype=np.int64)
+    np.add.at(sum_sq, urow, cnt.astype(np.int64) ** 2)
+    top = np.zeros(n, dtype=np.int64)
+    np.maximum.at(top, urow, cnt.astype(np.int64))
+    keep = n_chars > 0
+    return pa.table(
+        {
+            "doc_id": pa.array(batch["doc_id"].to_numpy()[keep], type=pa.int64()),
+            "n_chars": pa.array(n_chars[keep], type=pa.int64()),
+            "n_distinct_chars": pa.array(n_distinct[keep], type=pa.int64()),
+            "sum_sq": pa.array(sum_sq[keep], type=pa.int64()),
+            "top_char_count": pa.array(top[keep], type=pa.int64()),
+        }
+    )
+
+
+def char_stats(sf_dir: str) -> ray.data.Dataset:
+    """Pure map-side stage (zero shuffle): see char_stats_batch."""
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return docs.map_batches(char_stats_batch, batch_format="pyarrow")

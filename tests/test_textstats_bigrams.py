@@ -166,3 +166,23 @@ def test_collocations_exact_lift():
     assert got == want
     assert (got_df["n"] >= COLLOC_MIN_N).all()
     assert len(got) > 0
+
+
+def test_char_stats_exact_values_and_empty_doc_absent():
+    """'aaab': n=4, distinct=2, sum_sq=3^2+1=10, top=3; unicode doc counts
+    codepoints (not bytes); empty doc emits NO row."""
+    import pyarrow as pa
+
+    from ahrd_ray.stages.textstats import char_stats_batch
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3], type=pa.int64()),
+            "text": pa.array(["aaab", "✓✓\n", ""]),
+        }
+    )
+    out = char_stats_batch(t).to_pandas().set_index("doc_id")
+    assert list(out.index) == [1, 2]
+    assert out.loc[1].tolist() == [4, 2, 10, 3]
+    # '✓✓\n' = 3 codepoints, 2 distinct, 2^2+1^2 = 5, top 2
+    assert out.loc[2].tolist() == [3, 2, 5, 2]
