@@ -3152,3 +3152,22 @@ SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_chars,
        CAST(sum(c * c) AS BIGINT) AS sum_sq,
        CAST(max(c) AS BIGINT) AS top_char_count
 FROM cc GROUP BY doc_id"""
+
+
+def sql_degree_hist(cfg: EngineConfig) -> str:
+    """Log2-binned degree histogram oracle (stages/graph.degree_hist):
+    bin via the binary digit count — integer-exact, no float log."""
+    return (
+        _with(*_cands_prefix(cfg), cte_valid_dedup(), _cte_cooccur_pairs(cfg))
+        + """,
+ends AS (
+  SELECT cand_a AS node FROM pairs
+  UNION ALL SELECT cand_b FROM pairs
+),
+deg AS (
+  SELECT node, CAST(count(*) AS BIGINT) AS degree FROM ends GROUP BY node
+)
+SELECT CAST(CAST(1 AS BIGINT) << (length(bin(degree)) - 1) AS BIGINT) AS bin_lo,
+       CAST(count(*) AS BIGINT) AS n_nodes
+FROM deg GROUP BY 1"""
+    )

@@ -952,6 +952,8 @@ def _kg_queries(cfg) -> dict[str, tuple[Callable, str | None]]:
         # seeded-teleport variant: proximity to a deterministic seed set
         "kg_ppr": (q_ppr, oracle.sql_personalized_pagerank(cfg)),
         "kg_entity_degree": (q_entity_degree, oracle.sql_cooccur_degree(cfg)),
+        # log2-binned degree distribution (power-law / hub summary)
+        "kg_degree_hist": (q_degree_hist, oracle.sql_degree_hist(cfg)),
         "kg_fact_support": (q_fact_support, oracle.sql_fact_support(cfg)),
         "kg_entity_resolve": (q_entity_resolve, oracle.sql_entity_resolve(cfg)),
         "kg_pred_stats": (q_pred_stats, oracle.sql_pred_stats(cfg)),
@@ -997,6 +999,12 @@ def q_bfs_reach(sf_dir: str):
     from ahrd_ray.stages.graph import bfs_reach
 
     return bfs_reach(sf_dir)
+
+
+def q_degree_hist(sf_dir: str):
+    from ahrd_ray.stages.graph import degree_hist
+
+    return degree_hist(sf_dir)
 
 
 def q_top_neighbor(sf_dir: str):

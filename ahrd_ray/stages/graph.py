@@ -1891,3 +1891,37 @@ def bounded_bfs(
         lambda df: df.astype({"node": "int64", "dist": "int64"}),
         batch_format="pandas",
     )
+
+
+def degree_hist(sf_dir: str) -> ray.data.Dataset:
+    """(bin_lo, n_nodes) — log2-binned degree-distribution histogram of
+    the co-occurrence graph (bin_lo = 2^floor(log2(degree)), so bins are
+    [1,2), [2,4), [4,8) ...): the power-law summary every KG health check
+    reads (hub detection, skew sizing for the salted shuffles).
+
+    Integer-exact binning: floor(log2(k)) comes from the binary exponent
+    (np.frexp here, exact for any count < 2^53; length(bin(k))-1 in the
+    oracle) — no float log on either side, the bm25 determinism rule.
+    Aggregate of an aggregate: per-partition degree rows fold into <64
+    bins map-side, so the final exchange is a few dozen rows."""
+
+    def to_bins(df: pd.DataFrame) -> pd.DataFrame:
+        d = df["degree"].to_numpy(dtype=np.int64)
+        # frexp: d = m * 2^e with 0.5 <= m < 1, so floor(log2(d)) = e - 1
+        exp = (np.frexp(d.astype(np.float64))[1] - 1).astype(np.int64)
+        bin_lo = np.int64(1) << exp
+        out = pd.DataFrame({"bin_lo": bin_lo}).groupby(
+            "bin_lo", as_index=False
+        ).size().rename(columns={"size": "n_nodes"})
+        return out
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby("bin_lo", as_index=False)["n_nodes"].sum()
+        return out.astype({"bin_lo": "int64", "n_nodes": "int64"})
+
+    return (
+        entity_degree(sf_dir)
+        .map_batches(to_bins, batch_format="pandas")
+        .repartition(1)
+        .map_batches(final, batch_format="pandas")
+    )

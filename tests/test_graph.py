@@ -564,3 +564,20 @@ def test_bfs_reach_matches_duckdb_oracle_at_sf0001():
     pd.testing.assert_frame_equal(
         got[want.columns].astype("int64"), want.astype("int64")
     )
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_degree_hist_bins_partition_the_degree_table():
+    """Histogram counts must equal a brute-force bin of entity_degree,
+    with power-of-two bin edges (frexp binning, incl. exact 2^k edges)."""
+    from ahrd_ray.stages.graph import degree_hist, entity_degree
+
+    deg = entity_degree(SF).to_pandas()
+    hist = degree_hist(SF).to_pandas().set_index("bin_lo")["n_nodes"]
+    d = deg["degree"].to_numpy()
+    want = {}
+    for v in d:
+        lo = 1 << (int(v).bit_length() - 1)
+        want[lo] = want.get(lo, 0) + 1
+    assert hist.to_dict() == want
+    assert hist.sum() == len(deg)
