@@ -159,6 +159,10 @@ def run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
         ("rel_q5_revenue", lambda: gn.q5_local_supplier_revenue(sf_dir)),
         ("rel_profile", lambda: gn.lineitem_profile(sf_dir)),
         ("llm_clean_corpus", lambda: _clean_corpus(sf_dir)),
+        ("kg_bfs_reach", lambda: gr.bfs_reach(sf_dir)),
+        ("kg_degree_hist", lambda: gr.degree_hist(sf_dir)),
+        ("rel_cdc_merge", lambda: gn.cdc_merge(sf_dir)),
+        ("tx_char_stats", lambda: tx.char_stats(sf_dir)),
     ]:
         t0 = time.perf_counter()
         out = builder()

@@ -44,7 +44,12 @@ def fingerprint(df: pd.DataFrame) -> str:
     for c in cols:
         s = df[c]
         if "datetime" in str(s.dtype):
-            h.update(str(sorted(s.astype("int64").tolist())).encode())
+            # normalize the resolution first: pandas may surface the same
+            # timestamps as [us] (DuckDB) or [ns] (Arrow->pandas), whose
+            # raw epoch integers differ by 1000x
+            h.update(
+                str(sorted(s.astype("datetime64[ns]").astype("int64").tolist())).encode()
+            )
         elif s.dtype == object or str(s.dtype) == "string":
             vals = sorted(str(x) for x in s.fillna("\x00<null>"))
             h.update(("\n".join(vals)).encode())
