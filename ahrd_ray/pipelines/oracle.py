@@ -3171,3 +3171,47 @@ SELECT CAST(CAST(1 AS BIGINT) << (length(bin(degree)) - 1) AS BIGINT) AS bin_lo,
        CAST(count(*) AS BIGINT) AS n_nodes
 FROM deg GROUP BY 1"""
     )
+
+
+def sql_mention_coverage(cfg: EngineConfig) -> str:
+    """Span-union coverage oracle (stages/graph.mention_coverage): the
+    same gaps-and-islands fold in window SQL — running max of span_end,
+    island break where span_start exceeds it, exclusive-end lengths.
+    All-integer.  Docs with zero mentions appear with zeros (LEFT JOIN)."""
+    return (
+        _with(*_cands_prefix(cfg), cte_valid_dedup())
+        + """,
+marked AS MATERIALIZED (
+  SELECT doc_id, span_start, span_end, cand_ord,
+         max(span_end) OVER (
+           PARTITION BY doc_id
+           ORDER BY span_start, span_end, cand_ord
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
+  FROM dcands
+),
+isl AS MATERIALIZED (
+  SELECT doc_id, span_start, span_end,
+         sum(CASE WHEN prev_max IS NULL OR span_start > prev_max
+                  THEN 1 ELSE 0 END) OVER (
+           PARTITION BY doc_id
+           ORDER BY span_start, span_end, cand_ord
+           ROWS UNBOUNDED PRECEDING) AS island
+  FROM marked
+),
+per_island AS (
+  SELECT doc_id, island,
+         max(span_end) - min(span_start) AS ilen,
+         count(*) AS c
+  FROM isl GROUP BY doc_id, island
+),
+cov AS (
+  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_spans,
+         CAST(sum(ilen) AS BIGINT) AS covered_chars
+  FROM per_island GROUP BY doc_id
+)
+SELECT d.doc_id,
+       coalesce(cov.n_spans, 0) AS n_spans,
+       coalesce(cov.covered_chars, 0) AS covered_chars,
+       CAST(length(d.text) AS BIGINT) AS n_chars
+FROM documents d LEFT JOIN cov USING (doc_id)"""
+    )

@@ -954,6 +954,8 @@ def _kg_queries(cfg) -> dict[str, tuple[Callable, str | None]]:
         "kg_entity_degree": (q_entity_degree, oracle.sql_cooccur_degree(cfg)),
         # log2-binned degree distribution (power-law / hub summary)
         "kg_degree_hist": (q_degree_hist, oracle.sql_degree_hist(cfg)),
+        # per-doc mention-span union length (annotation-density signal)
+        "kg_mention_coverage": (q_mention_coverage, oracle.sql_mention_coverage(cfg)),
         "kg_fact_support": (q_fact_support, oracle.sql_fact_support(cfg)),
         "kg_entity_resolve": (q_entity_resolve, oracle.sql_entity_resolve(cfg)),
         "kg_pred_stats": (q_pred_stats, oracle.sql_pred_stats(cfg)),
@@ -1005,6 +1007,12 @@ def q_degree_hist(sf_dir: str):
     from ahrd_ray.stages.graph import degree_hist
 
     return degree_hist(sf_dir)
+
+
+def q_mention_coverage(sf_dir: str):
+    from ahrd_ray.stages.graph import mention_coverage
+
+    return mention_coverage(sf_dir)
 
 
 def q_top_neighbor(sf_dir: str):

@@ -1925,3 +1925,82 @@ def degree_hist(sf_dir: str) -> ray.data.Dataset:
         .repartition(1)
         .map_batches(final, batch_format="pandas")
     )
+
+
+def mention_coverage(sf_dir: str) -> ray.data.Dataset:
+    """(doc_id, n_spans, covered_chars, n_chars) — per document, how much
+    of the text the deduped valid mention spans cover: the union length of
+    the (1-based start, EXCLUSIVE end) [span_start, span_end) intervals —
+    max(span_end) == length+1 on this corpus confirms the convention —
+    plus the
+    span count and the doc length.  The annotation-density signal a KG
+    build monitors per shard (low coverage = extraction drift or
+    boilerplate; near-total coverage = catalog spam) — all-integer, so the
+    oracle comparison is bit-exact.
+
+    Scale shape: entirely batch-local (the evidence_snippets argument —
+    detection, dedup and the interval merge read only the doc's own rows),
+    a pure map with NO shuffle at any scale.  The interval union is the
+    vectorized gaps-and-islands fold: sort spans per doc, running-max of
+    span_end, an island starts where span_start exceeds the previous max
+    (exclusive ends: a span starting AT the previous max is adjacent and
+    merges — the union length is identical either way)."""
+    from ahrd_ray.pipelines import kg
+    from ahrd_ray.stages.candidates import FusedMentionScorer, make_detector_task_fn
+    import pyarrow.compute as pc
+
+    ctx = kg.cached_context(sf_dir)
+    arrays = ctx.bundle.arrays
+    detect = make_detector_task_fn(ctx.catalog_ref, ctx.cfg, slim=False)
+    chunk_docs = FusedMentionScorer.CHUNK_DOCS
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        docs = pd.DataFrame(
+            {
+                "doc_id": batch["doc_id"].to_numpy(),
+                "n_chars": pc.utf8_length(batch["text"])
+                .to_numpy(zero_copy_only=False)
+                .astype("int64"),
+            }
+        )
+        parts = []
+        for off in range(0, len(batch), chunk_docs):
+            cands = detect(batch.slice(off, chunk_docs))
+            df = cands.select(
+                ["doc_id", "cand_ord", "match_score", "span_start", "span_end",
+                 "cand_start", "cand_end", "ingest_seq"]
+            ).to_pandas()
+            ded = dedup_valid_candidates(df, arrays)
+            if len(ded):
+                parts.append(ded[["doc_id", "span_start", "span_end", "cand_ord"]])
+        if parts:
+            sp = pd.concat(parts, ignore_index=True).sort_values(
+                ["doc_id", "span_start", "span_end", "cand_ord"], kind="mergesort"
+            )
+            cm = sp.groupby("doc_id")["span_end"].cummax()
+            prev_max = cm.groupby(sp["doc_id"].to_numpy()).shift(1)
+            new_island = prev_max.isna() | (sp["span_start"] > prev_max)
+            isl = (
+                sp.assign(isl=new_island.cumsum())
+                .groupby(["doc_id", "isl"], as_index=False)
+                .agg(lo=("span_start", "min"), hi=("span_end", "max"),
+                     c=("span_start", "size"))
+            )
+            isl["ilen"] = isl["hi"] - isl["lo"]
+            per_doc = isl.groupby("doc_id", as_index=False).agg(
+                n_spans=("c", "sum"), covered_chars=("ilen", "sum")
+            )
+            out = docs.merge(per_doc, on="doc_id", how="left")
+        else:
+            out = docs.assign(n_spans=np.nan, covered_chars=np.nan)
+        out[["n_spans", "covered_chars"]] = (
+            out[["n_spans", "covered_chars"]].fillna(0)
+        )
+        return out[["doc_id", "n_spans", "covered_chars", "n_chars"]].astype("int64")
+
+    src = kg.pages_dataset(sf_dir).map_batches(
+        kg.extract_text_batch, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return src.map_batches(
+        partial, batch_format="pyarrow", batch_size=kg.FUSED_BATCH_SIZE
+    )

@@ -163,6 +163,7 @@ def run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
         ("kg_degree_hist", lambda: gr.degree_hist(sf_dir)),
         ("rel_cdc_merge", lambda: gn.cdc_merge(sf_dir)),
         ("tx_char_stats", lambda: tx.char_stats(sf_dir)),
+        ("kg_mention_coverage", lambda: gr.mention_coverage(sf_dir)),
     ]:
         t0 = time.perf_counter()
         out = builder()

@@ -581,3 +581,37 @@ def test_degree_hist_bins_partition_the_degree_table():
         want[lo] = want.get(lo, 0) + 1
     assert hist.to_dict() == want
     assert hist.sum() == len(deg)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_mention_coverage_invariants_and_oracle():
+    """Union coverage is bounded by the doc length, every doc appears
+    exactly once, and the dual-chain DuckDB islands fold agrees exactly."""
+    import duckdb
+    import pandas as pd
+
+    from ahrd_ray.config import DEFAULT_CONFIG
+    from ahrd_ray.pipelines.oracle import sql_mention_coverage
+    from ahrd_ray.stages.graph import mention_coverage
+
+    got = (
+        mention_coverage(SF).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    assert got["doc_id"].is_unique and len(got) == 500
+    assert (got["covered_chars"] <= got["n_chars"]).all()
+    assert (got["covered_chars"] >= 0).all()
+    # docs with mentions must cover at least one char per span-island
+    m = got["n_spans"] > 0
+    assert (got.loc[m, "covered_chars"] > 0).all()
+    con = duckdb.connect()
+    for t in ["documents", "part", "orders", "lineitem"]:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
+    want = (
+        con.execute(sql_mention_coverage(DEFAULT_CONFIG))
+        .df()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        got[want.columns].astype("int64"), want.astype("int64")
+    )
