@@ -3215,3 +3215,17 @@ SELECT d.doc_id,
        CAST(length(d.text) AS BIGINT) AS n_chars
 FROM documents d LEFT JOIN cov USING (doc_id)"""
     )
+
+
+def sql_events_cube() -> str:
+    """Full-CUBE oracle (stages/generic.events_cube): the rollup's sets
+    plus the per-hour marginal."""
+    return f"""WITH b AS (
+  SELECT event_type, CAST(hour(ts) AS BIGINT) AS hr, value FROM events
+)
+SELECT coalesce(event_type, 'ALL') AS event_type,
+       coalesce(CAST(hr AS VARCHAR), 'ALL') AS hr,
+       CAST(count(*) AS BIGINT) AS n,
+       {_qsum('value')} AS sum_value
+FROM b
+GROUP BY CUBE (event_type, hr)"""

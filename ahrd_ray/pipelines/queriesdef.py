@@ -750,6 +750,11 @@ def _generic_queries() -> dict[str, tuple[Callable, str | None]]:
             lambda sf: g.events_rollup(sf).map_batches(_int64, batch_format="pyarrow"),
             oracle.sql_events_rollup(),
         ),
+        # full CUBE: rollup's sets plus the per-hour marginal, one pass
+        "rel_cube": (
+            lambda sf: g.events_cube(sf).map_batches(_int64, batch_format="pyarrow"),
+            oracle.sql_events_cube(),
+        ),
         # pivot (crosstab) with discovered type vocabulary
         "rel_pivot": (
             lambda sf: g.event_type_pivot(sf).map_batches(_int64, batch_format="pyarrow"),

@@ -2224,3 +2224,67 @@ def cdc_merge(sf_dir: str) -> ray.data.Dataset:
         .groupby("kpart")
         .map_groups(final, batch_format="pandas")
     )
+
+
+def events_cube(sf_dir: str) -> ray.data.Dataset:
+    """Full CUBE over (event_type, hour-of-day): the rollup's three
+    grouping sets PLUS the per-hour marginal — the cross-tab totals an
+    ops dashboard reads in one query.
+
+    Shape: identical to events_rollup — ONE distributed pass builds the
+    finest (type, hour) aggregate; all four grouping sets derive from
+    that |types| x 24 table in a single small block.  The input is never
+    re-scanned per grouping set (the naive CUBE plan)."""
+    from ahrd_ray.config import QUANT
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["ts", "event_type", "value"]
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame(
+            {
+                "event_type": df["event_type"],
+                "hr": df["ts"].dt.hour.astype(np.int64),
+                "v_units": _qunits(df["value"].to_numpy()),
+                "n": np.ones(len(df), dtype=np.int64),
+            }
+        )
+        return out.groupby(["event_type", "hr"], as_index=False).sum()
+
+    base = (
+        ev.map_batches(partial, batch_format="pandas")
+        .groupby(["event_type", "hr"])
+        .map_groups(
+            _final_sum(["event_type", "hr"], ["v_units", "n"]), batch_format="pandas"
+        )
+    )
+
+    def cube(df: pd.DataFrame) -> pd.DataFrame:
+        fine = pd.DataFrame(
+            {
+                "event_type": df["event_type"].astype(str),
+                "hr": df["hr"].astype(str),
+                "v_units": df["v_units"],
+                "n": df["n"],
+            }
+        )
+        per_type = df.groupby("event_type", as_index=False)[["v_units", "n"]].sum()
+        mid_t = per_type.assign(hr="ALL")[["event_type", "hr", "v_units", "n"]]
+        per_hr = df.groupby("hr", as_index=False)[["v_units", "n"]].sum()
+        mid_h = per_hr.assign(event_type="ALL")
+        mid_h["hr"] = mid_h["hr"].astype(str)
+        mid_h = mid_h[["event_type", "hr", "v_units", "n"]]
+        total = pd.DataFrame(
+            {
+                "event_type": ["ALL"],
+                "hr": ["ALL"],
+                "v_units": [df["v_units"].sum()],
+                "n": [df["n"].sum()],
+            }
+        )
+        out = pd.concat([fine, mid_t, mid_h, total], ignore_index=True)
+        out["sum_value"] = out["v_units"].to_numpy(dtype=np.float64) / QUANT
+        return out[["event_type", "hr", "n", "sum_value"]].astype({"n": "int64"})
+
+    return base.repartition(1).map_batches(cube, batch_format="pandas", batch_size=None)

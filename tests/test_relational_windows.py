@@ -202,3 +202,23 @@ def test_cdc_merge_matches_duckdb_at_sf0001():
     got["last_ts"] = pd.to_datetime(got["last_ts"])
     assert len(got) == len(want) > 0
     pd.testing.assert_frame_equal(got, want)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_cube_marginals_are_consistent():
+    """All four grouping sets must agree: per-type and per-hour marginals
+    each sum to the grand total, and the fine grid sums to every marginal."""
+    from ahrd_ray.stages.generic import events_cube
+
+    df = events_cube(SF).to_pandas()
+    fine = df[(df.event_type != "ALL") & (df.hr != "ALL")]
+    per_type = df[(df.event_type != "ALL") & (df.hr == "ALL")]
+    per_hr = df[(df.event_type == "ALL") & (df.hr != "ALL")]
+    total = df[(df.event_type == "ALL") & (df.hr == "ALL")]
+    assert len(total) == 1
+    n_tot = int(total["n"].iloc[0])
+    assert fine["n"].sum() == per_type["n"].sum() == per_hr["n"].sum() == n_tot
+    ft = fine.groupby("event_type")["n"].sum()
+    assert ft.to_dict() == per_type.set_index("event_type")["n"].to_dict()
+    fh = fine.groupby("hr")["n"].sum()
+    assert fh.to_dict() == per_hr.set_index("hr")["n"].to_dict()
