@@ -13,6 +13,8 @@ scale-correct shapes:
 
 from __future__ import annotations
 
+import logging
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -22,6 +24,8 @@ import ray.data
 
 from ahrd_ray.config import q20
 from ahrd_ray.stages.partitioning import n_hash_parts
+
+logger = logging.getLogger(__name__)
 
 
 def _partial_sum(keys: list[str], sums: dict[str, str], count_col: str | None = None):
@@ -2194,6 +2198,16 @@ def cdc_merge(sf_dir: str) -> ray.data.Dataset:
         ks = pc.struct_field(
             pc.extract_regex(batch["props"], r'"k": (?P<k>[0-9]+)'), "k"
         )
+        # a props payload without a '"k": N' match extracts to null; route
+        # the malformed rows out explicitly (dropping them matches the
+        # oracle's `WHERE props LIKE ...` shape) instead of letting the
+        # null-int to_numpy raise mid-shuffle
+        n_null = pc.sum(pc.is_null(ks)).as_py() or 0
+        if n_null:
+            logger.warning("cdc_merge: dropping %d rows with no k in props", n_null)
+            keep = pc.is_valid(ks)
+            batch = batch.filter(keep)
+            ks = ks.filter(keep)
         df = pd.DataFrame(
             {
                 "k": pc.cast(ks, pa.int64()).to_numpy(),
@@ -2234,7 +2248,14 @@ def events_cube(sf_dir: str) -> ray.data.Dataset:
     Shape: identical to events_rollup — ONE distributed pass builds the
     finest (type, hour) aggregate; all four grouping sets derive from
     that |types| x 24 table in a single small block.  The input is never
-    re-scanned per grouping set (the naive CUBE plan)."""
+    re-scanned per grouping set (the naive CUBE plan).
+
+    Reserved value: the string ``'ALL'`` marks the rolled-up level in
+    ``event_type``/``hr`` (both here and in the SQL oracle's coalesce), so
+    a genuine event_type literally named 'ALL' would be indistinguishable
+    from the marginal rows.  The events fixture's type vocabulary
+    (click/view/purchase/signup/error) cannot collide; a production schema
+    with free-form types should switch both sides to GROUPING() columns."""
     from ahrd_ray.config import QUANT
 
     ev = ray.data.read_parquet(

@@ -841,31 +841,112 @@ def alias_pairs(sf_dir: str) -> ray.data.Dataset:
     return pairs.map_batches(verify, batch_format="pandas")
 
 
-def entity_components(sf_dir: str) -> ray.data.Dataset:
+def _edge_min_sweep(
+    edges: ray.data.Dataset, labels_ref, n_nodes: int
+) -> np.ndarray:
+    """One streaming pass over the edge dataset: per-batch partial MIN of
+    ``labels[src]`` per dst node (map-side combine), node-hash groupby
+    finalize, then the small per-node table gathers into a dense |V| vector
+    on the driver (int64, self-label for nodes with no edges).  The min
+    sibling of :func:`_edge_sweep`."""
+    n_parts = n_hash_parts()
+
+    def partial(batch: pa.Table) -> pa.Table:
+        from ahrd_ray.stages.score import get_broadcast
+
+        lab = get_broadcast(labels_ref)
+        src = batch["src"].to_numpy()
+        dst = batch["dst"].to_numpy()
+        order = np.argsort(dst, kind="stable")
+        ds_, cs_ = dst[order], lab[src[order]]
+        starts = np.flatnonzero(np.r_[True, ds_[1:] != ds_[:-1]])
+        nodes, mins = ds_[starts], np.minimum.reduceat(cs_, starts)
+        return pa.table(
+            {
+                "node": pa.array(nodes, type=pa.int64()),
+                "m": pa.array(mins, type=pa.int64()),
+                "npart": pa.array((nodes % n_parts).astype(np.int32), type=pa.int32()),
+            }
+        )
+
+    per_node = (
+        edges.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("npart")
+        .map_groups(
+            lambda df: df.groupby("node", as_index=False)["m"].min(),
+            batch_format="pandas",
+        )
+    )
+    dense = ray.get(labels_ref).copy()
+    for b in per_node.iter_batches(batch_format="pyarrow"):
+        nodes = b["node"].to_numpy()
+        dense[nodes] = np.minimum(dense[nodes], b["m"].to_numpy())
+    return dense
+
+
+def entity_components(sf_dir: str, max_iters: int = 16) -> pa.Table:
     """(node, cluster_rep) — weakly-connected components of the
     co-occurrence graph, rep = smallest cand_ord in the component
-    (isolated catalog entities are their own rep).  Entity-community
-    assignment via the shared iterative min-label propagation
-    (dedup.min_label_components): one hop per round, rounds = component
-    diameter, labels materialized per round as one slim row per entity.
-    The SQL oracle unrolls the SAME one-hop update for the propagation
-    bound, so both sides compute the identical fixed point."""
+    (isolated catalog entities are their own rep).
+
+    Nodes here are CATALOG entities, i.e. dim-table-sized by the same
+    broadcast assumption the rest of the pipeline already makes (the full
+    catalog bundle and pagerank's rank vector are shipped to every worker),
+    so the label state is a dense |V| int64 vector: each round is ONE
+    streaming min-sweep over the distributed edge list
+    (:func:`_edge_min_sweep`, map-side partial mins — the edge table never
+    moves) followed by numpy pointer-doubling ``rep = rep[rep]`` to the
+    local fixpoint, making rounds O(log diameter) instead of O(diameter).
+    Round 3's generic distributed path (dedup.min_label_components, one
+    hash join + union-groupby + self-join per round) measured 53 s at
+    sf0.1; this runs the same fixpoint in a few edge sweeps.  Doc-keyed
+    clustering (dd_dup_clusters, sim_semantic_clusters) keeps the fully
+    distributed label table — corpus-sized state never lands on the
+    driver.  The SQL oracle unrolls the one-hop update to ITS fixpoint;
+    both sides reach the identical (min-id per component) labeling."""
     from ahrd_ray.pipelines import kg
-    from ahrd_ray.stages.dedup import min_label_components
 
     ctx = kg.cached_context(sf_dir)
     n = len(ctx.bundle.arrays.cand_id)
-    ids = ray.data.from_arrow(
-        pa.table({"node": pa.array(np.arange(n, dtype=np.int64), type=pa.int64())})
-    ).repartition(4)
-    labels = min_label_components(
-        cooccurrence_edges(sf_dir), ids, pair_cols=("cand_a", "cand_b"), id_col="node"
+
+    def both_dirs(batch: pa.Table) -> pa.Table:
+        a = batch["cand_a"].to_numpy()
+        b = batch["cand_b"].to_numpy()
+        return pa.table(
+            {
+                "src": pa.array(np.concatenate([a, b]), type=pa.int64()),
+                "dst": pa.array(np.concatenate([b, a]), type=pa.int64()),
+            }
+        )
+
+    edges = (
+        cooccurrence_edges(sf_dir)
+        .map_batches(both_dirs, batch_format="pyarrow")
+        .materialize()
     )
-    return labels.map_batches(
-        lambda df: df.rename(columns={"doc_id": "node"}).astype(
-            {"node": "int64", "cluster_rep": "int64"}
-        ),
-        batch_format="pandas",
+
+    labels = np.arange(n, dtype=np.int64)
+    for _ in range(max_iters):
+        ref = ray.put(labels.copy())
+        new = _edge_min_sweep(edges, ref, n)
+        while True:  # pointer-doubling to the local fixpoint (cheap numpy)
+            jumped = new[new]
+            if np.array_equal(jumped, new):
+                break
+            new = jumped
+        if np.array_equal(new, labels):
+            break
+        labels = new
+    else:
+        raise RuntimeError(
+            f"entity_components did not converge in {max_iters} sweeps"
+        )
+
+    return pa.table(
+        {
+            "node": pa.array(np.arange(n, dtype=np.int64), type=pa.int64()),
+            "cluster_rep": pa.array(labels, type=pa.int64()),
+        }
     )
 
 

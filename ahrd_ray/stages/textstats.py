@@ -1439,8 +1439,11 @@ def char_stats_batch(batch: pa.Table) -> pa.Table:
 
     Vectorized: one utf-32 decode of the batch's concatenated text, then
     np.unique over packed (row, codepoint) keys — no per-row loop."""
-    texts = batch["text"].to_pylist()
-    lens = pc.utf8_length(batch["text"]).to_numpy(zero_copy_only=False)
+    # null text behaves like empty text (emits no row, matching the
+    # oracle's length(text) > 0 filter) instead of crashing ''.join/repeat
+    col = pc.fill_null(batch["text"], "")
+    texts = col.to_pylist()
+    lens = pc.utf8_length(col).to_numpy(zero_copy_only=False)
     flat = np.frombuffer("".join(texts).encode("utf-32-le"), dtype=np.uint32)
     row = np.repeat(np.arange(len(batch), dtype=np.int64), lens)
     n = len(batch)

@@ -22,6 +22,7 @@ from __future__ import annotations
 
 import hashlib
 import json
+import logging
 import os
 import shutil
 import time
@@ -29,6 +30,8 @@ from collections.abc import Callable
 from typing import Any
 
 ENGINE_VERSION = "1"
+
+logger = logging.getLogger(__name__)
 
 
 def params_hash(params: Any) -> str:
@@ -56,7 +59,13 @@ def load_manifest(root: str, name: str) -> dict | None:
     try:
         with open(manifest_path(root, name), encoding="utf-8") as f:
             return json.load(f)
-    except (FileNotFoundError, json.JSONDecodeError):
+    except FileNotFoundError:
+        return None
+    except json.JSONDecodeError as e:
+        logger.warning(
+            "checkpoint stage %r: corrupt manifest.json (%s) — treating "
+            "stage as incomplete and recomputing", name, e
+        )
         return None
 
 
@@ -151,8 +160,16 @@ def run_stage_sharded(
         with open(lpath, encoding="utf-8") as f:
             if json.load(f) != layout:
                 shutil.rmtree(sdir)
-    except (FileNotFoundError, json.JSONDecodeError):
-        pass
+    except FileNotFoundError:
+        pass  # first run of this stage: no layout yet
+    except json.JSONDecodeError as e:
+        # a corrupt layout is invisible otherwise — the stage silently
+        # rebuilds from scratch; make the cause auditable
+        logger.warning(
+            "checkpoint stage %r: corrupt layout.json (%s) — wiping stage "
+            "directory and recomputing all partitions", name, e
+        )
+        shutil.rmtree(sdir, ignore_errors=True)
     os.makedirs(sdir, exist_ok=True)
     with open(lpath, "w", encoding="utf-8") as f:
         json.dump(layout, f)
@@ -169,8 +186,14 @@ def run_stage_sharded(
         try:
             with open(mpath, encoding="utf-8") as f:
                 m = json.load(f)
-        except (FileNotFoundError, json.JSONDecodeError):
-            pass
+        except FileNotFoundError:
+            pass  # partition never completed: recompute is the normal path
+        except json.JSONDecodeError as e:
+            # silent re-run of a finished partition is invisible otherwise
+            logger.warning(
+                "checkpoint stage %r part %05d: corrupt manifest.json (%s) "
+                "— recomputing this partition", name, k, e
+            )
         if (
             m
             and m.get("params_hash") == ph

@@ -46,7 +46,11 @@ def fingerprint(df: pd.DataFrame) -> str:
         if "datetime" in str(s.dtype):
             # normalize the resolution first: pandas may surface the same
             # timestamps as [us] (DuckDB) or [ns] (Arrow->pandas), whose
-            # raw epoch integers differ by 1000x
+            # raw epoch integers differ by 1000x.  tz-aware columns cannot
+            # astype to a naive unit directly — strip to UTC-naive first
+            # (both sides fingerprint the same absolute instant).
+            if getattr(s.dtype, "tz", None) is not None:
+                s = s.dt.tz_convert("UTC").dt.tz_localize(None)
             h.update(
                 str(sorted(s.astype("datetime64[ns]").astype("int64").tolist())).encode()
             )

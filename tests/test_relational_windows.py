@@ -187,6 +187,40 @@ def test_cdc_merge_last_writer_wins_and_tombstones():
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_cdc_merge_drops_malformed_props_rows():
+    """A props payload without '"k": N' is routed out (matching the
+    oracle's LIKE filter shape) instead of crashing the null-int cast
+    (ADVICE r3)."""
+    import os
+    import tempfile
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ahrd_ray.stages.generic import cdc_merge
+
+    ts = pd.to_datetime(["2024-01-01", "2024-01-02", "2024-01-03"]).astype(
+        "datetime64[us]"
+    )
+    t = pa.table(
+        {
+            "event_id": pa.array([1, 2, 3], type=pa.int64()),
+            "ts": pa.array(ts, type=pa.timestamp("us")),
+            "user_id": pa.array([0] * 3, type=pa.int64()),
+            "event_type": pa.array(["view", "click", "view"]),
+            "value": pa.array([1.0, 2.0, 3.0]),
+            "props": pa.array(['{"k": 7}', "{}", '{"other": 1}']),
+        }
+    )
+    with tempfile.TemporaryDirectory() as d:
+        pq.write_table(t, os.path.join(d, "events.parquet"))
+        got = cdc_merge(d).to_pandas()
+    assert got["k"].tolist() == [7]
+    assert got["last_event_id"].tolist() == [1]
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_cdc_merge_matches_duckdb_at_sf0001():
     import duckdb
     import pandas as pd

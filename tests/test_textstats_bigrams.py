@@ -186,3 +186,21 @@ def test_char_stats_exact_values_and_empty_doc_absent():
     assert out.loc[1].tolist() == [4, 2, 10, 3]
     # '✓✓\n' = 3 codepoints, 2 distinct, 2^2+1^2 = 5, top 2
     assert out.loc[2].tolist() == [3, 2, 5, 2]
+
+
+def test_char_stats_null_text_behaves_like_empty():
+    """NULL text emits no row (same as '') instead of crashing the batch
+    (ADVICE r3: ''.join(None) / NaN repeat)."""
+    import pyarrow as pa
+
+    from ahrd_ray.stages.textstats import char_stats_batch
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2], type=pa.int64()),
+            "text": pa.array(["ab", None]),
+        }
+    )
+    out = char_stats_batch(t).to_pandas().set_index("doc_id")
+    assert list(out.index) == [1]
+    assert out.loc[1].tolist() == [2, 2, 2, 1]
