@@ -833,13 +833,89 @@ def sql_salted_user_counts() -> str:
 
 def sql_media_dims() -> str:
     """Decode-metadata oracle for the multimodal pipeline: width/height in
-    the fake payload container are pure arithmetic on doc_id
+    the payload containers are pure arithmetic on doc_id
     (multimodal.payloads_dataset), so the actor-pool decode path is
-    content-gated on them even though the codec itself is a stub."""
+    content-gated on them across all three container formats."""
     return (
         "SELECT doc_id, 32 + (doc_id % 97) AS width, 16 + (doc_id % 53) AS height"
         " FROM documents"
     )
+
+
+# The multimodal raster spec (multimodal._raster): w = 32 + doc_id % 97,
+# h = 16 + doc_id % 53, raster byte i = text byte i for i < min(len, w*h),
+# else 0 (zero-padded).  The synthetic corpus is ASCII, so text byte i ==
+# ord(substr(text, i+1, 1)).  All three container formats (P5/BMP/ARIM)
+# carry the identical raster, so these oracles gate the real decoders'
+# CONTENT, not just dims.
+_MM_RASTER_BYTE = (
+    "CASE WHEN {i} < least(length(text), w*h)"
+    " THEN ord(substr(text, CAST({i} + 1 AS BIGINT), 1)) ELSE 0 END"
+)
+
+
+def sql_media_hist() -> str:
+    """(doc_id, bin, n) byte histogram (bin = byte // 16, n > 0 only) of the
+    decoded raster — mirrors multimodal.MediaHistogram.  DuckDB 1.0 has no
+    lateral table-function args, so per-doc positions come from
+    unnest(generate_series(...)) in the SELECT list."""
+    byte = _MM_RASTER_BYTE.format(i="i")
+    return f"""WITH pos AS (
+  SELECT doc_id, text, w, h,
+         unnest(generate_series(0, CAST(w * h - 1 AS BIGINT))) AS i
+  FROM (SELECT doc_id, text, 32 + doc_id % 97 AS w, 16 + doc_id % 53 AS h
+        FROM documents)
+), px AS (SELECT doc_id, {byte} AS v FROM pos)
+SELECT doc_id, CAST(v // 16 AS BIGINT) AS bin, count(*) AS n
+FROM px GROUP BY doc_id, bin"""
+
+
+def sql_resized_pixels(out_w: int = 16, out_h: int = 8) -> str:
+    """(doc_id, r, c, v) nearest-neighbor resample — mirrors
+    multimodal.ImageResizer's index grids rows[r] = r*h // out_h,
+    cols[c] = c*w // out_w, gated through the P5 encode/decode round trip."""
+    byte = _MM_RASTER_BYTE.format(i="(t.r * h // {oh}) * w + (t.c * w // {ow})").format(
+        oh=out_h, ow=out_w
+    )
+    return f"""SELECT d.doc_id, t.r, t.c, CAST({byte} AS BIGINT) AS v
+FROM (SELECT doc_id, text, 32 + doc_id % 97 AS w, 16 + doc_id % 53 AS h
+      FROM documents) d,
+     (SELECT r.r, c.c FROM generate_series(0, {out_h - 1}) AS r(r),
+                           generate_series(0, {out_w - 1}) AS c(c)) t"""
+
+
+def sql_frame_sums(every_n: int = 4, fsize: int = 64) -> str:
+    """(doc_id, frame_idx, f_sum) per-sampled-frame byte sums — mirrors
+    multimodal.frame_sums (8x8 frames over the raster, every Nth)."""
+    byte = _MM_RASTER_BYTE.format(i=f"(fi * {fsize} + s.j)")
+    return f"""WITH f AS (
+  SELECT doc_id, text, w, h,
+         unnest(generate_series(0, CAST(w * h // {fsize} - 1 AS BIGINT),
+                                {every_n})) AS fi
+  FROM (SELECT doc_id, text, 32 + doc_id % 97 AS w, 16 + doc_id % 53 AS h
+        FROM documents)
+)
+SELECT f.doc_id, f.fi AS frame_idx, CAST(sum({byte}) AS BIGINT) AS f_sum
+FROM f, generate_series(0, {fsize - 1}) AS s(j)
+GROUP BY f.doc_id, f.fi"""
+
+
+def sql_audio_stats() -> str:
+    """WAV decode stats — mirrors multimodal.wav_payloads' integer waveform
+    sample[i] = ((doc_id*7 + i*13) % 512) - 256 over n = 100 + doc_id % 50
+    frames at 8 kHz, decoded by the real RIFF/PCM parser."""
+    return """WITH s AS (
+  SELECT doc_id,
+         unnest(generate_series(0, CAST(99 + doc_id % 50 AS BIGINT))) AS i
+  FROM documents
+)
+SELECT doc_id,
+  CAST(100 + doc_id % 50 AS BIGINT) AS n_samples,
+  CAST(8000 AS BIGINT) AS sample_rate,
+  CAST(sum((doc_id * 7 + i * 13) % 512 - 256) AS BIGINT) AS amp_sum,
+  CAST(min((doc_id * 7 + i * 13) % 512 - 256) AS BIGINT) AS amp_min,
+  CAST(max((doc_id * 7 + i * 13) % 512 - 256) AS BIGINT) AS amp_max
+FROM s GROUP BY doc_id"""
 
 
 def sql_props_agg() -> str:
@@ -2395,14 +2471,175 @@ SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
 FROM ranked WHERE rn <= {EVENT_SEQ_CAP} GROUP BY user_id"""
 
 
+# ---------------------------------------------------------------------------
+# Multi-config trainer-objective oracle (E7/E8 gates).
+#
+# The round-3 grid oracle unioned FOUR complete eval chains and DuckDB ran
+# them superlinearly (>12 min at sf0.001 vs 31 s for one chain): every
+# branch re-derived candidates/dedup/token explosions from scratch.  The
+# mutated parameters (token-score weights, integer source weights, dsbs
+# weights) only enter DOWNSTREAM of the candidate table, so everything
+# weight-invariant is shared once AS MATERIALIZED, decomposed per source
+# where a weight multiplies it, and each config re-aggregates the slim
+# decomposed tables.  Exactness: source weights are integers and
+# match_score / ov_q are integer-valued / 2^-20-quantized doubles, so
+# sum(w * n) == iterated row sums bit-for-bit, and every downstream double
+# expression is textually identical to cte_scoring/_eval_ctes.
+# ---------------------------------------------------------------------------
+
+
+def _objective_shared_ctes(cfg: EngineConfig) -> list[str]:
+    """Weight-invariant MATERIALIZED prefix shared by every config of a
+    multi-config objective query (grid sweep / annealing path)."""
+    ov = (
+        "(CAST(span_end - span_start + 1 AS DOUBLE) + CAST(cand_end - cand_start + 1 AS DOUBLE))"
+        " / CAST(doc_len + cand_len AS DOUBLE)"
+    )
+    return [
+        *_cands_prefix(cfg),
+        cte_valid_dedup(),
+        f"""m_cands AS MATERIALIZED (
+  SELECT doc_id, source, cand_ord, cand_id, e_rank, match_score, {_q20(ov)} AS ov_q
+  FROM dcands
+)""",
+        f"""m_topk AS MATERIALIZED (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY doc_id, source ORDER BY e_rank ASC, cand_ord ASC) AS topk_rn
+    FROM m_cands
+  ) WHERE topk_rn <= {cfg.top_k}
+)""",
+        """m_totals_src AS MATERIALIZED (
+  SELECT doc_id, source, sum(match_score) AS sb, count(*) AS n,
+         sum(ov_q) AS so, max(match_score) AS mb
+  FROM m_cands GROUP BY doc_id, source
+)""",
+        """m_cum_src AS MATERIALIZED (
+  SELECT c.doc_id, ct.token, c.source, sum(c.match_score) AS cb,
+         count(*) AS n, sum(c.ov_q) AS co
+  FROM m_cands c JOIN catalog_tokens ct ON ct.cand_ord = c.cand_ord
+  GROUP BY c.doc_id, ct.token, c.source
+)""",
+        """m_topk_tokens AS MATERIALIZED (
+  SELECT DISTINCT k.doc_id, ct.token
+  FROM m_topk k JOIN catalog_tokens ct ON ct.cand_ord = k.cand_ord
+)""",
+        """m_topk_cand_tokens AS MATERIALIZED (
+  SELECT k.doc_id, k.cand_ord, ct.token
+  FROM m_topk k JOIN catalog_tokens ct ON ct.cand_ord = k.cand_ord
+)""",
+        f"""m_gold AS MATERIALIZED (
+  SELECT DISTINCT doc_id, token FROM (
+    SELECT doc_id, unnest(regexp_split_to_array(lower(substr(text, 1, {GOLD_PREFIX_CHARS})), '{SPLIT_SQL}')) AS token
+    FROM documents
+  ) WHERE token <> ''
+)""",
+        "m_gold_sizes AS MATERIALIZED (SELECT doc_id, count(*) AS n_gold FROM m_gold GROUP BY doc_id)",
+        f"""m_ev_tokens AS MATERIALIZED (
+  SELECT DISTINCT cand_ord, token FROM (
+    SELECT cand_ord, unnest(regexp_split_to_array(lower(description), '{SPLIT_SQL}')) AS token
+    FROM catalog_flt
+  ) WHERE token <> ''
+)""",
+        "m_ev_sizes AS MATERIALIZED (SELECT cand_ord, count(*) AS n_ev FROM m_ev_tokens GROUP BY cand_ord)",
+        "m_ndocs AS MATERIALIZED (SELECT count(*) AS n FROM documents)",
+    ]
+
+
+def _objective_tail_ctes(s: str, cfg: EngineConfig) -> list[str]:
+    """Per-config scoring + objective tail over the shared prefix; defines
+    ``obj_{s}`` (one row, column ``objective``)."""
+    w_case = _case_source({n: str(w) for n, w in cfg.weights_by_source().items()})
+    dsbs_case = _case_source({n: repr(w) for n, w in cfg.dsbs_by_source().items()})
+    w_bit = repr(cfg.token_score_bit_score_weight)
+    w_db = repr(cfg.token_score_database_score_weight)
+    w_ov = repr(cfg.token_score_overlap_score_weight)
+    ts_formula = (
+        f"{w_bit} * c.cum_bit / t.tot_bit + {w_db} * c.cum_db / t.tot_db"
+        f" + {w_ov} * c.cum_ov / t.tot_ov"
+    )
+    fexpr = """CASE WHEN coalesce(t.tp, 0) = 0 OR coalesce(gs.n_gold, 0) = 0 OR coalesce(es.n_ev, 0) = 0
+         THEN 0.0
+         ELSE 2.0 * ((CAST(t.tp AS DOUBLE) / es.n_ev) * (CAST(t.tp AS DOUBLE) / gs.n_gold))
+              / ((CAST(t.tp AS DOUBLE) / es.n_ev) + (CAST(t.tp AS DOUBLE) / gs.n_gold))
+    END"""
+    return [
+        f"""totals_{s} AS (
+  SELECT doc_id, sum(sb) AS tot_bit, CAST(sum({w_case} * n) AS DOUBLE) AS tot_db,
+         sum(so) AS tot_ov, max(mb) AS max_bit
+  FROM m_totals_src GROUP BY doc_id
+)""",
+        f"""cum_{s} AS (
+  SELECT doc_id, token, sum(cb) AS cum_bit,
+         CAST(sum({w_case} * n) AS DOUBLE) AS cum_db, sum(co) AS cum_ov
+  FROM m_cum_src GROUP BY doc_id, token
+)""",
+        f"""ts_{s} AS (
+  SELECT c.doc_id, c.token, {_q20(ts_formula)} AS ts_q
+  FROM cum_{s} c JOIN totals_{s} t ON t.doc_id = c.doc_id
+)""",
+        f"""dh_{s} AS (
+  SELECT ts.doc_id, max(ts.ts_q) AS hs
+  FROM ts_{s} ts
+  JOIN m_topk_tokens tk ON tk.doc_id = ts.doc_id AND tk.token = ts.token
+  GROUP BY ts.doc_id
+)""",
+        f"""fts_{s} AS (
+  SELECT ts.doc_id, ts.token,
+         CASE WHEN ts.ts_q > h.hs / 2 THEN ts.ts_q ELSE ts.ts_q - h.hs / 2 END AS ts_f,
+         (ts.ts_q > h.hs / 2) AS informative
+  FROM ts_{s} ts JOIN dh_{s} h ON h.doc_id = ts.doc_id
+)""",
+        f"""cta_{s} AS (
+  SELECT t.doc_id, t.cand_ord, sum(f.ts_f) AS sum_ts,
+         count(*) AS n_tok, sum(CASE WHEN f.informative THEN 1 ELSE 0 END) AS n_inf
+  FROM m_topk_cand_tokens t
+  JOIN fts_{s} f ON f.doc_id = t.doc_id AND f.token = t.token
+  GROUP BY t.doc_id, t.cand_ord
+)""",
+        f"""scored_{s} AS (
+  SELECT k.doc_id, k.cand_ord, k.source, k.cand_id,
+         CASE WHEN a.n_inf = 0 OR h.hs = 0 THEN 0.0
+              ELSE (a.sum_ts / h.hs) / (CAST(a.n_tok AS DOUBLE) / CAST(a.n_inf AS DOUBLE))
+         END + {dsbs_case} * k.match_score / t.max_bit AS description_score
+  FROM m_topk k
+  JOIN dh_{s} h ON h.doc_id = k.doc_id
+  JOIN totals_{s} t ON t.doc_id = k.doc_id
+  JOIN cta_{s} a ON a.doc_id = k.doc_id AND a.cand_ord = k.cand_ord
+)""",
+        f"""win_{s} AS (
+  SELECT doc_id, cand_ord FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY doc_id
+        ORDER BY description_score DESC, cand_ord DESC, source ASC, cand_id ASC) AS win_rn
+    FROM scored_{s}
+  ) WHERE win_rn = 1
+)""",
+        f"""wtp_{s} AS (
+  SELECT w.doc_id, w.cand_ord, count(*) AS tp
+  FROM win_{s} w
+  JOIN m_ev_tokens e ON e.cand_ord = w.cand_ord
+  JOIN m_gold g ON g.doc_id = w.doc_id AND g.token = e.token
+  GROUP BY w.doc_id, w.cand_ord
+)""",
+        f"""obj_{s} AS (
+  SELECT coalesce(sum({_q20(fexpr)}), 0.0) / (SELECT n FROM m_ndocs) AS objective
+  FROM win_{s} w
+  LEFT JOIN wtp_{s} t ON t.doc_id = w.doc_id AND t.cand_ord = w.cand_ord
+  LEFT JOIN m_gold_sizes gs ON gs.doc_id = w.doc_id
+  LEFT JOIN m_ev_sizes es ON es.cand_ord = w.cand_ord
+)""",
+    ]
+
+
 def sql_grid_search(cfg: EngineConfig) -> str:
-    """Weight-grid sweep oracle (pipelines/trainer.grid_search): one full
-    eval-chain replica per combo, UNION ALL — each combo's objective is
-    that configuration's mean_eval_score."""
+    """Weight-grid sweep oracle (pipelines/trainer.grid_search): shared
+    weight-invariant prefix + one slim scoring tail per combo."""
     from dataclasses import replace
 
     from ahrd_ray.pipelines.trainer import GRID_COMBOS
 
+    ctes = _objective_shared_ctes(cfg)
     parts = []
     for i, (wb, wd, wo) in enumerate(GRID_COMBOS):
         c = replace(
@@ -2411,12 +2648,158 @@ def sql_grid_search(cfg: EngineConfig) -> str:
             token_score_database_score_weight=wd,
             token_score_overlap_score_weight=wo,
         )
+        ctes.extend(_objective_tail_ctes(f"g{i}", c))
         parts.append(
             f"SELECT CAST({i} AS BIGINT) AS combo_id, CAST({wb!r} AS DOUBLE) AS w_bit,"
             f" CAST({wd!r} AS DOUBLE) AS w_db, CAST({wo!r} AS DOUBLE) AS w_ov,"
-            f" mean_eval_score AS objective, n_docs FROM (\n{sql_eval_summary(c)}\n)"
+            f" (SELECT objective FROM obj_g{i}) AS objective,"
+            f" (SELECT n FROM m_ndocs) AS n_docs"
         )
-    return "\nUNION ALL\n".join(parts)
+    return _with(*ctes) + "\n" + "\nUNION ALL\n".join(parts)
+
+
+def sql_trainer_path(
+    cfg: EngineConfig,
+    iterations: int = 3,
+    temperature: float = 400.0,
+    cool_down_by: float = 50.0,
+    scaling_factor: float = 200.0,
+    seed: int = 42,
+) -> str:
+    """Simulated-annealing path oracle (pipelines/trainer.train, mirroring
+    Trainer.java:93-138): the seeded RNG stream is DATA-INDEPENDENT (the
+    trainer draws the acceptance uniform unconditionally), so every
+    mutation and uniform is a constant here; only the acceptance DECISIONS
+    depend on the data.  The 2^iterations acceptance branches are
+    enumerated — each branch's candidate config gets one scoring tail over
+    the shared prefix, and the accept/best logic folds across iterations as
+    CASE chains over the per-config objectives.  Practical for the small
+    iteration counts the gate runs (3 steps = 8 tails)."""
+    import numpy as np
+
+    from ahrd_ray.pipelines.trainer import apply_mutation, draw_mutation
+
+    if iterations > 4:
+        raise ValueError("path oracle enumerates 2^iterations branches; use <= 4")
+    rng = np.random.default_rng(seed)
+    n_src = len(cfg.sources)
+    draws = []
+    us = []
+    for _ in range(iterations):
+        draws.append(draw_mutation(rng, n_src))
+        us.append(float(rng.random()))
+
+    # configs per acceptance history (tuple of 0/1 bits)
+    cfg_at: dict[tuple, EngineConfig] = {(): cfg}
+    cand_at: dict[tuple, EngineConfig] = {}
+    hists: list[tuple] = [()]
+    for k in range(iterations):
+        new_hists = []
+        for h in hists:
+            cand = apply_mutation(cfg_at[h], draws[k])
+            cand_at[h] = cand
+            cfg_at[h + (1,)] = cand
+            cfg_at[h + (0,)] = cfg_at[h]
+            new_hists += [h + (0,), h + (1,)]
+        hists = new_hists
+
+    def lab(h: tuple) -> str:
+        return f"c{len(h)}_{''.join(map(str, h))}"
+
+    ctes = _objective_shared_ctes(cfg)
+    ctes.extend(_objective_tail_ctes("base", cfg))
+    for h, c in cand_at.items():
+        ctes.extend(_objective_tail_ctes(lab(h), c))
+
+    def cand_obj_expr(k: int, prefix: tuple = ()) -> str:
+        """Objective of the iteration-k candidate as a CASE over a0..a{k-1}."""
+        if len(prefix) == k:
+            return f"(SELECT objective FROM obj_{lab(prefix)})"
+        b = len(prefix)
+        return (
+            f"CASE WHEN a{b} THEN {cand_obj_expr(k, prefix + (1,))}"
+            f" ELSE {cand_obj_expr(k, prefix + (0,))} END"
+        )
+
+    def cand_param_expr(k: int, get, prefix: tuple = ()) -> str:
+        """A literal parameter of the iteration-k candidate, branch-folded."""
+        if len(prefix) == k:
+            return repr(get(cand_at[prefix]))
+        b = len(prefix)
+        return (
+            f"CASE WHEN a{b} THEN {cand_param_expr(k, get, prefix + (1,))}"
+            f" ELSE {cand_param_expr(k, get, prefix + (0,))} END"
+        )
+
+    # scalar-fold CTE chain: one row carrying s_k / cs_k / a_k / best_k
+    sf = repr(scaling_factor)
+    chain = ["p0 AS (SELECT (SELECT objective FROM obj_base) AS s0)"]
+    prev = "p0"
+    for k in range(iterations):
+        T = temperature - k * cool_down_by
+        chain.append(f"q{k} AS (SELECT *, {cand_obj_expr(k)} AS cs{k} FROM {prev})")
+        accept = f"(cs{k} - s{k}) >= 0 OR ({T!r} > 0 AND {us[k]!r} < exp((cs{k} - s{k}) * {sf} / {T!r}))"
+        chain.append(f"r{k} AS (SELECT *, ({accept}) AS a{k} FROM q{k})")
+        chain.append(
+            f"t{k} AS (SELECT *, CASE WHEN a{k} THEN cs{k} ELSE s{k} END AS s{k + 1} FROM r{k})"
+        )
+        prev = f"t{k}"
+    # best tracking: strictly-greater updates walking the accepted scores
+    getters = {
+        "w_bit": lambda c: c.token_score_bit_score_weight,
+        "w_db": lambda c: c.token_score_database_score_weight,
+        "w_ov": lambda c: c.token_score_overlap_score_weight,
+    }
+    chain.append(
+        "b0 AS (SELECT *, s0 AS b0_score, "
+        + ", ".join(f"{repr(g(cfg))} AS b0_{n}" for n, g in getters.items())
+        + ", "
+        + ", ".join(f"{repr(g(cfg))} AS b0_{n}_cur" for n, g in getters.items())
+        + f" FROM {prev})"
+    )
+    prev = "b0"
+    for k in range(iterations):
+        # cfg after iteration k = candidate if accepted else previous cfg;
+        # params fold as CASE over (a0..ak) using cfg_at literals
+        upd = f"s{k + 1} > b{k}_score"
+        cols = [f"CASE WHEN {upd} THEN s{k + 1} ELSE b{k}_score END AS b{k + 1}_score"]
+        for n, g in getters.items():
+            cur = (
+                f"CASE WHEN a{k} THEN {cand_param_expr(k, g)} ELSE b{k}_{n}_cur END"
+            )
+            cols.append(f"({cur}) AS b{k + 1}_{n}_cur")
+            cols.append(
+                f"CASE WHEN {upd} THEN ({cur}) ELSE b{k}_{n} END AS b{k + 1}_{n}"
+            )
+        chain.append(f"b{k + 1} AS (SELECT *, {', '.join(cols)} FROM {prev})")
+        prev = f"b{k + 1}"
+
+    ctes.extend(chain)
+
+    src_names = [s.name for s in cfg.sources]
+    rows = []
+    for k in range(iterations):
+        T = temperature - k * cool_down_by
+        param_cols = [
+            f"{cand_param_expr(k, g)} AS {n}" for n, g in getters.items()
+        ]
+        for nm in src_names:
+            param_cols.append(
+                f"CAST({cand_param_expr(k, lambda c, nm=nm: next(s.weight for s in c.sources if s.name == nm))} AS BIGINT) AS weight_{nm}"
+            )
+        for nm in src_names:
+            param_cols.append(
+                f"{cand_param_expr(k, lambda c, nm=nm: next(s.description_score_bit_score_weight for s in c.sources if s.name == nm))} AS dsbs_{nm}"
+            )
+        rows.append(
+            f"SELECT CAST({k} AS BIGINT) AS iteration, CAST({T!r} AS DOUBLE) AS temperature,"
+            f" cs{k} AS score, a{k} AS accepted, {', '.join(param_cols)},"
+            f" b{iterations}_score AS best_score,"
+            f" b{iterations}_w_bit AS best_w_bit, b{iterations}_w_db AS best_w_db,"
+            f" b{iterations}_w_ov AS best_w_ov"
+            f" FROM {prev}"
+        )
+    return _with(*ctes) + "\n" + "\nUNION ALL\n".join(rows)
 
 
 def sql_lang_confusion() -> str:

@@ -610,18 +610,34 @@ def _generic_queries() -> dict[str, tuple[Callable, str | None]]:
             lambda sf: g.distinct_users(sf).map_batches(_int64, batch_format="pyarrow"),
             oracle.sql_distinct_users(),
         ),
-        "mm_media_features": (lambda sf: mm.media_features(sf), None),
-        # decode metadata through the REAL actor-pool decode path, gated by
-        # SQL (the dims are payload-spec arithmetic on doc_id); the payload
-        # CONTENT is sha256-pinned in pytest (test_multimodal_content_checksums)
+        # mm_* run the REAL pure-Python decoders (P5 PNM / uncompressed BMP /
+        # ARIM fixture, rotating by doc_id % 3) through actor-pool stages;
+        # every query emits exact integers so the decode CONTENT is
+        # SQL-gated, not rows-only.  The float feature vectors and the raw
+        # resized/frame payload bytes are sha256-pinned in pytest
+        # (test_multimodal_content_checksums).
+        "mm_media_features": (
+            lambda sf: mm.media_histogram(sf),
+            oracle.sql_media_hist(),
+        ),
         "mm_media_dims": (
             lambda sf: mm.media_features(sf)
             .select_columns(["doc_id", "width", "height"])
             .map_batches(_int64, batch_format="pyarrow"),
             oracle.sql_media_dims(),
         ),
-        "mm_resized": (lambda sf: mm.resized_images(sf), None),
-        "mm_frames": (lambda sf: mm.sampled_frames(sf), None),
+        "mm_resized": (
+            lambda sf: mm.resized_pixels(sf),
+            oracle.sql_resized_pixels(),
+        ),
+        "mm_frames": (
+            lambda sf: mm.frame_sums(sf),
+            oracle.sql_frame_sums(),
+        ),
+        "mm_audio_stats": (
+            lambda sf: mm.audio_stats(sf),
+            oracle.sql_audio_stats(),
+        ),
         "rel_props_agg": (
             lambda sf: g.props_agg(sf).map_batches(_int64, batch_format="pyarrow"),
             oracle.sql_props_agg(),
@@ -859,15 +875,15 @@ def _eval_queries() -> dict[str, tuple[Callable, str | None]]:
             lambda sf: txy.annotation_closure(sf).map_batches(_int64, batch_format="pyarrow"),
             oracle.sql_annotation_closure(),
         ),
-        # simulated-annealing trainer path log (E7): deterministic via seeded
-        # RNG, not SQL-expressible -> rows-only check
-        "tr_path": (_q_trainer, None),
-        # rows-only by cost, not by inexpressibility: sql_grid_search exists
-        # and is correct, but DuckDB runs the 4 unioned eval chains
-        # superlinearly (>12 min at sf0.001 vs 31 s for one chain) — too
-        # heavy for the per-round gate.  Combo 0 is pinned to the
-        # oracle-gated ev_summary mean in pytest instead.
-        "tr_grid": (_q_trainer_grid, None),
+        # simulated-annealing trainer path log (E7), oracle-gated: the
+        # seeded RNG stream is data-independent, so the oracle enumerates
+        # the 2^3 acceptance branches over a SHARED weight-invariant prefix
+        # and folds accept/best logic as CASE chains (sql_trainer_path).
+        "tr_path": (_q_trainer, oracle.sql_trainer_path(cfg)),
+        # grid sweep (E8), oracle-gated via the same shared-prefix
+        # multi-config objective (round 3's 4 independent eval chains ran
+        # DuckDB superlinearly; the shared prefix removes the blowup).
+        "tr_grid": (_q_trainer_grid, oracle.sql_grid_search(cfg)),
     }
 
 
@@ -889,13 +905,88 @@ def _q_eval_file(sf_dir: str):
 def _q_trainer(sf_dir: str):
     from ahrd_ray.pipelines.trainer import train
 
-    return train(sf_dir, iterations=8, temperature=400.0, cool_down_by=50.0)
+    # 3 iterations: the path oracle enumerates 2^iterations acceptance
+    # branches, so the gated entry keeps the tree small; longer walks run
+    # through the same code path (pytest runs 8-step determinism checks)
+    return train(sf_dir, iterations=3, temperature=400.0, cool_down_by=50.0)
 
 
 def _q_trainer_grid(sf_dir: str):
     from ahrd_ray.pipelines.trainer import grid_search
 
     return grid_search(sf_dir)
+
+
+# The driver's per-round CORRECTNESS gate runs the FIRST 50 registry entries
+# only (rounds 1-3 sampled the kg_* prefix and never reached the tail).  This
+# window front-loads (a) every SURVEY §2-mapped query, (b) the rows that were
+# err/unchecked in earlier driver rounds (mm_*, tr_*, kg_kcore), and (c) one
+# representative per operator family, so a single driver run gates the whole
+# §2 surface plus each family.  Everything else (family variants, diagnostic
+# duplicates) follows in the original order and stays covered by
+# scripts/compare_queries.py sweeps.
+_DRIVER_WINDOW = [
+    # SURVEY §2 core chain (S2-S7, M1-M11, A1-A13, W1)
+    "kg_pages_extract",
+    "kg_doc_tokens",
+    "kg_vocab",
+    "kg_catalog",
+    "kg_catalog_tokens",
+    "kg_candidates",
+    "kg_candidates_dedup",
+    "kg_top_k",
+    "kg_token_scores",
+    "kg_winners",
+    "kg_winners_annotated",
+    "kg_attrs_present",
+    "kg_triples",
+    "kg_annotations",
+    # (kg_external_candidates duplicates kg_candidates' shape — r03-green,
+    # kept outside the 50-slot window to make room for mm_audio_stats)
+    "kg_external_quarantine",
+    "kg_external_winners",
+    # §2 evaluator / taxonomy / trainer entry points (E1-E8, S8-S11, A12)
+    "ev_scores",
+    "ev_summary",
+    "ev_scores_file",
+    "tax_most_informative",
+    "tax_closure",
+    "tr_path",
+    "tr_grid",
+    # multimodal plumbing (r02 err rows, unchecked in r03)
+    "mm_media_dims",
+    "mm_media_features",
+    "mm_resized",
+    "mm_frames",
+    "mm_audio_stats",
+    # graph family incl. the r03 flaky row + iterative joiners
+    "kg_kcore",
+    "kg_components",
+    "kg_bfs_reach",
+    "kg_pagerank",
+    "kg_cooccurrence",
+    # dedup family (brief-named variants first)
+    "dd_exact",
+    "dd_minhash_lsh",
+    "dd_simhash_pairs",
+    "dd_ngram_jaccard",
+    "dd_substring_spans",
+    "dd_paragraph_dedup",
+    "dd_dup_clusters",
+    "dd_url_dedup",
+    "llm_clean_corpus",
+    # similarity-search family
+    "sim_cosine_topk",
+    "sim_knn",
+    "sim_near_dup_lsh",
+    # text-analysis family (brief-named: langid, quality, fingerprints)
+    "tx_langid",
+    "tx_quality",
+    "tx_fingerprints",
+    "tx_top_tokens",
+    # relational representative
+    "rel_q5_revenue",
+]
 
 
 def registry() -> dict[str, tuple[Callable, str | None]]:
@@ -906,7 +997,11 @@ def registry() -> dict[str, tuple[Callable, str | None]]:
     out.update(_web_queries())
     out.update(_generic_queries())
     out.update(_eval_queries())
-    return out
+    missing = [k for k in _DRIVER_WINDOW if k not in out]
+    assert not missing, f"_DRIVER_WINDOW names not in registry: {missing}"
+    ordered = {k: out[k] for k in _DRIVER_WINDOW}
+    ordered.update((k, v) for k, v in out.items() if k not in ordered)
+    return ordered
 
 
 def _kg_queries(cfg) -> dict[str, tuple[Callable, str | None]]:
@@ -1153,7 +1248,17 @@ def q_cocitation(sf_dir: str):
 def q_kcore(sf_dir: str):
     from ahrd_ray.stages.graph import kcore_nodes
 
-    return kcore_nodes(sf_dir)
+    # The k-core is legitimately EMPTY at some scale factors (sf0.01), and an
+    # empty Ray dataset loses its schema (schema-less empty blocks bypass
+    # every map UDF) — but the driver's gate compares schemas on empty
+    # results too, so pin the declared (node, core_deg) schema explicitly.
+    ds = kcore_nodes(sf_dir)
+    df = ds.to_pandas()
+    if len(df) == 0:
+        return pa.schema(
+            [("node", pa.int64()), ("core_deg", pa.int64())]
+        ).empty_table()
+    return df
 
 
 def q_entity_degree(sf_dir: str):

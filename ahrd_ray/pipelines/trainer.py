@@ -41,18 +41,33 @@ def _normalized_weights(w: list[float]) -> list[float]:
     return [round(x / s, 4) for x in w]
 
 
-def mutate(cfg: EngineConfig, rng: np.random.Generator) -> EngineConfig:
-    """One random parameter mutated (Parameters.java:132-170)."""
-    n_src = len(cfg.sources)
+def draw_mutation(rng: np.random.Generator, n_src: int) -> tuple:
+    """Consume the mutation draws for ONE annealing step.
+
+    Split from :func:`apply_mutation` so the RNG stream is a pure function
+    of the seed (never of the data): the SQL path oracle replays the same
+    draws over every acceptance branch (sql_trainer_path).  The number of
+    values consumed depends only on ``choice``, which is itself a draw."""
     choice = int(rng.integers(0, 1 + 2 * n_src))
+    if choice == 0:
+        return (choice, int(rng.integers(0, 3)), float(rng.normal(0.0, 0.1)))
+    if choice <= n_src:
+        return (choice, None, float(rng.normal(0.0, 10.0)))
+    return (choice, None, float(rng.normal(0.0, 0.1)))
+
+
+def apply_mutation(cfg: EngineConfig, draw: tuple) -> EngineConfig:
+    """One parameter mutated (Parameters.java:132-170), deterministic given
+    the captured draw."""
+    n_src = len(cfg.sources)
+    choice, aux, step = draw
     if choice == 0:
         w = [
             cfg.token_score_bit_score_weight,
             cfg.token_score_database_score_weight,
             cfg.token_score_overlap_score_weight,
         ]
-        i = int(rng.integers(0, 3))
-        w[i] = max(0.001, w[i] + float(rng.normal(0.0, 0.1)))
+        w[aux] = max(0.001, w[aux] + step)
         w = _normalized_weights(w)
         # keep the exact-sum contract: adjust the last weight
         w[2] = round(1.0 - w[0] - w[1], 4)
@@ -65,13 +80,17 @@ def mutate(cfg: EngineConfig, rng: np.random.Generator) -> EngineConfig:
     idx = (choice - 1) % n_src
     src = cfg.sources[idx]
     if choice <= n_src:
-        new = max(1, int(src.weight + rng.normal(0.0, 10.0)))
-        new_src = replace(src, weight=new)
+        new_src = replace(src, weight=max(1, int(src.weight + step)))
     else:
-        new = min(1.0, max(0.0, src.description_score_bit_score_weight + float(rng.normal(0.0, 0.1))))
+        new = min(1.0, max(0.0, src.description_score_bit_score_weight + step))
         new_src = replace(src, description_score_bit_score_weight=round(new, 4))
     sources = tuple(new_src if i == idx else s for i, s in enumerate(cfg.sources))
     return replace(cfg, sources=sources)
+
+
+def mutate(cfg: EngineConfig, rng: np.random.Generator) -> EngineConfig:
+    """One random parameter mutated (Parameters.java:132-170)."""
+    return apply_mutation(cfg, draw_mutation(rng, len(cfg.sources)))
 
 
 def _objective(cands, catalog_ref, n_docs: int, cfg: EngineConfig) -> float:
@@ -186,8 +205,14 @@ def train(
         cand_cfg = mutate(cfg, rng)
         cand_score = _objective(cands, ctx.catalog_ref, n_docs, cand_cfg)
         diff = cand_score - score
+        # the acceptance uniform is drawn UNCONDITIONALLY (not only when
+        # diff < 0) so the RNG stream is a pure function of the seed — the
+        # SQL path oracle replays the identical draw sequence across every
+        # acceptance branch (documented deviation from Trainer.java's
+        # short-circuit; the accepted/rejected decisions are unchanged)
+        u = float(rng.random())
         accept = diff >= 0 or (
-            T > 0 and float(rng.random()) < math.exp(diff * scaling_factor / T)
+            T > 0 and u < math.exp(diff * scaling_factor / T)
         )
         if accept:
             cfg, score = cand_cfg, cand_score

@@ -1,15 +1,29 @@
-"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+"""Multimodal columns: opaque binary payloads + typed metadata + REAL codecs.
 
-The container has no image/audio codecs, so the DECODE step is stubbed —
-``decode_image`` raises ``NotImplementedError`` unless the deterministic
-fake decoder is selected — but everything Ray-side is real and tested:
-binary-column schema, actor-pool stage with per-actor model/codec setup,
-small-batch sizing for large payloads, and the typed feature output layout.
+Media travels the pipeline as an opaque ``binary`` column; decode /
+feature-extract / resize / frame-sample are actor-pool ``map_batches``
+stages (per-actor setup in ``__init__``, small batches because payloads are
+large).  The container has no codec LIBRARY (no PIL/cv2/imageio), but the
+uncompressed formats need none — this module carries real pure-Python
+parsers/writers for three of them:
 
-``payloads_dataset`` manufactures a binary column from the corpus (documents
-text bytes wrapped in a tiny header) purely so the plumbing has bytes to
-move; a real deployment points ``read_parquet`` at a table with
-(id, media:binary, media_type, width, height) columns instead.
+* **PNM** (``P5`` grayscale / ``P6`` RGB, binary raster, maxval <= 255)
+* **BMP** (BITMAPINFOHEADER, uncompressed 8-bit-palette or 24-bit,
+  bottom-up or top-down rows, 4-byte row padding)
+* **WAV** (RIFF/WAVE, PCM 8- or 16-bit)
+
+plus the ``ARIM`` fake container kept as a second image format so the
+dispatch path is exercised.  COMPRESSED formats (JPEG/PNG/GIF) still raise
+``NotImplementedError`` — decoding those genuinely needs a codec library.
+
+``payloads_dataset`` manufactures the media column from the corpus
+(documents text bytes as the pixel raster, wrapped per-doc in one of the
+three image containers) purely so the plumbing has real bytes to move; a
+real deployment points ``read_parquet`` at a table with
+(id, media:binary, media_type) columns instead.  The raster CONTENT is
+identical across containers, so every downstream stat is pure arithmetic
+on (doc_id, text) — which is what lets the mm_* registry queries carry
+exact DuckDB oracles despite the binary column.
 """
 
 from __future__ import annotations
@@ -21,55 +35,291 @@ import pyarrow as pa
 
 import ray.data
 
-MAGIC = b"ARIM"  # fake media container magic
+MAGIC = b"ARIM"  # fake media container magic (second image format)
+
+# -- payload spec (synthetic fixture): raster dims are arithmetic on doc_id,
+# raster bytes are the doc's utf-8 text truncated/zero-padded to w*h.
+_W_BASE, _W_MOD = 32, 97
+_H_BASE, _H_MOD = 16, 53
 
 
-def payloads_dataset(sf_dir: str) -> ray.data.Dataset:
-    """documents -> (doc_id, media:binary, media_type) opaque payloads."""
-    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+def _dims(doc_id: int) -> tuple[int, int]:
+    return _W_BASE + (doc_id % _W_MOD), _H_BASE + (doc_id % _H_MOD)
+
+
+def _raster(doc_id: int, text: str) -> np.ndarray:
+    w, h = _dims(doc_id)
+    body = np.frombuffer(text.encode("utf-8"), dtype=np.uint8)[: w * h]
+    if len(body) < w * h:
+        body = np.pad(body, (0, w * h - len(body)))
+    return body.reshape(h, w)
+
+
+# ---------------------------------------------------------------------------
+# Real encoders (pure Python/numpy — no codec library involved)
+# ---------------------------------------------------------------------------
+
+
+def encode_pnm(img: np.ndarray) -> bytes:
+    """Binary PNM: ``P5`` for (h, w) grayscale, ``P6`` for (h, w, 3) RGB."""
+    if img.ndim == 2:
+        magic = b"P5"
+    elif img.ndim == 3 and img.shape[2] == 3:
+        magic = b"P6"
+    else:
+        raise ValueError(f"PNM needs (h,w) or (h,w,3), got {img.shape}")
+    h, w = img.shape[:2]
+    return magic + f"\n{w} {h}\n255\n".encode() + np.ascontiguousarray(
+        img, dtype=np.uint8
+    ).tobytes()
+
+
+def encode_bmp(img: np.ndarray) -> bytes:
+    """Uncompressed BMP (BITMAPINFOHEADER): 8-bit gray palette for (h, w),
+    24-bit BGR for (h, w, 3).  Rows bottom-up, padded to 4 bytes."""
+    img = np.ascontiguousarray(img, dtype=np.uint8)
+    h, w = img.shape[:2]
+    if img.ndim == 2:
+        bpp, palette = 8, b"".join(bytes([i, i, i, 0]) for i in range(256))
+        rows = img
+    elif img.ndim == 3 and img.shape[2] == 3:
+        bpp, palette = 24, b""
+        rows = img[:, :, ::-1].reshape(h, w * 3)  # RGB -> BGR
+    else:
+        raise ValueError(f"BMP needs (h,w) or (h,w,3), got {img.shape}")
+    stride = (rows.shape[1] + 3) & ~3
+    px = np.zeros((h, stride), dtype=np.uint8)
+    px[:, : rows.shape[1]] = rows
+    pixel_bytes = px[::-1].tobytes()  # bottom-up
+    offset = 14 + 40 + len(palette)
+    header = struct.pack(
+        "<2sIHHI", b"BM", offset + len(pixel_bytes), 0, 0, offset
+    ) + struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, bpp, 0, len(pixel_bytes), 2835, 2835,
+        256 if bpp == 8 else 0, 0,
+    )
+    return header + palette + pixel_bytes
+
+
+def encode_wav(samples: np.ndarray, rate: int = 8000, channels: int = 1) -> bytes:
+    """RIFF/WAVE PCM16 writer.  ``samples`` is int16, frame-major
+    (interleaved if multi-channel)."""
+    data = np.ascontiguousarray(samples, dtype="<i2").tobytes()
+    fmt = struct.pack("<HHIIHH", 1, channels, rate, rate * channels * 2, channels * 2, 16)
+    return (
+        struct.pack("<4sI4s", b"RIFF", 4 + 8 + len(fmt) + 8 + len(data), b"WAVE")
+        + struct.pack("<4sI", b"fmt ", len(fmt)) + fmt
+        + struct.pack("<4sI", b"data", len(data)) + data
+    )
+
+
+def _encode_fake(doc_id: int, img: np.ndarray) -> bytes:
+    h, w = img.shape
+    return MAGIC + struct.pack("<iii", int(doc_id), w, h) + img.tobytes()
+
+
+# ---------------------------------------------------------------------------
+# Real decoders
+# ---------------------------------------------------------------------------
+
+
+def _decode_pnm(blob: bytes) -> np.ndarray:
+    channels = 1 if blob[:2] == b"P5" else 3
+    # header: magic, width, height, maxval — whitespace-separated tokens,
+    # '#'-to-EOL comments allowed, then ONE whitespace byte before raster
+    i, tokens = 2, []
+    while len(tokens) < 3:
+        while i < len(blob) and blob[i : i + 1].isspace():
+            i += 1
+        if blob[i : i + 1] == b"#":
+            while i < len(blob) and blob[i] != 0x0A:
+                i += 1
+            continue
+        j = i
+        while j < len(blob) and not blob[j : j + 1].isspace():
+            j += 1
+        tokens.append(int(blob[i:j]))
+        i = j
+    i += 1  # the single whitespace after maxval
+    w, h, maxval = tokens
+    if maxval > 255:
+        raise NotImplementedError("16-bit PNM rasters not supported")
+    n = w * h * channels
+    body = np.frombuffer(blob, dtype=np.uint8, count=n, offset=i)
+    return body.reshape((h, w) if channels == 1 else (h, w, 3)).copy()
+
+
+def _decode_bmp(blob: bytes) -> np.ndarray:
+    offset = struct.unpack_from("<I", blob, 10)[0]
+    dib = struct.unpack_from("<I", blob, 14)[0]
+    if dib < 40:
+        raise NotImplementedError("BITMAPCOREHEADER BMP not supported")
+    w, h_signed = struct.unpack_from("<ii", blob, 18)
+    bpp, compression = struct.unpack_from("<HH", blob, 28)[0], struct.unpack_from("<I", blob, 30)[0]
+    if compression != 0:
+        raise NotImplementedError("compressed BMP (RLE/bitfields) not supported")
+    h, bottom_up = abs(h_signed), h_signed > 0
+    if bpp == 8:
+        n_colors = struct.unpack_from("<I", blob, 46)[0] or 256
+        palette = np.frombuffer(blob, dtype=np.uint8, count=n_colors * 4, offset=54)
+        gray = palette.reshape(-1, 4)[:, 0]  # blue channel (identity for gray)
+        stride = (w + 3) & ~3
+        px = np.frombuffer(blob, dtype=np.uint8, count=stride * h, offset=offset)
+        rows = px.reshape(h, stride)[:, :w]
+        rows = rows[::-1] if bottom_up else rows
+        return gray[rows].astype(np.uint8)
+    if bpp == 24:
+        stride = (w * 3 + 3) & ~3
+        px = np.frombuffer(blob, dtype=np.uint8, count=stride * h, offset=offset)
+        rows = px.reshape(h, stride)[:, : w * 3].reshape(h, w, 3)
+        rows = rows[::-1] if bottom_up else rows
+        return rows[:, :, ::-1].copy()  # BGR -> RGB
+    raise NotImplementedError(f"{bpp}-bpp BMP not supported")
+
+
+def decode_image(blob: bytes, allow_fake: bool = False) -> np.ndarray:
+    """Decode an image payload to a (h, w) or (h, w, 3) uint8 array.
+
+    REAL pure-Python paths: binary PNM (P5/P6) and uncompressed BMP.  The
+    ``ARIM`` fake container decodes only with ``allow_fake=True`` (it is a
+    test fixture, not a format).  Compressed formats raise — those need a
+    codec library this container does not have."""
+    head = bytes(blob[:4])
+    if head[:2] in (b"P5", b"P6"):
+        return _decode_pnm(blob)
+    if head[:2] == b"BM":
+        return _decode_bmp(blob)
+    if head == MAGIC:
+        if not allow_fake:
+            raise NotImplementedError(
+                "ARIM is the synthetic test container; pass allow_fake=True"
+            )
+        _doc, w, h = struct.unpack("<iii", blob[4:16])
+        body = np.frombuffer(blob[16:], dtype=np.uint8)[: w * h]
+        if len(body) < w * h:
+            body = np.pad(body, (0, w * h - len(body)))
+        return body.reshape(h, w)
+    if head[:2] == b"\xff\xd8" or head == b"\x89PNG" or head[:3] == b"GIF":
+        raise NotImplementedError(
+            "compressed image formats (JPEG/PNG/GIF) need a codec library "
+            "that is not available in this container"
+        )
+    raise ValueError(f"unrecognized image container (magic {head!r})")
+
+
+def decode_audio(blob: bytes) -> dict:
+    """RIFF/WAVE PCM parser -> {'rate', 'channels', 'samples': int16 ndarray
+    (n_frames, channels) squeezed to 1-D when mono}."""
+    if blob[:4] != b"RIFF" or blob[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    i, fmt, data = 12, None, None
+    while i + 8 <= len(blob):
+        cid, size = struct.unpack_from("<4sI", blob, i)
+        body = blob[i + 8 : i + 8 + size]
+        if cid == b"fmt ":
+            fmt = struct.unpack_from("<HHIIHH", body, 0)
+        elif cid == b"data":
+            data = body
+        i += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    audio_format, channels, rate, _, _, bits = fmt
+    if audio_format != 1:
+        raise NotImplementedError("only PCM WAV is supported (no codec library)")
+    if bits == 16:
+        samples = np.frombuffer(data, dtype="<i2").astype(np.int16)
+    elif bits == 8:  # 8-bit WAV is unsigned, centered at 128
+        samples = (np.frombuffer(data, dtype=np.uint8).astype(np.int16) - 128) * 256
+    else:
+        raise NotImplementedError(f"{bits}-bit PCM not supported")
+    if channels > 1:
+        samples = samples[: len(samples) - len(samples) % channels].reshape(
+            -1, channels
+        )
+    return {"rate": rate, "channels": channels, "samples": samples}
+
+
+# ---------------------------------------------------------------------------
+# Payload fixtures
+# ---------------------------------------------------------------------------
+
+_FMT_BY_MOD = (  # doc_id % 3 picks the container — all three decoders run
+    ("pnm", "image/x-portable-graymap"),
+    ("bmp", "image/bmp"),
+    ("arim", "image/fake"),
+)
+
+
+def payloads_dataset(sf_dir: str, fmt: str = "mixed") -> ray.data.Dataset:
+    """documents -> (doc_id, media:binary, media_type) opaque payloads.
+
+    ``fmt``: 'mixed' (default — container rotates pnm/bmp/arim by doc_id%3),
+    or 'pnm' / 'bmp' / 'arim' to pin one.  Raster bytes are IDENTICAL across
+    containers, so downstream stats do not depend on the choice."""
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
 
     def wrap(batch: pa.Table) -> pa.Table:
-        blobs = []
+        blobs, types = [], []
         for d, t in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
-            body = t.encode("utf-8")
-            w = 32 + (d % 97)
-            h = 16 + (d % 53)
-            blobs.append(MAGIC + struct.pack("<iii", int(d), w, h) + body)
+            img = _raster(d, t)
+            f, mt = _FMT_BY_MOD[d % 3] if fmt == "mixed" else next(
+                (p, m) for p, m in _FMT_BY_MOD if p == fmt
+            )
+            if f == "pnm":
+                blobs.append(encode_pnm(img))
+            elif f == "bmp":
+                blobs.append(encode_bmp(img))
+            else:
+                blobs.append(_encode_fake(d, img))
+            types.append(mt)
         return pa.table(
             {
                 "doc_id": batch["doc_id"],
                 "media": pa.array(blobs, type=pa.binary()),
-                "media_type": pa.array(["image/fake"] * len(batch), type=pa.string()),
+                "media_type": pa.array(types, type=pa.string()),
             }
         )
 
     return docs.map_batches(wrap, batch_format="pyarrow")
 
 
-def decode_image(blob: bytes, allow_fake: bool = False) -> np.ndarray:
-    """STUB — real image decoding needs an image codec library that is not
-    available in this container.  ``allow_fake=True`` selects the
-    deterministic fake decoder (byte-histogram 'pixels') used to exercise
-    the pipeline plumbing end-to-end."""
-    if not allow_fake:
-        raise NotImplementedError(
-            "image decode requires an image codec library (not in this container); "
-            "pass allow_fake=True for the deterministic stub decoder"
+def wav_payloads(sf_dir: str, rate: int = 8000) -> ray.data.Dataset:
+    """documents -> (doc_id, media:binary PCM16 WAV).  Deterministic integer
+    waveform: sample[i] = ((doc_id*7 + i*13) % 512) - 256 over
+    n = 100 + doc_id % 50 frames — integer arithmetic, so the decode stats
+    carry an exact SQL oracle."""
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+
+    def wrap(batch: pa.Table) -> pa.Table:
+        blobs = []
+        for d in batch["doc_id"].to_pylist():
+            n = 100 + d % 50
+            i = np.arange(n, dtype=np.int64)
+            samples = ((d * 7 + i * 13) % 512 - 256).astype(np.int16)
+            blobs.append(encode_wav(samples, rate=rate))
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "media": pa.array(blobs, type=pa.binary()),
+                "media_type": pa.array(["audio/wav"] * len(batch), type=pa.string()),
+            }
         )
-    if blob[:4] != MAGIC:
-        raise ValueError("bad media container")
-    _doc, w, h = struct.unpack("<iii", blob[4:16])
-    body = np.frombuffer(blob[16:], dtype=np.uint8)
-    pad = (-len(body)) % (w * h) if w * h else 0
-    body = np.pad(body, (0, pad))[: w * h]
-    return body.reshape(h, w) if len(body) == w * h else np.zeros((h, w), dtype=np.uint8)
+
+    return docs.map_batches(wrap, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Actor-pool stages
+# ---------------------------------------------------------------------------
 
 
 class MediaFeatureExtractor:
     """Actor-pool stage: per-actor 'model' setup in __init__, small batches
-    because payloads are large.  Emits fixed-width feature vectors +
-    dimensions — the real output layout a CLIP/whisper-style stage
-    would produce."""
+    because payloads are large.  Decodes via the REAL dispatch (PNM/BMP/
+    fake) and emits fixed-width feature vectors + dims — the output layout
+    a CLIP/whisper-style stage would produce."""
 
     N_FEATURES = 16
 
@@ -82,7 +332,7 @@ class MediaFeatureExtractor:
         feats, widths, heights = [], [], []
         for blob in batch["media"].to_pylist():
             img = decode_image(blob, allow_fake=self.allow_fake)
-            h, w = img.shape
+            h, w = img.shape[:2]
             hist, _ = np.histogram(img, bins=self.bins)
             total = hist.sum()
             feats.append((hist / total if total else hist).astype(np.float32))
@@ -114,24 +364,52 @@ def media_features(
     )
 
 
-def _encode_fake(doc_id: int, img: np.ndarray) -> bytes:
-    h, w = img.shape
-    return MAGIC + struct.pack("<iii", int(doc_id), w, h) + img.tobytes()
+class MediaHistogram:
+    """Exact-count sibling of MediaFeatureExtractor for the oracle gate:
+    (doc_id, bin, n) int64 long-format byte histogram (bin = byte // 16,
+    only bins with n > 0 — matching SQL GROUP BY)."""
+
+    def __init__(self, allow_fake: bool = True):
+        self.allow_fake = allow_fake
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, bins, ns = [], [], []
+        for d, blob in zip(batch["doc_id"].to_pylist(), batch["media"].to_pylist()):
+            img = decode_image(blob, allow_fake=self.allow_fake)
+            hist = np.bincount(np.asarray(img).reshape(-1) >> 4, minlength=16)
+            nz = np.flatnonzero(hist)
+            ids.extend([d] * len(nz))
+            bins.extend(nz.tolist())
+            ns.extend(hist[nz].tolist())
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, type=pa.int64()),
+                "bin": pa.array(bins, type=pa.int64()),
+                "n": pa.array(ns, type=pa.int64()),
+            }
+        )
+
+
+def media_histogram(
+    sf_dir: str, concurrency: int | tuple = 2, batch_size: int = 64
+) -> ray.data.Dataset:
+    return payloads_dataset(sf_dir).map_batches(
+        MediaHistogram,
+        fn_constructor_kwargs={"allow_fake": True},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
 
 
 class ImageResizer:
-    """Actor-pool stage: decode (stub codec) -> nearest-neighbor resize
-    (real numpy math — only the codec is faked) -> re-encoded payload.
-
-    The resample index math is the exact shape a Pillow/opencv stage has;
-    swapping the stub decoder for a real one changes no Ray-side plumbing."""
+    """Actor-pool stage: decode (real dispatch) -> nearest-neighbor resize
+    (numpy index math) -> re-encoded P5 payload.  Swapping in a
+    Pillow/opencv codec changes no Ray-side plumbing."""
 
     def __init__(self, out_w: int = 16, out_h: int = 8, allow_fake: bool = True):
         self.out_w, self.out_h = out_w, out_h
         self.allow_fake = allow_fake
-        # per-actor setup (once): resample index grids
-        self._col_of = None
-        self._row_of = None
 
     def _grids(self, w: int, h: int) -> tuple[np.ndarray, np.ndarray]:
         cols = (np.arange(self.out_w) * w) // self.out_w
@@ -140,12 +418,12 @@ class ImageResizer:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         blobs, widths, heights = [], [], []
-        for d, blob in zip(batch["doc_id"].to_pylist(), batch["media"].to_pylist()):
+        for blob in batch["media"].to_pylist():
             img = decode_image(blob, allow_fake=self.allow_fake)
-            h, w = img.shape
+            h, w = img.shape[:2]
             rows, cols = self._grids(w, h)
             small = img[rows][:, cols]
-            blobs.append(_encode_fake(d, small))
+            blobs.append(encode_pnm(small))
             heights.append(small.shape[0])
             widths.append(small.shape[1])
         return pa.table(
@@ -171,12 +449,42 @@ def resized_images(
     )
 
 
-class FrameSampler:
-    """Video analogue: the payload body is a sequence of h x w frames;
-    emit every Nth frame as its own row (doc_id, frame_idx, frame:binary).
+def resized_pixels(sf_dir: str, out_w: int = 16, out_h: int = 8) -> ray.data.Dataset:
+    """(doc_id, r, c, v) — every pixel of every RESIZED image, decoded back
+    from the resizer's re-encoded P5 payload.  Gates the full
+    decode -> resample -> encode -> decode round trip against pure
+    (doc_id, text) arithmetic in SQL."""
 
-    Row-exploding map_batches with small batches — the layout a real
-    ffmpeg-backed sampler produces; only the demux is faked."""
+    def explode(batch: pa.Table) -> pa.Table:
+        ids, rs, cs, vs = [], [], [], []
+        for d, blob in zip(batch["doc_id"].to_pylist(), batch["media"].to_pylist()):
+            img = decode_image(blob)  # P5: the real parser, no fake flag
+            h, w = img.shape
+            rr, cc = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+            ids.extend([d] * (h * w))
+            rs.extend(rr.reshape(-1).tolist())
+            cs.extend(cc.reshape(-1).tolist())
+            vs.extend(img.reshape(-1).tolist())
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, type=pa.int64()),
+                "r": pa.array(rs, type=pa.int64()),
+                "c": pa.array(cs, type=pa.int64()),
+                "v": pa.array(vs, type=pa.int64()),
+            }
+        )
+
+    return resized_images(sf_dir, out_w=out_w, out_h=out_h).map_batches(
+        explode, batch_format="pyarrow", batch_size=64
+    )
+
+
+class FrameSampler:
+    """Video analogue: the decoded raster is a sequence of fsize-byte
+    frames; emit every Nth frame as its own row (doc_id, frame_idx,
+    frame:binary).  Row-exploding map_batches with small batches — the
+    layout a real ffmpeg-backed sampler produces; only the demux is the
+    image raster standing in for a video stream."""
 
     def __init__(
         self, every_n: int = 4, frame_w: int = 8, frame_h: int = 8,
@@ -189,13 +497,7 @@ class FrameSampler:
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids, idxs, frames = [], [], []
         for d, blob in zip(batch["doc_id"].to_pylist(), batch["media"].to_pylist()):
-            if blob[:4] != MAGIC:
-                raise ValueError("bad media container")
-            if not self.allow_fake:
-                raise NotImplementedError(
-                    "video demux requires a media library (not in this container)"
-                )
-            body = np.frombuffer(blob[16:], dtype=np.uint8)
+            body = decode_image(blob, allow_fake=self.allow_fake).reshape(-1)
             fsize = self.frame_w * self.frame_h
             n_frames = len(body) // fsize if fsize else 0
             for fi in range(0, n_frames, self.every_n):
@@ -224,4 +526,58 @@ def sampled_frames(
         batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=concurrency,
+    )
+
+
+def frame_sums(sf_dir: str, every_n: int = 4) -> ray.data.Dataset:
+    """(doc_id, frame_idx, f_sum) — exact per-frame byte sums of the sampled
+    frames (8x8 = 64 bytes each), the SQL-gateable projection of
+    sampled_frames."""
+
+    def summarize(batch: pa.Table) -> pa.Table:
+        sums = [
+            int(np.frombuffer(f, dtype=np.uint8).sum())
+            for f in batch["frame"].to_pylist()
+        ]
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "frame_idx": batch["frame_idx"].cast(pa.int64()),
+                "f_sum": pa.array(sums, type=pa.int64()),
+            }
+        )
+
+    return sampled_frames(sf_dir, every_n=every_n).map_batches(
+        summarize, batch_format="pyarrow", batch_size=256
+    )
+
+
+def audio_stats(sf_dir: str, concurrency: int | tuple = 2) -> ray.data.Dataset:
+    """WAV payloads -> (doc_id, n_samples, sample_rate, amp_sum, amp_min,
+    amp_max) through the REAL RIFF/PCM parser — exact integers, SQL-gated."""
+
+    def stats(batch: pa.Table) -> pa.Table:
+        ids, ns, rates, sums, mins, maxs = [], [], [], [], [], []
+        for d, blob in zip(batch["doc_id"].to_pylist(), batch["media"].to_pylist()):
+            a = decode_audio(blob)
+            s = a["samples"].astype(np.int64)
+            ids.append(d)
+            ns.append(len(s))
+            rates.append(a["rate"])
+            sums.append(int(s.sum()))
+            mins.append(int(s.min()))
+            maxs.append(int(s.max()))
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, type=pa.int64()),
+                "n_samples": pa.array(ns, type=pa.int64()),
+                "sample_rate": pa.array(rates, type=pa.int64()),
+                "amp_sum": pa.array(sums, type=pa.int64()),
+                "amp_min": pa.array(mins, type=pa.int64()),
+                "amp_max": pa.array(maxs, type=pa.int64()),
+            }
+        )
+
+    return wav_payloads(sf_dir).map_batches(
+        stats, batch_format="pyarrow", batch_size=64, concurrency=concurrency
     )
