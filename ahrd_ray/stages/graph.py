@@ -1565,6 +1565,15 @@ def cocitation_pairs(
     return inter.map_batches(finish, batch_format="pyarrow")
 
 
+# Dead sets up to this many nodes are shipped to edge-filter tasks as one
+# broadcast numpy array (8 B/node -> <=16 MB object) instead of a hash
+# anti-join.  Peel rounds after the first remove FEW nodes (the classic
+# k-core long tail), so in practice every round after round 1 is a
+# zero-shuffle broadcast filter; the join fallback only exists for a
+# pathological first peel that kills a large fraction of a huge corpus.
+KCORE_DEAD_BROADCAST_CAP = 2_000_000
+
+
 def kcore_nodes(
     sf_dir: str, k: int = KCORE_K, max_iters: int = KCORE_ITERS
 ) -> ray.data.Dataset:
@@ -1576,13 +1585,17 @@ def kcore_nodes(
     story is bipartite projection -> core decomposition.
 
     Scale shape: nodes are DOCS (corpus-sized, NOT catalog-small), so the
-    alive set is a distributed table, never a dense driver vector.  Edges
-    materialize once; each round is edges semi-joined against alive on
-    BOTH endpoints (budgeted hash joins of slim int rows), a per-dst count
-    with map-side partials, and a >= k filter.  Rounds = peel depth; early
-    stop when |alive| is unchanged (alive only shrinks, so count equality
-    is set equality).  max_iters matches the oracle's unroll (rounds past
-    the fixpoint are no-ops on both sides — the kg_components precedent)."""
+    working state is the distributed (shrinking) edge table, never a dense
+    driver vector.  The peel removes EDGES, not re-derives alive nodes:
+    each round computes degrees (map-side per-dst partials + one slim
+    groupby), finds the dead set (deg < k), and drops edges incident to it
+    — via a broadcast ``np.isin`` filter when the dead set is small (every
+    round after the first, typically) or a budgeted anti-join fallback
+    above KCORE_DEAD_BROADCAST_CAP.  No per-round hash join in the common
+    path, and each round scans only the SURVIVING edges, not the original
+    table.  Rounds = peel depth; early stop when no node dies.  max_iters
+    matches the oracle's unroll (rounds past the fixpoint are no-ops on
+    both sides — the kg_components precedent)."""
     from ahrd_ray.stages.partitioning import budgeted_join, drop_empty_blocks
 
     n_parts = n_hash_parts()
@@ -1597,51 +1610,28 @@ def kcore_nodes(
             }
         )
 
-    edges = (
+    cur = (
         cocitation_pairs(sf_dir)
         .map_batches(both_dirs, batch_format="pyarrow")
         .materialize()
     )
 
-    def nodes_partial(t: pa.Table) -> pa.Table:
-        u = np.unique(t["src"].to_numpy()).astype(np.int64)
-        return pa.table(
-            {
-                "node": pa.array(u, type=pa.int64()),
-                "npart": pa.array((u % n_parts).astype(np.int32), type=pa.int32()),
-            }
-        )
+    def degrees(edge_ds: ray.data.Dataset) -> ray.data.Dataset:
+        """(node, core_deg) over the current edge set (both-dirs rows, so
+        per-dst row counts ARE undirected degrees)."""
 
-    alive = drop_empty_blocks(
-        edges.map_batches(nodes_partial, batch_format="pyarrow")
-        .groupby("npart")
-        .map_groups(
-            lambda df: df[["node"]].drop_duplicates(), batch_format="pandas"
-        )
-    ).materialize()
-
-    def core_degrees(alive_ds: ray.data.Dataset) -> ray.data.Dataset:
-        """(node, core_deg) among edges whose BOTH endpoints are alive."""
-        with_src = budgeted_join(
-            edges, alive_ds, on=("src",), right_on=("node",), n_joins=2
-        )
-        both = budgeted_join(
-            drop_empty_blocks(with_src),
-            alive_ds,
-            on=("dst",),
-            right_on=("node",),
-            n_joins=2,
-        )
-
-        def deg_partial(df: pd.DataFrame) -> pd.DataFrame:
-            out = df.groupby("dst", as_index=False).size().rename(
-                columns={"size": "core_deg", "dst": "node"}
+        def deg_partial(t: pa.Table) -> pd.DataFrame:
+            nodes, cnt = np.unique(t["dst"].to_numpy(), return_counts=True)
+            return pd.DataFrame(
+                {
+                    "node": nodes.astype(np.int64),
+                    "core_deg": cnt.astype(np.int64),
+                    "npart": (nodes % n_parts).astype(np.int32),
+                }
             )
-            out["npart"] = (out["node"] % n_parts).astype("int32")
-            return out
 
         return drop_empty_blocks(
-            both.map_batches(deg_partial, batch_format="pandas")
+            edge_ds.map_batches(deg_partial, batch_format="pyarrow")
             .groupby("npart")
             .map_groups(
                 lambda df: df.groupby("node", as_index=False)["core_deg"].sum(),
@@ -1649,24 +1639,61 @@ def kcore_nodes(
             )
         )
 
-    prev = alive.count()
     for _ in range(max_iters):
-        deg = core_degrees(alive)
-        alive = drop_empty_blocks(
-            deg.map_batches(
-                lambda df: df[df["core_deg"] >= k][["node"]],
-                batch_format="pandas",
-            )
+        deg = degrees(cur).materialize()
+        dead = deg.map_batches(
+            lambda df: df[df["core_deg"] < k][["node"]], batch_format="pandas"
         ).materialize()
-        n = alive.count()
-        if n == prev:
+        n_dead = dead.count()
+        if n_dead == 0:
             break
-        prev = n
+        if n_dead <= KCORE_DEAD_BROADCAST_CAP:
+            dead_arr = np.sort(
+                np.concatenate(
+                    [
+                        b["node"].to_numpy()
+                        for b in dead.iter_batches(batch_format="pyarrow")
+                    ]
+                    or [np.array([], dtype=np.int64)]
+                )
+            )
+            dead_ref = ray.put(dead_arr)
+
+            def drop_incident(t: pa.Table, _ref=dead_ref) -> pa.Table:
+                d = ray.get(_ref)
+                src = t["src"].to_numpy()
+                dst = t["dst"].to_numpy()
+                keep = ~(
+                    np.isin(src, d, assume_unique=False)
+                    | np.isin(dst, d, assume_unique=False)
+                )
+                return t.filter(pa.array(keep))
+
+            cur = cur.map_batches(
+                drop_incident, batch_format="pyarrow"
+            ).materialize()
+        else:  # pragma: no cover - needs a >2M-node first peel
+            alive = drop_empty_blocks(
+                deg.map_batches(
+                    lambda df: df[df["core_deg"] >= k][["node"]],
+                    batch_format="pandas",
+                )
+            )
+            with_src = budgeted_join(
+                cur, alive, on=("src",), right_on=("node",), n_joins=2
+            )
+            cur = budgeted_join(
+                drop_empty_blocks(with_src),
+                alive,
+                on=("dst",),
+                right_on=("node",),
+                n_joins=2,
+            ).materialize()
 
     def finish(df: pd.DataFrame) -> pd.DataFrame:
         return df.astype({"node": "int64", "core_deg": "int64"})
 
-    return core_degrees(alive).map_batches(finish, batch_format="pandas")
+    return degrees(cur).map_batches(finish, batch_format="pandas")
 
 
 # ---------------------------------------------------------------------------
