@@ -151,9 +151,12 @@ def run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
         ("kg_neg_samples", lambda: gr.neg_samples(sf_dir)),
         ("kg_evidence", lambda: gr.evidence_snippets(sf_dir)),
         ("tx_collocations", lambda: tx.collocations(sf_dir)),
-        # kg_kcore stays OUT of the default list (38.6 s at sf0.1 — the
-        # iterative peel would dominate the session, the kg_components
-        # precedent); it is gated at sf0.001/0.01 like every other query
+        # both iterative ops rejoined the default list in round 4: the
+        # k-core peel now shrinks its edge set with broadcast dead-node
+        # filters (38.6 s -> ~15 s) and components run pointer-doubled
+        # min-sweeps instead of per-round hash joins (53 s -> see BASELINE)
+        ("kg_kcore", lambda: gr.kcore_nodes(sf_dir)),
+        ("kg_components", lambda: gr.entity_components(sf_dir)),
         ("dd_containment", lambda: dd.ngram_containment_pairs(sf_dir)),
         ("kg_cocitation", lambda: gr.cocitation_pairs(sf_dir)),
         ("rel_q5_revenue", lambda: gn.q5_local_supplier_revenue(sf_dir)),
