@@ -32,6 +32,7 @@ retries, workers and the DuckDB oracle.
 from __future__ import annotations
 
 import hashlib
+import os
 
 import numpy as np
 import pandas as pd
@@ -162,7 +163,12 @@ def exact_dedup(sf_dir: str) -> ray.data.Dataset:
 # Shared pair machinery
 # ---------------------------------------------------------------------------
 
-from ahrd_ray.stages.partitioning import drop_empty_blocks, join_parts, n_hash_parts
+from ahrd_ray.stages.partitioning import (
+    drop_empty_blocks,
+    join_parts,
+    n_hash_parts,
+    prune_stats_parents,
+)
 
 
 # budgeted hash join shared by every pipeline in this repo (the round-2
@@ -801,6 +807,14 @@ def min_label_components(
       corpus); isolated ids join the labeling in ONE final union+groupby
       min.  Corpus-sized state never iterates and never lands on the
       driver.
+    * **Bounded block count.** ``union`` concatenates block lists and the
+      sort shuffle emits as many blocks as it consumes, so without a cap
+      each round would ~3x the block (and task) count of the last —
+      measured as 2.7 -> 4.3 -> 10.6 -> 20 -> 47 -> 112 -> 218 s per round
+      on a CONSTANT 1.5k-edge graph at sf0.1 (pure scheduling overhead,
+      round-4 regression hunt).  Every per-round groupby input is therefore
+      repartitioned to a fixed ``p_rounds`` (~1M slim int rows per block,
+      capped at :func:`n_hash_parts`), making per-round cost flat.
 
     Per-node labels are non-increasing through hop and jump, so the
     monotone label sum detects the fixpoint, and the fixpoint itself (min
@@ -832,6 +846,13 @@ def min_label_components(
 
     edges = pairs.map_batches(edge_msgs, batch_format="pandas").materialize()
     n_edge_rows = edges.count()
+    # fixed per-round partition count: ~1M slim int rows per block, capped
+    # at the cluster's hash-partition budget (see docstring, bounded-block
+    # bullet).  Edges are unioned into every round, so they are folded down
+    # to the same count once.
+    p_rounds = max(2, min(n_hash_parts(), n_edge_rows // 1_000_000 + 1))
+    if n_edge_rows > 0 and edges.num_blocks() > p_rounds:
+        edges = edges.repartition(p_rounds).materialize()
 
     def self_labels(df: pd.DataFrame) -> pd.DataFrame:
         v = df[id_col].to_numpy().astype("int64")
@@ -908,23 +929,36 @@ def min_label_components(
         lbl_msgs = labels.map_batches(as_label_msgs, batch_format="pandas")
         hopped = (
             lbl_msgs.union(edges)
+            .repartition(p_rounds)
             .groupby("k")
             .map_groups(hop_spread, batch_format="pandas")
             .groupby("doc_id")
             .map_groups(merge_min, batch_format="pandas")
             .materialize()
         )
+        prune_stats_parents(hopped)
         # (b) pointer-doubling shortcut rep(x) <- rep(rep(x)) (1 fold);
         # every rep value is an incident node id, so every request group
         # has its tag-0 answer row
         labels = (
             hopped.map_batches(as_label_msgs, batch_format="pandas")
             .union(hopped.map_batches(as_jump_requests, batch_format="pandas"))
+            .repartition(p_rounds)
             .groupby("k")
             .map_groups(jump_answer, batch_format="pandas")
             .materialize()
         )
+        prune_stats_parents(labels)
         s = labels.sum("cluster_rep")
+        if os.environ.get("AHRD_DEBUG_COMPONENTS"):
+            import time as _t
+
+            print(
+                f"[components] round sum={s} prev={prev_sum} "
+                f"rows={labels.count()} blocks={labels.num_blocks()} "
+                f"t={_t.time():.1f}",
+                flush=True,
+            )
         if s == prev_sum:
             break
         prev_sum = s

@@ -1639,11 +1639,15 @@ def kcore_nodes(
             )
         )
 
+    from ahrd_ray.stages.partitioning import prune_stats_parents
+
     for _ in range(max_iters):
         deg = degrees(cur).materialize()
+        prune_stats_parents(deg)
         dead = deg.map_batches(
             lambda df: df[df["core_deg"] < k][["node"]], batch_format="pandas"
         ).materialize()
+        prune_stats_parents(dead)
         n_dead = dead.count()
         if n_dead == 0:
             break
@@ -1672,6 +1676,7 @@ def kcore_nodes(
             cur = cur.map_batches(
                 drop_incident, batch_format="pyarrow"
             ).materialize()
+            prune_stats_parents(cur)
         else:  # pragma: no cover - needs a >2M-node first peel
             alive = drop_empty_blocks(
                 deg.map_batches(
@@ -1689,6 +1694,7 @@ def kcore_nodes(
                 right_on=("node",),
                 n_joins=2,
             ).materialize()
+            prune_stats_parents(cur)
 
     def finish(df: pd.DataFrame) -> pd.DataFrame:
         return df.astype({"node": "int64", "core_deg": "int64"})
@@ -1936,7 +1942,11 @@ def bounded_bfs(
 ) -> ray.data.Dataset:
     """Frontier-expansion BFS core over a symmetrized (src, dst) edge
     Dataset — see :func:`bfs_reach` for the distributed-shape rationale."""
-    from ahrd_ray.stages.partitioning import budgeted_join, drop_empty_blocks
+    from ahrd_ray.stages.partitioning import (
+        budgeted_join,
+        drop_empty_blocks,
+        prune_stats_parents,
+    )
 
     dist = (
         ray.data.from_arrow(
@@ -1981,6 +1991,9 @@ def bounded_bfs(
             .groupby("node")
             .map_groups(fold_min, batch_format="pandas")
         ).materialize()
+        # per-round stats chains compound across rounds (union doubles the
+        # stats DAG; plan.execute() walks it) — see prune_stats_parents
+        prune_stats_parents(dist)
         if k < depth:
             frontier = drop_empty_blocks(
                 dist.map_batches(
@@ -1989,6 +2002,7 @@ def bounded_bfs(
                     batch_format="pandas",
                 )
             ).materialize()
+            prune_stats_parents(frontier)
             # BFS complete: nothing newly reached this round.  (Also load-
             # bearing: a zero-row shuffled dataset re-emits schema-less
             # blocks that would poison the next round's join right side.)
