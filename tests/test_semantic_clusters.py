@@ -66,3 +66,43 @@ def test_knn_join_tie_break(ray_session, tmp_path):
     assert got["nn_id"].tolist() == [1, 2, 1, 1]
     assert abs(got.loc[1, "cosine"] - 1.0) < 1e-12
     assert got.loc[1, "cosine"] == got.loc[2, "cosine"]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_min_label_components_long_chain_converges_flat():
+    """A 160-node path graph needs ~8 pointer-doubled rounds — the shape
+    that exposed the round-4 per-round blowup (union block-count growth +
+    DatasetStats parent-DAG doubling, >600 s at sf0.1 on a constant
+    1.5k-edge graph).  Asserts the exact fixpoint (every node labeled by
+    the path's min id) and that per-round state keeps a BOUNDED block
+    count; the suite timeout is the canary for any reintroduced
+    exponential per-round cost."""
+    import pandas as pd
+    import ray
+
+    from ahrd_ray.stages.dedup import min_label_components
+
+    n = 160
+    pairs = ray.data.from_pandas(
+        pd.DataFrame(
+            {
+                "doc_a": np.arange(n - 1, dtype=np.int64),
+                "doc_b": np.arange(1, n, dtype=np.int64),
+            }
+        )
+    )
+    ids = ray.data.from_pandas(
+        pd.DataFrame({"doc_id": np.arange(n + 5, dtype=np.int64)})
+    )
+    out = (
+        min_label_components(pairs, ids)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert len(out) == n + 5
+    # chain nodes collapse to min id 0; the 5 isolated ids self-label
+    assert (out.loc[: n - 1, "cluster_rep"].to_numpy() == 0).all()
+    assert (
+        out.loc[n:, "cluster_rep"].to_numpy() == out.loc[n:, "doc_id"].to_numpy()
+    ).all()
