@@ -357,9 +357,11 @@ def winner_delta(ctx: PipelineContext) -> ray.data.Dataset:
     def ren(t: pa.Table) -> pa.Table:
         return t.rename_columns(["doc_id", "new_cand_id"])
 
+    # empty-block join poisoning is handled centrally by
+    # install_shuffle_schema_guard — no per-input scrub shuffle needed
     joined = budgeted_join(
-        drop_empty_blocks(wa),
-        drop_empty_blocks(wb.map_batches(ren, batch_format="pyarrow")),
+        wa,
+        wb.map_batches(ren, batch_format="pyarrow"),
         on=("doc_id",),
         right_on=("doc_id",),
         n_joins=1,

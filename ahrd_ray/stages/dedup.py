@@ -361,10 +361,10 @@ def _finish_jaccard(
     withA = _join(inter, sizes, on=("doc_a",), right_on=("doc_id",)).rename_columns(
         {"n_sh": "n_a"}
     )
-    # a join's empty output partitions are schema-less blocks too — scrub
-    # before chaining into the next join (see partitioning.drop_empty_blocks)
+    # chained-join empty-block poisoning is handled centrally by
+    # install_shuffle_schema_guard — no inter-join scrub shuffle needed
     withB = _join(
-        drop_empty_blocks(withA), sizes, on=("doc_b",), right_on=("doc_id",)
+        withA, sizes, on=("doc_b",), right_on=("doc_id",)
     ).rename_columns({"n_sh": "n_b"})
 
     def finish(df: pd.DataFrame) -> pd.DataFrame:
@@ -588,10 +588,10 @@ def minhash_lsh_pairs(
     # intersection counts: two pair-partitioned joins against the
     # prefiltered distributed shingle table
     a_sh = _join(cand, cand_shingles(), on=("doc_a",), right_on=("doc_id",))
-    # join outputs can carry schema-less empty partitions — scrub before
-    # chaining into the second join (partitioning.drop_empty_blocks)
+    # chained-join empty-block poisoning is handled centrally by
+    # install_shuffle_schema_guard — no inter-join scrub shuffle needed
     both = _join(
-        drop_empty_blocks(a_sh), cand_shingles(), on=("doc_b", "sh"), right_on=("doc_id", "sh")
+        a_sh, cand_shingles(), on=("doc_b", "sh"), right_on=("doc_id", "sh")
     )
 
     n_parts = n_hash_parts()

@@ -1410,11 +1410,9 @@ def customer_order_counts(sf_dir: str) -> ray.data.Dataset:
         out = df.groupby("o_custkey", as_index=False).size()
         return out.rename(columns={"size": "n_orders"})
 
-    from ahrd_ray.stages.partitioning import drop_empty_blocks
-
-    # scrubbed: the map_groups finalize can emit schema-less empty blocks
-    # that would poison the join below (partitioning helper)
-    per_cust = drop_empty_blocks(
+    # empty-block join poisoning is handled centrally by
+    # install_shuffle_schema_guard — no pre-join scrub shuffle needed
+    per_cust = (
         orders.map_batches(partial, batch_format="pandas")
         .groupby("o_custkey")
         .map_groups(
@@ -1780,20 +1778,16 @@ def q5_local_supplier_revenue(sf_dir: str) -> ray.data.Dataset:
         out = df[df["s_nationkey"].isin(names)]
         return out[["s_suppkey", "s_nationkey"]]
 
-    # drop_empty_blocks: an over-parallelized read of a small table emits
-    # schema-less empty blocks (16 read tasks over 10 supplier rows at
-    # sf0.001) which poison the hash joins; the scrub cost scales with the
-    # slim filtered side, not the fact tables
-    cust = drop_empty_blocks(
-        ray.data.read_parquet(
-            f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
-        ).map_batches(in_region_cust, batch_format="pandas")
-    )
-    supp = drop_empty_blocks(
-        ray.data.read_parquet(
-            f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
-        ).map_batches(in_region_supp, batch_format="pandas")
-    )
+    # The schema-less empty blocks an over-parallelized small-table read
+    # emits (16 read tasks over 10 supplier rows at sf0.001) are handled
+    # centrally by install_shuffle_schema_guard — no per-input
+    # drop_empty_blocks scrub (a full extra shuffle each) is needed.
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    ).map_batches(in_region_cust, batch_format="pandas")
+    supp = ray.data.read_parquet(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
+    ).map_batches(in_region_supp, batch_format="pandas")
 
     lo = np.datetime64(Q5_DATE_LO)
     hi = np.datetime64(Q5_DATE_HI)
@@ -1827,12 +1821,10 @@ def q5_local_supplier_revenue(sf_dir: str) -> ray.data.Dataset:
     ).map_batches(li_prep, batch_format="pandas")
 
     j2 = budgeted_join(
-        li, drop_empty_blocks(j1), on=("l_orderkey",), right_on=("o_orderkey",),
-        n_joins=3,
+        li, j1, on=("l_orderkey",), right_on=("o_orderkey",), n_joins=3
     )
     j3 = budgeted_join(
-        drop_empty_blocks(j2), supp, on=("l_suppkey",), right_on=("s_suppkey",),
-        n_joins=3,
+        j2, supp, on=("l_suppkey",), right_on=("s_suppkey",), n_joins=3
     )
 
     def local_partial(df: pd.DataFrame) -> pd.DataFrame:
@@ -2090,7 +2082,9 @@ def above_avg_orders(sf_dir: str) -> ray.data.Dataset:
         g["cpart"] = (g["o_custkey"] % n_parts).astype("int32")
         return g
 
-    per_cust = drop_empty_blocks(
+    # empty-block join poisoning is handled centrally by
+    # install_shuffle_schema_guard — no pre-join scrub shuffle needed
+    per_cust = (
         slim.map_batches(partial, batch_format="pandas")
         .groupby("cpart")
         .map_groups(

@@ -1165,11 +1165,9 @@ def link_pred(sf_dir: str, n: int = LINKPRED_TOP_N) -> ray.data.Dataset:
     knn = knn_edges(sf_dir)
     deg_ref = ray.put(_knn_degrees(knn, n_nodes))
 
-    from ahrd_ray.stages.partitioning import drop_empty_blocks
-
-    # scrubbed: the map_groups finalize can emit schema-less empty blocks
-    # that would poison the anti-join below (partitioning helper)
-    cn = drop_empty_blocks(
+    # empty-block join poisoning is handled centrally by
+    # install_shuffle_schema_guard — no pre-join scrub shuffle needed
+    cn = (
         _knn_wedges(knn, n_parts, keep_center=False)
         .groupby("ppart")
         .map_groups(

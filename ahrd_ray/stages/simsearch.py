@@ -310,12 +310,10 @@ def embedding_near_dup_pairs(sf_dir: str, threshold: float = 0.2) -> ray.data.Da
     withA = _join(cand, vecs, on=("vec_a",), right_on=("vec_id",)).rename_columns(
         {"emb": "emb_a"}
     )
-    # scrub schema-less empty join-output partitions before chaining into
-    # the second join (partitioning.drop_empty_blocks)
-    from ahrd_ray.stages.partitioning import drop_empty_blocks
-
+    # chained-join empty-block poisoning is handled centrally by
+    # install_shuffle_schema_guard — no inter-join scrub shuffle needed
     withB = _join(
-        drop_empty_blocks(withA), vecs, on=("vec_b",), right_on=("vec_id",)
+        withA, vecs, on=("vec_b",), right_on=("vec_id",)
     ).rename_columns({"emb": "emb_b"})
 
     def verify(df: pd.DataFrame) -> pd.DataFrame:
