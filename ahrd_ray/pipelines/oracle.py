@@ -1517,6 +1517,31 @@ def sql_cooccurrence(cfg: EngineConfig) -> str:
     )
 
 
+def sql_pmi_edges(cfg: EngineConfig) -> str:
+    """PMI-ratio-weighted co-occurrence edges (stages/graph.pmi_edges):
+    lift = (n_ab * N) / (n_a * n_b) as one double division of exact BIGINT
+    products — no transcendental log, so both sides hash bit-equal.
+    Marginals count docs where the entity survives the same COOCCUR_CAP
+    cut as the pairs (the ccands CTE)."""
+    return (
+        _with(
+            *_cands_prefix(cfg),
+            cte_valid_dedup(),
+            _cte_cooccur_pairs(cfg),
+            "marg AS (SELECT cand_ord, CAST(count(*) AS BIGINT) AS n_ent"
+            " FROM ccands GROUP BY 1)",
+            "nd AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents)",
+        )
+        + """
+SELECT p.cand_a, p.cand_b, p.n_docs, ma.n_ent AS n_a, mb.n_ent AS n_b,
+       CAST(p.n_docs * (SELECT n FROM nd) AS DOUBLE)
+         / (ma.n_ent * mb.n_ent) AS lift
+FROM pairs p
+JOIN marg ma ON ma.cand_ord = p.cand_a
+JOIN marg mb ON mb.cand_ord = p.cand_b"""
+    )
+
+
 def sql_pagerank(cfg: EngineConfig, iters: int = 5) -> str:
     """Integer-unit PageRank, iterations unrolled (stages/graph.pagerank).
 

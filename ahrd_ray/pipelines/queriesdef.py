@@ -843,6 +843,8 @@ def _generic_queries() -> dict[str, tuple[Callable, str | None]]:
             ),
             oracle.sql_lineitem_profile(),
         ),
+        # PMI-ratio edge weighting over the capped co-occurrence universe
+        "kg_pmi_edges": (q_pmi_edges, oracle.sql_pmi_edges(DEFAULT_CONFIG)),
     }
 
 
@@ -1205,6 +1207,12 @@ def q_cooccurrence(sf_dir: str):
     from ahrd_ray.stages.graph import cooccurrence_edges
 
     return cooccurrence_edges(sf_dir).map_batches(_int64, batch_format="pyarrow")
+
+
+def q_pmi_edges(sf_dir: str):
+    from ahrd_ray.stages.graph import pmi_edges
+
+    return pmi_edges(sf_dir)
 
 
 def q_pagerank(sf_dir: str):

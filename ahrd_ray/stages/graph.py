@@ -238,6 +238,121 @@ def entity_degree(sf_dir: str) -> ray.data.Dataset:
     )
 
 
+def capped_entity_doc_counts(sf_dir: str) -> np.ndarray:
+    """Dense |V| int64 vector: per entity, the number of documents where it
+    survives the COOCCUR_CAP strongest-per-doc cut — the marginals of the
+    co-occurrence pair universe (``cooccurrence_edges``), needed so PMI-type
+    edge weights use counts CONSISTENT with the capped edges.
+
+    Same fused zero-shuffle shape as ``fact_support``: docs never straddle
+    batches, so per-batch per-entity doc counts sum exactly; only
+    |entities|-bounded partial rows shuffle to a node-hash finalize, then
+    the dim-sized table gathers into a dense driver vector (the pagerank /
+    entity_components broadcast precedent)."""
+    from ahrd_ray.pipelines import kg
+    from ahrd_ray.stages.candidates import FusedMentionScorer, make_detector_task_fn
+
+    ctx = kg.cached_context(sf_dir)
+    arrays = ctx.bundle.arrays
+    n_nodes = ctx.bundle.n
+    n_parts = n_hash_parts()
+    detect = make_detector_task_fn(ctx.catalog_ref, ctx.cfg, slim=False)
+    chunk_docs = FusedMentionScorer.CHUNK_DOCS
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        parts = []
+        for off in range(0, len(batch), chunk_docs):
+            cands = detect(batch.slice(off, chunk_docs))
+            df = cands.select(
+                ["doc_id", "cand_ord", "match_score", "span_start", "span_end",
+                 "cand_start", "cand_end", "ingest_seq"]
+            ).to_pandas()
+            ded = dedup_valid_candidates(df, arrays)
+            if not len(ded):
+                continue
+            ded = ded.sort_values(
+                ["doc_id", "match_score", "cand_ord"],
+                ascending=[True, False, True],
+                kind="mergesort",
+            )
+            ded = ded[ded.groupby("doc_id").cumcount() < COOCCUR_CAP]
+            parts.append(ded[["cand_ord"]])
+        if not parts:
+            return pd.DataFrame(
+                {
+                    "cand_ord": pd.Series([], dtype="int64"),
+                    "n_ent": pd.Series([], dtype="int64"),
+                    "npart": pd.Series([], dtype="int32"),
+                }
+            )
+        out = (
+            pd.concat(parts, ignore_index=True)
+            .groupby("cand_ord", as_index=False)
+            .size()
+            .rename(columns={"size": "n_ent"})
+        )
+        out["npart"] = (out["cand_ord"] % n_parts).astype("int32")
+        return out
+
+    src = kg.pages_dataset(sf_dir).map_batches(
+        kg.extract_text_batch, batch_format="pyarrow", zero_copy_batch=True
+    )
+    per_ent = (
+        src.map_batches(partial, batch_format="pyarrow", batch_size=kg.FUSED_BATCH_SIZE)
+        .groupby("npart")
+        .map_groups(
+            lambda df: df.groupby("cand_ord", as_index=False)["n_ent"].sum(),
+            batch_format="pandas",
+        )
+    )
+    dense = np.zeros(n_nodes, dtype=np.int64)
+    for b in per_ent.iter_batches(batch_format="pyarrow"):
+        dense[b["cand_ord"].to_numpy()] = b["n_ent"].to_numpy()
+    return dense
+
+
+def pmi_edges(sf_dir: str) -> ray.data.Dataset:
+    """(cand_a, cand_b, n_docs, n_a, n_b, lift) — co-occurrence edges
+    weighted by the pointwise-mutual-information association ratio
+    ``lift = (n_ab * N) / (n_a * n_b)`` (= exp(PMI); monotone in PMI, so
+    ranking/thresholding is identical): the standard KG edge-weighting pass
+    that separates genuinely associated entity pairs from pairs that merely
+    co-occur because both are frequent.  N is the corpus document count;
+    marginals use the same COOCCUR_CAP universe as the edges.
+
+    The ratio is ONE double division of two exact int64 products (no
+    transcendental log — the tfidf_top precedent), so the engine and the
+    DuckDB oracle hash bit-equal.  Scale shape: marginals are dim-sized and
+    broadcast; the lift attaches map-side over the streaming edge list —
+    zero shuffles beyond cooccurrence_edges' own finalize."""
+    from ahrd_ray.stages.score import get_broadcast
+
+    n_total = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id"]
+    ).count()
+    marg_ref = ray.put(capped_entity_doc_counts(sf_dir))
+
+    def finish(t: pa.Table, _ref=marg_ref, _n=n_total) -> pa.Table:
+        m = get_broadcast(_ref)
+        a = t["cand_a"].to_numpy()
+        b = t["cand_b"].to_numpy()
+        nab = t["n_docs"].to_numpy()
+        na, nb = m[a], m[b]
+        lift = (nab * np.int64(_n)).astype(np.float64) / (na * nb)
+        return pa.table(
+            {
+                "cand_a": pa.array(a, type=pa.int64()),
+                "cand_b": pa.array(b, type=pa.int64()),
+                "n_docs": pa.array(nab, type=pa.int64()),
+                "n_a": pa.array(na, type=pa.int64()),
+                "n_b": pa.array(nb, type=pa.int64()),
+                "lift": pa.array(lift, type=pa.float64()),
+            }
+        )
+
+    return cooccurrence_edges(sf_dir).map_batches(finish, batch_format="pyarrow")
+
+
 def _segment_sums(dst: np.ndarray, contrib: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     """Exact int64 per-dst sums (np.bincount would go through float64)."""
     order = np.argsort(dst, kind="stable")

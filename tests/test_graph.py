@@ -615,3 +615,27 @@ def test_mention_coverage_invariants_and_oracle():
     pd.testing.assert_frame_equal(
         got[want.columns].astype("int64"), want.astype("int64")
     )
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_pmi_edges_lift_invariants():
+    """lift = (n_ab*N)/(n_a*n_b) over the capped co-occurrence universe:
+    marginals bound the joint (n_ab <= min(n_a, n_b)), every edge keeps
+    cand_a < cand_b, and recomputing the division from the emitted integer
+    columns reproduces the emitted double bit-exactly."""
+    import duckdb
+
+    from ahrd_ray.stages.graph import pmi_edges
+
+    df = pmi_edges(SF).to_pandas()
+    assert len(df) > 0
+    assert (df.cand_a < df.cand_b).all()
+    assert (df.n_docs <= np.minimum(df.n_a, df.n_b)).all()
+    assert (df.n_a > 0).all() and (df.n_b > 0).all()
+    n_total = duckdb.sql(
+        f"SELECT count(*) FROM '{SF}/documents.parquet'"
+    ).fetchone()[0]
+    recomputed = (df.n_docs.to_numpy() * np.int64(n_total)).astype(
+        np.float64
+    ) / (df.n_a.to_numpy() * df.n_b.to_numpy())
+    assert (recomputed == df.lift.to_numpy()).all()
