@@ -1542,6 +1542,34 @@ JOIN marg mb ON mb.cand_ord = p.cand_b"""
     )
 
 
+def sql_edge_support(cfg: EngineConfig) -> str:
+    """Per-edge triangle count (stages/graph.edge_support): support(a, b) =
+    number of common neighbors c — expressed as the symmetric-adjacency
+    self-join, left-joined onto the edge list so support-0 edges survive."""
+    return (
+        _with(
+            *_cands_prefix(cfg),
+            cte_valid_dedup(),
+            _cte_cooccur_pairs(cfg),
+            """adj AS (
+  SELECT cand_a AS u, cand_b AS v FROM pairs
+  UNION ALL SELECT cand_b, cand_a FROM pairs
+)""",
+            """common AS (
+  SELECT x.u AS a, y.u AS b, CAST(count(*) AS BIGINT) AS c
+  FROM adj x JOIN adj y ON x.v = y.v
+  WHERE x.u < y.u
+  GROUP BY 1, 2
+)""",
+        )
+        + """
+SELECT p.cand_a, p.cand_b, p.n_docs,
+       CAST(coalesce(s.c, 0) AS BIGINT) AS support
+FROM pairs p
+LEFT JOIN common s ON s.a = p.cand_a AND s.b = p.cand_b"""
+    )
+
+
 def sql_pagerank(cfg: EngineConfig, iters: int = 5) -> str:
     """Integer-unit PageRank, iterations unrolled (stages/graph.pagerank).
 

@@ -845,6 +845,11 @@ def _generic_queries() -> dict[str, tuple[Callable, str | None]]:
         ),
         # PMI-ratio edge weighting over the capped co-occurrence universe
         "kg_pmi_edges": (q_pmi_edges, oracle.sql_pmi_edges(DEFAULT_CONFIG)),
+        # per-edge triangle count (Simmelian embeddedness / weak-tie signal)
+        "kg_edge_support": (
+            q_edge_support,
+            oracle.sql_edge_support(DEFAULT_CONFIG),
+        ),
     }
 
 
@@ -1213,6 +1218,12 @@ def q_pmi_edges(sf_dir: str):
     from ahrd_ray.stages.graph import pmi_edges
 
     return pmi_edges(sf_dir)
+
+
+def q_edge_support(sf_dir: str):
+    from ahrd_ray.stages.graph import edge_support
+
+    return edge_support(sf_dir).map_batches(_int64, batch_format="pyarrow")
 
 
 def q_pagerank(sf_dir: str):

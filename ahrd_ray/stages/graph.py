@@ -848,6 +848,150 @@ def triangle_count(sf_dir: str) -> ray.data.Dataset:
     return partials.repartition(1).map_batches(total, batch_format="pandas")
 
 
+def edge_support(sf_dir: str) -> ray.data.Dataset:
+    """(cand_a, cand_b, n_docs, support) — per co-occurrence edge, the
+    number of triangles it participates in (its Simmelian embeddedness):
+    support-0 edges are the graph's weak ties / bridge candidates, the
+    standard KG edge-quality signal next to the PMI weight.
+
+    Same degree-ordered wedge enumeration as :func:`triangle_count` (each
+    triangle found exactly once at its minimum-order pivot), but the wedge
+    rows CARRY the pivot so a matched wedge (x, y) credits all three
+    triangle edges — (x, y), (pivot, x), (pivot, y) — one support unit
+    each.  The final attach is a union+groupby fold over id-ordered edge
+    keys (no hash join): edge rows carry (n_docs, support=0), credit rows
+    carry (n_docs=0, support), and the per-edge finalize takes
+    (max(n_docs), sum(support)).  Shuffles: the oriented-wedge pivot
+    groupby, one pair-hash membership exchange, one pair-hash fold — all
+    |wedge|-bounded, never the corpus."""
+    n_parts = n_hash_parts()
+    edges = cooccurrence_edges(sf_dir).materialize()  # consumed three times
+
+    deg_df = (
+        edges.map_batches(
+            lambda t: pd.DataFrame(
+                {
+                    "node": np.concatenate(
+                        [t["cand_a"].to_numpy(), t["cand_b"].to_numpy()]
+                    ),
+                    "d": np.ones(2 * len(t), dtype=np.int64),
+                }
+            ).groupby("node", as_index=False).sum(),
+            batch_format="pyarrow",
+        )
+        .groupby("node")
+        .map_groups(
+            lambda df: df.groupby("node", as_index=False)["d"].sum(),
+            batch_format="pandas",
+        )
+        .to_pandas()
+    )
+    n_nodes = int(deg_df["node"].max()) + 1 if len(deg_df) else 0
+    deg = np.zeros(n_nodes, dtype=np.int64)
+    deg[deg_df["node"].to_numpy()] = deg_df["d"].to_numpy()
+    deg_ref = ray.put(deg)
+
+    def orient(t: pa.Table) -> pd.DataFrame:
+        from ahrd_ray.stages.score import get_broadcast
+
+        d = get_broadcast(deg_ref)
+        a = t["cand_a"].to_numpy()
+        b = t["cand_b"].to_numpy()
+        b_first = (d[b] < d[a]) | ((d[b] == d[a]) & (b < a))
+        src = np.where(b_first, b, a).astype(np.int64)
+        dst = np.where(b_first, a, b).astype(np.int64)
+        return pd.DataFrame(
+            {"src": src, "dst": dst, "ppart": (src % n_parts).astype(np.int32)}
+        )
+
+    def wedges_with_pivot(df: pd.DataFrame) -> pd.DataFrame:
+        x, y, piv = _pairs_within_docs(
+            df["src"].to_numpy(), df["dst"].to_numpy(), return_keys=True
+        )
+        out = pd.DataFrame(
+            {"x": x, "y": y, "pivot": piv, "kind": np.int8(0)}
+        )
+        out["qpart"] = ((out["x"] * 1000003 + out["y"]) % n_parts).astype("int32")
+        return out.astype(
+            {"x": "int64", "y": "int64", "pivot": "int64", "kind": "int8", "qpart": "int32"}
+        )
+
+    wedge_rows = (
+        edges.map_batches(orient, batch_format="pyarrow")
+        .groupby("ppart")
+        .map_groups(wedges_with_pivot, batch_format="pandas")
+    )
+
+    def edge_marker_rows(t: pa.Table) -> pd.DataFrame:
+        a = t["cand_a"].to_numpy()
+        b = t["cand_b"].to_numpy()
+        out = pd.DataFrame(
+            {
+                "x": a.astype(np.int64),
+                "y": b.astype(np.int64),
+                "pivot": np.full(len(a), -1, dtype=np.int64),
+                "kind": np.int8(1),
+            }
+        )
+        out["qpart"] = ((out["x"] * 1000003 + out["y"]) % n_parts).astype("int32")
+        return out
+
+    member = edges.map_batches(edge_marker_rows, batch_format="pyarrow")
+
+    def credits(df: pd.DataFrame) -> pd.DataFrame:
+        # keep only wedges whose (x, y) pair is an actual edge: triangles
+        has = df.loc[df["kind"].to_numpy() == 1, ["x", "y"]].drop_duplicates()
+        w = df[df["kind"].to_numpy() == 0].merge(has, on=["x", "y"])
+        if not len(w):
+            return pd.DataFrame(
+                {
+                    "cand_a": pd.Series([], dtype="int64"),
+                    "cand_b": pd.Series([], dtype="int64"),
+                    "support": pd.Series([], dtype="int64"),
+                }
+            )
+        x = w["x"].to_numpy()
+        y = w["y"].to_numpy()
+        p = w["pivot"].to_numpy()
+        ea = np.concatenate([x, np.minimum(p, x), np.minimum(p, y)])
+        eb = np.concatenate([y, np.maximum(p, x), np.maximum(p, y)])
+        out = pd.DataFrame({"cand_a": ea, "cand_b": eb})
+        out["support"] = np.int64(1)
+        return (
+            out.groupby(["cand_a", "cand_b"], as_index=False)["support"].sum()
+        )
+
+    credit_rows = wedge_rows.union(member).groupby("qpart").map_groups(
+        credits, batch_format="pandas"
+    )
+
+    def edge_base(t: pa.Table) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "cand_a": t["cand_a"].to_numpy().astype(np.int64),
+                "cand_b": t["cand_b"].to_numpy().astype(np.int64),
+                "n_docs": t["n_docs"].to_numpy().astype(np.int64),
+                "support": np.zeros(len(t), dtype=np.int64),
+            }
+        )
+
+    def add_credit_cols(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.assign(n_docs=np.int64(0))
+        return df[["cand_a", "cand_b", "n_docs", "support"]]
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby(["cand_a", "cand_b"], as_index=False).agg(
+            n_docs=("n_docs", "max"), support=("support", "sum")
+        )
+
+    return (
+        edges.map_batches(edge_base, batch_format="pyarrow")
+        .union(credit_rows.map_batches(add_credit_cols, batch_format="pandas"))
+        .groupby("cand_a")
+        .map_groups(fold, batch_format="pandas")
+    )
+
+
 def _lev_le1(x: str, y: str) -> int:
     """Exact Levenshtein distance capped at 2 (we only need <= 1): equal ->
     0; equal length -> one substitution check; length +-1 -> one-gap

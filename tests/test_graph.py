@@ -639,3 +639,17 @@ def test_pmi_edges_lift_invariants():
         np.float64
     ) / (df.n_a.to_numpy() * df.n_b.to_numpy())
     assert (recomputed == df.lift.to_numpy()).all()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_edge_support_sums_to_three_times_triangles():
+    """Every triangle contributes one support unit to each of its three
+    edges, so sum(support) == 3 * n_triangles; support-0 edges survive the
+    fold (they are the weak-tie signal the operator exists for)."""
+    from ahrd_ray.stages.graph import edge_support, triangle_count
+
+    sup = edge_support(SF).to_pandas()
+    tri = int(triangle_count(SF).to_pandas()["n_triangles"].iloc[0])
+    assert (sup.cand_a < sup.cand_b).all()
+    assert int(sup.support.sum()) == 3 * tri
+    assert (sup.support >= 0).all() and (sup.n_docs >= 1).all()
