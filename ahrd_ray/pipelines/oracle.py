@@ -1570,6 +1570,44 @@ LEFT JOIN common s ON s.a = p.cand_a AND s.b = p.cand_b"""
     )
 
 
+def sql_walk_corpus(cfg: EngineConfig, steps: int | None = None) -> str:
+    """Deterministic walk corpus (stages/graph.walk_corpus), steps unrolled
+    (the pagerank/BFS unroll precedent): next hop at node v on step t of
+    the walk from s is neighbor rank (s*A + t*B + v) mod deg(v) in
+    ascending-id order — exact BIGINT modular arithmetic on both sides."""
+    from ahrd_ray.stages.graph import WALK_A, WALK_B, WALK_STEPS
+
+    steps = WALK_STEPS if steps is None else steps
+    ctes = [
+        *_cands_prefix(cfg),
+        cte_valid_dedup(),
+        _cte_cooccur_pairs(cfg),
+        """adj AS (
+  SELECT cand_a AS u, cand_b AS v FROM pairs
+  UNION ALL SELECT cand_b, cand_a FROM pairs
+)""",
+        "wdeg AS (SELECT u, CAST(count(*) AS BIGINT) AS deg FROM adj GROUP BY 1)",
+        "wnbr AS (SELECT u, v, row_number() OVER (PARTITION BY u ORDER BY v) - 1 AS rn"
+        " FROM adj)",
+        "w0 AS (SELECT u AS start, u AS node FROM wdeg)",
+    ]
+    for t in range(1, steps + 1):
+        ctes.append(
+            f"""w{t} AS (
+  SELECT w.start, n.v AS node
+  FROM w{t - 1} w
+  JOIN wdeg d ON d.u = w.node
+  JOIN wnbr n ON n.u = w.node
+   AND n.rn = (w.start * {WALK_A} + {t} * {WALK_B} + w.node) % d.deg
+)"""
+        )
+    selects = "\nUNION ALL ".join(
+        f"SELECT start, CAST({t} AS BIGINT) AS step, node FROM w{t}"
+        for t in range(steps + 1)
+    )
+    return _with(*ctes) + "\n" + selects
+
+
 def sql_pagerank(cfg: EngineConfig, iters: int = 5) -> str:
     """Integer-unit PageRank, iterations unrolled (stages/graph.pagerank).
 

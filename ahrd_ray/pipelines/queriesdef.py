@@ -850,6 +850,8 @@ def _generic_queries() -> dict[str, tuple[Callable, str | None]]:
             q_edge_support,
             oracle.sql_edge_support(DEFAULT_CONFIG),
         ),
+        # deterministic node2vec-style walk corpus (embedding training prep)
+        "kg_walks": (q_walks, oracle.sql_walk_corpus(DEFAULT_CONFIG)),
     }
 
 
@@ -1224,6 +1226,12 @@ def q_edge_support(sf_dir: str):
     from ahrd_ray.stages.graph import edge_support
 
     return edge_support(sf_dir).map_batches(_int64, batch_format="pyarrow")
+
+
+def q_walks(sf_dir: str):
+    from ahrd_ray.stages.graph import walk_corpus
+
+    return walk_corpus(sf_dir)
 
 
 def q_pagerank(sf_dir: str):

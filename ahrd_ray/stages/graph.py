@@ -992,6 +992,168 @@ def edge_support(sf_dir: str) -> ray.data.Dataset:
     )
 
 
+WALK_STEPS = 4
+WALK_A = 1000003
+WALK_B = 7919
+
+
+def walk_corpus(sf_dir: str, steps: int = WALK_STEPS) -> ray.data.Dataset:
+    """(start, step, node) — one deterministic ``steps``-hop walk per
+    edge-incident entity over the co-occurrence graph: the positive-sample
+    walk corpus a node2vec/DeepWalk-style KG embedding trains on.
+
+    Steps are pseudo-random but SEEDLESSLY deterministic (the repo-wide
+    reproducibility rule): at node v on step t of the walk started at s,
+    the next neighbor is the one ranked ``(s*WALK_A + t*WALK_B + v) mod
+    deg(v)`` among v's neighbors in ascending id order — modular integer
+    arithmetic both numpy and the DuckDB oracle compute bit-identically.
+
+    Distributed shape: the degree vector is dim-sized and broadcast (the
+    pagerank precedent); the (u, v, rn) neighbor-rank table is built ONCE
+    with a node-hash groupby and stays distributed (edge lists never
+    broadcast).  Each step is one union+groupby fold — walk rows compute
+    their wanted (node, rn) key MAP-SIDE from the broadcast degrees and
+    meet the unique (u, rn) neighbor row in its hash group; no hash join,
+    per-step datasets are stats-pruned and block-bounded (the
+    min_label_components lessons)."""
+    from ahrd_ray.stages.partitioning import prune_stats_parents
+    from ahrd_ray.stages.score import get_broadcast
+
+    n_parts = n_hash_parts()
+    edges = cooccurrence_edges(sf_dir).materialize()
+
+    deg_df = (
+        edges.map_batches(
+            lambda t: pd.DataFrame(
+                {
+                    "node": np.concatenate(
+                        [t["cand_a"].to_numpy(), t["cand_b"].to_numpy()]
+                    ),
+                    "d": np.ones(2 * len(t), dtype=np.int64),
+                }
+            ).groupby("node", as_index=False).sum(),
+            batch_format="pyarrow",
+        )
+        .groupby("node")
+        .map_groups(
+            lambda df: df.groupby("node", as_index=False)["d"].sum(),
+            batch_format="pandas",
+        )
+        .to_pandas()
+    )
+    n_nodes = int(deg_df["node"].max()) + 1 if len(deg_df) else 0
+    deg = np.zeros(n_nodes, dtype=np.int64)
+    deg[deg_df["node"].to_numpy()] = deg_df["d"].to_numpy()
+    deg_ref = ray.put(deg)
+
+    def sym_ranked_partial(t: pa.Table) -> pd.DataFrame:
+        a = t["cand_a"].to_numpy()
+        b = t["cand_b"].to_numpy()
+        out = pd.DataFrame(
+            {
+                "u": np.concatenate([a, b]).astype(np.int64),
+                "v": np.concatenate([b, a]).astype(np.int64),
+            }
+        )
+        out["upart"] = (out["u"] % n_parts).astype("int32")
+        return out
+
+    def rank_within(df: pd.DataFrame) -> pd.DataFrame:
+        # the u-hash group holds ALL of each u's neighbor rows: exact ranks
+        df = df.sort_values(["u", "v"], kind="mergesort")
+        df["rn"] = df.groupby("u").cumcount().astype("int64")
+        return df[["u", "v", "rn"]]
+
+    nbr = (
+        edges.map_batches(sym_ranked_partial, batch_format="pyarrow")
+        .groupby("upart")
+        .map_groups(rank_within, batch_format="pandas")
+        .materialize()
+    )
+    prune_stats_parents(nbr)
+
+    starts = np.flatnonzero(deg > 0).astype(np.int64)
+    cur = ray.data.from_arrow(
+        pa.table(
+            {
+                "start": pa.array(starts, type=pa.int64()),
+                "node": pa.array(starts, type=pa.int64()),
+            }
+        )
+    ).materialize()
+    frames = [
+        cur.map_batches(
+            lambda df: df.assign(step=np.int64(0))[["start", "step", "node"]],
+            batch_format="pandas",
+        )
+    ]
+
+    def nbr_msgs(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.rename(columns={"u": "node", "v": "nxt"})
+        out["start"] = np.int64(-1)  # tag: neighbor row
+        out["kpart"] = ((out["node"] * 1000003 + out["rn"]) % n_parts).astype(
+            "int32"
+        )
+        return out[["node", "rn", "nxt", "start", "kpart"]]
+
+    for t in range(1, steps + 1):
+
+        def req_msgs(df: pd.DataFrame, _t=t) -> pd.DataFrame:
+            d = get_broadcast(deg_ref)
+            node = df["node"].to_numpy()
+            rn = (
+                df["start"].to_numpy() * WALK_A + _t * WALK_B + node
+            ) % d[node]
+            out = pd.DataFrame(
+                {
+                    "node": node,
+                    "rn": rn.astype(np.int64),
+                    "nxt": np.full(len(df), -1, dtype=np.int64),
+                    "start": df["start"].to_numpy(),
+                }
+            )
+            out["kpart"] = ((out["node"] * 1000003 + out["rn"]) % n_parts).astype(
+                "int32"
+            )
+            return out
+
+        def resolve(df: pd.DataFrame) -> pd.DataFrame:
+            reqs = df[df["start"].to_numpy() >= 0]
+            answers = df.loc[
+                df["start"].to_numpy() < 0, ["node", "rn", "nxt"]
+            ]
+            m = reqs[["start", "node", "rn"]].merge(answers, on=["node", "rn"])
+            return pd.DataFrame(
+                {
+                    "start": m["start"].to_numpy().astype(np.int64),
+                    "node": m["nxt"].to_numpy().astype(np.int64),
+                }
+            )
+
+        cur = (
+            cur.map_batches(req_msgs, batch_format="pandas")
+            .union(nbr.map_batches(nbr_msgs, batch_format="pandas"))
+            .repartition(max(2, n_parts // 4))
+            .groupby("kpart")
+            .map_groups(resolve, batch_format="pandas")
+            .materialize()
+        )
+        prune_stats_parents(cur)
+        frames.append(
+            cur.map_batches(
+                lambda df, _t=t: df.assign(step=np.int64(_t))[
+                    ["start", "step", "node"]
+                ],
+                batch_format="pandas",
+            )
+        )
+
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.union(f)
+    return out
+
+
 def _lev_le1(x: str, y: str) -> int:
     """Exact Levenshtein distance capped at 2 (we only need <= 1): equal ->
     0; equal length -> one substitution check; length +-1 -> one-gap

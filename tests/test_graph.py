@@ -653,3 +653,42 @@ def test_edge_support_sums_to_three_times_triangles():
     assert (sup.cand_a < sup.cand_b).all()
     assert int(sup.support.sum()) == 3 * tri
     assert (sup.support >= 0).all() and (sup.n_docs >= 1).all()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_walk_corpus_steps_follow_edges_deterministically():
+    """Every walk has steps+1 rows per start; each hop lands on a graph
+    neighbor of the previous node; re-deriving the hash-ranked choice from
+    a locally-built adjacency reproduces the walk bit-exactly."""
+    from ahrd_ray.stages.graph import (
+        WALK_A,
+        WALK_B,
+        WALK_STEPS,
+        cooccurrence_edges,
+        walk_corpus,
+    )
+
+    w = walk_corpus(SF).to_pandas()
+    e = cooccurrence_edges(SF).to_pandas()
+    nbrs: dict = {}
+    for a, b in zip(e.cand_a, e.cand_b):
+        nbrs.setdefault(int(a), []).append(int(b))
+        nbrs.setdefault(int(b), []).append(int(a))
+    nbrs = {u: sorted(vs) for u, vs in nbrs.items()}
+
+    per_start = w.groupby("start").size()
+    assert (per_start == WALK_STEPS + 1).all()
+    assert set(per_start.index) == set(nbrs)
+
+    w = w.sort_values(["start", "step"]).reset_index(drop=True)
+    for start, grp in w.groupby("start"):
+        node = int(start)
+        for t, row in enumerate(grp.itertuples()):
+            assert row.step == t
+            if t == 0:
+                assert row.node == start
+            else:
+                ns = nbrs[node]
+                want = ns[(int(start) * WALK_A + t * WALK_B + node) % len(ns)]
+                assert row.node == want
+            node = int(row.node)
