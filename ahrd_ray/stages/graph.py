@@ -863,7 +863,16 @@ def edge_support(sf_dir: str) -> ray.data.Dataset:
     carry (n_docs=0, support), and the per-edge finalize takes
     (max(n_docs), sum(support)).  Shuffles: the oriented-wedge pivot
     groupby, one pair-hash membership exchange, one pair-hash fold — all
-    |wedge|-bounded, never the corpus."""
+    |wedge|-bounded, never the corpus.
+
+    Cost note: unlike :func:`triangle_count`, wedge rows CANNOT pre-
+    aggregate per (x, y) — the pivot identity is what lets a matched wedge
+    credit its two pivot-incident edges — so the membership exchange
+    carries one row per wedge (~3x triangle_count's wall at sf0.1).  The
+    alternative (broadcasting the matched-closing-edge set to re-filter
+    wedges in their source partitions) would ship an |E|-bounded table to
+    every task, violating the edges-never-broadcast doctrine; per-wedge
+    rows are the scale-safe exact shape."""
     n_parts = n_hash_parts()
     edges = cooccurrence_edges(sf_dir).materialize()  # consumed three times
 
