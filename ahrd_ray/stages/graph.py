@@ -101,6 +101,30 @@ def _pairs_within_docs(doc: np.ndarray, cand: np.ndarray, return_keys: bool = Fa
     return c[firsts], c[seconds]
 
 
+def _capped_link_frames(batch: pa.Table, detect, arrays, chunk_docs: int):
+    """Yield the capped deduped (doc_id, cand_ord) link frames of a doc
+    batch — the ``ccands`` relation of the oracles (detect -> HSP dedup ->
+    strongest COOCCUR_CAP per doc), the single source of truth shared by
+    cooccurrence_edges / doc_entity_links / pmi_edges so the cap and
+    tie-break order can never diverge between the pair universe and its
+    marginals."""
+    for off in range(0, len(batch), chunk_docs):
+        cands = detect(batch.slice(off, chunk_docs))
+        df = cands.select(
+            ["doc_id", "cand_ord", "match_score", "span_start", "span_end",
+             "cand_start", "cand_end", "ingest_seq"]
+        ).to_pandas()
+        ded = dedup_valid_candidates(df, arrays)
+        if not len(ded):
+            continue
+        ded = ded.sort_values(
+            ["doc_id", "match_score", "cand_ord"],
+            ascending=[True, False, True],
+            kind="mergesort",
+        )
+        yield ded[ded.groupby("doc_id").cumcount() < COOCCUR_CAP]
+
+
 def cooccurrence_edges(sf_dir: str, with_span: bool = False) -> ray.data.Dataset:
     """(cand_a, cand_b, n_docs) co-occurrence edge list, cand_a < cand_b;
     ``with_span=True`` adds first_doc/last_doc — the temporal provenance
@@ -131,22 +155,7 @@ def cooccurrence_edges(sf_dir: str, with_span: bool = False) -> ray.data.Dataset
 
     def partial_pairs(batch: pa.Table) -> pd.DataFrame:
         parts = []
-        for off in range(0, len(batch), chunk_docs):
-            cands = detect(batch.slice(off, chunk_docs))
-            df = cands.select(
-                ["doc_id", "cand_ord", "match_score", "span_start", "span_end",
-                 "cand_start", "cand_end", "ingest_seq"]
-            ).to_pandas()
-            ded = dedup_valid_candidates(df, arrays)
-            if not len(ded):
-                continue
-            # strongest COOCCUR_CAP entities per doc (see constant above)
-            ded = ded.sort_values(
-                ["doc_id", "match_score", "cand_ord"],
-                ascending=[True, False, True],
-                kind="mergesort",
-            )
-            ded = ded[ded.groupby("doc_id").cumcount() < COOCCUR_CAP]
+        for ded in _capped_link_frames(batch, detect, arrays, chunk_docs):
             a, b, d = _pairs_within_docs(
                 ded["doc_id"].to_numpy(), ded["cand_ord"].to_numpy(), return_keys=True
             )
@@ -238,19 +247,29 @@ def entity_degree(sf_dir: str) -> ray.data.Dataset:
     )
 
 
-def capped_entity_doc_counts(sf_dir: str) -> np.ndarray:
-    """Dense |V| int64 vector: per entity, the number of documents where it
-    survives the COOCCUR_CAP strongest-per-doc cut — the marginals of the
-    co-occurrence pair universe (``cooccurrence_edges``), needed so PMI-type
-    edge weights use counts CONSISTENT with the capped edges.
+def pmi_edges(sf_dir: str) -> ray.data.Dataset:
+    """(cand_a, cand_b, n_docs, n_a, n_b, lift) — co-occurrence edges
+    weighted by the pointwise-mutual-information association ratio
+    ``lift = (n_ab * N) / (n_a * n_b)`` (= exp(PMI); monotone in PMI, so
+    ranking/thresholding is identical): the standard KG edge-weighting pass
+    that separates genuinely associated entity pairs from pairs that merely
+    co-occur because both are frequent.  N is the corpus document count;
+    marginals use the same COOCCUR_CAP universe as the edges
+    (:func:`_capped_link_frames` — the single shared detect/dedup/cap).
 
-    Same fused zero-shuffle shape as ``fact_support``: docs never straddle
-    batches, so per-batch per-entity doc counts sum exactly; only
-    |entities|-bounded partial rows shuffle to a node-hash finalize, then
-    the dim-sized table gathers into a dense driver vector (the pagerank /
-    entity_components broadcast precedent)."""
+    The ratio is ONE double division of two exact int64 products (no
+    transcendental log — the tfidf_top precedent), so the engine and the
+    DuckDB oracle hash bit-equal.  Scale shape: ONE fused detection pass
+    emits both pair partials and per-entity marginal partials as tagged
+    rows (``cand_b = -1`` marks a marginal — entity ords are >= 0), one
+    hash groupby finalizes both; the dim-sized marginal slice gathers to a
+    dense broadcast vector and the lift attaches map-side over the pair
+    slice.  Detection — the dominant cost of every KG operator — runs
+    once, not once per aggregate."""
     from ahrd_ray.pipelines import kg
     from ahrd_ray.stages.candidates import FusedMentionScorer, make_detector_task_fn
+    from ahrd_ray.stages.partitioning import prune_stats_parents
+    from ahrd_ray.stages.score import get_broadcast
 
     ctx = kg.cached_context(sf_dir)
     arrays = ctx.bundle.arrays
@@ -260,83 +279,89 @@ def capped_entity_doc_counts(sf_dir: str) -> np.ndarray:
     chunk_docs = FusedMentionScorer.CHUNK_DOCS
 
     def partial(batch: pa.Table) -> pd.DataFrame:
-        parts = []
-        for off in range(0, len(batch), chunk_docs):
-            cands = detect(batch.slice(off, chunk_docs))
-            df = cands.select(
-                ["doc_id", "cand_ord", "match_score", "span_start", "span_end",
-                 "cand_start", "cand_end", "ingest_seq"]
-            ).to_pandas()
-            ded = dedup_valid_candidates(df, arrays)
-            if not len(ded):
-                continue
-            ded = ded.sort_values(
-                ["doc_id", "match_score", "cand_ord"],
-                ascending=[True, False, True],
-                kind="mergesort",
+        pair_parts, marg_parts = [], []
+        for ded in _capped_link_frames(batch, detect, arrays, chunk_docs):
+            a, b, _ = _pairs_within_docs(
+                ded["doc_id"].to_numpy(), ded["cand_ord"].to_numpy(), return_keys=True
             )
-            ded = ded[ded.groupby("doc_id").cumcount() < COOCCUR_CAP]
-            parts.append(ded[["cand_ord"]])
-        if not parts:
+            pair_parts.append(pd.DataFrame({"cand_a": a, "cand_b": b}))
+            marg_parts.append(ded[["cand_ord"]])
+        frames = []
+        if pair_parts:
+            pp = (
+                pd.concat(pair_parts, ignore_index=True)
+                .groupby(["cand_a", "cand_b"], as_index=False)
+                .size()
+                .rename(columns={"size": "n_docs"})
+            )
+            frames.append(pp)
+        if marg_parts:
+            mp = (
+                pd.concat(marg_parts, ignore_index=True)
+                .groupby("cand_ord", as_index=False)
+                .size()
+                .rename(columns={"size": "n_docs"})
+            )
+            frames.append(
+                pd.DataFrame(
+                    {
+                        "cand_a": mp["cand_ord"].to_numpy(),
+                        "cand_b": np.full(len(mp), -1, dtype=np.int64),
+                        "n_docs": mp["n_docs"].to_numpy(),
+                    }
+                )
+            )
+        if not frames:
             return pd.DataFrame(
                 {
-                    "cand_ord": pd.Series([], dtype="int64"),
-                    "n_ent": pd.Series([], dtype="int64"),
-                    "npart": pd.Series([], dtype="int32"),
+                    "cand_a": pd.Series([], dtype="int64"),
+                    "cand_b": pd.Series([], dtype="int64"),
+                    "n_docs": pd.Series([], dtype="int64"),
+                    "kpart": pd.Series([], dtype="int32"),
                 }
             )
-        out = (
-            pd.concat(parts, ignore_index=True)
-            .groupby("cand_ord", as_index=False)
-            .size()
-            .rename(columns={"size": "n_ent"})
+        out = pd.concat(frames, ignore_index=True).astype(
+            {"cand_a": "int64", "cand_b": "int64", "n_docs": "int64"}
         )
-        out["npart"] = (out["cand_ord"] % n_parts).astype("int32")
+        out["kpart"] = ((out["cand_a"] * 1000003 + out["cand_b"]) % n_parts).astype(
+            "int32"
+        )
         return out
 
     src = kg.pages_dataset(sf_dir).map_batches(
         kg.extract_text_batch, batch_format="pyarrow", zero_copy_batch=True
     )
-    per_ent = (
+    combined = (
         src.map_batches(partial, batch_format="pyarrow", batch_size=kg.FUSED_BATCH_SIZE)
-        .groupby("npart")
+        .groupby("kpart")
         .map_groups(
-            lambda df: df.groupby("cand_ord", as_index=False)["n_ent"].sum(),
+            lambda df: df.groupby(["cand_a", "cand_b"], as_index=False)[
+                "n_docs"
+            ].sum(),
             batch_format="pandas",
         )
+        .materialize()
     )
-    dense = np.zeros(n_nodes, dtype=np.int64)
-    for b in per_ent.iter_batches(batch_format="pyarrow"):
-        dense[b["cand_ord"].to_numpy()] = b["n_ent"].to_numpy()
-    return dense
+    prune_stats_parents(combined)
 
-
-def pmi_edges(sf_dir: str) -> ray.data.Dataset:
-    """(cand_a, cand_b, n_docs, n_a, n_b, lift) — co-occurrence edges
-    weighted by the pointwise-mutual-information association ratio
-    ``lift = (n_ab * N) / (n_a * n_b)`` (= exp(PMI); monotone in PMI, so
-    ranking/thresholding is identical): the standard KG edge-weighting pass
-    that separates genuinely associated entity pairs from pairs that merely
-    co-occur because both are frequent.  N is the corpus document count;
-    marginals use the same COOCCUR_CAP universe as the edges.
-
-    The ratio is ONE double division of two exact int64 products (no
-    transcendental log — the tfidf_top precedent), so the engine and the
-    DuckDB oracle hash bit-equal.  Scale shape: marginals are dim-sized and
-    broadcast; the lift attaches map-side over the streaming edge list —
-    zero shuffles beyond cooccurrence_edges' own finalize."""
-    from ahrd_ray.stages.score import get_broadcast
+    marg = np.zeros(n_nodes, dtype=np.int64)
+    for blk in combined.map_batches(
+        lambda df: df.loc[df["cand_b"] < 0, ["cand_a", "n_docs"]],
+        batch_format="pandas",
+    ).iter_batches(batch_format="pyarrow"):
+        marg[blk["cand_a"].to_numpy()] = blk["n_docs"].to_numpy()
+    marg_ref = ray.put(marg)
 
     n_total = ray.data.read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id"]
     ).count()
-    marg_ref = ray.put(capped_entity_doc_counts(sf_dir))
 
-    def finish(t: pa.Table, _ref=marg_ref, _n=n_total) -> pa.Table:
+    def finish(df: pd.DataFrame, _ref=marg_ref, _n=n_total) -> pa.Table:
+        df = df[df["cand_b"].to_numpy() >= 0]
         m = get_broadcast(_ref)
-        a = t["cand_a"].to_numpy()
-        b = t["cand_b"].to_numpy()
-        nab = t["n_docs"].to_numpy()
+        a = df["cand_a"].to_numpy()
+        b = df["cand_b"].to_numpy()
+        nab = df["n_docs"].to_numpy()
         na, nb = m[a], m[b]
         lift = (nab * np.int64(_n)).astype(np.float64) / (na * nb)
         return pa.table(
@@ -350,7 +375,7 @@ def pmi_edges(sf_dir: str) -> ray.data.Dataset:
             }
         )
 
-    return cooccurrence_edges(sf_dir).map_batches(finish, batch_format="pyarrow")
+    return combined.map_batches(finish, batch_format="pandas")
 
 
 def _segment_sums(dst: np.ndarray, contrib: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
@@ -733,6 +758,59 @@ def pred_stats(sf_dir: str) -> ray.data.Dataset:
     )
 
 
+def _dense_degrees(edges: ray.data.Dataset) -> np.ndarray:
+    """Dense |V| int64 degree vector of an undirected (cand_a, cand_b) edge
+    Dataset: per-block both-endpoint partials, node-hash finalize, dim-sized
+    driver gather (the _edge_sweep / pagerank broadcast precedent).  Shared
+    by triangle_count / edge_support / walk_corpus so the degree semantics
+    cannot drift between the wedge-orientation and walk-rank consumers."""
+    deg_df = (
+        edges.map_batches(
+            lambda t: pd.DataFrame(
+                {
+                    "node": np.concatenate(
+                        [t["cand_a"].to_numpy(), t["cand_b"].to_numpy()]
+                    ),
+                    "d": np.ones(2 * len(t), dtype=np.int64),
+                }
+            ).groupby("node", as_index=False).sum(),
+            batch_format="pyarrow",
+        )
+        .groupby("node")
+        .map_groups(
+            lambda df: df.groupby("node", as_index=False)["d"].sum(),
+            batch_format="pandas",
+        )
+        .to_pandas()
+    )
+    n_nodes = int(deg_df["node"].max()) + 1 if len(deg_df) else 0
+    deg = np.zeros(n_nodes, dtype=np.int64)
+    if len(deg_df):
+        deg[deg_df["node"].to_numpy()] = deg_df["d"].to_numpy()
+    return deg
+
+
+def _orient_partial(deg_ref, n_parts: int):
+    """Batch fn orienting every (cand_a, cand_b) edge from its lower-
+    (degree, id) endpoint to the higher one (Chiba-Nishizeki orientation),
+    keyed by the pivot hash — shared by triangle_count and edge_support."""
+
+    def orient(t: pa.Table) -> pd.DataFrame:
+        from ahrd_ray.stages.score import get_broadcast
+
+        d = get_broadcast(deg_ref)
+        a = t["cand_a"].to_numpy()
+        b = t["cand_b"].to_numpy()
+        b_first = (d[b] < d[a]) | ((d[b] == d[a]) & (b < a))
+        src = np.where(b_first, b, a).astype(np.int64)
+        dst = np.where(b_first, a, b).astype(np.int64)
+        return pd.DataFrame(
+            {"src": src, "dst": dst, "ppart": (src % n_parts).astype(np.int32)}
+        )
+
+    return orient
+
+
 def triangle_count(sf_dir: str) -> ray.data.Dataset:
     """One-row (n_triangles) — exact triangle count of the co-occurrence
     graph, the standard KG/graph density audit.
@@ -757,43 +835,8 @@ def triangle_count(sf_dir: str) -> ray.data.Dataset:
     edges = cooccurrence_edges(sf_dir).materialize()  # consumed three times
 
     # |V|-bounded degree table -> dense vector, broadcast once
-    deg_df = (
-        edges.map_batches(
-            lambda t: pd.DataFrame(
-                {
-                    "node": np.concatenate(
-                        [t["cand_a"].to_numpy(), t["cand_b"].to_numpy()]
-                    ),
-                    "d": np.ones(2 * len(t), dtype=np.int64),
-                }
-            ).groupby("node", as_index=False).sum(),
-            batch_format="pyarrow",
-        )
-        .groupby("node")
-        .map_groups(
-            lambda df: df.groupby("node", as_index=False)["d"].sum(),
-            batch_format="pandas",
-        )
-        .to_pandas()
-    )
-    n_nodes = int(deg_df["node"].max()) + 1 if len(deg_df) else 0
-    deg = np.zeros(n_nodes, dtype=np.int64)
-    deg[deg_df["node"].to_numpy()] = deg_df["d"].to_numpy()
-    deg_ref = ray.put(deg)
-
-    def orient(t: pa.Table) -> pd.DataFrame:
-        from ahrd_ray.stages.score import get_broadcast
-
-        d = get_broadcast(deg_ref)
-        a = t["cand_a"].to_numpy()
-        b = t["cand_b"].to_numpy()
-        # order key (deg, id): a-first unless b is strictly smaller
-        b_first = (d[b] < d[a]) | ((d[b] == d[a]) & (b < a))
-        src = np.where(b_first, b, a).astype(np.int64)
-        dst = np.where(b_first, a, b).astype(np.int64)
-        return pd.DataFrame(
-            {"src": src, "dst": dst, "ppart": (src % n_parts).astype(np.int32)}
-        )
+    deg_ref = ray.put(_dense_degrees(edges))
+    orient = _orient_partial(deg_ref, n_parts)
 
     def wedges(df: pd.DataFrame) -> pd.DataFrame:
         # all unordered out-neighbor pairs per pivot — the vectorized
@@ -874,44 +917,10 @@ def edge_support(sf_dir: str) -> ray.data.Dataset:
     every task, violating the edges-never-broadcast doctrine; per-wedge
     rows are the scale-safe exact shape."""
     n_parts = n_hash_parts()
-    edges = cooccurrence_edges(sf_dir).materialize()  # consumed three times
+    edges = cooccurrence_edges(sf_dir).materialize()  # consumed four times
 
-    deg_df = (
-        edges.map_batches(
-            lambda t: pd.DataFrame(
-                {
-                    "node": np.concatenate(
-                        [t["cand_a"].to_numpy(), t["cand_b"].to_numpy()]
-                    ),
-                    "d": np.ones(2 * len(t), dtype=np.int64),
-                }
-            ).groupby("node", as_index=False).sum(),
-            batch_format="pyarrow",
-        )
-        .groupby("node")
-        .map_groups(
-            lambda df: df.groupby("node", as_index=False)["d"].sum(),
-            batch_format="pandas",
-        )
-        .to_pandas()
-    )
-    n_nodes = int(deg_df["node"].max()) + 1 if len(deg_df) else 0
-    deg = np.zeros(n_nodes, dtype=np.int64)
-    deg[deg_df["node"].to_numpy()] = deg_df["d"].to_numpy()
-    deg_ref = ray.put(deg)
-
-    def orient(t: pa.Table) -> pd.DataFrame:
-        from ahrd_ray.stages.score import get_broadcast
-
-        d = get_broadcast(deg_ref)
-        a = t["cand_a"].to_numpy()
-        b = t["cand_b"].to_numpy()
-        b_first = (d[b] < d[a]) | ((d[b] == d[a]) & (b < a))
-        src = np.where(b_first, b, a).astype(np.int64)
-        dst = np.where(b_first, a, b).astype(np.int64)
-        return pd.DataFrame(
-            {"src": src, "dst": dst, "ppart": (src % n_parts).astype(np.int32)}
-        )
+    deg_ref = ray.put(_dense_degrees(edges))
+    orient = _orient_partial(deg_ref, n_parts)
 
     def wedges_with_pivot(df: pd.DataFrame) -> pd.DataFrame:
         x, y, piv = _pairs_within_docs(
@@ -1031,28 +1040,7 @@ def walk_corpus(sf_dir: str, steps: int = WALK_STEPS) -> ray.data.Dataset:
     n_parts = n_hash_parts()
     edges = cooccurrence_edges(sf_dir).materialize()
 
-    deg_df = (
-        edges.map_batches(
-            lambda t: pd.DataFrame(
-                {
-                    "node": np.concatenate(
-                        [t["cand_a"].to_numpy(), t["cand_b"].to_numpy()]
-                    ),
-                    "d": np.ones(2 * len(t), dtype=np.int64),
-                }
-            ).groupby("node", as_index=False).sum(),
-            batch_format="pyarrow",
-        )
-        .groupby("node")
-        .map_groups(
-            lambda df: df.groupby("node", as_index=False)["d"].sum(),
-            batch_format="pandas",
-        )
-        .to_pandas()
-    )
-    n_nodes = int(deg_df["node"].max()) + 1 if len(deg_df) else 0
-    deg = np.zeros(n_nodes, dtype=np.int64)
-    deg[deg_df["node"].to_numpy()] = deg_df["d"].to_numpy()
+    deg = _dense_degrees(edges)
     deg_ref = ray.put(deg)
 
     def sym_ranked_partial(t: pa.Table) -> pd.DataFrame:
@@ -1919,23 +1907,10 @@ def doc_entity_links(sf_dir: str) -> ray.data.Dataset:
     n_parts = n_hash_parts()
 
     def partial(batch: pa.Table) -> pd.DataFrame:
-        parts = []
-        for off in range(0, len(batch), chunk_docs):
-            cands = detect(batch.slice(off, chunk_docs))
-            df = cands.select(
-                ["doc_id", "cand_ord", "match_score", "span_start", "span_end",
-                 "cand_start", "cand_end", "ingest_seq"]
-            ).to_pandas()
-            ded = dedup_valid_candidates(df, arrays)
-            if not len(ded):
-                continue
-            ded = ded.sort_values(
-                ["doc_id", "match_score", "cand_ord"],
-                ascending=[True, False, True],
-                kind="mergesort",
-            )
-            ded = ded[ded.groupby("doc_id").cumcount() < COOCCUR_CAP]
-            parts.append(ded[["doc_id", "cand_ord"]])
+        parts = [
+            ded[["doc_id", "cand_ord"]]
+            for ded in _capped_link_frames(batch, detect, arrays, chunk_docs)
+        ]
         if not parts:
             return pd.DataFrame(
                 {
