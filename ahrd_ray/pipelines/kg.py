@@ -348,7 +348,7 @@ def winner_delta(ctx: PipelineContext) -> ray.data.Dataset:
     Scale shape: two full fused winner passes (each zero-shuffle) and ONE
     slim budgeted join on doc_id; the diff filter is map-side.  Inner-join
     semantics: the delta covers docs holding a winner in both snapshots."""
-    from ahrd_ray.stages.partitioning import budgeted_join, drop_empty_blocks
+    from ahrd_ray.stages.partitioning import budgeted_join
 
     wa = winners_dataset_fused(ctx).select_columns(["doc_id", "cand_id"])
     docs_b = swap_snapshot_docs(ctx.sf_dir)

@@ -1759,7 +1759,7 @@ def q5_local_supplier_revenue(sf_dir: str) -> ray.data.Dataset:
     join, and the final per-nation rollup is a 5-row groupby."""
     import pyarrow.parquet as pq_
 
-    from ahrd_ray.stages.partitioning import budgeted_join, drop_empty_blocks
+    from ahrd_ray.stages.partitioning import budgeted_join
     from ahrd_ray.stages.score import get_broadcast
 
     nat = pq_.read_table(f"{sf_dir}/nation.parquet").to_pandas()
@@ -2057,7 +2057,7 @@ def above_avg_orders(sf_dir: str) -> ray.data.Dataset:
     (price_units * n_orders > sum_units), so there is NO division and the
     oracle replicates it bit-exactly — avg-as-double would diverge between
     numpy and DuckDB in the last ulp."""
-    from ahrd_ray.stages.partitioning import budgeted_join, drop_empty_blocks
+    from ahrd_ray.stages.partitioning import budgeted_join
 
     orders = ray.data.read_parquet(
         f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey", "o_totalprice"]
