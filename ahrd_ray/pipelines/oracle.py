@@ -1570,14 +1570,13 @@ LEFT JOIN common s ON s.a = p.cand_a AND s.b = p.cand_b"""
     )
 
 
-def sql_walk_corpus(cfg: EngineConfig, steps: int | None = None) -> str:
-    """Deterministic walk corpus (stages/graph.walk_corpus), steps unrolled
-    (the pagerank/BFS unroll precedent): next hop at node v on step t of
-    the walk from s is neighbor rank (s*A + t*B + v) mod deg(v) in
-    ascending-id order — exact BIGINT modular arithmetic on both sides."""
-    from ahrd_ray.stages.graph import WALK_A, WALK_B, WALK_STEPS
+def _walk_ctes(cfg: EngineConfig, steps: int) -> list[str]:
+    """Shared CTE chain for the deterministic walk family: adjacency,
+    degrees, ascending-id neighbor ranks, and the unrolled hops w0..wN
+    (next hop at node v on step t of the walk from s = neighbor rank
+    (s*A + t*B + v) mod deg(v) — exact BIGINT modular arithmetic)."""
+    from ahrd_ray.stages.graph import WALK_A, WALK_B
 
-    steps = WALK_STEPS if steps is None else steps
     ctes = [
         *_cands_prefix(cfg),
         cte_valid_dedup(),
@@ -1601,11 +1600,43 @@ def sql_walk_corpus(cfg: EngineConfig, steps: int | None = None) -> str:
    AND n.rn = (w.start * {WALK_A} + {t} * {WALK_B} + w.node) % d.deg
 )"""
         )
-    selects = "\nUNION ALL ".join(
-        f"SELECT start, CAST({t} AS BIGINT) AS step, node FROM w{t}"
-        for t in range(steps + 1)
+    ctes.append(
+        "w_all AS (\n"
+        + "\n  UNION ALL ".join(
+            f"SELECT start, CAST({t} AS BIGINT) AS step, node FROM w{t}"
+            for t in range(steps + 1)
+        )
+        + "\n)"
     )
-    return _with(*ctes) + "\n" + selects
+    return ctes
+
+
+def sql_walk_corpus(cfg: EngineConfig, steps: int | None = None) -> str:
+    """Deterministic walk corpus (stages/graph.walk_corpus), steps unrolled
+    (the pagerank/BFS unroll precedent)."""
+    from ahrd_ray.stages.graph import WALK_STEPS
+
+    steps = WALK_STEPS if steps is None else steps
+    return _with(*_walk_ctes(cfg, steps)) + "\nSELECT start, step, node FROM w_all"
+
+
+def sql_walk_pairs(cfg: EngineConfig, steps: int | None = None) -> str:
+    """Skip-gram (center, context, cnt) pairs within WALK_WINDOW positions
+    of the same walk (stages/graph.walk_pairs): ordered pairs, both
+    directions, aggregated across walks."""
+    from ahrd_ray.stages.graph import WALK_STEPS, WALK_WINDOW
+
+    steps = WALK_STEPS if steps is None else steps
+    return (
+        _with(*_walk_ctes(cfg, steps))
+        + f"""
+SELECT a.node AS center, b.node AS context, CAST(count(*) AS BIGINT) AS cnt
+FROM w_all a
+JOIN w_all b ON a.start = b.start
+ AND a.step <> b.step
+ AND abs(a.step - b.step) <= {WALK_WINDOW}
+GROUP BY 1, 2"""
+    )
 
 
 def sql_pagerank(cfg: EngineConfig, iters: int = 5) -> str:

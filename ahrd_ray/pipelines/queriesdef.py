@@ -852,6 +852,8 @@ def _generic_queries() -> dict[str, tuple[Callable, str | None]]:
         ),
         # deterministic node2vec-style walk corpus (embedding training prep)
         "kg_walks": (q_walks, oracle.sql_walk_corpus(DEFAULT_CONFIG)),
+        # skip-gram (center, context) pairs from the walks
+        "kg_walk_pairs": (q_walk_pairs, oracle.sql_walk_pairs(DEFAULT_CONFIG)),
     }
 
 
@@ -1232,6 +1234,12 @@ def q_walks(sf_dir: str):
     from ahrd_ray.stages.graph import walk_corpus
 
     return walk_corpus(sf_dir)
+
+
+def q_walk_pairs(sf_dir: str):
+    from ahrd_ray.stages.graph import walk_pairs
+
+    return walk_pairs(sf_dir)
 
 
 def q_pagerank(sf_dir: str):

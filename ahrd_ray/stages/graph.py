@@ -1013,6 +1013,7 @@ def edge_support(sf_dir: str) -> ray.data.Dataset:
 WALK_STEPS = 4
 WALK_A = 1000003
 WALK_B = 7919
+WALK_WINDOW = 2
 
 
 def walk_corpus(sf_dir: str, steps: int = WALK_STEPS) -> ray.data.Dataset:
@@ -1149,6 +1150,67 @@ def walk_corpus(sf_dir: str, steps: int = WALK_STEPS) -> ray.data.Dataset:
     for f in frames[1:]:
         out = out.union(f)
     return out
+
+
+def walk_pairs(
+    sf_dir: str, steps: int = WALK_STEPS, window: int = WALK_WINDOW
+) -> ray.data.Dataset:
+    """(center, context, cnt) — skip-gram training pairs from the walk
+    corpus: every ORDERED pair of nodes within ``window`` positions of the
+    same walk (both directions, the standard word2vec/node2vec convention),
+    counted across all walks.  With :func:`walk_corpus` and
+    :func:`neg_samples` this completes the embedding-training data
+    pipeline: positive pairs + negatives, all deterministic.
+
+    Shape: walks are (steps+1)-row groups keyed by start — one start-hash
+    groupby co-locates each walk, the in-group pair expansion is the
+    vectorized offset shift per |delta| <= window, and partial counts
+    combine map-side before one pair-hash finalize."""
+    n_parts = n_hash_parts()
+    walks = walk_corpus(sf_dir, steps=steps)
+
+    def add_wpart(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["wpart"] = (df["start"] % n_parts).astype("int32")
+        return df
+
+    def pairs_in_walks(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["start", "step"], kind="mergesort")
+        starts = df["start"].to_numpy()
+        nodes = df["node"].to_numpy()
+        cs, xs = [], []
+        for d in range(1, window + 1):
+            same = starts[d:] == starts[:-d]
+            a = nodes[:-d][same]
+            b = nodes[d:][same]
+            cs.append(np.concatenate([a, b]))
+            xs.append(np.concatenate([b, a]))
+        out = pd.DataFrame(
+            {
+                "center": np.concatenate(cs) if cs else np.empty(0, np.int64),
+                "context": np.concatenate(xs) if xs else np.empty(0, np.int64),
+            }
+        )
+        out = out.groupby(["center", "context"], as_index=False).size().rename(
+            columns={"size": "cnt"}
+        )
+        out["ppart"] = ((out["center"] * 1000003 + out["context"]) % n_parts).astype(
+            "int32"
+        )
+        return out.astype({"center": "int64", "context": "int64", "cnt": "int64"})
+
+    return (
+        walks.map_batches(add_wpart, batch_format="pandas")
+        .groupby("wpart")
+        .map_groups(pairs_in_walks, batch_format="pandas")
+        .groupby("ppart")
+        .map_groups(
+            lambda df: df.groupby(["center", "context"], as_index=False)[
+                "cnt"
+            ].sum(),
+            batch_format="pandas",
+        )
+    )
 
 
 def _lev_le1(x: str, y: str) -> int:

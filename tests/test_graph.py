@@ -692,3 +692,27 @@ def test_walk_corpus_steps_follow_edges_deterministically():
                 want = ns[(int(start) * WALK_A + t * WALK_B + node) % len(ns)]
                 assert row.node == want
             node = int(row.node)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_walk_pairs_match_brute_force_window():
+    """Skip-gram pairs equal the brute-force window expansion of the walk
+    corpus: for every walk, each ordered pair within WALK_WINDOW positions,
+    counted across walks."""
+    from collections import Counter
+
+    from ahrd_ray.stages.graph import WALK_WINDOW, walk_corpus, walk_pairs
+
+    walks = walk_corpus(SF).to_pandas().sort_values(["start", "step"])
+    want: Counter = Counter()
+    for _, grp in walks.groupby("start"):
+        seq = grp["node"].tolist()
+        for i in range(len(seq)):
+            for j in range(len(seq)):
+                if i != j and abs(i - j) <= WALK_WINDOW:
+                    want[(seq[i], seq[j])] += 1
+    got = walk_pairs(SF).to_pandas()
+    got_map = {
+        (int(r.center), int(r.context)): int(r.cnt) for r in got.itertuples()
+    }
+    assert got_map == dict(want)
