@@ -27,7 +27,14 @@ def replicated_docs(sf_dir: str, mult: int):
     """The sf corpus replicated ``mult`` times with disjoint doc_ids —
     same per-doc work, larger corpus.  Used by the scaling run so the
     high-CPU side stays compute-bound (the regime a 100 TB corpus is
-    always in); per-doc results are identical modulo the id offset."""
+    always in); per-doc results are identical modulo the id offset.
+
+    Replication happens inside ONE map_batches (each batch emits its
+    ``mult`` id-shifted copies) rather than a ``mult``-way union: the
+    union form left ~3000 tiny blocks whose driver-side shuffle metadata
+    took 200+ s to repartition — pure scaffolding overhead outside the
+    timed window, but it starved the whole --scaling run."""
+    import pyarrow as pa
     import pyarrow.compute as pc
 
     import ray.data
@@ -36,21 +43,25 @@ def replicated_docs(sf_dir: str, mult: int):
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
     )
     n = base.count()
-    parts = []
-    for k in range(mult):
-        off = k * n
 
-        def shift(b, off=off):
-            i = b.schema.get_field_index("doc_id")
-            return b.set_column(i, "doc_id", pc.add(b["doc_id"], off))
+    def explode(b: pa.Table, _n=n, _mult=mult) -> pa.Table:
+        # drop parquet pandas metadata: its dict defeats Ray's schema
+        # dedup hash and bloats per-block metadata
+        b = b.replace_schema_metadata(None)
+        i = b.schema.get_field_index("doc_id")
+        copies = [
+            b.set_column(i, "doc_id", pc.add(b["doc_id"], k * _n))
+            for k in range(_mult)
+        ]
+        return pa.concat_tables(copies)
 
-        parts.append(base.map_batches(shift, batch_format="pyarrow"))
-    ds = parts[0]
-    for p in parts[1:]:
-        ds = ds.union(p)
     # stand the corpus up in the object store with evenly-sized blocks so
     # the timed section measures the pipeline, not bench scaffolding
-    ds = ds.repartition(max(64, mult * 8)).materialize()
+    ds = (
+        base.map_batches(explode, batch_format="pyarrow")
+        .repartition(max(64, mult * 8))
+        .materialize()
+    )
     return ds, n * mult
 
 
