@@ -2987,6 +2987,103 @@ LIMIT {LINKPRED_TOP_N}"""
     )
 
 
+def sql_ra_scores(cfg: EngineConfig) -> str:
+    """Resource-Allocation link prediction (stages/graph.ra_scores): same
+    kNN wedge enumeration as sql_link_pred, but each shared neighbor z
+    contributes RA_UNIT // deg(z) integer units instead of 1 — exact BIGINT
+    arithmetic on both sides, no transcendental weight."""
+    from ahrd_ray.stages.graph import LINKPRED_NEIGHBOR_CAP, LINKPRED_TOP_N, RA_UNIT
+
+    return (
+        _with(*_cands_prefix(cfg), cte_valid_dedup(), _cte_cooccur_pairs(cfg))
+        + f""",
+sides AS (
+  SELECT cand_a AS node, cand_b AS nb, n_docs FROM pairs
+  UNION ALL SELECT cand_b, cand_a, n_docs FROM pairs
+),
+capped AS (
+  SELECT node, nb FROM (
+    SELECT node, nb, row_number() OVER (
+        PARTITION BY node ORDER BY n_docs DESC, nb ASC) AS rn
+    FROM sides
+  ) WHERE rn <= {LINKPRED_NEIGHBOR_CAP}
+),
+knn AS (
+  SELECT DISTINCT least(node, nb) AS cand_a, greatest(node, nb) AS cand_b
+  FROM capped
+),
+ksides AS (
+  SELECT cand_a AS node, cand_b AS nb FROM knn
+  UNION ALL SELECT cand_b, cand_a FROM knn
+),
+deg AS (SELECT node, CAST(count(*) AS BIGINT) AS deg FROM ksides GROUP BY 1),
+ra AS (
+  SELECT s1.nb AS cand_a, s2.nb AS cand_b,
+         CAST(count(*) AS BIGINT) AS common_n,
+         CAST(SUM({RA_UNIT} // d.deg) AS BIGINT) AS ra_units
+  FROM ksides s1 JOIN ksides s2 ON s1.node = s2.node AND s1.nb < s2.nb
+  JOIN deg d ON d.node = s1.node
+  GROUP BY 1, 2
+),
+nonedge AS (
+  SELECT ra.* FROM ra LEFT JOIN knn k
+    ON k.cand_a = ra.cand_a AND k.cand_b = ra.cand_b
+  WHERE k.cand_a IS NULL
+)
+SELECT cand_a, cand_b, common_n, ra_units FROM nonedge
+ORDER BY ra_units DESC, common_n DESC, cand_a ASC, cand_b ASC
+LIMIT {LINKPRED_TOP_N}"""
+    )
+
+
+def sql_hits(cfg: EngineConfig) -> str:
+    """Bipartite integer HITS (stages/graph.hits_scores): docs are hubs,
+    entities authorities over the capped ccands link relation.  a1 = link
+    counts, h1 = per-doc SUM(a1) // HITS_DIV, auth = per-entity SUM(h1) —
+    exact BIGINT arithmetic with the same scaling division on both sides.
+    The pairs CTE from _cte_cooccur_pairs is unreferenced and unexecuted."""
+    from ahrd_ray.stages.graph import HITS_DIV
+
+    return (
+        _with(
+            *_cands_prefix(cfg),
+            cte_valid_dedup(),
+            _cte_cooccur_pairs(cfg),
+            "a1 AS (SELECT cand_ord, CAST(count(*) AS BIGINT) AS link_docs"
+            " FROM ccands GROUP BY 1)",
+            f"h1 AS (SELECT c.doc_id,"
+            f" CAST(SUM(a.link_docs) // {HITS_DIV} AS BIGINT) AS h"
+            f" FROM ccands c JOIN a1 a ON a.cand_ord = c.cand_ord GROUP BY 1)",
+        )
+        + """
+SELECT c.cand_ord AS node, a.link_docs, CAST(SUM(h.h) AS BIGINT) AS auth_units
+FROM ccands c
+JOIN h1 h ON h.doc_id = c.doc_id
+JOIN a1 a ON a.cand_ord = c.cand_ord
+GROUP BY 1, 2"""
+    )
+
+
+def sql_split_assign() -> str:
+    """Deterministic 80/10/10 hash split (stages/textstats.split_assign):
+    bucket arithmetic is pure BIGINT modular math, token counts come from
+    the shared tokenizer expression."""
+    from ahrd_ray.stages.textstats import SPLIT_A, SPLIT_B, SPLIT_P
+
+    arr = _sql_tok_arr()
+    return f"""WITH t AS (
+  SELECT ((doc_id % {SPLIT_P}) * {SPLIT_A} + {SPLIT_B}) % 100 AS bucket,
+         CAST(len({arr}) AS BIGINT) AS n_tokens
+  FROM documents
+)
+SELECT CASE WHEN bucket < 80 THEN 'train'
+            WHEN bucket < 90 THEN 'valid'
+            ELSE 'test' END AS split,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
+FROM t GROUP BY 1"""
+
+
 def sql_collocations() -> str:
     """Lift-scored collocations (stages/textstats.collocations): exact
     HUGEINT lift arithmetic over the bigram aggregate and its positional

@@ -455,6 +455,11 @@ def _textstats_queries() -> dict[str, tuple[Callable, str | None]]:
         "tx_repetition": (lambda sf: tx.repetition(sf), oracle.sql_repetition()),
         # char-frequency concentration (integer Renyi-2 core): junk detector
         "tx_char_stats": (lambda sf: tx.char_stats(sf), oracle.sql_char_stats()),
+        # deterministic 80/10/10 hash split with per-split doc/token budgets
+        "tx_split_assign": (
+            lambda sf: tx.split_assign(sf),
+            oracle.sql_split_assign(),
+        ),
         "tx_bigrams": (
             lambda sf: tx.bigram_counts(sf).map_batches(_int64, batch_format="pyarrow"),
             oracle.sql_bigram_counts(),
@@ -854,6 +859,10 @@ def _generic_queries() -> dict[str, tuple[Callable, str | None]]:
         "kg_walks": (q_walks, oracle.sql_walk_corpus(DEFAULT_CONFIG)),
         # skip-gram (center, context) pairs from the walks
         "kg_walk_pairs": (q_walk_pairs, oracle.sql_walk_pairs(DEFAULT_CONFIG)),
+        # bipartite integer HITS: docs as hubs, entities as authorities
+        "kg_hits": (q_hits, oracle.sql_hits(DEFAULT_CONFIG)),
+        # Resource-Allocation link prediction (hub-discounted wedge weight)
+        "kg_ra_scores": (q_ra_scores, oracle.sql_ra_scores(DEFAULT_CONFIG)),
     }
 
 
@@ -1246,6 +1255,18 @@ def q_pagerank(sf_dir: str):
     from ahrd_ray.stages.graph import pagerank
 
     return pagerank(sf_dir)
+
+
+def q_hits(sf_dir: str):
+    from ahrd_ray.stages.graph import hits_scores
+
+    return hits_scores(sf_dir)
+
+
+def q_ra_scores(sf_dir: str):
+    from ahrd_ray.stages.graph import ra_scores
+
+    return ra_scores(sf_dir)
 
 
 def _attr_vote(sf_dir: str):

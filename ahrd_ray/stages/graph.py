@@ -1705,6 +1705,101 @@ def link_pred(sf_dir: str, n: int = LINKPRED_TOP_N) -> ray.data.Dataset:
     )
 
 
+# Resource-Allocation link weight: 1/deg(center) in integer units so the
+# DuckDB oracle's sum hashes bit-equal (no float summation-order hazard —
+# the reason this is RA and not Adamic-Adar's 1/ln(deg), whose libm ln
+# could differ in the last ulp between numpy and DuckDB).
+RA_UNIT = 1_000_000_000_000
+
+
+def ra_scores(sf_dir: str, n: int = LINKPRED_TOP_N) -> ray.data.Dataset:
+    """(cand_a, cand_b, common_n, ra_units) — top-``n`` predicted links by
+    the Resource-Allocation index (Zhou/Lu/Zhang 2009): for each
+    non-kNN-adjacent pair, RA = sum over shared neighbors z of 1/deg(z),
+    in RA_UNIT integer units.  Down-weights promiscuous hub neighbors that
+    common-neighbor counting (link_pred) treats as strong evidence — the
+    complementary KG-completion ranking.
+
+    Scale shape: identical to :func:`link_pred` — kNN edge set materialized
+    once, wedges generated inside a node-hash groupby with the center kept,
+    the center's 1/deg weight attached MAP-SIDE from the dense broadcast
+    degree vector and pre-aggregated per pair before the pair-hash fold,
+    budgeted anti-join, one bounded top-``n`` sort."""
+    from ahrd_ray.pipelines import kg
+    from ahrd_ray.stages.partitioning import budgeted_join
+
+    ctx = kg.cached_context(sf_dir)
+    n_nodes = ctx.bundle.n
+    n_parts = n_hash_parts()
+
+    knn = knn_edges(sf_dir)
+    deg_ref = ray.put(_knn_degrees(knn, n_nodes))
+
+    def ra_partial(df: pd.DataFrame) -> pd.DataFrame:
+        from ahrd_ray.stages.score import get_broadcast
+
+        d = get_broadcast(deg_ref)
+        w = RA_UNIT // d[df["center"].to_numpy()]
+        out = df[["cand_a", "cand_b", "ppart"]].assign(
+            ra_units=w, common_n=np.int64(1)
+        )
+        return out.groupby(["cand_a", "cand_b", "ppart"], as_index=False).agg(
+            common_n=("common_n", "sum"), ra_units=("ra_units", "sum")
+        )
+
+    ra = (
+        _knn_wedges(knn, n_parts, keep_center=True)
+        .map_batches(ra_partial, batch_format="pandas")
+        .groupby("ppart")
+        .map_groups(
+            lambda df: df.groupby(["cand_a", "cand_b"], as_index=False).agg(
+                common_n=("common_n", "sum"), ra_units=("ra_units", "sum")
+            ),
+            batch_format="pandas",
+        )
+    )
+
+    marked = knn.map_batches(
+        lambda t: t.append_column(
+            "is_edge", pa.array(np.ones(len(t), dtype=np.int64))
+        ),
+        batch_format="pyarrow",
+    )
+    joined = budgeted_join(
+        ra,
+        marked,
+        on=("cand_a", "cand_b"),
+        right_on=("cand_a", "cand_b"),
+        n_joins=1,
+        join_type="left_outer",
+    )
+
+    def top_partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["is_edge"].isna()]
+        out = pd.DataFrame(
+            {
+                "cand_a": df["cand_a"].to_numpy().astype(np.int64),
+                "cand_b": df["cand_b"].to_numpy().astype(np.int64),
+                "common_n": df["common_n"].to_numpy().astype(np.int64),
+                "ra_units": df["ra_units"].to_numpy().astype(np.int64),
+            }
+        )
+        return out.sort_values(
+            ["ra_units", "common_n", "cand_a", "cand_b"],
+            ascending=[False, False, True, True],
+            kind="mergesort",
+        ).head(n)
+
+    return (
+        joined.map_batches(top_partial, batch_format="pandas")
+        .sort(
+            ["ra_units", "common_n", "cand_a", "cand_b"],
+            descending=[True, True, False, False],
+        )
+        .limit(n)
+    )
+
+
 def clustering_coeff(sf_dir: str) -> pa.Table:
     """(node, n_triangles, cc_q20) — local clustering coefficient per
     entity over the symmetrized kNN graph (deg >= 2 nodes): n_triangles =
@@ -2165,6 +2260,99 @@ def kcore_nodes(
         return df.astype({"node": "int64", "core_deg": "int64"})
 
     return degrees(cur).map_batches(finish, batch_format="pandas")
+
+
+# HITS per-round scaling divisor: hub scores are divided by this after each
+# doc-side sum, bounding integer growth (h1 <= COOCCUR_CAP * max(a1) / 64)
+# the way PR_UNIT bounds the pagerank units.  The DuckDB oracle applies the
+# same integer division, so both sides stay bit-equal.
+HITS_DIV = 64
+
+
+def hits_scores(sf_dir: str) -> ray.data.Dataset:
+    """(node, link_docs, auth_units) — one full integer HITS round
+    (Kleinberg 1999) over the BIPARTITE doc->entity link graph (the capped
+    ``ccands`` relation): docs are hubs, entities are authorities.  With
+    h0 = 1, a1(e) = link count (``link_docs``); h1(d) = sum of a1 over d's
+    linked entities // HITS_DIV; auth_units(e) = sum of h1 over docs
+    linking e.  Ranks entities by the authority mass of the HUBS citing
+    them — an entity linked from broadly-linking docs outranks one with the
+    same raw count from sparse docs; the directed complement to pagerank's
+    undirected entity-entity rank.
+
+    Scale shape: entity-side state (a1) is catalog-dim-sized -> one slim
+    entity-hash sweep then a dense broadcast vector (the pagerank
+    precedent).  Doc-side state (h1) is CORPUS-sized, so it never lands on
+    the driver: the doc-hash groupby sees every link row of a doc in one
+    group, computes h1 there, and emits per-entity partial sums in the same
+    pass.  Three slim integer shuffles total; the link stream materializes
+    once (two consumers)."""
+    from ahrd_ray.stages.score import get_broadcast
+    from ahrd_ray.pipelines import kg
+
+    ctx = kg.cached_context(sf_dir)
+    n_nodes = ctx.bundle.n
+    n_parts = n_hash_parts()
+
+    links = doc_entity_links(sf_dir).materialize()
+
+    # a1: per-entity link counts -> dense broadcast vector
+    as_edges = links.map_batches(
+        lambda t: pa.table(
+            {
+                "src": t["doc_id"].cast(pa.int64()),
+                "dst": t["cand_ord"].cast(pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    a1 = _edge_sweep(
+        as_edges, lambda src: np.ones(len(src), dtype=np.int64), n_nodes
+    )
+    a1_ref = ray.put(a1)
+
+    def doc_keyed(t: pa.Table) -> pd.DataFrame:
+        doc = t["doc_id"].to_numpy().astype(np.int64)
+        return pd.DataFrame(
+            {
+                "doc_id": doc,
+                "cand_ord": t["cand_ord"].to_numpy().astype(np.int64),
+                "dpart": (doc % n_parts).astype(np.int32),
+            }
+        )
+
+    def hub_then_auth_partial(df: pd.DataFrame) -> pd.DataFrame:
+        # whole docs per group: h1 per doc, then per-entity partial sums
+        a = get_broadcast(a1_ref)
+        doc = df["doc_id"].to_numpy()
+        ent = df["cand_ord"].to_numpy()
+        docs_u, sums = _segment_sums(doc, a[ent])
+        h1 = sums // HITS_DIV
+        contrib = h1[np.searchsorted(docs_u, doc)]
+        nodes, totals = _segment_sums(ent, contrib)
+        return pd.DataFrame(
+            {
+                "node": nodes,
+                "auth_units": totals,
+                "npart": (nodes % n_parts).astype(np.int32),
+            }
+        )
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        a = get_broadcast(a1_ref)
+        out = df.groupby("node", as_index=False)["auth_units"].sum()
+        out.insert(1, "link_docs", a[out["node"].to_numpy()])
+        return out.astype(
+            {"node": "int64", "link_docs": "int64", "auth_units": "int64"}
+        )
+
+    return (
+        links.map_batches(doc_keyed, batch_format="pyarrow")
+        .groupby("dpart")
+        .map_groups(hub_then_auth_partial, batch_format="pandas")
+        .groupby("npart")
+        .map_groups(finish, batch_format="pandas")
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -1475,3 +1475,50 @@ def char_stats(sf_dir: str) -> ray.data.Dataset:
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
     )
     return docs.map_batches(char_stats_batch, batch_format="pyarrow")
+
+
+# Deterministic hash-split constants: bucket = ((doc_id % P) * A + B) % 100.
+# P bounds the multiplicand so the product stays far inside int64 at any
+# corpus size (max ~7.9e9); train/valid/test = buckets [0,80)/[80,90)/[90,100).
+SPLIT_P = 999_983
+SPLIT_A = 7_919
+SPLIT_B = 104_729
+
+
+def split_assign_batch(batch: pa.Table) -> pd.DataFrame:
+    """Per-batch partial of :func:`split_assign` — one (split, n_docs,
+    n_tokens) row per split label seen in the batch."""
+    doc = batch["doc_id"].to_numpy().astype(np.int64)
+    bucket = ((doc % SPLIT_P) * SPLIT_A + SPLIT_B) % 100
+    label = np.where(bucket < 80, "train", np.where(bucket < 90, "valid", "test"))
+    row, _toks = _split_counts(batch)
+    n_tokens = np.bincount(row, minlength=len(batch)).astype(np.int64)
+    return (
+        pd.DataFrame({"split": label, "n_docs": np.int64(1), "n_tokens": n_tokens})
+        .groupby("split", as_index=False)
+        .sum()
+    )
+
+
+def split_assign(sf_dir: str) -> ray.data.Dataset:
+    """(split, n_docs, n_tokens) — deterministic 80/10/10 train/valid/test
+    hash split of the corpus with per-split document and token budgets: the
+    dataset-splitting step every training-data pipeline runs before
+    packing.  The assignment is a pure function of doc_id (no RNG state),
+    so it is stable under re-sharding, resumes, and incremental appends —
+    a late-arriving doc can never flip an existing doc's split.
+
+    Scale shape: one map-side pass computes the label and token count per
+    doc and pre-aggregates per (split); the final groupby folds at most
+    3 rows per block."""
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return (
+        docs.map_batches(split_assign_batch, batch_format="pyarrow")
+        .groupby("split")
+        .map_groups(
+            lambda df: df.groupby("split", as_index=False).sum(),
+            batch_format="pandas",
+        )
+    )

@@ -7,7 +7,12 @@ compares row count, schema (names) and values exactly.
 
 from __future__ import annotations
 
+import os
 import sys
+
+# runnable from any cwd: python puts scripts/ (not the repo root) on
+# sys.path when invoked as `python scripts/compare_queries.py`
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import duckdb
 import numpy as np

@@ -716,3 +716,81 @@ def test_walk_pairs_match_brute_force_window():
         (int(r.center), int(r.context)): int(r.cnt) for r in got.itertuples()
     }
     assert got_map == dict(want)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_hits_matches_brute_force_bipartite_round():
+    """hits_scores == the numpy brute force over the same capped link
+    relation: a1 = per-entity link counts, h1 = per-doc sum(a1) // HITS_DIV,
+    auth = per-entity sum(h1)."""
+    from ahrd_ray.stages.graph import HITS_DIV, doc_entity_links, hits_scores
+
+    links = doc_entity_links(SF).to_pandas()[["doc_id", "cand_ord"]]
+    a1 = links.groupby("cand_ord").size().astype(np.int64)
+    links["a"] = a1.reindex(links["cand_ord"]).to_numpy()
+    h1 = (links.groupby("doc_id")["a"].sum() // HITS_DIV).astype(np.int64)
+    links["h"] = h1.reindex(links["doc_id"]).to_numpy()
+    want = (
+        links.groupby("cand_ord")
+        .agg(link_docs=("a", "size"), auth_units=("h", "sum"))
+        .reset_index()
+        .rename(columns={"cand_ord": "node"})
+        .astype({"node": "int64", "link_docs": "int64", "auth_units": "int64"})
+        .sort_values("node")
+        .reset_index(drop=True)
+    )
+    got = (
+        hits_scores(SF)
+        .to_pandas()
+        .sort_values("node")
+        .reset_index(drop=True)[["node", "link_docs", "auth_units"]]
+    )
+    assert got.equals(want)
+    # authority re-ranks vs raw counts: both columns positive, and the
+    # scaling division keeps magnitudes bounded
+    assert (got.link_docs > 0).all() and (got.auth_units >= 0).all()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_ra_scores_match_brute_force_and_exclude_edges():
+    """ra_scores == brute-force Resource-Allocation over the symmetrized
+    kNN edge set: for each non-adjacent pair, sum over shared neighbors z
+    of RA_UNIT // deg(z); top-N under the documented deterministic order."""
+    from collections import defaultdict
+
+    from ahrd_ray.stages.graph import (
+        LINKPRED_TOP_N,
+        RA_UNIT,
+        knn_edges,
+        ra_scores,
+    )
+
+    knn = knn_edges(SF).to_pandas()
+    nbrs: dict[int, set[int]] = defaultdict(set)
+    for r in knn.itertuples():
+        nbrs[int(r.cand_a)].add(int(r.cand_b))
+        nbrs[int(r.cand_b)].add(int(r.cand_a))
+    deg = {v: len(s) for v, s in nbrs.items()}
+    edge_set = {(int(r.cand_a), int(r.cand_b)) for r in knn.itertuples()}
+    scores: dict[tuple[int, int], list[int]] = {}
+    for z, s in nbrs.items():
+        ss = sorted(s)
+        for i in range(len(ss)):
+            for j in range(i + 1, len(ss)):
+                p = (ss[i], ss[j])
+                if p in edge_set:
+                    continue
+                cn, ra = scores.get(p, (0, 0))
+                scores[p] = (cn + 1, ra + RA_UNIT // deg[z])
+    rows = [
+        (-ra, -cn, a, b, cn, ra) for (a, b), (cn, ra) in scores.items()
+    ]
+    rows.sort()
+    want = [(a, b, cn, ra) for _, _, a, b, cn, ra in rows[:LINKPRED_TOP_N]]
+    got = ra_scores(SF).to_pandas()
+    got_rows = [
+        (int(r.cand_a), int(r.cand_b), int(r.common_n), int(r.ra_units))
+        for r in got.itertuples()
+    ]
+    assert got_rows == want
+    assert all((a, b) not in edge_set for a, b, _, _ in got_rows)

@@ -204,3 +204,40 @@ def test_char_stats_null_text_behaves_like_empty():
     out = char_stats_batch(t).to_pandas().set_index("doc_id")
     assert list(out.index) == [1]
     assert out.loc[1].tolist() == [2, 2, 2, 1]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_split_assign_partitions_corpus_deterministically():
+    """Splits cover every doc exactly once, the hash is a pure function of
+    doc_id (stable under re-sharding/resume), and per-split token budgets
+    match the per-doc tokenizer."""
+    import duckdb
+    import numpy as np
+
+    from ahrd_ray.stages.textstats import (
+        SPLIT_A,
+        SPLIT_B,
+        SPLIT_P,
+        split_assign,
+        token_counts,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = split_assign(sf).to_pandas().set_index("split").sort_index()
+    n_docs = duckdb.sql(
+        f"SELECT count(*) FROM '{sf}/documents.parquet'"
+    ).fetchone()[0]
+    assert int(got["n_docs"].sum()) == n_docs
+
+    tc = token_counts(sf).to_pandas()
+    doc = tc["doc_id"].to_numpy().astype(np.int64)
+    bucket = ((doc % SPLIT_P) * SPLIT_A + SPLIT_B) % 100
+    label = np.where(bucket < 80, "train", np.where(bucket < 90, "valid", "test"))
+    want = (
+        tc.assign(split=label)
+        .groupby("split")
+        .agg(n_docs=("doc_id", "size"), n_tokens=("n_tokens", "sum"))
+        .sort_index()
+        .astype("int64")
+    )
+    assert got[["n_docs", "n_tokens"]].equals(want)
