@@ -1030,12 +1030,15 @@ def walk_corpus(sf_dir: str, steps: int = WALK_STEPS) -> ray.data.Dataset:
     Distributed shape: the degree vector is dim-sized and broadcast (the
     pagerank precedent); the (u, v, rn) neighbor-rank table is built ONCE
     with a node-hash groupby and stays distributed (edge lists never
-    broadcast).  Each step is one union+groupby fold — walk rows compute
-    their wanted (node, rn) key MAP-SIDE from the broadcast degrees and
-    meet the unique (u, rn) neighbor row in its hash group; no hash join,
-    per-step datasets are stats-pruned and block-bounded (the
-    min_label_components lessons)."""
-    from ahrd_ray.stages.partitioning import prune_stats_parents
+    broadcast).  Walk STATE is one row per edge-incident ENTITY — catalog-
+    dim-sized, the same broadcast class as the pagerank rank vector — so
+    each step is one ZERO-SHUFFLE broadcast sweep over the materialized
+    neighbor-rank table: every task resolves its rows' (u, rn) keys against
+    the sorted broadcast request keys and emits only matches (exactly one
+    per walk), which gather driver-side like _edge_sweep's per-node sums.
+    This replaced the round-3 union+groupby fold per step (a full
+    neighbor-table shuffle each round): 4 steps now cost 4 streaming edge
+    passes and no exchange."""
     from ahrd_ray.stages.score import get_broadcast
 
     n_parts = n_hash_parts()
@@ -1068,88 +1071,70 @@ def walk_corpus(sf_dir: str, steps: int = WALK_STEPS) -> ray.data.Dataset:
         .map_groups(rank_within, batch_format="pandas")
         .materialize()
     )
-    prune_stats_parents(nbr)
 
     starts = np.flatnonzero(deg > 0).astype(np.int64)
-    cur = ray.data.from_arrow(
-        pa.table(
-            {
-                "start": pa.array(starts, type=pa.int64()),
-                "node": pa.array(starts, type=pa.int64()),
-            }
-        )
-    ).materialize()
-    frames = [
-        cur.map_batches(
-            lambda df: df.assign(step=np.int64(0))[["start", "step", "node"]],
-            batch_format="pandas",
-        )
-    ]
-
-    def nbr_msgs(df: pd.DataFrame) -> pd.DataFrame:
-        out = df.rename(columns={"u": "node", "v": "nxt"})
-        out["start"] = np.int64(-1)  # tag: neighbor row
-        out["kpart"] = ((out["node"] * 1000003 + out["rn"]) % n_parts).astype(
-            "int32"
-        )
-        return out[["node", "rn", "nxt", "start", "kpart"]]
+    cur = starts.copy()  # node per walk, aligned to starts
+    frames = [(np.int64(0), cur.copy())]
+    # unique (node, rn) -> key packing: rn < deg[node] <= key_mul
+    key_mul = np.int64(max(int(deg.max()), 1))
 
     for t in range(1, steps + 1):
+        rn = (starts * WALK_A + t * WALK_B + cur) % deg[cur]
+        key_s = cur * key_mul + rn
+        order = np.argsort(key_s, kind="stable")
+        req_ref = ray.put((key_s[order], starts[order]))
 
-        def req_msgs(df: pd.DataFrame, _t=t) -> pd.DataFrame:
-            d = get_broadcast(deg_ref)
-            node = df["node"].to_numpy()
-            rn = (
-                df["start"].to_numpy() * WALK_A + _t * WALK_B + node
-            ) % d[node]
-            out = pd.DataFrame(
+        def resolve(tbl: pa.Table, _ref=req_ref, _mul=key_mul) -> pa.Table:
+            ks, ss = get_broadcast(_ref)
+            key_e = tbl["u"].to_numpy() * _mul + tbl["rn"].to_numpy()
+            lo = np.searchsorted(ks, key_e, side="left")
+            hi = np.searchsorted(ks, key_e, side="right")
+            cnt = hi - lo
+            tot = int(cnt.sum())
+            if tot == 0:
+                return pa.table(
+                    {
+                        "start": pa.array([], type=pa.int64()),
+                        "nxt": pa.array([], type=pa.int64()),
+                    }
+                )
+            # expand [lo, hi) ranges: several walks can want the same row
+            offs = np.repeat(np.cumsum(cnt) - cnt, cnt)
+            idx = np.repeat(lo, cnt) + (np.arange(tot) - offs)
+            return pa.table(
                 {
-                    "node": node,
-                    "rn": rn.astype(np.int64),
-                    "nxt": np.full(len(df), -1, dtype=np.int64),
-                    "start": df["start"].to_numpy(),
+                    "start": pa.array(ss[idx], type=pa.int64()),
+                    "nxt": pa.array(
+                        np.repeat(tbl["v"].to_numpy(), cnt), type=pa.int64()
+                    ),
                 }
             )
-            out["kpart"] = ((out["node"] * 1000003 + out["rn"]) % n_parts).astype(
-                "int32"
-            )
-            return out
 
-        def resolve(df: pd.DataFrame) -> pd.DataFrame:
-            reqs = df[df["start"].to_numpy() >= 0]
-            answers = df.loc[
-                df["start"].to_numpy() < 0, ["node", "rn", "nxt"]
-            ]
-            m = reqs[["start", "node", "rn"]].merge(answers, on=["node", "rn"])
-            return pd.DataFrame(
-                {
-                    "start": m["start"].to_numpy().astype(np.int64),
-                    "node": m["nxt"].to_numpy().astype(np.int64),
-                }
-            )
+        nxt = np.full(len(starts), -1, dtype=np.int64)
+        for b in (
+            nbr.map_batches(resolve, batch_format="pyarrow")
+            .iter_batches(batch_format="pyarrow")
+        ):
+            s_arr = b["start"].to_numpy()
+            v_arr = b["nxt"].to_numpy()
+            nxt[np.searchsorted(starts, s_arr)] = v_arr
+        cur = nxt
+        frames.append((np.int64(t), cur.copy()))
 
-        cur = (
-            cur.map_batches(req_msgs, batch_format="pandas")
-            .union(nbr.map_batches(nbr_msgs, batch_format="pandas"))
-            .repartition(max(2, n_parts // 4))
-            .groupby("kpart")
-            .map_groups(resolve, batch_format="pandas")
-            .materialize()
+    n_walks = len(starts)
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "start": pa.array(np.tile(starts, len(frames)), type=pa.int64()),
+                "step": pa.array(
+                    np.repeat([t for t, _ in frames], n_walks), type=pa.int64()
+                ),
+                "node": pa.array(
+                    np.concatenate([c for _, c in frames]), type=pa.int64()
+                ),
+            }
         )
-        prune_stats_parents(cur)
-        frames.append(
-            cur.map_batches(
-                lambda df, _t=t: df.assign(step=np.int64(_t))[
-                    ["start", "step", "node"]
-                ],
-                batch_format="pandas",
-            )
-        )
-
-    out = frames[0]
-    for f in frames[1:]:
-        out = out.union(f)
-    return out
+    ).repartition(max(2, n_hash_parts() // 2))
 
 
 def walk_pairs(
