@@ -900,6 +900,33 @@ FROM f, generate_series(0, {fsize - 1}) AS s(j)
 GROUP BY f.doc_id, f.fi"""
 
 
+def sql_ahash(side: int = 8) -> str:
+    """Perceptual average-hash oracle (multimodal.AverageHasher): the 8x8
+    nearest-neighbor grid of sql_resized_pixels, a strict integer mean
+    threshold (v*64 > total), bits packed with BIGINT shifts into two
+    non-negative halves (hi = bits 32..63, lo = 0..31) so the sign bit is
+    never touched on either side."""
+    byte = _MM_RASTER_BYTE.format(
+        i=f"(t.r * h // {side}) * w + (t.c * w // {side})"
+    )
+    return f"""WITH px AS (
+  SELECT d.doc_id, t.r, t.c, CAST({byte} AS BIGINT) AS v
+  FROM (SELECT doc_id, text, 32 + doc_id % 97 AS w, 16 + doc_id % 53 AS h
+        FROM documents) d,
+       (SELECT r.r, c.c FROM generate_series(0, {side - 1}) AS r(r),
+                             generate_series(0, {side - 1}) AS c(c)) t
+), tot AS (SELECT doc_id, SUM(v) AS total FROM px GROUP BY 1)
+SELECT p.doc_id,
+  CAST(COALESCE(SUM(CASE WHEN p.v * 64 > t.total AND p.r * {side} + p.c >= 32
+    THEN CAST(1 AS BIGINT) << CAST(p.r * {side} + p.c - 32 AS INTEGER) END), 0)
+    AS BIGINT) AS ahash_hi,
+  CAST(COALESCE(SUM(CASE WHEN p.v * 64 > t.total AND p.r * {side} + p.c < 32
+    THEN CAST(1 AS BIGINT) << CAST(p.r * {side} + p.c AS INTEGER) END), 0)
+    AS BIGINT) AS ahash_lo
+FROM px p JOIN tot t ON t.doc_id = p.doc_id
+GROUP BY 1"""
+
+
 def sql_audio_stats() -> str:
     """WAV decode stats — mirrors multimodal.wav_payloads' integer waveform
     sample[i] = ((doc_id*7 + i*13) % 512) - 256 over n = 100 + doc_id % 50

@@ -643,6 +643,12 @@ def _generic_queries() -> dict[str, tuple[Callable, str | None]]:
             lambda sf: mm.audio_stats(sf),
             oracle.sql_audio_stats(),
         ),
+        # perceptual average-hash (8x8 mean-threshold bits) through the
+        # real decoders — the image near-dup feature column
+        "mm_ahash": (
+            lambda sf: mm.ahash_features(sf),
+            oracle.sql_ahash(),
+        ),
         "rel_props_agg": (
             lambda sf: g.props_agg(sf).map_batches(_int64, batch_format="pyarrow"),
             oracle.sql_props_agg(),

@@ -581,3 +581,55 @@ def audio_stats(sf_dir: str, concurrency: int | tuple = 2) -> ray.data.Dataset:
     return wav_payloads(sf_dir).map_batches(
         stats, batch_format="pyarrow", batch_size=64, concurrency=concurrency
     )
+
+
+# aHash grid side: 8x8 = 64 threshold bits, the standard perceptual
+# average-hash layout (Krawetz).  Bits pack into two NON-NEGATIVE int64
+# halves (hi = bits 32..63, lo = bits 0..31) so neither column ever
+# touches the int64 sign bit — SQL and numpy shift arithmetic stay equal.
+AHASH_SIDE = 8
+
+
+class AverageHasher:
+    """Actor-pool stage: decode (real dispatch) -> 8x8 nearest-neighbor
+    downsample (the ImageResizer grid math) -> strict mean threshold
+    (bit = pixel*64 > total, integer-exact on both sides) -> packed 64-bit
+    perceptual aHash.  The classic image near-dup feature: Hamming-close
+    hashes mean visually-near-duplicate rasters, so this column feeds the
+    same banding dedup machinery the text SimHash uses."""
+
+    def __init__(self, allow_fake: bool = True):
+        self.allow_fake = allow_fake
+        self.side = AHASH_SIDE
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        his, los = [], []
+        for blob in batch["media"].to_pylist():
+            img = decode_image(blob, allow_fake=self.allow_fake)
+            h, w = img.shape[:2]
+            rows = (np.arange(self.side) * h) // self.side
+            cols = (np.arange(self.side) * w) // self.side
+            small = np.asarray(img)[rows][:, cols].astype(np.int64).reshape(-1)
+            total = int(small.sum())
+            b = np.flatnonzero(small * 64 > total)
+            his.append(int((np.int64(1) << (b[b >= 32] - 32)).sum()))
+            los.append(int((np.int64(1) << b[b < 32]).sum()))
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "ahash_hi": pa.array(his, type=pa.int64()),
+                "ahash_lo": pa.array(los, type=pa.int64()),
+            }
+        )
+
+
+def ahash_features(
+    sf_dir: str, concurrency: int | tuple = 2, batch_size: int = 64
+) -> ray.data.Dataset:
+    return payloads_dataset(sf_dir).map_batches(
+        AverageHasher,
+        fn_constructor_kwargs={"allow_fake": True},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )

@@ -160,6 +160,7 @@ def run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
         ("kg_hits", lambda: gr.hits_scores(sf_dir)),
         ("kg_ra_scores", lambda: gr.ra_scores(sf_dir)),
         ("tx_split_assign", lambda: tx.split_assign(sf_dir)),
+        ("mm_ahash", lambda: __import__("ahrd_ray.stages.multimodal", fromlist=["x"]).ahash_features(sf_dir)),
         ("kg_edge_support", lambda: gr.edge_support(sf_dir)),
         ("kg_alias_pairs", lambda: gr.alias_pairs(sf_dir)),
         ("kg_link_pred", lambda: gr.link_pred(sf_dir)),

@@ -765,3 +765,31 @@ def test_snapshot_delta_only_flags_changed_texts(ray_session):
     ).set_index("doc_id")["text"]
     for d in delta["doc_id"]:
         assert docs[d] != docs[int(d) ^ 1], d
+
+
+def test_ahash_matches_raster_brute_force(ray_session):
+    """AverageHasher (through the real container decoders) equals the pure
+    numpy aHash computed straight from the raster spec; both packed halves
+    stay non-negative and below 2^32 (the sign bit is never touched)."""
+    import duckdb
+
+    from ahrd_ray.stages.multimodal import AHASH_SIDE, _raster, ahash_features
+
+    got = ahash_features(SF).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    docs = duckdb.sql(
+        f"SELECT doc_id, text FROM '{SF}/documents.parquet' ORDER BY doc_id"
+    ).df()
+    his, los = [], []
+    for d, t in zip(docs["doc_id"], docs["text"]):
+        img = _raster(int(d), t)
+        h, w = img.shape
+        rows = (np.arange(AHASH_SIDE) * h) // AHASH_SIDE
+        cols = (np.arange(AHASH_SIDE) * w) // AHASH_SIDE
+        small = img[rows][:, cols].astype(np.int64).reshape(-1)
+        b = np.flatnonzero(small * 64 > small.sum())
+        his.append(int((np.int64(1) << (b[b >= 32] - 32)).sum()))
+        los.append(int((np.int64(1) << b[b < 32]).sum()))
+    assert got["ahash_hi"].tolist() == his
+    assert got["ahash_lo"].tolist() == los
+    assert ((got["ahash_hi"] >= 0) & (got["ahash_hi"] < 2**32)).all()
+    assert ((got["ahash_lo"] >= 0) & (got["ahash_lo"] < 2**32)).all()
