@@ -1928,6 +1928,45 @@ SELECT event_type,
 FROM raw"""
 
 
+def sql_kmv_distinct_users() -> str:
+    """K-Minimum-Values sketch (stages/generic.kmv_distinct_users): same
+    HUGEINT splitmix64 as the HLL oracle over the DISTINCT user set, k-th
+    smallest hash by window rank, one exact HUGEINT division.  splitmix64
+    is a bijection, so distinct users == distinct hashes on both sides."""
+    from ahrd_ray.stages.generic import HLL_C1, HLL_C2, HLL_C3, KMV_K
+
+    m64 = 1 << 64
+
+    def mulmod(z: str, c: int) -> str:
+        return (
+            f"(((({z}) % 4294967296) * {c}"
+            f" + ((({z}) // 4294967296) * {c} % 4294967296) * 4294967296) % {m64})"
+        )
+
+    return f"""WITH du AS (SELECT DISTINCT event_type, user_id FROM events),
+h0 AS (
+  SELECT event_type, (CAST(user_id AS HUGEINT) + {HLL_C1}) % {m64} AS z0 FROM du
+),
+h1 AS (SELECT event_type, {mulmod("xor(z0, z0 // 1073741824)", HLL_C2)} AS z1 FROM h0),
+h2 AS (SELECT event_type, {mulmod("xor(z1, z1 // 134217728)", HLL_C3)} AS z2 FROM h1),
+h AS (SELECT event_type, xor(z2, z2 // 2147483648) AS h64 FROM h2),
+ranked AS (
+  SELECT event_type, h64,
+         row_number() OVER (PARTITION BY event_type ORDER BY h64 ASC) AS rn
+  FROM h
+),
+cnt AS (SELECT event_type, CAST(count(*) AS BIGINT) AS c FROM h GROUP BY 1)
+SELECT r.event_type,
+       CAST(CASE WHEN c.c < {KMV_K} THEN CAST(c.c AS HUGEINT)
+            ELSE (CAST({KMV_K - 1} AS HUGEINT) * CAST({m64} AS HUGEINT))
+                 // max(CASE WHEN r.rn = {KMV_K} THEN r.h64 END)
+            END AS BIGINT) AS est_users,
+       CAST(least(c.c, {KMV_K}) AS BIGINT) AS n_kept
+FROM ranked r JOIN cnt c ON c.event_type = r.event_type
+WHERE r.rn <= {KMV_K}
+GROUP BY r.event_type, c.c"""
+
+
 def sql_label_centroids() -> str:
     """Per-label centroid in long form (stages/simsearch.label_centroids):
     exact q10 unit sums per (label, dim), one final float division."""

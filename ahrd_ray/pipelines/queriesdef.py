@@ -693,6 +693,13 @@ def _generic_queries() -> dict[str, tuple[Callable, str | None]]:
             ),
             oracle.sql_hll_distinct_users(),
         ),
+        # K-Minimum-Values distinct sketch (mergeable, set-expression-able)
+        "rel_kmv_users": (
+            lambda sf: g.kmv_distinct_users(sf).map_batches(
+                _int64, batch_format="pyarrow"
+            ),
+            oracle.sql_kmv_distinct_users(),
+        ),
         # per-stratum keep rates (downsample the head, keep the tail)
         "rel_sample_stratified": (
             lambda sf: g.sample_events_stratified(sf).map_batches(

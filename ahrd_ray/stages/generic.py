@@ -1105,6 +1105,63 @@ def hll_distinct_users(sf_dir: str) -> ray.data.Dataset:
     )
 
 
+# KMV sketch size: estimate from the k-th smallest distinct hash.
+KMV_K = 32
+
+
+def kmv_distinct_users(sf_dir: str, k: int = KMV_K) -> ray.data.Dataset:
+    """(event_type, est_users, n_kept) — K-Minimum-Values distinct sketch
+    per event_type (Bar-Yossef et al. 2002): keep the ``k`` smallest
+    splitmix64 hashes of the user ids; estimate = (k-1) * 2^64 // h_k.
+    The second mergeable-cardinality shape next to the HLL registers —
+    KMV also supports set-expression estimates (intersection/union via
+    signature merge), which registers cannot.
+
+    Exactness contract: splitmix64's finalizer is a BIJECTION on uint64,
+    so distinct users == distinct hashes on both sides — no collision
+    handling, and the estimate is one exact integer division (HUGEINT in
+    the oracle, Python big-int here).  Below ``k`` distinct values the
+    sketch IS the exact count (the standard KMV fallback).
+
+    Scale shape: per-block bottom-``k`` partials (numpy partition over the
+    deduped batch) combine map-side; only k slim rows per block reach the
+    per-type finalize."""
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "user_id"]
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        frames = []
+        for t, g in df.groupby("event_type"):
+            u = np.unique(g["user_id"].to_numpy(dtype=np.uint64))
+            h = np.unique(splitmix64(u))
+            if len(h) > k:
+                h = np.partition(h, k - 1)[:k]
+            frames.append(pd.DataFrame({"event_type": t, "h": h}))
+        out = pd.concat(frames, ignore_index=True)
+        # uint64 survives the shuffle as int64 bit-pattern (sign-agnostic
+        # order is restored in the finalize by viewing back as uint64)
+        out["h"] = out["h"].to_numpy().view(np.int64)
+        return out
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for t, g in df.groupby("event_type"):
+            hs = np.unique(g["h"].to_numpy().view(np.uint64))
+            if len(hs) < k:
+                est = len(hs)
+            else:
+                est = ((k - 1) << 64) // int(np.sort(hs)[k - 1])
+            rows.append((t, int(est), int(min(len(hs), k))))
+        return pd.DataFrame(rows, columns=["event_type", "est_users", "n_kept"])
+
+    return (
+        ev.map_batches(partial, batch_format="pandas")
+        .groupby("event_type")
+        .map_groups(final, batch_format="pandas")
+    )
+
+
 def events_regression(sf_dir: str) -> ray.data.Dataset:
     """Grouped least-squares: per event_type, slope/intercept of value on
     hour-of-day — the sufficient-statistics aggregation pattern (only five

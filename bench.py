@@ -144,6 +144,7 @@ def run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
         ("kg_cooccurrence", lambda: gr.cooccurrence_edges(sf_dir)),
         ("kg_pagerank", lambda: gr.pagerank(sf_dir)),
         ("rel_hll_users", lambda: gn.hll_distinct_users(sf_dir)),
+        ("rel_kmv_users", lambda: gn.kmv_distinct_users(sf_dir)),
         ("dd_substring_spans", lambda: dd.substring_spans(sf_dir)),
         ("dd_paragraph_dedup", lambda: dd.paragraph_dedup(sf_dir)),
         ("tx_pack_chunks", lambda: tx.pack_chunks(sf_dir)),

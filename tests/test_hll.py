@@ -62,3 +62,38 @@ def test_hll_operator_matches_driver_side_kernel():
     for t, g in ev.groupby("event_type"):
         want = _estimate(g["user_id"].unique().astype(np.uint64))
         assert int(got.loc[got.event_type == t, "est_users"].iloc[0]) == want
+
+
+def test_kmv_matches_brute_force_and_exact_fallback():
+    """kmv_distinct_users == the k-th-smallest-hash estimate computed
+    driver-side from the exact distinct sets; below k distinct values the
+    sketch returns the exact count (n_kept < k)."""
+    import pyarrow.parquet as pq
+
+    from ahrd_ray.stages.generic import KMV_K, kmv_distinct_users, splitmix64
+
+    sf = "/root/testdata/sf0.001"
+    got = (
+        kmv_distinct_users(sf)
+        .to_pandas()
+        .sort_values("event_type")
+        .set_index("event_type")
+    )
+    ev = pq.read_table(
+        f"{sf}/events.parquet", columns=["event_type", "user_id"]
+    ).to_pandas()
+    for t, g in ev.groupby("event_type"):
+        hs = np.sort(np.unique(splitmix64(g["user_id"].unique().astype(np.uint64))))
+        if len(hs) < KMV_K:
+            want, kept = len(hs), len(hs)
+        else:
+            want = ((KMV_K - 1) << 64) // int(hs[KMV_K - 1])
+            kept = KMV_K
+        assert int(got.loc[t, "est_users"]) == want
+        assert int(got.loc[t, "n_kept"]) == kept
+    # sketch accuracy sanity: within 2/sqrt(k) relative error on this corpus
+    true = ev.groupby("event_type")["user_id"].nunique()
+    for t in true.index:
+        if int(got.loc[t, "n_kept"]) == KMV_K:
+            rel = abs(int(got.loc[t, "est_users"]) - true[t]) / true[t]
+            assert rel < 2 / np.sqrt(KMV_K), (t, rel)
