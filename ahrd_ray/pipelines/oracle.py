@@ -977,11 +977,12 @@ def _sql_polyhash(expr: str) -> str:
     )
 
 
-def _cte_shingles(n: int) -> str:
+def _cte_shingles(n: int, source: str = "documents") -> str:
     """(doc_id, sh) distinct hashed word-n-grams — mirrors
-    ahrd_ray.stages.dedup.shingle_explode."""
+    ahrd_ray.stages.dedup.shingle_explode.  ``source`` is any relation with
+    (doc_id, text) columns (paragraph units pass a derived subquery)."""
     gram = " || ' ' || ".join(f"arr[i+{j}]" for j in range(n))
-    return f"""warr AS (SELECT doc_id, string_split(text, ' ') AS arr FROM documents),
+    return f"""warr AS (SELECT doc_id, string_split(text, ' ') AS arr FROM {source}),
 grams AS (
   SELECT DISTINCT doc_id, g FROM (
     SELECT doc_id, unnest(list_transform(generate_series(1, len(arr) - {n - 1}),
@@ -994,15 +995,18 @@ grams AS (
 sh AS (SELECT doc_id, {_sql_polyhash('g')} AS sh FROM grams)"""
 
 
-def sql_minhash_lsh(n: int = 3, threshold: float = 0.5) -> str:
+def sql_minhash_lsh(
+    n: int = 3, threshold: float = 0.5, source: str = "documents", prefix: str = ""
+) -> str:
     """Band-collision candidates + exact Jaccard verify, with the SAME
-    minhash coefficients as stages/dedup.py (_A/_B rendered as literals)."""
+    minhash coefficients as stages/dedup.py (_A/_B rendered as literals).
+    ``source``/``prefix`` re-point the unit table (paragraph variant)."""
     from ahrd_ray.stages.dedup import _A, _B, N_HASHES, ROWS_PER_BAND
 
     a_lit = ", ".join(str(int(x)) for x in _A)
     b_lit = ", ".join(str(int(x)) for x in _B)
     jac = "CAST(i.inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - i.inter AS DOUBLE)"
-    return f"""WITH {_cte_shingles(n)},
+    return f"""WITH {prefix}{_cte_shingles(n, source=source)},
 consts AS (SELECT [{a_lit}] AS a_arr, [{b_lit}] AS b_arr),
 hi AS (SELECT unnest(range({N_HASHES})) AS i),
 mins AS (
@@ -1034,6 +1038,35 @@ FROM inter i
 JOIN sizes sa ON sa.doc_id = i.doc_a
 JOIN sizes sb ON sb.doc_id = i.doc_b
 WHERE {jac} >= {threshold!r}"""
+
+
+def sql_paragraph_minhash(
+    w: int | None = None, n: int = 3, threshold: float = 0.5
+) -> str:
+    """Paragraph-granularity banded MinHash near-dup
+    (stages/dedup.paragraph_minhash_pairs): fixed w-word windows become
+    unit docs with packed pid = doc_id * PARA_PID_MUL + para_idx, then the
+    document-level minhash chain runs unchanged over the unit relation and
+    the final projection unpacks the pids."""
+    from ahrd_ray.stages.dedup import PARA_PID_MUL, PARA_WORDS
+
+    w = w or PARA_WORDS
+    mul = PARA_PID_MUL
+    prefix = f"""pwarr AS (SELECT doc_id, string_split(text, ' ') AS arr FROM documents),
+punits AS (
+  SELECT doc_id * {mul} + CAST(k - 1 AS BIGINT) AS doc_id,
+         array_to_string(arr[(k - 1) * {w} + 1 : k * {w}], ' ') AS text
+  FROM (
+    SELECT doc_id, arr,
+           unnest(generate_series(1, CAST(ceil(len(arr) / {w}.0) AS BIGINT))) AS k
+    FROM pwarr
+  )
+),
+"""
+    inner = sql_minhash_lsh(n=n, threshold=threshold, source="punits", prefix=prefix)
+    return f"""SELECT doc_a // {mul} AS doc_a, doc_a % {mul} AS para_a,
+       doc_b // {mul} AS doc_b, doc_b % {mul} AS para_b, jaccard
+FROM ({inner})"""
 
 
 def _cte_simhash() -> str:

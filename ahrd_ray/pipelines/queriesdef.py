@@ -380,6 +380,13 @@ def _dedup_queries() -> dict[str, tuple[Callable, str | None]]:
             lambda sf: dd.paragraph_dedup(sf).map_batches(_int64, batch_format="pyarrow"),
             oracle.sql_paragraph_dedup(),
         ),
+        # paragraph-granularity NEAR-dup (banded MinHash over window units)
+        "dd_paragraph_minhash": (
+            lambda sf: dd.paragraph_minhash_pairs(sf).map_batches(
+                _int64, batch_format="pyarrow"
+            ),
+            oracle.sql_paragraph_minhash(),
+        ),
         # near-dup REMOVAL: cluster representatives + cluster sizes
         "dd_dedup_docs": (
             lambda sf: dd.dedup_docs(sf).map_batches(_int64, batch_format="pyarrow"),

@@ -300,8 +300,14 @@ def _shingle_batch(batch: pa.Table, n: int) -> pa.Table:
     )
 
 
-def _shingle_dataset(sf_dir: str, n: int) -> ray.data.Dataset:
-    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+def _shingle_dataset(sf_dir: str, n: int, docs_fn=None) -> ray.data.Dataset:
+    docs = (
+        docs_fn()
+        if docs_fn is not None
+        else ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+        )
+    )
     return docs.map_batches(lambda b: _shingle_batch(b, n), batch_format="pyarrow")
 
 
@@ -533,7 +539,7 @@ def _signature_batch(batch: pa.Table, n: int) -> pa.Table:
 
 
 def minhash_lsh_pairs(
-    sf_dir: str, n: int = 3, threshold: float = 0.5
+    sf_dir: str, n: int = 3, threshold: float = 0.5, docs_fn=None
 ) -> ray.data.Dataset:
     """Approximate near-dup pairs: minhash -> band buckets -> candidate pairs
     -> exact Jaccard verify BY JOIN against the distributed shingle table
@@ -543,8 +549,18 @@ def minhash_lsh_pairs(
     equi-join on (doc_b, sh) counts the intersection; set sizes attach by a
     second pair-partitioned join.  Output: (doc_a, doc_b, jaccard) with
     jaccard >= threshold for pairs surfaced by any band collision.
+
+    ``docs_fn`` swaps the unit table: any zero-arg builder returning a
+    fresh (doc_id, text) Dataset (paragraph_minhash_pairs passes exploded
+    paragraph units with packed ids).
     """
-    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    docs = (
+        docs_fn()
+        if docs_fn is not None
+        else ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+        )
+    )
     banded = docs.map_batches(lambda b: _signature_batch(b, n), batch_format="pyarrow")
     # shingle-set sizes ride the banded table into the pair rows (no sizes
     # join needed — the size is a deterministic per-doc scalar, exactly like
@@ -581,7 +597,7 @@ def minhash_lsh_pairs(
     def cand_shingles() -> ray.data.Dataset:
         # recomputed fused with the column-pruned read per consumer (cheap
         # map); the prefilter drops rows immediately after hashing
-        return _shingle_dataset(sf_dir, n).map_batches(
+        return _shingle_dataset(sf_dir, n, docs_fn=docs_fn).map_batches(
             _prefilter, batch_format="pyarrow"
         )
 
@@ -1280,6 +1296,68 @@ def paragraph_dedup(sf_dir: str, w: int = PARA_WORDS) -> ray.data.Dataset:
         )
 
     return paras.groupby("shpart").map_groups(keep_first, batch_format="pandas")
+
+
+# Packed paragraph-unit id: pid = doc_id * PARA_PID_MUL + para_idx.
+# 2^20 windows/doc headroom keeps pid inside int64 up to ~8.7e12 doc ids.
+PARA_PID_MUL = 1 << 20
+
+
+def paragraph_minhash_pairs(
+    sf_dir: str, w: int = PARA_WORDS, n: int = 3, threshold: float = 0.5
+) -> ray.data.Dataset:
+    """(doc_a, para_a, doc_b, para_b, jaccard) — NEAR-dup paragraph pairs:
+    the C4/RefinedWeb-granularity complement to the exact keep-first
+    paragraph_dedup.  Each w-word window becomes a unit document (packed
+    pid), then the ENTIRE banded-MinHash machinery — signatures, hot-bucket
+    cap, Bloom-prefiltered pair-partitioned verify joins — runs unchanged
+    over the unit table; boilerplate edits that exact hashing misses
+    surface here.
+
+    Scale shape: identical to minhash_lsh_pairs (unit count is ~words/w x
+    corpus, all the same bounded-pair guarantees apply).  The unit explode
+    is a per-doc Python window join — the one string-building pass, same
+    class as the paragraph hash windows."""
+    docs_src = f"{sf_dir}/documents.parquet"
+
+    def docs_fn() -> ray.data.Dataset:
+        docs = ray.data.read_parquet(docs_src, columns=["doc_id", "text"])
+
+        def explode(batch: pa.Table) -> pa.Table:
+            ids, txts = [], []
+            for d, t in zip(
+                batch["doc_id"].to_pylist(), batch["text"].to_pylist()
+            ):
+                arr = t.split(" ")
+                n_win = max(1, -(-len(arr) // w))
+                for k in range(n_win):
+                    ids.append(d * PARA_PID_MUL + k)
+                    txts.append(" ".join(arr[k * w : (k + 1) * w]))
+            return pa.table(
+                {
+                    "doc_id": pa.array(ids, type=pa.int64()),
+                    "text": pa.array(txts, type=pa.string()),
+                }
+            )
+
+        return docs.map_batches(explode, batch_format="pyarrow")
+
+    pairs = minhash_lsh_pairs(sf_dir, n=n, threshold=threshold, docs_fn=docs_fn)
+
+    def unpack(df: pd.DataFrame) -> pd.DataFrame:
+        a = df["doc_a"].to_numpy(dtype=np.int64)
+        b = df["doc_b"].to_numpy(dtype=np.int64)
+        return pd.DataFrame(
+            {
+                "doc_a": a // PARA_PID_MUL,
+                "para_a": a % PARA_PID_MUL,
+                "doc_b": b // PARA_PID_MUL,
+                "para_b": b % PARA_PID_MUL,
+                "jaccard": df["jaccard"].to_numpy(),
+            }
+        )
+
+    return pairs.map_batches(unpack, batch_format="pandas")
 
 
 INCR_ID_OFFSET = 1_000_000  # new-snapshot ids = old doc_id + offset

@@ -147,6 +147,7 @@ def run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
         ("rel_kmv_users", lambda: gn.kmv_distinct_users(sf_dir)),
         ("dd_substring_spans", lambda: dd.substring_spans(sf_dir)),
         ("dd_paragraph_dedup", lambda: dd.paragraph_dedup(sf_dir)),
+        ("dd_paragraph_minhash", lambda: dd.paragraph_minhash_pairs(sf_dir)),
         ("tx_pack_chunks", lambda: tx.pack_chunks(sf_dir)),
         ("tx_lm_score", lambda: tx.lm_score(sf_dir)),
         ("tx_bm25", lambda: tx.bm25_topk(sf_dir)),

@@ -126,3 +126,41 @@ def test_incremental_dedup_flags_unedited_recrawls():
     }
     assert {(r.doc_id, r.dup_of) for r in df.itertuples()} == want
     assert len(want) > 0
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_paragraph_minhash_pairs_brute_force_verified():
+    """Every emitted paragraph pair's jaccard equals the exact shingle-set
+    jaccard of the two window texts, is >= the threshold, and the packed
+    pid ordering gives (doc_a, para_a) <= (doc_b, para_b) lexicographically."""
+    import duckdb
+
+    from ahrd_ray.stages.dedup import (
+        PARA_WORDS,
+        paragraph_minhash_pairs,
+        shingle_explode,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = paragraph_minhash_pairs(sf).to_pandas()
+    assert len(got) > 0  # the synthetic corpus has repeated boilerplate
+    docs = dict(
+        duckdb.sql(
+            f"SELECT doc_id, text FROM '{sf}/documents.parquet'"
+        ).fetchall()
+    )
+
+    def para(doc_id: int, k: int) -> str:
+        arr = docs[doc_id].split(" ")
+        return " ".join(arr[k * PARA_WORDS : (k + 1) * PARA_WORDS])
+
+    def sh_set(text: str) -> set:
+        _rows, sh = shingle_explode(pa.array([text]), 3)
+        return set(sh.tolist())
+
+    for r in got.itertuples():
+        assert (r.doc_a, r.para_a) < (r.doc_b, r.para_b)
+        a = sh_set(para(int(r.doc_a), int(r.para_a)))
+        b = sh_set(para(int(r.doc_b), int(r.para_b)))
+        want = len(a & b) / len(a | b)
+        assert r.jaccard == want and r.jaccard >= 0.5
