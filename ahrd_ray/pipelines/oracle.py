@@ -2000,6 +2000,76 @@ WHERE r.rn <= {KMV_K}
 GROUP BY r.event_type, c.c"""
 
 
+def sql_kmv_overlap() -> str:
+    """KMV set-expression estimates (stages/generic.kmv_overlap): merged
+    bottom-k of each type pair's signature union, n_common = merged hashes
+    present in both signatures, est_inter = n_common * est_union // k —
+    all HUGEINT-exact; below k union hashes everything is exact."""
+    from ahrd_ray.stages.generic import HLL_C1, HLL_C2, HLL_C3, KMV_K
+
+    m64 = 1 << 64
+    k = KMV_K
+
+    def mulmod(z: str, c: int) -> str:
+        return (
+            f"(((({z}) % 4294967296) * {c}"
+            f" + ((({z}) // 4294967296) * {c} % 4294967296) * 4294967296) % {m64})"
+        )
+
+    est_u = (
+        f"(CAST({k - 1} AS HUGEINT) * CAST({m64} AS HUGEINT)) // mk.hk"
+    )
+    return f"""WITH du AS (SELECT DISTINCT event_type, user_id FROM events),
+h0 AS (
+  SELECT event_type, (CAST(user_id AS HUGEINT) + {HLL_C1}) % {m64} AS z0 FROM du
+),
+h1 AS (SELECT event_type, {mulmod("xor(z0, z0 // 1073741824)", HLL_C2)} AS z1 FROM h0),
+h2 AS (SELECT event_type, {mulmod("xor(z1, z1 // 134217728)", HLL_C3)} AS z2 FROM h1),
+h AS (SELECT event_type, xor(z2, z2 // 2147483648) AS h64 FROM h2),
+s AS (
+  SELECT event_type, h64 FROM (
+    SELECT event_type, h64,
+           row_number() OVER (PARTITION BY event_type ORDER BY h64 ASC) AS rn
+    FROM h
+  ) WHERE rn <= {k}
+),
+tp AS (SELECT DISTINCT event_type FROM s),
+pr AS (
+  SELECT a.event_type AS ta, b.event_type AS tb
+  FROM tp a JOIN tp b ON a.event_type < b.event_type
+),
+ux AS (
+  SELECT DISTINCT p.ta, p.tb, x.h64
+  FROM pr p JOIN s x ON x.event_type = p.ta OR x.event_type = p.tb
+),
+m AS (
+  SELECT ta, tb, h64,
+         row_number() OVER (PARTITION BY ta, tb ORDER BY h64 ASC) AS rn,
+         count(*) OVER (PARTITION BY ta, tb) AS ucnt
+  FROM ux
+),
+mk AS (
+  SELECT ta, tb, max(CASE WHEN rn = {k} THEN h64 END) AS hk, max(ucnt) AS ucnt
+  FROM m WHERE rn <= {k} GROUP BY 1, 2
+),
+cm AS (
+  SELECT m.ta, m.tb, count(*) AS nc
+  FROM m
+  JOIN s sa ON sa.event_type = m.ta AND sa.h64 = m.h64
+  JOIN s sb ON sb.event_type = m.tb AND sb.h64 = m.h64
+  WHERE m.rn <= {k}
+  GROUP BY 1, 2
+)
+SELECT mk.ta AS type_a, mk.tb AS type_b,
+  CAST(COALESCE(cm.nc, 0) AS BIGINT) AS n_common,
+  CAST(CASE WHEN mk.ucnt < {k} THEN mk.ucnt ELSE {est_u} END AS BIGINT)
+    AS est_union,
+  CAST(CASE WHEN mk.ucnt < {k} THEN COALESCE(cm.nc, 0)
+       ELSE (CAST(COALESCE(cm.nc, 0) AS HUGEINT) * ({est_u})) // {k} END
+    AS BIGINT) AS est_inter
+FROM mk LEFT JOIN cm ON cm.ta = mk.ta AND cm.tb = mk.tb"""
+
+
 def sql_label_centroids() -> str:
     """Per-label centroid in long form (stages/simsearch.label_centroids):
     exact q10 unit sums per (label, dim), one final float division."""

@@ -707,6 +707,12 @@ def _generic_queries() -> dict[str, tuple[Callable, str | None]]:
             ),
             oracle.sql_kmv_distinct_users(),
         ),
+        # the set expression HLL registers cannot do: per-type-pair user
+        # overlap estimated from merged KMV signatures
+        "rel_kmv_overlap": (
+            lambda sf: g.kmv_overlap(sf),
+            oracle.sql_kmv_overlap(),
+        ),
         # per-stratum keep rates (downsample the head, keep the tail)
         "rel_sample_stratified": (
             lambda sf: g.sample_events_stratified(sf).map_batches(

@@ -1162,6 +1162,82 @@ def kmv_distinct_users(sf_dir: str, k: int = KMV_K) -> ray.data.Dataset:
     )
 
 
+def kmv_overlap(sf_dir: str, k: int = KMV_K) -> pa.Table:
+    """(type_a, type_b, n_common, est_union, est_inter) — estimated user-set
+    overlap for every event-type pair from MERGED KMV signatures: the set
+    expression registers (HLL) cannot do.  M = the k smallest hashes of the
+    UNION of the two signatures; est_union from M's k-th minimum; n_common
+    = signature hashes present in M and BOTH sets; est_inter = n_common *
+    est_union // k (one exact integer division).  Below k union hashes the
+    signatures ARE the full sets, so all three outputs are exact.
+
+    Scale shape: the per-type signature build is the kmv_distinct_users
+    partial (bottom-k per block, one slim fold); event types are a dim, so
+    the |types| x k signature table is sketch-sized driver state — the
+    pagerank dense-vector class — and the pair expansion is driver-side
+    numpy over it."""
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "user_id"]
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        frames = []
+        for t, g in df.groupby("event_type"):
+            u = np.unique(g["user_id"].to_numpy(dtype=np.uint64))
+            h = np.unique(splitmix64(u))
+            if len(h) > k:
+                h = np.partition(h, k - 1)[:k]
+            frames.append(pd.DataFrame({"event_type": t, "h": h}))
+        out = pd.concat(frames, ignore_index=True)
+        out["h"] = out["h"].to_numpy().view(np.int64)
+        return out
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for t, g in df.groupby("event_type"):
+            hs = np.unique(g["h"].to_numpy().view(np.uint64))
+            rows.append(pd.DataFrame({"event_type": t, "h": np.sort(hs)[:k].view(np.int64)}))
+        return pd.concat(rows, ignore_index=True)
+
+    sig_ds = (
+        ev.map_batches(partial, batch_format="pandas")
+        .groupby("event_type")
+        .map_groups(fold, batch_format="pandas")
+    )
+    sigs: dict[str, list] = {}
+    for b in sig_ds.iter_batches(batch_format="pyarrow"):
+        hs = b["h"].to_numpy().view(np.uint64)
+        for t, h in zip(b["event_type"].to_pylist(), hs):
+            sigs.setdefault(t, []).append(h)
+    sigs = {t: np.sort(np.array(v, dtype=np.uint64)) for t, v in sigs.items()}
+
+    ta_l, tb_l, nc_l, eu_l, ei_l = [], [], [], [], []
+    for ta in sorted(sigs):
+        for tb in sorted(sigs):
+            if tb <= ta:
+                continue
+            sa, sb = sigs[ta], sigs[tb]
+            union = np.unique(np.concatenate([sa, sb]))
+            m = union[: min(k, len(union))]
+            nc = int(len(np.intersect1d(np.intersect1d(m, sa), sb)))
+            if len(union) < k:
+                eu, ei = len(union), nc
+            else:
+                eu = ((k - 1) << 64) // int(m[k - 1])
+                ei = nc * eu // k
+            ta_l.append(ta), tb_l.append(tb)
+            nc_l.append(nc), eu_l.append(int(eu)), ei_l.append(int(ei))
+    return pa.table(
+        {
+            "type_a": pa.array(ta_l, type=pa.string()),
+            "type_b": pa.array(tb_l, type=pa.string()),
+            "n_common": pa.array(nc_l, type=pa.int64()),
+            "est_union": pa.array(eu_l, type=pa.int64()),
+            "est_inter": pa.array(ei_l, type=pa.int64()),
+        }
+    )
+
+
 def events_regression(sf_dir: str) -> ray.data.Dataset:
     """Grouped least-squares: per event_type, slope/intercept of value on
     hour-of-day — the sufficient-statistics aggregation pattern (only five

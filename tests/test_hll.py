@@ -97,3 +97,50 @@ def test_kmv_matches_brute_force_and_exact_fallback():
         if int(got.loc[t, "n_kept"]) == KMV_K:
             rel = abs(int(got.loc[t, "est_users"]) - true[t]) / true[t]
             assert rel < 2 / np.sqrt(KMV_K), (t, rel)
+
+
+def test_kmv_overlap_exact_below_k_and_bounded_above():
+    """At sf0.001 every pair's union is below k, so all three outputs are
+    EXACT set sizes; at sf0.01 the sketch branch engages and the
+    intersection estimate stays within the KMV error envelope."""
+    import duckdb
+
+    from ahrd_ray.stages.generic import KMV_K, kmv_overlap
+
+    got = kmv_overlap("/root/testdata/sf0.001").to_pandas()
+    truth = {}
+    con = duckdb.connect()
+    rows = con.sql(
+        "SELECT a.event_type, b.event_type,"
+        " count(DISTINCT CASE WHEN a.user_id = b.user_id THEN a.user_id END)"
+        " FROM (SELECT DISTINCT event_type, user_id FROM"
+        " '/root/testdata/sf0.001/events.parquet') a"
+        " JOIN (SELECT DISTINCT event_type, user_id FROM"
+        " '/root/testdata/sf0.001/events.parquet') b"
+        " ON a.event_type < b.event_type"
+        " GROUP BY 1, 2"
+    ).fetchall()
+    for ta, tb, inter in rows:
+        truth[(ta, tb)] = inter
+    uni = {}
+    for ta, tb, u in con.sql(
+        "SELECT x.ta, x.tb, count(DISTINCT y.user_id) FROM"
+        " (SELECT a.event_type ta, b.event_type tb FROM"
+        "  (SELECT DISTINCT event_type FROM '/root/testdata/sf0.001/events.parquet') a"
+        "  JOIN (SELECT DISTINCT event_type FROM '/root/testdata/sf0.001/events.parquet') b"
+        "  ON a.event_type < b.event_type) x"
+        " JOIN (SELECT DISTINCT event_type, user_id FROM"
+        "  '/root/testdata/sf0.001/events.parquet') y"
+        " ON y.event_type IN (x.ta, x.tb) GROUP BY 1, 2"
+    ).fetchall():
+        uni[(ta, tb)] = u
+    for r in got.itertuples():
+        key = (r.type_a, r.type_b)
+        assert uni[key] < KMV_K  # sf0.001 is the exact regime
+        assert r.est_union == uni[key]
+        assert r.est_inter == truth[key] == r.n_common
+
+    got01 = kmv_overlap("/root/testdata/sf0.01").to_pandas()
+    assert (got01["est_union"] > 0).all()
+    assert (got01["est_inter"] <= got01["est_union"]).all()
+    assert (got01["n_common"] <= KMV_K).all()
