@@ -1570,6 +1570,33 @@ pairs AS (
 )"""
 
 
+def sql_cooc_window(cfg: EngineConfig, window: int | None = None) -> str:
+    """Proximity-windowed co-occurrence (stages/graph.cooc_window_edges):
+    the same COOCCUR_CAP candidate cut with span_start carried, pairs
+    restricted to |span_a - span_b| <= window, min_gap = closest distance."""
+    from ahrd_ray.stages.graph import COOC_WINDOW, COOCCUR_CAP
+
+    w = COOC_WINDOW if window is None else window
+    return (
+        _with(*_cands_prefix(cfg), cte_valid_dedup())
+        + f""",
+ccs AS (
+  SELECT doc_id, cand_ord, span_start FROM (
+    SELECT doc_id, cand_ord, span_start, row_number() OVER (
+        PARTITION BY doc_id ORDER BY match_score DESC, cand_ord ASC) AS crn
+    FROM dcands
+  ) WHERE crn <= {COOCCUR_CAP}
+)
+SELECT a.cand_ord AS cand_a, b.cand_ord AS cand_b,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(min(abs(a.span_start - b.span_start)) AS BIGINT) AS min_gap
+FROM ccs a JOIN ccs b
+  ON a.doc_id = b.doc_id AND a.cand_ord < b.cand_ord
+ AND abs(a.span_start - b.span_start) <= {w}
+GROUP BY 1, 2"""
+    )
+
+
 def sql_cooccurrence(cfg: EngineConfig) -> str:
     return (
         _with(*_cands_prefix(cfg), cte_valid_dedup(), _cte_cooccur_pairs(cfg))

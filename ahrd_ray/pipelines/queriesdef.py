@@ -1085,6 +1085,9 @@ def _kg_queries(cfg) -> dict[str, tuple[Callable, str | None]]:
             oracle.sql_winner_delta(cfg),
         ),
         "kg_cooccurrence": (q_cooccurrence, oracle.sql_cooccurrence(cfg)),
+        # proximity-windowed co-occurrence (distant-supervision convention:
+        # near mentions evidence a relation; whole-doc over-generates)
+        "kg_cooc_window": (q_cooc_window, oracle.sql_cooc_window(cfg)),
         # KG completion: unlabeled entities take the neighbor-majority attr
         "kg_attr_vote": (
             lambda sf: _attr_vote(sf),
@@ -1287,6 +1290,12 @@ def q_hits(sf_dir: str):
     from ahrd_ray.stages.graph import hits_scores
 
     return hits_scores(sf_dir)
+
+
+def q_cooc_window(sf_dir: str):
+    from ahrd_ray.stages.graph import cooc_window_edges
+
+    return cooc_window_edges(sf_dir).map_batches(_int64, batch_format="pyarrow")
 
 
 def q_ra_scores(sf_dir: str):

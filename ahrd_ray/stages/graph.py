@@ -214,6 +214,90 @@ def cooccurrence_edges(sf_dir: str, with_span: bool = False) -> ray.data.Dataset
     )
 
 
+# Mention-proximity window (chars between mention start positions) for the
+# windowed co-occurrence variant — the distant-supervision convention that
+# two entities mentioned CLOSE together evidence a relation, where whole-doc
+# co-occurrence over-generates.  Calibrated to the fixture like
+# COCITE_MIN_SHARED: spans are first-occurrence positions, whose pairwise
+# gaps measure 0-7 chars at sf0.001, so 5 (the median) keeps ~half the
+# pair universe — the predicate demonstrably discriminates at every scale.
+COOC_WINDOW = 5
+
+
+def cooc_window_edges(sf_dir: str, window: int = COOC_WINDOW) -> ray.data.Dataset:
+    """(cand_a, cand_b, n_docs, min_gap) — co-occurrence edges restricted
+    to mention pairs whose start positions lie within ``window`` chars in
+    the SAME doc; min_gap = the closest observed distance (the relation-
+    extraction confidence signal).  Same fused zero-shuffle shape and the
+    same capped candidate universe as :func:`cooccurrence_edges` — the
+    window is an extra predicate on the pair fan-out, so this edge set is
+    always a subset of the unwindowed one."""
+    from ahrd_ray.pipelines import kg
+    from ahrd_ray.stages.candidates import FusedMentionScorer, make_detector_task_fn
+
+    ctx = kg.cached_context(sf_dir)
+    arrays = ctx.bundle.arrays
+    n_parts = n_hash_parts()
+    detect = make_detector_task_fn(ctx.catalog_ref, ctx.cfg, slim=False)
+    chunk_docs = FusedMentionScorer.CHUNK_DOCS
+
+    def partial_pairs(batch: pa.Table) -> pd.DataFrame:
+        parts = []
+        for ded in _capped_link_frames(batch, detect, arrays, chunk_docs):
+            idx_a, idx_b = _pairs_within_docs(
+                ded["doc_id"].to_numpy(), np.arange(len(ded), dtype=np.int64)
+            )
+            cand = ded["cand_ord"].to_numpy()
+            span = ded["span_start"].to_numpy().astype(np.int64)
+            gap = np.abs(span[idx_a] - span[idx_b])
+            keep = gap <= window
+            ca, cb = cand[idx_a[keep]], cand[idx_b[keep]]
+            parts.append(
+                pd.DataFrame(
+                    {
+                        "cand_a": np.minimum(ca, cb),
+                        "cand_b": np.maximum(ca, cb),
+                        "gap": gap[keep],
+                    }
+                )
+            )
+        if not parts:
+            return pd.DataFrame(
+                {
+                    "cand_a": pd.Series([], dtype="int64"),
+                    "cand_b": pd.Series([], dtype="int64"),
+                    "n_docs": pd.Series([], dtype="int64"),
+                    "min_gap": pd.Series([], dtype="int64"),
+                    "ppart": pd.Series([], dtype="int32"),
+                }
+            )
+        out = (
+            pd.concat(parts, ignore_index=True)
+            .groupby(["cand_a", "cand_b"], as_index=False)
+            .agg(n_docs=("gap", "size"), min_gap=("gap", "min"))
+        )
+        out["ppart"] = ((out["cand_a"] * 1000003 + out["cand_b"]) % n_parts).astype(
+            "int32"
+        )
+        return out
+
+    src = kg.pages_dataset(sf_dir).map_batches(
+        kg.extract_text_batch, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return (
+        src.map_batches(
+            partial_pairs, batch_format="pyarrow", batch_size=kg.FUSED_BATCH_SIZE
+        )
+        .groupby("ppart")
+        .map_groups(
+            lambda df: df.groupby(["cand_a", "cand_b"], as_index=False).agg(
+                n_docs=("n_docs", "sum"), min_gap=("min_gap", "min")
+            ),
+            batch_format="pandas",
+        )
+    )
+
+
 def entity_degree(sf_dir: str) -> ray.data.Dataset:
     """(node, degree, w_docs) per entity: distinct co-occurring neighbors
     and total co-occurrence weight — the KG node-statistics pass.  One

@@ -794,3 +794,24 @@ def test_ra_scores_match_brute_force_and_exclude_edges():
     ]
     assert got_rows == want
     assert all((a, b) not in edge_set for a, b, _, _ in got_rows)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_cooc_window_is_a_strict_discriminating_subset():
+    """Windowed edges are a strict subset of the full co-occurrence edge
+    set (same capped universe, extra proximity predicate), every emitted
+    min_gap respects the window, and per-pair n_docs never exceeds the
+    unwindowed doc count."""
+    from ahrd_ray.stages.graph import (
+        COOC_WINDOW,
+        cooc_window_edges,
+        cooccurrence_edges,
+    )
+
+    w = cooc_window_edges(SF).to_pandas()
+    full = cooccurrence_edges(SF).to_pandas()
+    assert 0 < len(w) < len(full)  # the predicate demonstrably filters
+    assert (w["min_gap"] <= COOC_WINDOW).all() and (w["min_gap"] >= 0).all()
+    m = w.merge(full, on=["cand_a", "cand_b"], how="left")
+    assert m["n_docs_y"].notna().all()  # subset
+    assert (m["n_docs_x"] <= m["n_docs_y"]).all()
