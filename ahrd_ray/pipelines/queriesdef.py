@@ -554,6 +554,14 @@ def _web_queries() -> dict[str, tuple[Callable, str | None]]:
             ),
             "SELECT doc_id, text, lang, source, n_chars FROM documents",
         ),
+        # Arrow IPC (Feather v2) shard roundtrip — the zero-copy interchange
+        # format Arrow-native pipelines hand each other
+        "src_ipc_docs": (
+            lambda sf: formats.read_documents_ipc(sf).map_batches(
+                _int64, batch_format="pyarrow"
+            ),
+            "SELECT doc_id, text, lang, source, n_chars FROM documents",
+        ),
         # partition pruning: only the lang=en directory is listed and read
         "src_pruned_docs": (
             lambda sf: formats.read_documents_pruned(sf).map_batches(

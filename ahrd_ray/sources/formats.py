@@ -215,3 +215,46 @@ def read_documents_pruned(sf_dir: str, lang: str = "en") -> ray.data.Dataset:
         return pa.table({c: cols[c] for c in DOC_COLS})
 
     return ds.map_batches(fix, batch_format="pyarrow")
+
+
+def documents_ipc_dir(sf_dir: str) -> str:
+    """Documents as Arrow IPC (Feather v2) shards — the zero-copy
+    interchange format Arrow-native pipelines hand each other.  Written
+    one file per block by the map tasks themselves (deterministic
+    min-doc_id names — the same resumable file-per-partition layout as the
+    other sinks); uncompressed so the reader needs no codec."""
+    import pyarrow.feather as feather
+
+    def write(out_dir: str) -> None:
+        ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=DOC_COLS)
+
+        def write_block(batch: pa.Table) -> pa.Table:
+            lo = min(batch["doc_id"].to_pylist())
+            feather.write_feather(
+                batch, f"{out_dir}/part-{lo:012d}.arrow", compression="uncompressed"
+            )
+            return batch.select(["doc_id"]).slice(0, 0)
+
+        ds.map_batches(write_block, batch_format="pyarrow").materialize()
+
+    return _render(sf_dir, "docs-ipc", write)
+
+
+def read_documents_ipc(sf_dir: str) -> ray.data.Dataset:
+    """IPC shard reader: binary files stream one-per-task, each task maps
+    the buffer with the Arrow IPC reader (zero-copy for uncompressed
+    files) — no whole-directory driver materialization."""
+    ds = ray.data.read_binary_files(documents_ipc_dir(sf_dir))
+
+    def parse(batch: pa.Table) -> pa.Table:
+        import pyarrow.feather as feather
+
+        tables = [
+            feather.read_table(pa.BufferReader(b)).select(DOC_COLS)
+            for b in batch["bytes"].to_pylist()
+        ]
+        return pa.concat_tables(tables) if tables else pa.table(
+            {c: pa.array([], type=pa.string()) for c in DOC_COLS}
+        )
+
+    return ds.map_batches(parse, batch_format="pyarrow")

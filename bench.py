@@ -142,6 +142,8 @@ def run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
         ("dd_url_dedup", lambda: wb.url_dedup(sf_dir)),
         ("tx_doc_features", lambda: tx.doc_features(sf_dir)),
         ("kg_cooccurrence", lambda: gr.cooccurrence_edges(sf_dir)),
+        ("kg_cooc_window", lambda: gr.cooc_window_edges(sf_dir)),
+        ("rel_kmv_overlap", lambda: gn.kmv_overlap(sf_dir)),
         ("kg_pagerank", lambda: gr.pagerank(sf_dir)),
         ("rel_hll_users", lambda: gn.hll_distinct_users(sf_dir)),
         ("rel_kmv_users", lambda: gn.kmv_distinct_users(sf_dir)),

@@ -147,3 +147,24 @@ def test_pruned_read_lists_only_one_partition():
         .reset_index(drop=True)[got.columns.tolist()]
     )
     pd.testing.assert_frame_equal(got, exp)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_ipc_roundtrip_value_exact():
+    """Arrow IPC shard write -> read roundtrip returns the canonical
+    documents rows value-exact, including the int64/float columns."""
+    import duckdb
+
+    from ahrd_ray.sources.formats import DOC_COLS, read_documents_ipc
+
+    sf = "/root/testdata/sf0.001"
+    got = (
+        read_documents_ipc(sf)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)[DOC_COLS]
+    )
+    want = duckdb.sql(
+        f"SELECT {', '.join(DOC_COLS)} FROM '{sf}/documents.parquet' ORDER BY doc_id"
+    ).df()
+    assert got.equals(want)
