@@ -770,6 +770,24 @@ def sql_eval_summary(cfg: EngineConfig) -> str:
     )
 
 
+def sql_eval_threshold_curve(cfg: EngineConfig) -> str:
+    """Acceptance curve over per-doc eval scores
+    (stages/evaluate.eval_threshold_curve): 11 thresholds t/10 as the same
+    double on both sides, exact q20 score-mass sums."""
+    inner = sql_eval_scores(cfg)
+    sq = _q20("e.eval_score")
+    return f"""WITH ev AS (
+{inner}
+), t AS (SELECT unnest(generate_series(0, 10)) AS thr)
+SELECT CAST(t.thr AS BIGINT) AS thr,
+  CAST(count(CASE WHEN {sq} >= CAST(t.thr AS DOUBLE) / 10 THEN 1 END)
+    AS BIGINT) AS n_ge,
+  COALESCE(SUM(CASE WHEN {sq} >= CAST(t.thr AS DOUBLE) / 10
+    THEN {sq} END), 0.0) AS sum_score
+FROM t CROSS JOIN ev e
+GROUP BY t.thr"""
+
+
 def sql_eval_scores_file(cfg: EngineConfig) -> str:
     """File-gold evaluation oracle.
 

@@ -914,6 +914,14 @@ def _eval_queries() -> dict[str, tuple[Callable, str | None]]:
             lambda sf: eval_summary(_ctx(sf)),
             oracle.sql_eval_summary(cfg),
         ),
+        # acceptance curve: docs at-or-above each score threshold t/10 —
+        # the operational readout of the P/R>=0.95 north-rule criterion
+        "ev_threshold_curve": (
+            lambda sf: __import__(
+                "ahrd_ray.stages.evaluate", fromlist=["x"]
+            ).eval_threshold_curve(_ctx(sf)),
+            oracle.sql_eval_threshold_curve(cfg),
+        ),
         # S10/S11 file form: gold sets read from a references FASTA and
         # competitors from a Blast2GO-style .annot file (deterministic
         # fixtures), best_comp folding in the file competitors

@@ -286,6 +286,41 @@ def eval_scores(ctx, from_pages: bool = False) -> ray.data.Dataset:
 _SUMMARY_COLS = ["eval_score", "best_comp_score", "delta", "highest_possible"]
 
 
+def eval_threshold_curve(ctx) -> "ray.data.Dataset":
+    """(thr, n_ge, sum_score) — the acceptance curve over the per-doc
+    evaluation scores: for each threshold t/10 (t = 0..10), how many docs
+    score at or above it and their exact score mass.  The operational
+    readout of the north rule's P/R>=0.95 criterion: pick a threshold,
+    read off the accepted fraction.
+
+    Exactness: per-doc scores are q20-quantized doubles, so the filtered
+    sums are order-independent; the threshold t/10 is computed as the same
+    double on both sides.  Shape: an 11-row fan-out per block, map-side
+    partials, one 11-group fold."""
+
+    def fan(df: pd.DataFrame) -> pd.DataFrame:
+        # q20-quantize BEFORE filtering and summing (the eval_summary
+        # convention): dyadic values make the partial sums order-exact
+        s = q20(df["eval_score"].to_numpy())
+        rows = []
+        for t in range(11):
+            m = s >= (np.float64(t) / 10.0)
+            rows.append((np.int64(t), np.int64(m.sum()), float(s[m].sum())))
+        return pd.DataFrame(rows, columns=["thr", "n_ge", "sum_score"])
+
+    return (
+        eval_scores(ctx)
+        .map_batches(fan, batch_format="pandas")
+        .groupby("thr")
+        .map_groups(
+            lambda df: df.groupby("thr", as_index=False).agg(
+                n_ge=("n_ge", "sum"), sum_score=("sum_score", "sum")
+            ),
+            batch_format="pandas",
+        )
+    )
+
+
 def eval_summary(ctx) -> pa.Table:
     """E6: means of quantized per-doc scores (single small row).
 

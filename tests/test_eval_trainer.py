@@ -173,3 +173,29 @@ def test_grid_search_objective_matches_eval_summary():
     # weights rows mirror the grid constants
     for i, (wb, wd, wo) in enumerate(GRID_COMBOS):
         assert (g.loc[i, ["w_bit", "w_db", "w_ov"]].to_numpy() == [wb, wd, wo]).all()
+
+
+def test_eval_threshold_curve_monotone_and_anchored(ray_session):
+    """The acceptance curve is monotone non-increasing in n_ge, thr=0
+    counts every doc, and each row's score mass is bounded by the total."""
+    from ahrd_ray.pipelines.kg import cached_context
+    from ahrd_ray.stages.evaluate import eval_threshold_curve
+
+    sf = "/root/testdata/sf0.001"
+    got = (
+        eval_threshold_curve(cached_context(sf))
+        .to_pandas()
+        .sort_values("thr")
+        .reset_index(drop=True)
+    )
+    assert got["thr"].tolist() == list(range(11))
+    n = got["n_ge"].to_numpy()
+    assert (n[:-1] >= n[1:]).all()
+    import duckdb
+
+    n_docs = duckdb.sql(
+        f"SELECT count(*) FROM '{sf}/documents.parquet'"
+    ).fetchone()[0]
+    assert int(n[0]) == n_docs  # every score >= 0.0
+    total = got["sum_score"].iloc[0]
+    assert (got["sum_score"] <= total + 1e-12).all()
