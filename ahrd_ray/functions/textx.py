@@ -20,14 +20,30 @@ _TAG_RE = re.compile(r"<[^>]+>")
 
 
 def synthesize_html(doc_id: int, text: str, lang: str) -> bytes:
-    """Deterministic Common-Crawl-style page wrapper around ``text``."""
+    """Deterministic Common-Crawl-style page wrapper around ``text``.
+
+    Besides the ``<article>`` payload the page carries link structure a
+    web-graph pipeline must parse: a canonical ``<link>`` naming the page's
+    own host and ``spec.LINK_K`` footer anchors (all outside the article,
+    so extracted text stays byte-identical).
+    """
+    from ahrd_ray.sources import spec
+
     body = _html.escape(text, quote=False)
+    canon = (
+        f'<link rel="canonical" href="https://{spec.link_host(doc_id)}/p/{doc_id}">'
+    )
+    anchors = "".join(
+        f'<a rel="o{j}" href="https://{spec.link_host(spec.link_target(doc_id, j))}'
+        f'/p/{spec.link_target(doc_id, j)}">{j}</a>'
+        for j in range(1, spec.LINK_K + 1)
+    )
     page = (
         "<!DOCTYPE html>\n"
-        '<html><head><meta charset="utf-8">'
+        f'<html><head><meta charset="utf-8">{canon}'
         f"<title>doc {doc_id}</title></head>\n"
         f'<body><nav>corpus</nav><article lang="{lang}"><p>{body}</p></article>'
-        "<footer>eof</footer></body></html>"
+        f"<footer>eof{anchors}</footer></body></html>"
     )
     return page.encode("utf-8")
 

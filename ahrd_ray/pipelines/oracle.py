@@ -1434,6 +1434,29 @@ FROM url_norm GROUP BY url"""
     )
 
 
+def sql_host_links() -> str:
+    """Host-level link graph truth re-derived ARITHMETICALLY from
+    `documents` (spec.link_host / spec.link_target constants) — the engine
+    side parses the actual anchor hrefs out of the html bytes, so the two
+    sides share no code path."""
+    m, t_mult, t_step, t_mod = (
+        spec.LINK_HOST_MOD,
+        spec.LINK_TARGET_MULT,
+        spec.LINK_TARGET_STEP,
+        spec.LINK_TARGET_MOD,
+    )
+    vals = ", ".join(f"({j})" for j in range(1, spec.LINK_K + 1))
+    return f"""WITH js(j) AS (VALUES {vals}),
+links AS (
+  SELECT 'h' || CAST(doc_id % {m} AS VARCHAR) || '.example.org' AS src_host,
+         'h' || CAST(((doc_id * {t_mult} + j * {t_step}) % {t_mod}) % {m} AS VARCHAR)
+           || '.example.org' AS dst_host
+  FROM documents CROSS JOIN js
+)
+SELECT src_host, dst_host, CAST(count(*) AS BIGINT) AS n_links
+FROM links GROUP BY src_host, dst_host"""
+
+
 def sql_repetition() -> str:
     """Mirrors textstats.repetition_batch: same lower+regex split (empties
     dropped BEFORE pairing, so bigrams pair adjacent KEPT tokens), integer

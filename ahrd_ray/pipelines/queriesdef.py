@@ -602,6 +602,12 @@ def _web_queries() -> dict[str, tuple[Callable, str | None]]:
             lambda sf: wb.url_dedup(sf).map_batches(_int64, batch_format="pyarrow"),
             oracle.sql_url_dedup(),
         ),
+        # host-level web link graph parsed from the html anchor bytes; the
+        # oracle re-derives the truth arithmetically from `documents`
+        "wb_host_links": (
+            lambda sf: wb.host_links(sf).map_batches(_int64, batch_format="pyarrow"),
+            oracle.sql_host_links(),
+        ),
     }
 
 

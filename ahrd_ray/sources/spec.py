@@ -74,6 +74,27 @@ CRAWL_REF_MOD = 7  # doc_id % 7 == 0 -> kept param "ref=r{doc_id%4}"
 CRAWL_REF_VAL_MOD = 4
 TRACKING_PARAM_REGEX = "^(utm_|fbclid|gclid)"
 
+# --- synthetic outlink graph (anchors in the synthesized html) -----------
+# Every page carries a canonical <link> naming its own host plus LINK_K
+# footer <a rel="oN"> anchors; hosts come from a LINK_HOST_MOD-sized host
+# space.  All pure integer arithmetic on doc_id so the DuckDB oracle can
+# re-derive the truth from `documents` while the engine genuinely parses
+# the html bytes.
+LINK_K = 3
+LINK_HOST_MOD = 97
+LINK_TARGET_MULT = 31
+LINK_TARGET_STEP = 7919
+LINK_TARGET_MOD = 100003
+
+
+def link_host(n: int) -> str:
+    return f"h{n % LINK_HOST_MOD}.example.org"
+
+
+def link_target(doc_id: int, j: int) -> int:
+    return (doc_id * LINK_TARGET_MULT + j * LINK_TARGET_STEP) % LINK_TARGET_MOD
+
+
 # --- triple predicates ---------------------------------------------------
 PRED_LINKED = "kg:linked_entity"
 PRED_DESC = "kg:description"

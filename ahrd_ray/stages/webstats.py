@@ -222,3 +222,57 @@ def url_dedup(sf_dir: str) -> ray.data.Dataset:
         .groupby("url")
         .map_groups(final, batch_format="pandas")
     )
+
+
+def extract_host_links(batch: pa.Table) -> pa.Table:
+    """pages html -> one (src_host, dst_host) row per footer anchor.
+
+    The operator under test: genuinely parses the html BYTES with Arrow
+    re2 kernels (canonical <link> for the source host, the LINK_K numbered
+    <a rel="oN"> anchors for destinations) — no doc_id arithmetic on this
+    side; the DuckDB oracle re-derives the truth from `documents` integer
+    columns.  Vectorized per anchor slot (LINK_K fixed small), zero
+    Python row loops."""
+    s = batch["html"].combine_chunks().cast(pa.string())
+    canon = pc.struct_field(
+        pc.extract_regex(s, r'rel="canonical" href="https://(?P<h>[^/"]+)/'), "h"
+    )
+    parts = []
+    for j in range(1, spec.LINK_K + 1):
+        dst = pc.struct_field(
+            pc.extract_regex(s, rf'<a rel="o{j}" href="https://(?P<h>[^/"]+)/'), "h"
+        )
+        parts.append(pa.table({"src_host": canon, "dst_host": dst}))
+    return pa.concat_tables(parts)
+
+
+def host_links(sf_dir: str) -> ray.data.Dataset:
+    """Host-level web link graph: (src_host, dst_host, n_links) aggregated
+    from the anchors of every page — the Common-Crawl web-graph product.
+
+    Scale shape: per-batch partial counts bound the shuffle at
+    O(distinct host pairs per block) <= LINK_HOST_MOD^2 rows, constant in
+    corpus size; the final groupby folds partials."""
+    import pandas as pd
+
+    from ahrd_ray.pipelines.kg import pages_dataset
+
+    def partial(batch: pa.Table) -> "pd.DataFrame":
+        df = extract_host_links(batch).to_pandas()
+        df["n_links"] = np.int64(1)
+        return df.groupby(["src_host", "dst_host"], as_index=False).agg(
+            n_links=("n_links", "sum")
+        )
+
+    def final(df: "pd.DataFrame") -> "pd.DataFrame":
+        out = df.groupby(["src_host", "dst_host"], as_index=False).agg(
+            n_links=("n_links", "sum")
+        )
+        return out.astype({"n_links": "int64"})
+
+    return (
+        pages_dataset(sf_dir)
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(["src_host", "dst_host"])
+        .map_groups(final, batch_format="pandas")
+    )

@@ -46,3 +46,38 @@ def test_url_dedup_counts(ray_session):
     # earliest fetch is variant 0 == the page's own warc_ts (no v*1h offset;
     # doc_id-second offsets stay below one hour at this sf)
     assert df["first_ts"].dt.hour.eq(0).all()
+
+
+def test_host_links_brute_force(ray_session):
+    """Engine regex extraction over real html bytes == re.findall truth."""
+    import re
+    from collections import Counter
+
+    from ahrd_ray.functions.textx import synthesize_html
+    from ahrd_ray.sources import spec
+    from ahrd_ray.stages.webstats import host_links
+
+    # brute force: parse every page's anchors with the stdlib regex engine
+    want: Counter = Counter()
+    import pyarrow.parquet as pq
+
+    docs = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text", "lang"])
+    for d, t, l in zip(*(docs[c].to_pylist() for c in ("doc_id", "text", "lang"))):
+        html = synthesize_html(int(d), t, l).decode("utf-8")
+        (src,) = re.findall(r'rel="canonical" href="https://([^/"]+)/', html)
+        for dst in re.findall(r'<a rel="o\d+" href="https://([^/"]+)/', html):
+            want[(src, dst)] += 1
+
+    df = host_links(SF).to_pandas()
+    got = {(r.src_host, r.dst_host): int(r.n_links) for r in df.itertuples()}
+    assert got == dict(want)
+    # every page contributes exactly LINK_K links
+    assert sum(got.values()) == len(docs) * spec.LINK_K
+
+
+def test_html_link_structure_outside_article():
+    """Outlinks must not perturb the byte-identical text invariant."""
+    from ahrd_ray.functions.textx import extract_text, synthesize_html
+
+    text = 'a <b>bold</b> claim & "quotes" é中'
+    assert extract_text(synthesize_html(42, text, "en")) == text
