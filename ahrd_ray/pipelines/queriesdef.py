@@ -1159,6 +1159,9 @@ def _kg_queries(cfg) -> dict[str, tuple[Callable, str | None]]:
             q_csv_docs,
             "SELECT doc_id, lang, text FROM documents",
         ),
+        # N-Triples RDF export of the triple table, read back and re-parsed;
+        # same oracle as kg_triples so the escaping round-trip is value-gated
+        "snk_ntriples": (q_ntriples, oracle.sql_triples(cfg)),
     }
 
 
@@ -1240,6 +1243,12 @@ def q_csv_docs(sf_dir: str):
     from ahrd_ray.stages.export import csv_roundtrip_docs
 
     return csv_roundtrip_docs(sf_dir).map_batches(_int64, batch_format="pyarrow")
+
+
+def q_ntriples(sf_dir: str):
+    from ahrd_ray.stages.export import ntriples_roundtrip
+
+    return ntriples_roundtrip(sf_dir)
 
 
 def q_alias_pairs(sf_dir: str):

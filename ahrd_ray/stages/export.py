@@ -147,3 +147,98 @@ def csv_roundtrip_docs(sf_dir: str, scratch: str | None = None) -> ray.data.Data
         column_types={"doc_id": pa.int64(), "lang": pa.string(), "text": pa.string()}
     )
     return ray.data.read_csv(files, convert_options=convert)
+
+
+# --- N-Triples sink --------------------------------------------------------
+# The (subj, pred, obj) edge table serialized as W3C N-Triples lines — the
+# interchange format a downstream KG consumer would actually load.  Subjects
+# that are already IRIs (page urls) serialize verbatim; entity ids get the
+# urn:ahrd: namespace; predicates swap the kg: prefix for urn:ahrd:; objects
+# are always literals with the standard \\ \" \n \r \t escapes.  Round-trip
+# (serialize -> raw-line sink -> read_text -> parse) is oracle-gated against
+# the same SQL as kg_triples, so the escaping logic is what's under test.
+
+_NT_ESCAPES = (("\\", "\\\\"), ('"', '\\"'), ("\n", "\\n"), ("\r", "\\r"), ("\t", "\\t"))
+
+
+def _nt_iri_of(col):
+    """Vectorized subject IRI: urls pass through, entity ids get urn:ahrd:."""
+    import pyarrow.compute as pc
+
+    is_url = pc.starts_with(col, "http")
+    pre = pc.if_else(is_url, "", "urn:ahrd:")
+    return pc.binary_join_element_wise(pre, col, "")
+
+
+def ntriples_lines(batch: pa.Table) -> pa.Table:
+    import pyarrow.compute as pc
+
+    subj = _nt_iri_of(batch["subj"].combine_chunks().cast(pa.string()))
+    pred = pc.binary_join_element_wise(
+        "urn:ahrd:",
+        pc.replace_substring_regex(
+            batch["pred"].combine_chunks().cast(pa.string()), "^kg:", ""
+        ),
+        "",
+    )
+    obj = batch["obj"].combine_chunks().cast(pa.string())
+    for raw, esc in _NT_ESCAPES:
+        obj = pc.replace_substring(obj, raw, esc)
+    n = len(batch)
+    lit = pa.array(["<"] * n, type=pa.string())
+    line = pc.binary_join_element_wise(
+        lit, subj, "> <", pred, '> "', obj, '" .', ""
+    )
+    return pa.table({"line": line})
+
+
+def parse_ntriples(lines) -> pa.Table:
+    import pyarrow.compute as pc
+
+    if isinstance(lines, pa.ChunkedArray):
+        lines = lines.combine_chunks()
+    m = pc.extract_regex(
+        lines, r'^<(?P<s>[^>]*)> <urn:ahrd:(?P<p>[^>]*)> "(?P<o>.*)" \.$'
+    )
+    subj = pc.replace_substring_regex(pc.struct_field(m, "s"), "^urn:ahrd:", "")
+    pred = pc.binary_join_element_wise("kg:", pc.struct_field(m, "p"), "")
+    obj = pc.struct_field(m, "o")
+    # Sequential replaces cannot parse escapes left-to-right ("\\n" must
+    # decode to backslash+n, not backslash+newline), so route the escaped
+    # backslash through a sentinel first.  NUL cannot appear in a valid
+    # N-Triples line (the serializer never emits one), so it is a safe
+    # sentinel.
+    obj = pc.replace_substring(obj, "\\\\", "\x00")
+    obj = pc.replace_substring(obj, '\\"', '"')
+    obj = pc.replace_substring(obj, "\\n", "\n")
+    obj = pc.replace_substring(obj, "\\r", "\r")
+    obj = pc.replace_substring(obj, "\\t", "\t")
+    obj = pc.replace_substring(obj, "\x00", "\\")
+    return pa.table({"subj": subj, "pred": pred, "obj": obj})
+
+
+def ntriples_roundtrip(sf_dir: str, scratch: str | None = None) -> ray.data.Dataset:
+    """kg_triples -> N-Triples shards -> read back -> parsed (subj,pred,obj).
+
+    Distributed on both legs (one .nt file per block; read_text streams the
+    shards); the registry oracle is sql_triples, so a single mis-escaped
+    character fails the value hash."""
+    import os
+    import shutil
+
+    from ahrd_ray.pipelines import kg
+    from ahrd_ray.pipelines.queriesdef import _ctx
+    from ahrd_ray.sources.textsink import LineTextDatasink
+
+    scratch = scratch or f"/tmp/ahrd_ray_nt/{abs(hash(sf_dir)) % (1 << 32)}"
+    shutil.rmtree(scratch, ignore_errors=True)
+    triples = kg.kg_triples(_ctx(sf_dir)).select_columns(["subj", "pred", "obj"])
+    triples.map_batches(ntriples_lines, batch_format="pyarrow").write_datasink(
+        LineTextDatasink(scratch, file_format="nt")
+    )
+    files = [os.path.join(scratch, f) for f in os.listdir(scratch) if f.endswith(".nt")]
+
+    def parse(batch: pa.Table) -> pa.Table:
+        return parse_ntriples(batch["text"])
+
+    return ray.data.read_text(files).map_batches(parse, batch_format="pyarrow")

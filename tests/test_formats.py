@@ -168,3 +168,26 @@ def test_ipc_roundtrip_value_exact():
         f"SELECT {', '.join(DOC_COLS)} FROM '{sf}/documents.parquet' ORDER BY doc_id"
     ).df()
     assert got.equals(want)
+
+
+def test_ntriples_escaping_roundtrip():
+    """Serialize->parse is the identity on hostile strings (no Ray)."""
+    import pyarrow as pa
+
+    from ahrd_ray.stages.export import ntriples_lines, parse_ntriples
+
+    rows = pa.table(
+        {
+            "subj": ["https://x/1", "P9", 'e"e', "urnish"],
+            "pred": ["kg:attr", "kg:label", "kg:description", "kg:quality"],
+            "obj": ['say "hi"', "back\\slash", "tab\there\nnl", "\\n literal"],
+        }
+    )
+    lines = ntriples_lines(rows)["line"]
+    back = parse_ntriples(lines.combine_chunks())
+    assert back["subj"].to_pylist() == rows["subj"].to_pylist()
+    assert back["pred"].to_pylist() == rows["pred"].to_pylist()
+    assert back["obj"].to_pylist() == rows["obj"].to_pylist()
+    # each line is well-formed N-Triples surface syntax
+    for ln in lines.to_pylist():
+        assert ln.endswith(" .") and ln.startswith("<")
