@@ -34,7 +34,7 @@ def synthesize_html(doc_id: int, text: str, lang: str) -> bytes:
         f'<link rel="canonical" href="https://{spec.link_host(doc_id)}/p/{doc_id}">'
     )
     anchors = "".join(
-        f'<a rel="o{j}" href="https://{spec.link_host(spec.link_target(doc_id, j))}'
+        f'<a rel="o{j}" href="https://{spec.link_dst_host(doc_id, j)}'
         f'/p/{spec.link_target(doc_id, j)}">{j}</a>'
         for j in range(1, spec.LINK_K + 1)
     )

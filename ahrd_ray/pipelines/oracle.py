@@ -1447,14 +1447,63 @@ def sql_host_links() -> str:
     )
     vals = ", ".join(f"({j})" for j in range(1, spec.LINK_K + 1))
     return f"""WITH js(j) AS (VALUES {vals}),
+tgt AS (
+  SELECT doc_id, (doc_id * {t_mult} + j * {t_step}) % {t_mod} AS t
+  FROM documents CROSS JOIN js
+),
 links AS (
   SELECT 'h' || CAST(doc_id % {m} AS VARCHAR) || '.example.org' AS src_host,
-         'h' || CAST(((doc_id * {t_mult} + j * {t_step}) % {t_mod}) % {m} AS VARCHAR)
-           || '.example.org' AS dst_host
-  FROM documents CROSS JOIN js
+         'h' || CAST((t * t) % {m} AS VARCHAR) || '.example.org' AS dst_host
+  FROM tgt
 )
 SELECT src_host, dst_host, CAST(count(*) AS BIGINT) AS n_links
 FROM links GROUP BY src_host, dst_host"""
+
+
+def sql_host_pagerank(iters: int = 5) -> str:
+    """Weighted host PageRank, iterations unrolled with the SAME exact
+    int64 arithmetic as stages/webstats.host_pagerank (per-edge floor-div
+    share, dangling hosts hold teleport mass)."""
+    from ahrd_ray.stages.graph import PR_DAMP_DEN, PR_DAMP_NUM, PR_UNIT
+
+    teleport = (PR_DAMP_DEN - PR_DAMP_NUM) * PR_UNIT // PR_DAMP_DEN
+    m, t_mult, t_step, t_mod = (
+        spec.LINK_HOST_MOD,
+        spec.LINK_TARGET_MULT,
+        spec.LINK_TARGET_STEP,
+        spec.LINK_TARGET_MOD,
+    )
+    vals = ", ".join(f"({j})" for j in range(1, spec.LINK_K + 1))
+    ctes = [
+        f"""js(j) AS (VALUES {vals})""",
+        f"""tgt AS (
+  SELECT doc_id, (doc_id * {t_mult} + j * {t_step}) % {t_mod} AS t
+  FROM documents CROSS JOIN js
+)""",
+        f"""raw AS (
+  SELECT 'h' || CAST(doc_id % {m} AS VARCHAR) || '.example.org' AS src_host,
+         'h' || CAST((t * t) % {m} AS VARCHAR) || '.example.org' AS dst_host
+  FROM tgt
+)""",
+        "w AS (SELECT src_host, dst_host, CAST(count(*) AS BIGINT) AS w"
+        " FROM raw GROUP BY 1, 2)",
+        "hosts AS (SELECT src_host AS host FROM w UNION SELECT dst_host FROM w)",
+        "outw AS (SELECT src_host, sum(w) AS ow FROM w GROUP BY 1)",
+        f"r0 AS (SELECT host, CAST({PR_UNIT} AS BIGINT) AS r FROM hosts)",
+    ]
+    for k in range(1, iters + 1):
+        ctes.append(
+            f"""r{k} AS (
+  SELECT h.host,
+         {teleport} + coalesce(CAST((
+            SELECT sum(({PR_DAMP_NUM} * ((r.r // o.ow) * w.w)) // {PR_DAMP_DEN})
+            FROM w JOIN r{k - 1} r ON r.host = w.src_host
+                   JOIN outw o ON o.src_host = w.src_host
+            WHERE w.dst_host = h.host) AS BIGINT), 0) AS r
+  FROM hosts h
+)"""
+        )
+    return _with(*ctes) + f"\nSELECT host, r AS rank_units FROM r{iters}"
 
 
 def sql_repetition() -> str:

@@ -608,6 +608,12 @@ def _web_queries() -> dict[str, tuple[Callable, str | None]]:
             lambda sf: wb.host_links(sf).map_batches(_int64, batch_format="pyarrow"),
             oracle.sql_host_links(),
         ),
+        # weighted integer PageRank over the host graph (iterations
+        # unrolled in the oracle with identical int64 arithmetic)
+        "wb_host_pagerank": (
+            lambda sf: wb.host_pagerank(sf),
+            oracle.sql_host_pagerank(),
+        ),
     }
 
 

@@ -95,6 +95,15 @@ def link_target(doc_id: int, j: int) -> int:
     return (doc_id * LINK_TARGET_MULT + j * LINK_TARGET_STEP) % LINK_TARGET_MOD
 
 
+def link_dst_host(doc_id: int, j: int) -> str:
+    """Destination host of anchor j: the SQUARE of the target id folds the
+    host space onto its quadratic residues (~half of LINK_HOST_MOD), so
+    in-link mass is skewed — roughly half the hosts receive no in-links at
+    all — and the host PageRank fixpoint is non-degenerate."""
+    t = link_target(doc_id, j)
+    return link_host(t * t)
+
+
 # --- triple predicates ---------------------------------------------------
 PRED_LINKED = "kg:linked_entity"
 PRED_DESC = "kg:description"

@@ -81,3 +81,25 @@ def test_html_link_structure_outside_article():
 
     text = 'a <b>bold</b> claim & "quotes" é中'
     assert extract_text(synthesize_html(42, text, "en")) == text
+
+
+def test_host_pagerank_properties(ray_session):
+    """Mass conservation + dominance sanity on the integer power iteration."""
+    import numpy as np
+
+    from ahrd_ray.stages.graph import PR_UNIT
+    from ahrd_ray.stages.webstats import host_links, host_pagerank
+
+    df = host_pagerank(SF).to_pandas()
+    links = host_links(SF).to_pandas()
+    hosts = set(links["src_host"]) | set(links["dst_host"])
+    assert set(df["host"]) == hosts
+    # teleport floor: every host keeps at least the (1-d) mass
+    assert (df["rank_units"] >= (100 - 85) * PR_UNIT // 100).all()
+    # total mass stays within the unit budget (floor-div losses only shrink)
+    assert df["rank_units"].sum() <= len(hosts) * PR_UNIT
+    # the most-linked-to host outranks the median host
+    indeg = links.groupby("dst_host")["n_links"].sum()
+    top = indeg.idxmax()
+    r = df.set_index("host")["rank_units"]
+    assert r[top] > np.median(r.to_numpy())
