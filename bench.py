@@ -140,6 +140,8 @@ def run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
         ("tx_fingerprints", lambda: tx.fingerprints(sf_dir)),
         ("tx_repetition", lambda: tx.repetition(sf_dir)),
         ("dd_url_dedup", lambda: wb.url_dedup(sf_dir)),
+        ("wb_host_links", lambda: wb.host_links(sf_dir)),
+        ("wb_host_pagerank", lambda: wb.host_pagerank(sf_dir)),
         ("tx_doc_features", lambda: tx.doc_features(sf_dir)),
         ("kg_cooccurrence", lambda: gr.cooccurrence_edges(sf_dir)),
         ("kg_cooc_window", lambda: gr.cooc_window_edges(sf_dir)),
