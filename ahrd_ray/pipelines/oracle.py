@@ -1460,6 +1460,25 @@ SELECT src_host, dst_host, CAST(count(*) AS BIGINT) AS n_links
 FROM links GROUP BY src_host, dst_host"""
 
 
+def sql_host_quality() -> str:
+    """Domain-level quality aggregation (stages/webstats.host_quality):
+    per-doc q20 quality (the sql_quality expression) summed per host in
+    exact int64 units, one final unit->double conversion and a
+    fixed-order mean division — bit-identical to the engine."""
+    return f"""WITH q AS ({sql_quality()}),
+h AS (
+  SELECT 'h' || CAST(doc_id % {spec.LINK_HOST_MOD} AS VARCHAR) || '.example.org'
+           AS host,
+         CAST(floor(quality * {QUANT!r} + 0.5) AS BIGINT) AS u
+  FROM q
+)
+SELECT host, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(u) AS DOUBLE) / {QUANT!r} AS sum_quality,
+       (CAST(sum(u) AS DOUBLE) / {QUANT!r}) / CAST(count(*) AS DOUBLE)
+         AS mean_quality
+FROM h GROUP BY host"""
+
+
 def sql_host_pagerank(iters: int = 5) -> str:
     """Weighted host PageRank, iterations unrolled with the SAME exact
     int64 arithmetic as stages/webstats.host_pagerank (per-edge floor-div

@@ -614,6 +614,13 @@ def _web_queries() -> dict[str, tuple[Callable, str | None]]:
             lambda sf: wb.host_pagerank(sf),
             oracle.sql_host_pagerank(),
         ),
+        # domain-level quality aggregation (the C4/RefinedWeb host filter
+        # pass): canonical host parsed from html + per-doc quality kernel,
+        # exact q20-unit sums per host
+        "wb_host_quality": (
+            lambda sf: wb.host_quality(sf).map_batches(_int64, batch_format="pyarrow"),
+            oracle.sql_host_quality(),
+        ),
     }
 
 

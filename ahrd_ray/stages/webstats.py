@@ -319,3 +319,55 @@ def host_pagerank(sf_dir: str, iters: int = 5) -> ray.data.Dataset:
             }
         )
     )
+
+
+def host_quality(sf_dir: str) -> ray.data.Dataset:
+    """(host, n_docs, sum_quality, mean_quality) — domain-level quality
+    aggregation, the host/domain filtering pass of C4/RefinedWeb-style
+    cleaning (spam farms show up as low-mean hosts, not low single docs).
+
+    One streaming pass over pages: canonical host parsed from the html
+    bytes + the per-doc quality kernel on text, folded per host inside
+    the batch — the shuffle carries <= LINK_HOST_MOD rows per block.
+    Quality sums in exact q20 int64 units (the _qsum rule: a double sum
+    goes order-dependent past 2^53 units); one final unit->double
+    conversion mirrors the oracle bit-for-bit."""
+    import pandas as pd
+
+    from ahrd_ray.config import QUANT
+    from ahrd_ray.pipelines.kg import pages_dataset
+    from ahrd_ray.stages.textstats import quality_batch
+
+    def partial(batch: pa.Table) -> "pd.DataFrame":
+        host = pc.struct_field(
+            pc.extract_regex(
+                batch["html"].combine_chunks().cast(pa.string()),
+                r'rel="canonical" href="https://(?P<h>[^/"]+)/',
+            ),
+            "h",
+        )
+        q = quality_batch(batch)["quality"].to_numpy()
+        units = np.floor(q * QUANT + 0.5).astype(np.int64)
+        df = pd.DataFrame({"host": host.to_pylist(), "u": units})
+        df["n"] = np.int64(1)
+        return df.groupby("host", as_index=False).agg(n=("n", "sum"), u=("u", "sum"))
+
+    def final(df: "pd.DataFrame") -> "pd.DataFrame":
+        g = df.groupby("host", as_index=False).agg(n=("n", "sum"), u=("u", "sum"))
+        sum_q = g["u"].to_numpy(np.int64).astype(np.float64) / QUANT
+        out = pd.DataFrame(
+            {
+                "host": g["host"],
+                "n_docs": g["n"].astype("int64"),
+                "sum_quality": sum_q,
+                "mean_quality": sum_q / g["n"].to_numpy(np.int64).astype(np.float64),
+            }
+        )
+        return out
+
+    return (
+        pages_dataset(sf_dir)
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("host")
+        .map_groups(final, batch_format="pandas")
+    )

@@ -103,3 +103,31 @@ def test_host_pagerank_properties(ray_session):
     top = indeg.idxmax()
     r = df.set_index("host")["rank_units"]
     assert r[top] > np.median(r.to_numpy())
+
+
+def test_host_quality_recount(ray_session):
+    """Host aggregation == brute-force per-doc quality regrouped by host."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from ahrd_ray.config import QUANT
+    from ahrd_ray.sources import spec
+    from ahrd_ray.stages.textstats import quality_scores
+    from ahrd_ray.stages.webstats import host_quality
+
+    per_doc = quality_scores(SF).to_pandas()
+    per_doc["host"] = [spec.link_host(int(d)) for d in per_doc["doc_id"]]
+    per_doc["u"] = np.floor(per_doc["quality"].to_numpy() * QUANT + 0.5).astype(
+        np.int64
+    )
+    want = per_doc.groupby("host").agg(n_docs=("u", "size"), u=("u", "sum"))
+
+    got = host_quality(SF).to_pandas().set_index("host").sort_index()
+    want = want.sort_index()
+    assert (got["n_docs"].to_numpy() == want["n_docs"].to_numpy()).all()
+    assert np.array_equal(
+        got["sum_quality"].to_numpy(), want["u"].to_numpy() / QUANT
+    )
+    assert int(got["n_docs"].sum()) == len(
+        pq.read_table(f"{SF}/documents.parquet", columns=["doc_id"])
+    )
