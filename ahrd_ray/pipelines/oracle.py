@@ -1479,6 +1479,57 @@ SELECT host, CAST(count(*) AS BIGINT) AS n_docs,
 FROM h GROUP BY host"""
 
 
+def sql_host_harmonic(hops: int = 4) -> str:
+    """K-truncated harmonic centrality (stages/webstats.host_harmonic):
+    path sets unrolled per length, shortest distance = min over the union,
+    reciprocal in exact HC_UNIT floor-div integer units."""
+    from ahrd_ray.stages.webstats import HC_UNIT
+
+    m, t_mult, t_step, t_mod = (
+        spec.LINK_HOST_MOD,
+        spec.LINK_TARGET_MULT,
+        spec.LINK_TARGET_STEP,
+        spec.LINK_TARGET_MOD,
+    )
+    vals = ", ".join(f"({j})" for j in range(1, spec.LINK_K + 1))
+    ctes = [
+        f"js(j) AS (VALUES {vals})",
+        f"""tgt AS (
+  SELECT doc_id, (doc_id * {t_mult} + j * {t_step}) % {t_mod} AS t
+  FROM documents CROSS JOIN js
+)""",
+        f"""e AS (
+  SELECT DISTINCT
+    'h' || CAST(doc_id % {m} AS VARCHAR) || '.example.org' AS s,
+    'h' || CAST((t * t) % {m} AS VARCHAR) || '.example.org' AS d
+  FROM tgt
+)""",
+        "hosts AS (SELECT s AS host FROM e UNION SELECT d FROM e)",
+        "p1 AS (SELECT s, d FROM e)",
+    ]
+    for k in range(2, hops + 1):
+        ctes.append(
+            f"p{k} AS (SELECT DISTINCT p.s, e.d FROM p{k - 1} p"
+            " JOIN e ON e.s = p.d)"
+        )
+    union = "\n  UNION ALL ".join(
+        f"SELECT s, d, {k} AS k FROM p{k}" for k in range(1, hops + 1)
+    )
+    ctes.append(
+        f"""dists AS (
+  SELECT s, d, min(k) AS dist FROM ({union}) WHERE s <> d GROUP BY s, d
+)"""
+    )
+    return (
+        _with(*ctes)
+        + f"""
+SELECT h.host,
+       CAST(coalesce(sum({HC_UNIT} // dist), 0) AS BIGINT) AS harmonic_units
+FROM hosts h LEFT JOIN dists ON dists.d = h.host
+GROUP BY h.host"""
+    )
+
+
 def sql_host_pagerank(iters: int = 5) -> str:
     """Weighted host PageRank, iterations unrolled with the SAME exact
     int64 arithmetic as stages/webstats.host_pagerank (per-edge floor-div

@@ -621,6 +621,12 @@ def _web_queries() -> dict[str, tuple[Callable, str | None]]:
             lambda sf: wb.host_quality(sf).map_batches(_int64, batch_format="pyarrow"),
             oracle.sql_host_quality(),
         ),
+        # K-truncated harmonic centrality over the host graph (the ranking
+        # Common Crawl publishes for its host-level web graph)
+        "wb_host_harmonic": (
+            lambda sf: wb.host_harmonic(sf),
+            oracle.sql_host_harmonic(),
+        ),
     }
 
 

@@ -371,3 +371,52 @@ def host_quality(sf_dir: str) -> ray.data.Dataset:
         .groupby("host")
         .map_groups(final, batch_format="pandas")
     )
+
+
+HC_HOPS = 4  # truncated-harmonic horizon (both sides cap at the same K)
+HC_UNIT = 10**9  # 1/d in exact integer units: HC_UNIT // d
+
+
+def host_harmonic(sf_dir: str, hops: int = HC_HOPS) -> ray.data.Dataset:
+    """(host, harmonic_units) — K-truncated harmonic centrality over the
+    directed host graph: sum over sources u != v within ``hops`` of
+    HC_UNIT // d(u, v).  The ranking Common Crawl publishes for its
+    host-level web graph (harmonic centrality is preferred over closeness
+    because unreachable pairs contribute 0, not infinity).
+
+    Scale shape: same as host_pagerank — the corpus-sized anchor
+    extraction streams through host_links; the aggregated graph is
+    dim-sized, so the K boolean matrix powers run on the driver.  Exact
+    integer arithmetic (floor-div reciprocal units) mirrors the
+    SQL-unrolled oracle bit-for-bit."""
+    links = host_links(sf_dir).to_pandas()
+    hosts = sorted(set(links["src_host"]) | set(links["dst_host"]))
+    idx = {h: i for i, h in enumerate(hosts)}
+    n = len(hosts)
+    adj = np.zeros((n, n), dtype=bool)
+    adj[
+        links["src_host"].map(idx).to_numpy(np.int64),
+        links["dst_host"].map(idx).to_numpy(np.int64),
+    ] = True
+
+    dist = np.zeros((n, n), dtype=np.int64)  # 0 = not yet reached
+    reach = np.eye(n, dtype=bool)  # paths of length k-1
+    seen = np.eye(n, dtype=bool)
+    for k in range(1, hops + 1):
+        reach = reach @ adj  # boolean matmul: length-k reachability
+        fresh = reach & ~seen
+        dist[fresh] = k
+        seen |= fresh
+    np.fill_diagonal(dist, 0)  # u == v contributes nothing
+
+    units = np.zeros(n, dtype=np.int64)
+    for k in range(1, hops + 1):
+        units += (dist == k).sum(axis=0).astype(np.int64) * (HC_UNIT // k)
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "host": pa.array(hosts, type=pa.string()),
+                "harmonic_units": pa.array(units, type=pa.int64()),
+            }
+        )
+    )

@@ -131,3 +131,35 @@ def test_host_quality_recount(ray_session):
     assert int(got["n_docs"].sum()) == len(
         pq.read_table(f"{SF}/documents.parquet", columns=["doc_id"])
     )
+
+
+def test_host_harmonic_brute_force(ray_session):
+    """Matrix-power distances == per-source python BFS, unit arithmetic."""
+    from collections import deque
+
+    from ahrd_ray.stages.webstats import HC_HOPS, HC_UNIT, host_harmonic, host_links
+
+    links = host_links(SF).to_pandas()
+    adj: dict = {}
+    for r in links.itertuples():
+        adj.setdefault(r.src_host, set()).add(r.dst_host)
+    hosts = sorted(set(links["src_host"]) | set(links["dst_host"]))
+
+    want = {h: 0 for h in hosts}
+    for src in hosts:
+        dist = {src: 0}
+        q = deque([src])
+        while q:
+            u = q.popleft()
+            if dist[u] >= HC_HOPS:
+                continue
+            for v in adj.get(u, ()):
+                if v not in dist:
+                    dist[v] = dist[u] + 1
+                    q.append(v)
+        for v, d in dist.items():
+            if v != src:
+                want[v] += HC_UNIT // d
+
+    got = host_harmonic(SF).to_pandas()
+    assert {r.host: int(r.harmonic_units) for r in got.itertuples()} == want
