@@ -33,6 +33,11 @@ def synthesize_html(doc_id: int, text: str, lang: str) -> bytes:
     canon = (
         f'<link rel="canonical" href="https://{spec.link_host(doc_id)}/p/{doc_id}">'
     )
+    rt = spec.redirect_target(doc_id)
+    if rt is not None:
+        canon += (
+            f'<link rel="redirect" href="https://{spec.link_host(rt)}/p/{rt}">'
+        )
     anchors = "".join(
         f'<a rel="o{j}" href="https://{spec.link_dst_host(doc_id, j)}'
         f'/p/{spec.link_target(doc_id, j)}">{j}</a>'

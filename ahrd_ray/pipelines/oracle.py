@@ -4187,3 +4187,64 @@ SELECT coalesce(event_type, 'ALL') AS event_type,
        {_qsum('value')} AS sum_value
 FROM b
 GROUP BY CUBE (event_type, hr)"""
+
+
+def sql_page_inlinks() -> str:
+    """Page-level in-degree truth re-derived arithmetically from
+    `documents` (stages/webstats.page_inlinks parses the SAME targets out
+    of the anchor href bytes)."""
+    t_mult, t_step, t_mod = (
+        spec.LINK_TARGET_MULT,
+        spec.LINK_TARGET_STEP,
+        spec.LINK_TARGET_MOD,
+    )
+    vals = ", ".join(f"({j})" for j in range(1, spec.LINK_K + 1))
+    return f"""WITH js(j) AS (VALUES {vals}),
+t AS (
+  SELECT (doc_id * {t_mult} + j * {t_step}) % {t_mod} AS page_id
+  FROM documents CROSS JOIN js
+)
+SELECT page_id, CAST(count(*) AS BIGINT) AS n_inlinks
+FROM t GROUP BY page_id"""
+
+
+def sql_redirect_resolve(max_hops: int = 8) -> str:
+    """Rewrite-chain resolution truth: ``max_hops`` single steps unrolled
+    (stages/webstats.redirect_resolve runs the same fixpoint as
+    log2(max_hops) pointer-doubling self-joins over pointers PARSED from
+    the html bytes; this side re-derives the pointers arithmetically from
+    spec.redirect_target).  Each step follows the redirect of the current
+    page while one exists AND its target is a corpus doc_id, counting
+    hops; chain heads and dangling targets freeze the row."""
+    blk, dmod, dres, doff = (
+        spec.REDIRECT_BLOCK,
+        spec.REDIRECT_DANGLE_MOD,
+        spec.REDIRECT_DANGLE_RES,
+        spec.REDIRECT_DANGLE_OFF,
+    )
+    nxt_of = (
+        lambda p: f"CASE WHEN {p} % {blk} = 0 THEN NULL "
+        f"WHEN {p} % {dmod} = {dres} THEN {p} + {doff} "
+        f"ELSE {p} - 1 END"
+    )
+    step_ctes = []
+    prev = "s0"
+    for k in range(1, max_hops + 1):
+        cur = f"s{k}"
+        step_ctes.append(
+            f"""{cur} AS (
+  SELECT {prev}.doc_id,
+         CASE WHEN m.doc_id IS NULL THEN {prev}.p ELSE m.doc_id END AS p,
+         {prev}.h + CASE WHEN m.doc_id IS NULL THEN 0 ELSE 1 END AS h
+  FROM {prev} LEFT JOIN documents m
+    ON m.doc_id = ({nxt_of(prev + '.p')})
+)"""
+        )
+        prev = cur
+    joined = ",\n".join(step_ctes)
+    return f"""WITH s0 AS (
+  SELECT doc_id, doc_id AS p, 0 AS h FROM documents
+),
+{joined}
+SELECT doc_id, CAST(p AS BIGINT) AS final_id, CAST(h AS BIGINT) AS hops
+FROM {prev}"""

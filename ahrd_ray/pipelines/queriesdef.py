@@ -627,6 +627,18 @@ def _web_queries() -> dict[str, tuple[Callable, str | None]]:
             lambda sf: wb.host_harmonic(sf),
             oracle.sql_host_harmonic(),
         ),
+        # page-level in-degree parsed from the anchor href bytes — the
+        # corpus-sized web-graph product (host_links is its dim-sized roll-up)
+        "wb_page_inlinks": (
+            lambda sf: wb.page_inlinks(sf).map_batches(_int64, batch_format="pyarrow"),
+            oracle.sql_page_inlinks(),
+        ),
+        # canonical-redirect chain resolution via pointer-doubling self-joins
+        # (8 hops in 3 joins); oracle unrolls the 8 single steps
+        "wb_redirect_resolve": (
+            lambda sf: wb.redirect_resolve(sf),
+            oracle.sql_redirect_resolve(),
+        ),
     }
 
 

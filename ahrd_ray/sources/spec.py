@@ -104,6 +104,29 @@ def link_dst_host(doc_id: int, j: int) -> str:
     return link_host(t * t)
 
 
+# --- synthetic redirect chains (rel="redirect" <link> in the html head) --
+# Pages form canonical-URL rewrite chains along consecutive ids: block
+# heads (doc_id % REDIRECT_BLOCK == 0) carry no redirect element at all,
+# one id per two blocks (doc_id % REDIRECT_DANGLE_MOD ==
+# REDIRECT_DANGLE_RES) points at a non-existent page (a dangling
+# redirect), everyone else points at doc_id - 1.  Chain lengths therefore
+# range 0..REDIRECT_BLOCK-1 at EVERY corpus size, exercising the resolve
+# hop cap, dangling stops and absent links alike.
+REDIRECT_BLOCK = 12
+REDIRECT_DANGLE_MOD = 24
+REDIRECT_DANGLE_RES = 18
+REDIRECT_DANGLE_OFF = 1000003
+
+
+def redirect_target(doc_id: int) -> int | None:
+    """Rewrite pointer of a page, or None when the page is a chain head."""
+    if doc_id % REDIRECT_BLOCK == 0:
+        return None
+    if doc_id % REDIRECT_DANGLE_MOD == REDIRECT_DANGLE_RES:
+        return doc_id + REDIRECT_DANGLE_OFF
+    return doc_id - 1
+
+
 # --- triple predicates ---------------------------------------------------
 PRED_LINKED = "kg:linked_entity"
 PRED_DESC = "kg:description"

@@ -420,3 +420,176 @@ def host_harmonic(sf_dir: str, hops: int = HC_HOPS) -> ray.data.Dataset:
             }
         )
     )
+
+
+def extract_anchor_targets(batch: pa.Table) -> "np.ndarray":
+    """pages html -> int64 array of anchor TARGET PAGE IDS (one per anchor).
+
+    Parses the ``/p/{id}`` path segment out of every ``<a rel="oN">`` href
+    with Arrow re2 kernels — the page-level analogue of
+    :func:`extract_host_links` (which keeps only the host).  No doc_id
+    arithmetic on this side; the oracle re-derives targets from
+    `documents` integer columns."""
+    s = batch["html"].combine_chunks().cast(pa.string())
+    parts = []
+    for j in range(1, spec.LINK_K + 1):
+        t = pc.struct_field(
+            pc.extract_regex(
+                s, rf'<a rel="o{j}" href="https://[^/"]+/p/(?P<t>[0-9]+)"'
+            ),
+            "t",
+        )
+        parts.append(pc.cast(t, pa.int64()).to_numpy(zero_copy_only=False))
+    return np.concatenate(parts)
+
+
+def page_inlinks(sf_dir: str) -> ray.data.Dataset:
+    """(page_id, n_inlinks) — page-level in-degree of the web graph,
+    counted from the anchors parsed out of every page's html bytes.
+
+    The page-level counterpart of :func:`host_links`: where the host graph
+    collapses to a dim-sized table, the page in-degree table is
+    corpus-sized (every linked-to page id is a row), so this is the true
+    Common-Crawl web-graph product shape.  Scale: per-batch partial counts
+    (sort + reduceat, no Python rows) cut the shuffle to distinct targets
+    per block; a node-hash groupby folds partials without ever building a
+    global dict."""
+    import pandas as pd
+
+    from ahrd_ray.pipelines.kg import pages_dataset
+    from ahrd_ray.stages.partitioning import n_hash_parts
+
+    n_parts = n_hash_parts()
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = np.sort(extract_anchor_targets(batch))
+        starts = np.flatnonzero(np.r_[True, t[1:] != t[:-1]])
+        ids = t[starts]
+        counts = np.diff(np.r_[starts, t.size]).astype(np.int64)
+        return pa.table(
+            {
+                "page_id": pa.array(ids, type=pa.int64()),
+                "n_inlinks": pa.array(counts, type=pa.int64()),
+                "npart": pa.array((ids % n_parts).astype(np.int32), type=pa.int32()),
+            }
+        )
+
+    def fold(df: "pd.DataFrame") -> "pd.DataFrame":
+        out = df.groupby("page_id", as_index=False)["n_inlinks"].sum()
+        return out.astype({"n_inlinks": "int64"})
+
+    return (
+        pages_dataset(sf_dir)
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("npart")
+        .map_groups(fold, batch_format="pandas")
+    )
+
+
+REDIRECT_HOPS = 8  # pointer-doubling rounds = log2(REDIRECT_HOPS)
+
+
+def redirect_resolve(sf_dir: str, max_hops: int = REDIRECT_HOPS) -> ray.data.Dataset:
+    """(doc_id, final_id, hops) — canonical-chain resolution over the page
+    graph: each page's ``<link rel="redirect">`` element (parsed from the
+    html bytes) is a rewrite pointer — the moved-permanently /
+    canonical-URL chain every crawl carries — and each page is resolved to
+    the page reached after at most ``max_hops`` rewrites, stopping early
+    at pages with no redirect element or with a redirect pointing outside
+    the corpus (a dangling target).
+
+    Scale shape — pointer doubling: the hop map J_k(d) = (page after
+    min(2^k, chain) hops, hops taken) is a corpus-sized table; each round
+    composes J with itself via ONE hash self-join, so ``max_hops`` hops
+    cost log2(max_hops) joins instead of max_hops sequential map rounds.
+    Terminal rows (hops short of 2^k) compose with themselves as the
+    identity, so the join stays total — no branch, no anti-join, and the
+    corpus-sized state never lands on the driver.
+
+    Oracle: ``max_hops`` single steps unrolled in SQL (LEFT JOIN
+    membership per step), the same unroll style as the PageRank/BFS
+    oracles."""
+    import pandas as pd
+
+    from ahrd_ray.pipelines.kg import pages_dataset
+    from ahrd_ray.stages.partitioning import budgeted_join
+
+    if max_hops & (max_hops - 1):
+        raise ValueError("max_hops must be a power of two (doubling rounds)")
+
+    def seed(batch: pa.Table) -> pa.Table:
+        s = batch["html"].combine_chunks().cast(pa.string())
+        t = pc.struct_field(
+            pc.extract_regex(
+                s, r'<link rel="redirect" href="https://[^/"]+/p/(?P<t>[0-9]+)"'
+            ),
+            "t",
+        )
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"].combine_chunks().cast(pa.int64()),
+                "nxt": pc.cast(t, pa.int64()),  # null: no redirect element
+            }
+        )
+
+    pages = pages_dataset(sf_dir)
+    seeds = pages.map_batches(seed, batch_format="pyarrow")
+    member = pages.select_columns(["doc_id"]).map_batches(
+        # the join output keeps only non-key right columns, so membership
+        # is carried by an explicit marker column
+        lambda b: b.rename_columns(["m_id"]).append_column(
+            "m_hit", pa.array(np.ones(b.num_rows, dtype=np.int8))
+        ),
+        batch_format="pyarrow",
+    )
+
+    def seed_fold(batch: pa.Table) -> pa.Table:
+        d = batch["doc_id"].to_numpy()
+        nxt = batch["nxt"].to_numpy(zero_copy_only=False)
+        hit = batch["m_hit"].to_numpy(zero_copy_only=False)  # null: dangling/absent
+        ok = ~pd.isna(hit)
+        return pa.table(
+            {
+                "doc_id": pa.array(d, type=pa.int64()),
+                "p": pa.array(np.where(ok, nxt, d).astype(np.int64), type=pa.int64()),
+                "h": pa.array(ok.astype(np.int64), type=pa.int64()),
+            }
+        )
+
+    j = (
+        budgeted_join(seeds, member, on=["nxt"], right_on=["m_id"], join_type="left_outer")
+        .map_batches(seed_fold, batch_format="pyarrow")
+        .materialize()
+    )
+
+    import math
+
+    for _ in range(int(math.log2(max_hops))):
+        right = j.map_batches(
+            lambda b: b.rename_columns(["d2", "p2", "h2"]), batch_format="pyarrow"
+        )
+        j = (
+            budgeted_join(j, right, on=["p"], right_on=["d2"])
+            .map_batches(
+                lambda b: pa.table(
+                    {
+                        "doc_id": b["doc_id"],
+                        "p": b["p2"],
+                        "h": pc.add(b["h"], b["h2"]),
+                    }
+                ),
+                batch_format="pyarrow",
+            )
+            .materialize()
+        )
+
+    return j.map_batches(
+        lambda b: pa.table(
+            {
+                "doc_id": b["doc_id"],
+                "final_id": b["p"],
+                "hops": pc.cast(b["h"], pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )

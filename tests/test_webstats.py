@@ -163,3 +163,54 @@ def test_host_harmonic_brute_force(ray_session):
 
     got = host_harmonic(SF).to_pandas()
     assert {r.host: int(r.harmonic_units) for r in got.itertuples()} == want
+
+
+def test_page_inlinks_brute_force(ray_session):
+    """Engine anchor-target parse + distributed count == stdlib-regex truth."""
+    import re
+    from collections import Counter
+
+    import pyarrow.parquet as pq
+
+    from ahrd_ray.functions.textx import synthesize_html
+    from ahrd_ray.stages.webstats import page_inlinks
+
+    want: Counter = Counter()
+    docs = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text", "lang"])
+    for d, t, l in zip(*(docs[c].to_pylist() for c in ("doc_id", "text", "lang"))):
+        html = synthesize_html(int(d), t, l).decode("utf-8")
+        for tgt in re.findall(r'<a rel="o\d+" href="https://[^/"]+/p/(\d+)"', html):
+            want[int(tgt)] += 1
+
+    df = page_inlinks(SF).to_pandas()
+    got = {int(r.page_id): int(r.n_inlinks) for r in df.itertuples()}
+    assert got == dict(want)
+
+
+def test_redirect_resolve_brute_force(ray_session):
+    """Pointer-doubling resolution == a per-doc Python walk over
+    spec.redirect_target, hop cap and dangling/absent stops included."""
+    import pyarrow.parquet as pq
+
+    from ahrd_ray.sources import spec
+    from ahrd_ray.stages.webstats import REDIRECT_HOPS, redirect_resolve
+
+    docs = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id"])
+    corpus = set(docs["doc_id"].to_pylist())
+
+    def walk(d: int) -> tuple[int, int]:
+        p, h = d, 0
+        while h < REDIRECT_HOPS:
+            nxt = spec.redirect_target(p)
+            if nxt is None or nxt not in corpus:
+                break
+            p, h = nxt, h + 1
+        return p, h
+
+    df = redirect_resolve(SF).to_pandas()
+    assert len(df) == len(corpus)
+    for r in df.itertuples():
+        assert (int(r.final_id), int(r.hops)) == walk(int(r.doc_id)), r.doc_id
+    # the synthetic chain spec exercises every stop class at any sf
+    assert (df["hops"] == 0).any() and (df["hops"] == REDIRECT_HOPS).any()
+    assert df["hops"].between(1, REDIRECT_HOPS - 1).any()
