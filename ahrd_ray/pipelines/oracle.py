@@ -4248,3 +4248,56 @@ def sql_redirect_resolve(max_hops: int = 8) -> str:
 {joined}
 SELECT doc_id, CAST(p AS BIGINT) AS final_id, CAST(h AS BIGINT) AS hops
 FROM {prev}"""
+
+
+def sql_assortativity(cfg: EngineConfig) -> str:
+    """Strength-assortativity truth (stages/graph.assortativity): both edge
+    orientations, strength = summed n_docs per endpoint, HUGEINT
+    sufficient statistics, the same sqrt-free fixed-order double
+    division."""
+    return (
+        _with(*_cands_prefix(cfg), cte_valid_dedup(), _cte_cooccur_pairs(cfg))
+        + """,
+edges2 AS (
+  SELECT cand_a AS a, cand_b AS b, n_docs FROM pairs
+  UNION ALL SELECT cand_b, cand_a, n_docs FROM pairs
+),
+deg AS (SELECT a AS node, CAST(sum(n_docs) AS BIGINT) AS d FROM edges2 GROUP BY 1),
+j AS (
+  SELECT da.d AS dx, db.d AS dy
+  FROM edges2 JOIN deg da ON da.node = edges2.a JOIN deg db ON db.node = edges2.b
+),
+s AS (
+  SELECT CAST(count(*) AS HUGEINT) AS m,
+         CAST(sum(dx) AS HUGEINT) AS sx,
+         CAST(sum(dx * dx) AS HUGEINT) AS sxx,
+         CAST(sum(dx * dy) AS HUGEINT) AS sxy
+  FROM j
+)
+SELECT CAST(m AS BIGINT) AS m, CAST(sx AS BIGINT) AS sx,
+       CAST(sxx AS BIGINT) AS sxx, CAST(sxy AS BIGINT) AS sxy,
+       CAST(m * sxy - sx * sx AS DOUBLE) / CAST(m * sxx - sx * sx AS DOUBLE)
+         AS assortativity
+FROM s"""
+    )
+
+
+def sql_readability() -> str:
+    """Flesch reading-ease truth (stages/textstats.readability): the same
+    RE2 counts via regexp_extract_all and the identical three fixed-order
+    double ops."""
+    return r"""WITH c AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_words,
+         CAST(len(regexp_extract_all(text, '[.!?]+')) AS BIGINT) AS n_sentences,
+         CAST(len(regexp_extract_all(text, '[aeiouyAEIOUY]+')) AS BIGINT)
+           AS n_vowel_groups
+  FROM documents
+)
+SELECT doc_id, n_words, n_sentences, n_vowel_groups,
+       206.835
+         - 1.015 * (CAST(n_words AS DOUBLE)
+                    / CAST(greatest(n_sentences, 1) AS DOUBLE))
+         - 84.6 * (CAST(n_vowel_groups AS DOUBLE)
+                   / CAST(greatest(n_words, 1) AS DOUBLE)) AS flesch
+FROM c"""

@@ -462,6 +462,12 @@ def _textstats_queries() -> dict[str, tuple[Callable, str | None]]:
         "tx_repetition": (lambda sf: tx.repetition(sf), oracle.sql_repetition()),
         # char-frequency concentration (integer Renyi-2 core): junk detector
         "tx_char_stats": (lambda sf: tx.char_stats(sf), oracle.sql_char_stats()),
+        # Flesch reading-ease gate: Arrow re2 counts + three fixed-order
+        # double ops, mirrored term-for-term in the oracle
+        "tx_readability": (
+            lambda sf: tx.readability(sf),
+            oracle.sql_readability(),
+        ),
         # deterministic 80/10/10 hash split with per-split doc/token budgets
         "tx_split_assign": (
             lambda sf: tx.split_assign(sf),
@@ -1154,6 +1160,9 @@ def _kg_queries(cfg) -> dict[str, tuple[Callable, str | None]]:
         # seeded-teleport variant: proximity to a deterministic seed set
         "kg_ppr": (q_ppr, oracle.sql_personalized_pagerank(cfg)),
         "kg_entity_degree": (q_entity_degree, oracle.sql_cooccur_degree(cfg)),
+        # sqrt-free degree assortativity (both orientations -> symmetric
+        # marginals): one-row sufficient statistics + fixed-order division
+        "kg_assortativity": (q_assortativity, oracle.sql_assortativity(cfg)),
         # log2-binned degree distribution (power-law / hub summary)
         "kg_degree_hist": (q_degree_hist, oracle.sql_degree_hist(cfg)),
         # per-doc mention-span union length (annotation-density signal)
@@ -1418,3 +1427,9 @@ def q_entity_degree(sf_dir: str):
     from ahrd_ray.stages.graph import entity_degree
 
     return entity_degree(sf_dir).map_batches(_int64, batch_format="pyarrow")
+
+
+def q_assortativity(sf_dir: str):
+    from ahrd_ray.stages.graph import assortativity
+
+    return assortativity(sf_dir)

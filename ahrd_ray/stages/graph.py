@@ -2873,3 +2873,89 @@ def mention_coverage(sf_dir: str) -> ray.data.Dataset:
     return src.map_batches(
         partial, batch_format="pyarrow", batch_size=kg.FUSED_BATCH_SIZE
     )
+
+
+def assortativity(sf_dir: str) -> ray.data.Dataset:
+    """ONE-row (m, sx, sxx, sxy, assortativity) — STRENGTH assortativity of
+    the co-occurrence graph: the Pearson correlation of endpoint strengths
+    (strength = summed n_docs edge weight; the co-occurrence graph is
+    degree-REGULAR by construction, so plain-degree assortativity is the
+    undefined 0/0) over all directed edge orientations — the structure
+    metric separating hub-attracts-hub graphs (r > 0) from hub-and-spoke
+    webs (r < 0).  With both orientations included the x/y marginals
+    coincide, so the coefficient needs NO square root:
+    r = (m*sxy - sx*sx) / (m*sxx - sx*sx) — one double division of exact
+    big-int products (the events_regression sufficient-statistics
+    precedent; the oracle replicates the identical fixed-order ops on
+    HUGEINTs).
+
+    Scale shape: the edge list is materialized once and swept twice — a
+    node-hash strength fold into the dim-sized dense vector (pagerank's
+    broadcast class), then one streaming partial-sums pass; only constant-
+    size sum rows ever shuffle."""
+    from ahrd_ray.stages.score import get_broadcast
+
+    edges = cooccurrence_edges(sf_dir).materialize()
+
+    str_df = (
+        edges.map_batches(
+            lambda t: pd.DataFrame(
+                {
+                    "node": np.concatenate(
+                        [t["cand_a"].to_numpy(), t["cand_b"].to_numpy()]
+                    ),
+                    "s": np.concatenate(
+                        [t["n_docs"].to_numpy(), t["n_docs"].to_numpy()]
+                    ),
+                }
+            ).groupby("node", as_index=False).sum(),
+            batch_format="pyarrow",
+        )
+        .groupby("node")
+        .map_groups(
+            lambda df: df.groupby("node", as_index=False)["s"].sum(),
+            batch_format="pandas",
+        )
+        .to_pandas()
+    )
+    strength = np.zeros(int(str_df["node"].max()) + 1, dtype=np.int64)
+    strength[str_df["node"].to_numpy()] = str_df["s"].to_numpy()
+    deg_ref = ray.put(strength)
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        deg = get_broadcast(deg_ref)
+        da = deg[t["cand_a"].to_numpy()]
+        db = deg[t["cand_b"].to_numpy()]
+        return pd.DataFrame(
+            {
+                "g": np.zeros(1, dtype=np.int8),
+                "m": [np.int64(2 * len(da))],
+                "sx": [int(da.sum() + db.sum())],
+                "sxx": [int((da * da).sum() + (db * db).sum())],
+                "sxy": [int(2 * (da * db).sum())],
+            }
+        )
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        m = int(df["m"].sum())
+        sx = int(df["sx"].sum())
+        sxx = int(df["sxx"].sum())
+        sxy = int(df["sxy"].sum())
+        num = m * sxy - sx * sx  # exact python big-int
+        den = m * sxx - sx * sx
+        return pd.DataFrame(
+            {
+                "m": [m],
+                "sx": [sx],
+                "sxx": [sxx],
+                "sxy": [sxy],
+                "assortativity": [float(num) / float(den)],
+            }
+        ).astype({"m": "int64", "sx": "int64", "sxx": "int64", "sxy": "int64"})
+
+    return (
+        edges.map_batches(partial, batch_format="pyarrow")
+        .groupby("g")
+        .map_groups(final, batch_format="pandas")
+        .select_columns(["m", "sx", "sxx", "sxy", "assortativity"])
+    )

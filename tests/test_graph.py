@@ -815,3 +815,32 @@ def test_cooc_window_is_a_strict_discriminating_subset():
     m = w.merge(full, on=["cand_a", "cand_b"], how="left")
     assert m["n_docs_y"].notna().all()  # subset
     assert (m["n_docs_x"] <= m["n_docs_y"]).all()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_assortativity_brute_force():
+    """Sufficient-statistics strength assortativity == a pandas recompute
+    straight from the edge list (numpy float64, same fixed-order ops)."""
+    import pandas as pd
+
+    from ahrd_ray.stages.graph import assortativity, cooccurrence_edges
+
+    edges = cooccurrence_edges(SF).to_pandas()
+    both = pd.concat(
+        [
+            edges.rename(columns={"cand_a": "a", "cand_b": "b"}),
+            edges.rename(columns={"cand_a": "b", "cand_b": "a"}),
+        ]
+    )
+    strength = both.groupby("a")["n_docs"].sum()
+    dx = strength.reindex(both["a"]).to_numpy(dtype=np.int64)
+    dy = strength.reindex(both["b"]).to_numpy(dtype=np.int64)
+    m = len(both)
+    sx, sxx, sxy = int(dx.sum()), int((dx * dx).sum()), int((dx * dy).sum())
+    want = float(m * sxy - sx * sx) / float(m * sxx - sx * sx)
+
+    row = assortativity(SF).to_pandas().iloc[0]
+    assert int(row["m"]) == m and int(row["sx"]) == sx
+    assert int(row["sxx"]) == sxx and int(row["sxy"]) == sxy
+    assert row["assortativity"] == want
+    assert -1.0 <= row["assortativity"] <= 1.0

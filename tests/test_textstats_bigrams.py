@@ -241,3 +241,31 @@ def test_split_assign_partitions_corpus_deterministically():
         .astype("int64")
     )
     assert got[["n_docs", "n_tokens"]].equals(want)
+
+
+def test_readability_brute_force(ray_session):
+    """Arrow re2 readability counts == stdlib-re truth, score recomputed."""
+    import re
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from ahrd_ray.stages.textstats import readability
+
+    docs = pq.read_table(
+        "/root/testdata/sf0.001/documents.parquet", columns=["doc_id", "text"]
+    )
+    truth = {}
+    for d, t in zip(docs["doc_id"].to_pylist(), docs["text"].to_pylist()):
+        w = len(re.findall(r"\S+", t))
+        s = len(re.findall(r"[.!?]+", t))
+        v = len(re.findall(r"[aeiouyAEIOUY]+", t))
+        f = 206.835 - 1.015 * (w / max(s, 1)) - 84.6 * (v / max(w, 1))
+        truth[int(d)] = (w, s, v, f)
+
+    df = readability("/root/testdata/sf0.001").to_pandas()
+    assert len(df) == len(truth)
+    for r in df.itertuples():
+        w, s, v, f = truth[int(r.doc_id)]
+        assert (r.n_words, r.n_sentences, r.n_vowel_groups) == (w, s, v)
+        assert np.float64(r.flesch) == np.float64(f), r.doc_id
