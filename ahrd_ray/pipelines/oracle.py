@@ -4301,3 +4301,33 @@ SELECT doc_id, n_words, n_sentences, n_vowel_groups,
          - 84.6 * (CAST(n_vowel_groups AS DOUBLE)
                    / CAST(greatest(n_words, 1) AS DOUBLE)) AS flesch
 FROM c"""
+
+
+def sql_crawl_schedule() -> str:
+    """Recrawl-frontier truth (stages/webstats.crawl_schedule): the
+    unrolled host-PageRank oracle as a CTE, staleness re-derived from the
+    warc_ts arithmetic, the same int64 rank x age product, row_number
+    top-K per host with the (priority DESC, doc_id ASC) tie order."""
+    from ahrd_ray.stages.webstats import CRAWL_TOP_K
+
+    return f"""WITH pr AS ({sql_host_pagerank()}),
+pages AS (
+  SELECT doc_id,
+         'h' || CAST(doc_id % {spec.LINK_HOST_MOD} AS VARCHAR) || '.example.org'
+           AS host,
+         greatest(1, date_diff('second',
+                               TIMESTAMP '2025-01-01 00:00:00' + to_seconds(doc_id),
+                               TIMESTAMP '2025-03-01 00:00:00')) AS age_sec
+  FROM documents
+),
+j AS (
+  SELECT p.host, p.doc_id,
+         pr.rank_units * p.age_sec AS priority_units,
+         row_number() OVER (
+           PARTITION BY p.host
+           ORDER BY pr.rank_units * p.age_sec DESC, p.doc_id ASC
+         ) AS rn
+  FROM pages p JOIN pr ON pr.host = p.host
+)
+SELECT host, doc_id, CAST(priority_units AS BIGINT) AS priority_units
+FROM j WHERE rn <= {CRAWL_TOP_K}"""

@@ -645,6 +645,12 @@ def _web_queries() -> dict[str, tuple[Callable, str | None]]:
             lambda sf: wb.redirect_resolve(sf),
             oracle.sql_redirect_resolve(),
         ),
+        # recrawl frontier: broadcast host-rank x staleness, map-side
+        # partial top-K per host (the continuous-crawl scheduling pass)
+        "wb_crawl_schedule": (
+            lambda sf: wb.crawl_schedule(sf),
+            oracle.sql_crawl_schedule(),
+        ),
     }
 
 

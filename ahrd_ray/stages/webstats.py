@@ -593,3 +593,77 @@ def redirect_resolve(sf_dir: str, max_hops: int = REDIRECT_HOPS) -> ray.data.Dat
         ),
         batch_format="pyarrow",
     )
+
+
+# recrawl scheduling: staleness is measured against a fixed reference
+# instant (a crawl cycle's launch time); priorities are exact int64
+# rank_units * age_seconds products
+CRAWL_REF_TS = np.datetime64("2025-03-01T00:00:00", "us")
+CRAWL_TOP_K = 3
+
+
+def crawl_schedule(sf_dir: str) -> ray.data.Dataset:
+    """(host, doc_id, priority_units) — the recrawl frontier: per host, the
+    CRAWL_TOP_K stalest-x-most-important pages, priority = host PageRank
+    rank_units x whole seconds since the page's warc_ts (floor-div, clamped
+    >= 1).  The scheduling pass of a continuous crawl: importance says
+    which hosts deserve budget, staleness says which of their pages to
+    spend it on.
+
+    Scale shape: the host rank vector is dim-sized (LINK_HOST_MOD-bounded
+    — the pagerank broadcast class) and ships once via ray.put; the
+    corpus-sized work is ONE map pass (parse canonical host from the html
+    bytes, int64 priority arithmetic, per-batch partial top-K per host) and
+    the shuffle carries <= CRAWL_TOP_K rows per (host, block) into the
+    host-hash finalize — never the page table."""
+    import pandas as pd
+
+    from ahrd_ray.pipelines.kg import pages_dataset
+    from ahrd_ray.stages.score import get_broadcast
+
+    pr = host_pagerank(sf_dir).to_pandas()  # dim-sized by LINK_HOST_MOD
+    rank_ref = ray.put(pd.Series(
+        pr["rank_units"].to_numpy(np.int64), index=pr["host"]
+    ))
+
+    def partial(batch: pa.Table) -> "pd.DataFrame":
+        ranks = get_broadcast(rank_ref)
+        s = batch["html"].combine_chunks().cast(pa.string())
+        host = pc.struct_field(
+            pc.extract_regex(s, r'rel="canonical" href="https://(?P<h>[^/"]+)/'),
+            "h",
+        ).to_pandas()
+        ts = batch["warc_ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        age = np.maximum((int(CRAWL_REF_TS.astype(np.int64)) - ts) // 1_000_000, 1)
+        df = pd.DataFrame(
+            {
+                "host": host,
+                "doc_id": batch["doc_id"].to_numpy(),
+                "priority_units": ranks.reindex(host).to_numpy(np.int64) * age,
+            }
+        )
+        return (
+            df.sort_values(
+                ["host", "priority_units", "doc_id"],
+                ascending=[True, False, True],
+                kind="mergesort",
+            )
+            .groupby("host", as_index=False)
+            .head(CRAWL_TOP_K)
+        )
+
+    def final(df: "pd.DataFrame") -> "pd.DataFrame":
+        return (
+            df.sort_values(
+                ["priority_units", "doc_id"], ascending=[False, True], kind="mergesort"
+            )
+            .head(CRAWL_TOP_K)
+            .astype({"doc_id": "int64", "priority_units": "int64"})
+        )
+
+    return (
+        pages_dataset(sf_dir)
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("host")
+        .map_groups(final, batch_format="pandas")
+    )

@@ -190,6 +190,10 @@ def run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
         ("rel_cdc_merge", lambda: gn.cdc_merge(sf_dir)),
         ("tx_char_stats", lambda: tx.char_stats(sf_dir)),
         ("kg_mention_coverage", lambda: gr.mention_coverage(sf_dir)),
+        ("wb_page_inlinks", lambda: wb.page_inlinks(sf_dir)),
+        ("wb_redirect_resolve", lambda: wb.redirect_resolve(sf_dir)),
+        ("kg_assortativity", lambda: gr.assortativity(sf_dir)),
+        ("tx_readability", lambda: tx.readability(sf_dir)),
     ]:
         t0 = time.perf_counter()
         out = builder()

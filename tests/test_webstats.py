@@ -214,3 +214,50 @@ def test_redirect_resolve_brute_force(ray_session):
     # the synthetic chain spec exercises every stop class at any sf
     assert (df["hops"] == 0).any() and (df["hops"] == REDIRECT_HOPS).any()
     assert df["hops"].between(1, REDIRECT_HOPS - 1).any()
+
+
+def test_crawl_schedule_brute_force(ray_session):
+    """Map-side partial top-K + host-hash finalize == a pandas recompute
+    from the host_pagerank table and the staleness arithmetic."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from ahrd_ray.sources import spec
+    from ahrd_ray.stages.webstats import (
+        CRAWL_REF_TS,
+        CRAWL_TOP_K,
+        crawl_schedule,
+        host_pagerank,
+    )
+
+    pr = host_pagerank(SF).to_pandas().set_index("host")["rank_units"]
+    docs = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id"])
+    ids = docs["doc_id"].to_numpy()
+    epoch = np.datetime64("2025-01-01T00:00:00", "us").astype(np.int64)
+    age = np.maximum(
+        (int(CRAWL_REF_TS.astype(np.int64)) - (epoch + ids * 1_000_000)) // 1_000_000,
+        1,
+    )
+    import pandas as pd
+
+    hosts = pd.Series([f"h{d % spec.LINK_HOST_MOD}.example.org" for d in ids])
+    want = (
+        pd.DataFrame(
+            {
+                "host": hosts,
+                "doc_id": ids,
+                "priority_units": pr.reindex(hosts).to_numpy(np.int64) * age,
+            }
+        )
+        .sort_values(["host", "priority_units", "doc_id"], ascending=[True, False, True])
+        .groupby("host", as_index=False)
+        .head(CRAWL_TOP_K)
+        .reset_index(drop=True)
+    )
+    got = (
+        crawl_schedule(SF)
+        .to_pandas()
+        .sort_values(["host", "priority_units", "doc_id"], ascending=[True, False, True])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want)
