@@ -4331,3 +4331,17 @@ j AS (
 )
 SELECT host, doc_id, CAST(priority_units AS BIGINT) AS priority_units
 FROM j WHERE rn <= {CRAWL_TOP_K}"""
+
+
+def sql_host_dup_rate() -> str:
+    """Per-host paragraph-duplicate rate (stages/webstats.host_dup_rate):
+    the paragraph keep-first oracle rolled up per host with the same
+    fixed-order double division."""
+    return f"""WITH pd AS ({sql_paragraph_dedup()})
+SELECT 'h' || CAST(doc_id % {spec.LINK_HOST_MOD} AS VARCHAR) || '.example.org'
+         AS host,
+       CAST(count(*) AS BIGINT) AS n_windows,
+       CAST(sum(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT) AS n_dups,
+       CAST(sum(CASE WHEN keep THEN 0 ELSE 1 END) AS DOUBLE)
+         / CAST(count(*) AS DOUBLE) AS dup_ratio
+FROM pd GROUP BY 1"""

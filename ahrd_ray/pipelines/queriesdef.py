@@ -651,6 +651,12 @@ def _web_queries() -> dict[str, tuple[Callable, str | None]]:
             lambda sf: wb.crawl_schedule(sf),
             oracle.sql_crawl_schedule(),
         ),
+        # domain-level duplicate-rate spam signal riding paragraph_dedup's
+        # integer-only shuffle
+        "wb_host_dup_rate": (
+            lambda sf: wb.host_dup_rate(sf),
+            oracle.sql_host_dup_rate(),
+        ),
     }
 
 

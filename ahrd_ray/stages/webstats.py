@@ -667,3 +667,56 @@ def crawl_schedule(sf_dir: str) -> ray.data.Dataset:
         .groupby("host")
         .map_groups(final, batch_format="pandas")
     )
+
+
+def host_dup_rate(sf_dir: str) -> ray.data.Dataset:
+    """(host, n_windows, n_dups, dup_ratio) — per-host paragraph-duplicate
+    rate: the domain-level spam/boilerplate signal (C4/RefinedWeb drop
+    whole hosts whose pages are mostly copies).  A window instance is a
+    dup when it is NOT the corpus-first occurrence of its exact word
+    sequence (dedup.paragraph_dedup's keep flag).
+
+    Scale shape: rides paragraph_dedup's integer-only shuffle (hash,
+    doc_id, para_idx — document text never moves), then a map-side partial
+    rollup so the host groupby carries <= |hosts| rows per block.  The
+    host key derives from the spec arithmetic the pages synth uses (the
+    crawl_log precedent: fixture synthesis, not the operator under test —
+    wb_host_quality covers parsing the canonical host out of html
+    bytes)."""
+    import pandas as pd
+
+    from ahrd_ray.stages.dedup import paragraph_dedup
+
+    def partial(t: pa.Table) -> "pd.DataFrame":
+        d = t["doc_id"].to_numpy()
+        keep = t["keep"].to_numpy(zero_copy_only=False).astype(bool)
+        return (
+            pd.DataFrame(
+                {
+                    "hostn": (d % spec.LINK_HOST_MOD).astype(np.int64),
+                    "n_windows": np.ones(len(d), dtype=np.int64),
+                    "n_dups": (~keep).astype(np.int64),
+                }
+            )
+            .groupby("hostn", as_index=False)
+            .sum()
+        )
+
+    def final(df: "pd.DataFrame") -> "pd.DataFrame":
+        g = df.groupby("hostn", as_index=False)[["n_windows", "n_dups"]].sum()
+        return pd.DataFrame(
+            {
+                "host": "h" + g["hostn"].astype(str) + ".example.org",
+                "n_windows": g["n_windows"].astype("int64"),
+                "n_dups": g["n_dups"].astype("int64"),
+                "dup_ratio": g["n_dups"].to_numpy(np.float64)
+                / g["n_windows"].to_numpy(np.float64),
+            }
+        )
+
+    return (
+        paragraph_dedup(sf_dir)
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("hostn")
+        .map_groups(final, batch_format="pandas")
+    )

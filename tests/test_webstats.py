@@ -261,3 +261,29 @@ def test_crawl_schedule_brute_force(ray_session):
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(got, want)
+
+
+def test_host_dup_rate_consistency(ray_session):
+    """Host rollup == a pandas recompute from paragraph_dedup's own flags;
+    ratios are the exact dup/window quotients and dups are present."""
+    import pandas as pd
+
+    from ahrd_ray.sources import spec
+    from ahrd_ray.stages.dedup import paragraph_dedup
+    from ahrd_ray.stages.webstats import host_dup_rate
+
+    flags = paragraph_dedup(SF).to_pandas()
+    flags["host"] = "h" + (flags["doc_id"] % spec.LINK_HOST_MOD).astype(str) + ".example.org"
+    want = flags.groupby("host").agg(
+        n_windows=("keep", "size"), n_dups=("keep", lambda k: int((~k).sum()))
+    )
+
+    got = host_dup_rate(SF).to_pandas().set_index("host").sort_index()
+    want = want.sort_index()
+    assert (got["n_windows"] == want["n_windows"]).all()
+    assert (got["n_dups"] == want["n_dups"]).all()
+    assert (
+        got["dup_ratio"]
+        == got["n_dups"].to_numpy(float) / got["n_windows"].to_numpy(float)
+    ).all()
+    assert got["n_dups"].sum() > 0  # fixture genuinely repeats paragraphs
