@@ -568,6 +568,13 @@ def _web_queries() -> dict[str, tuple[Callable, str | None]]:
             ),
             "SELECT doc_id, text, lang, source, n_chars FROM documents",
         ),
+        # ORC shard roundtrip — the Hive/Trino-lakehouse columnar format
+        "src_orc_docs": (
+            lambda sf: formats.read_documents_orc(sf).map_batches(
+                _int64, batch_format="pyarrow"
+            ),
+            "SELECT doc_id, text, lang, source, n_chars FROM documents",
+        ),
         # partition pruning: only the lang=en directory is listed and read
         "src_pruned_docs": (
             lambda sf: formats.read_documents_pruned(sf).map_batches(

@@ -258,3 +258,42 @@ def read_documents_ipc(sf_dir: str) -> ray.data.Dataset:
         )
 
     return ds.map_batches(parse, batch_format="pyarrow")
+
+
+def documents_orc_dir(sf_dir: str) -> str:
+    """Documents as ORC shards — the columnar interchange format of the
+    Hive/Trino lakehouse world.  Same resumable file-per-block layout as
+    the IPC sink (deterministic min-doc_id names)."""
+    import pyarrow.orc as orc
+
+    def write(out_dir: str) -> None:
+        ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=DOC_COLS)
+
+        def write_block(batch: pa.Table) -> pa.Table:
+            lo = min(batch["doc_id"].to_pylist())
+            orc.write_table(batch, f"{out_dir}/part-{lo:012d}.orc")
+            return batch.select(["doc_id"]).slice(0, 0)
+
+        ds.map_batches(write_block, batch_format="pyarrow").materialize()
+
+    return _render(sf_dir, "docs-orc", write)
+
+
+def read_documents_orc(sf_dir: str) -> ray.data.Dataset:
+    """ORC shard reader: binary files stream one-per-task, each task maps
+    the buffer with the Arrow ORC reader — no whole-directory driver
+    materialization (the read_documents_ipc shape)."""
+    ds = ray.data.read_binary_files(documents_orc_dir(sf_dir))
+
+    def parse(batch: pa.Table) -> pa.Table:
+        import pyarrow.orc as orc
+
+        tables = [
+            orc.ORCFile(pa.BufferReader(b)).read(columns=DOC_COLS)
+            for b in batch["bytes"].to_pylist()
+        ]
+        return pa.concat_tables(tables) if tables else pa.table(
+            {c: pa.array([], type=pa.string()) for c in DOC_COLS}
+        )
+
+    return ds.map_batches(parse, batch_format="pyarrow")

@@ -191,3 +191,24 @@ def test_ntriples_escaping_roundtrip():
     # each line is well-formed N-Triples surface syntax
     for ln in lines.to_pylist():
         assert ln.endswith(" .") and ln.startswith("<")
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_orc_roundtrip_value_exact():
+    """ORC shard write -> read roundtrip returns the canonical documents
+    rows value-exact, including the int64/float columns."""
+    import duckdb
+
+    from ahrd_ray.sources.formats import DOC_COLS, read_documents_orc
+
+    sf = "/root/testdata/sf0.001"
+    got = (
+        read_documents_orc(sf)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)[DOC_COLS]
+    )
+    want = duckdb.sql(
+        f"SELECT {', '.join(DOC_COLS)} FROM '{sf}/documents.parquet' ORDER BY doc_id"
+    ).df()
+    assert got.equals(want)
