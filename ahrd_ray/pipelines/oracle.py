@@ -4345,3 +4345,25 @@ SELECT 'h' || CAST(doc_id % {spec.LINK_HOST_MOD} AS VARCHAR) || '.example.org'
        CAST(sum(CASE WHEN keep THEN 0 ELSE 1 END) AS DOUBLE)
          / CAST(count(*) AS DOUBLE) AS dup_ratio
 FROM pd GROUP BY 1"""
+
+
+def sql_wav_energy() -> str:
+    """Windowed frame-energy truth (stages/multimodal.wav_energy): the
+    same synthetic-waveform arithmetic as sql_audio_stats, grouped into
+    WAV_WIN-sample windows with exact int64 sums of squares."""
+    from ahrd_ray.stages.multimodal import WAV_WIN
+
+    return f"""WITH s AS (
+  SELECT doc_id,
+         unnest(generate_series(0, CAST(99 + doc_id % 50 AS BIGINT))) AS i
+  FROM documents
+),
+a AS (
+  SELECT doc_id, i // {WAV_WIN} AS win_idx,
+         (doc_id * 7 + i * 13) % 512 - 256 AS amp
+  FROM s
+)
+SELECT doc_id, CAST(win_idx AS BIGINT) AS win_idx,
+       CAST(count(*) AS BIGINT) AS n_samples,
+       CAST(sum(amp * amp) AS BIGINT) AS energy
+FROM a GROUP BY doc_id, win_idx"""

@@ -726,6 +726,12 @@ def _generic_queries() -> dict[str, tuple[Callable, str | None]]:
             lambda sf: mm.ahash_features(sf),
             oracle.sql_ahash(),
         ),
+        # windowed frame energy through the real RIFF/PCM parser — the
+        # VAD / silence-trim front-end feature
+        "mm_wav_energy": (
+            lambda sf: mm.wav_energy(sf),
+            oracle.sql_wav_energy(),
+        ),
         "rel_props_agg": (
             lambda sf: g.props_agg(sf).map_batches(_int64, batch_format="pyarrow"),
             oracle.sql_props_agg(),

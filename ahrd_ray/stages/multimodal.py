@@ -633,3 +633,47 @@ def ahash_features(
         batch_size=batch_size,
         concurrency=concurrency,
     )
+
+
+# frame-energy windowing: the VAD / silence-trim front-end of an audio
+# training pipeline.  Non-overlapping windows; the trailing partial window
+# is kept (n < WAV_WIN tells the consumer).
+WAV_WIN = 32
+
+
+def wav_energy(sf_dir: str, concurrency: int | tuple = 2) -> ray.data.Dataset:
+    """WAV payloads -> (doc_id, win_idx, n_samples, energy) through the
+    REAL RIFF/PCM parser: per non-overlapping WAV_WIN-sample window, the
+    exact int64 sum of squared amplitudes — the frame-energy feature every
+    voice-activity / silence-trimming stage consumes.  Integer-exact, so
+    the SQL oracle re-derives it from the synthetic waveform arithmetic.
+
+    Scale shape: an actor-pool map over small batches (payloads are
+    large), zero shuffle — window rows leave the task already final."""
+
+    def energy(batch: pa.Table) -> pa.Table:
+        ids, wins, ns, es = [], [], [], []
+        for d, blob in zip(batch["doc_id"].to_pylist(), batch["media"].to_pylist()):
+            s = decode_audio(blob)["samples"].astype(np.int64)
+            n = len(s)
+            n_win = (n + WAV_WIN - 1) // WAV_WIN
+            starts = np.arange(n_win) * WAV_WIN
+            sq = s * s
+            e = np.add.reduceat(sq, starts)
+            cnt = np.minimum(WAV_WIN, n - starts)
+            ids.extend([d] * n_win)
+            wins.extend(range(n_win))
+            ns.extend(cnt.tolist())
+            es.extend(e.tolist())
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, type=pa.int64()),
+                "win_idx": pa.array(wins, type=pa.int64()),
+                "n_samples": pa.array(ns, type=pa.int64()),
+                "energy": pa.array(es, type=pa.int64()),
+            }
+        )
+
+    return wav_payloads(sf_dir).map_batches(
+        energy, batch_format="pyarrow", batch_size=64, concurrency=concurrency
+    )

@@ -793,3 +793,27 @@ def test_ahash_matches_raster_brute_force(ray_session):
     assert got["ahash_lo"].tolist() == los
     assert ((got["ahash_hi"] >= 0) & (got["ahash_hi"] < 2**32)).all()
     assert ((got["ahash_lo"] >= 0) & (got["ahash_lo"] < 2**32)).all()
+
+
+def test_wav_energy_brute_force(ray_session):
+    """Windowed frame energy through the real WAV parser == a per-doc
+    numpy recompute from the synthetic waveform arithmetic."""
+    import numpy as np
+
+    from ahrd_ray.stages.multimodal import WAV_WIN, wav_energy
+
+    df = wav_energy("/root/testdata/sf0.001").to_pandas()
+    for d in (0, 7, 499):
+        n = 100 + d % 50
+        i = np.arange(n, dtype=np.int64)
+        s = (d * 7 + i * 13) % 512 - 256
+        g = df[df["doc_id"] == d].sort_values("win_idx")
+        n_win = (n + WAV_WIN - 1) // WAV_WIN
+        assert len(g) == n_win
+        for w in range(n_win):
+            seg = s[w * WAV_WIN : (w + 1) * WAV_WIN]
+            row = g.iloc[w]
+            assert row["n_samples"] == len(seg)
+            assert row["energy"] == int((seg * seg).sum())
+    # trailing partial window present (n % WAV_WIN != 0 for doc 0: 100 % 32)
+    assert (df["n_samples"] < WAV_WIN).any()
