@@ -4367,3 +4367,22 @@ SELECT doc_id, CAST(win_idx AS BIGINT) AS win_idx,
        CAST(count(*) AS BIGINT) AS n_samples,
        CAST(sum(amp * amp) AS BIGINT) AS energy
 FROM a GROUP BY doc_id, win_idx"""
+
+
+def sql_anchor_text_index() -> str:
+    """Anchor-text-index truth (stages/webstats.anchor_text_index): target
+    arithmetic + the anchor text the synth writes (the slot number)."""
+    t_mult, t_step, t_mod = (
+        spec.LINK_TARGET_MULT,
+        spec.LINK_TARGET_STEP,
+        spec.LINK_TARGET_MOD,
+    )
+    vals = ", ".join(f"({j})" for j in range(1, spec.LINK_K + 1))
+    return f"""WITH js(j) AS (VALUES {vals}),
+a AS (
+  SELECT (doc_id * {t_mult} + j * {t_step}) % {t_mod} AS page_id,
+         CAST(j AS VARCHAR) AS anchor_text
+  FROM documents CROSS JOIN js
+)
+SELECT page_id, anchor_text, CAST(count(*) AS BIGINT) AS n
+FROM a GROUP BY page_id, anchor_text"""

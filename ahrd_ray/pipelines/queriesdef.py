@@ -664,6 +664,12 @@ def _web_queries() -> dict[str, tuple[Callable, str | None]]:
             lambda sf: wb.host_dup_rate(sf),
             oracle.sql_host_dup_rate(),
         ),
+        # anchor-text index per linked-to page (the web-IR entity-aliasing
+        # signal): href target + inner text parsed per anchor slot
+        "wb_anchor_text": (
+            lambda sf: wb.anchor_text_index(sf),
+            oracle.sql_anchor_text_index(),
+        ),
     }
 
 

@@ -720,3 +720,59 @@ def host_dup_rate(sf_dir: str) -> ray.data.Dataset:
         .groupby("hostn")
         .map_groups(final, batch_format="pandas")
     )
+
+
+def anchor_text_index(sf_dir: str) -> ray.data.Dataset:
+    """(page_id, anchor_text, n) — the anchor-text index: for every linked-
+    to page, the texts other pages use to link to it, counted.  THE
+    classic web-IR aliasing signal (anchor text names entities better than
+    the target page itself); the entity-linking stage consumes it as an
+    alias table.
+
+    Parses BOTH the href target and the anchor's inner text out of the
+    html bytes with one re2 kernel per anchor slot.  Same partial-count /
+    node-hash-fold shape as page_inlinks — the shuffle carries distinct
+    (target, text) partials per block, never anchors."""
+    import pandas as pd
+
+    from ahrd_ray.pipelines.kg import pages_dataset
+    from ahrd_ray.stages.partitioning import n_hash_parts
+
+    n_parts = n_hash_parts()
+
+    def partial(batch: pa.Table) -> "pd.DataFrame":
+        s = batch["html"].combine_chunks().cast(pa.string())
+        frames = []
+        for j in range(1, spec.LINK_K + 1):
+            m = pc.extract_regex(
+                s,
+                rf'<a rel="o{j}" href="https://[^/"]+/p/(?P<t>[0-9]+)">(?P<x>[^<]*)</a>',
+            )
+            frames.append(
+                pd.DataFrame(
+                    {
+                        "page_id": pc.cast(pc.struct_field(m, "t"), pa.int64())
+                        .to_numpy(zero_copy_only=False),
+                        "anchor_text": pc.struct_field(m, "x").to_pandas(),
+                    }
+                )
+            )
+        df = pd.concat(frames)
+        out = df.groupby(["page_id", "anchor_text"], as_index=False).size()
+        out = out.rename(columns={"size": "n"}).astype({"page_id": "int64", "n": "int64"})
+        out["npart"] = (out["page_id"] % n_parts).astype("int32")
+        return out
+
+    def fold(df: "pd.DataFrame") -> "pd.DataFrame":
+        return (
+            df.groupby(["page_id", "anchor_text"], as_index=False)["n"]
+            .sum()
+            .astype({"n": "int64"})
+        )
+
+    return (
+        pages_dataset(sf_dir)
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("npart")
+        .map_groups(fold, batch_format="pandas")
+    )

@@ -287,3 +287,27 @@ def test_host_dup_rate_consistency(ray_session):
         == got["n_dups"].to_numpy(float) / got["n_windows"].to_numpy(float)
     ).all()
     assert got["n_dups"].sum() > 0  # fixture genuinely repeats paragraphs
+
+
+def test_anchor_text_index_brute_force(ray_session):
+    """Engine (href target + inner text) parse == stdlib-regex truth."""
+    import re
+    from collections import Counter
+
+    import pyarrow.parquet as pq
+
+    from ahrd_ray.functions.textx import synthesize_html
+    from ahrd_ray.stages.webstats import anchor_text_index
+
+    want: Counter = Counter()
+    docs = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text", "lang"])
+    for d, t, l in zip(*(docs[c].to_pylist() for c in ("doc_id", "text", "lang"))):
+        html = synthesize_html(int(d), t, l).decode("utf-8")
+        for tgt, txt in re.findall(
+            r'<a rel="o\d+" href="https://[^/"]+/p/(\d+)">([^<]*)</a>', html
+        ):
+            want[(int(tgt), txt)] += 1
+
+    df = anchor_text_index(SF).to_pandas()
+    got = {(int(r.page_id), r.anchor_text): int(r.n) for r in df.itertuples()}
+    assert got == dict(want)
