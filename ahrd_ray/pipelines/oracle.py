@@ -4386,3 +4386,15 @@ a AS (
 )
 SELECT page_id, anchor_text, CAST(count(*) AS BIGINT) AS n
 FROM a GROUP BY page_id, anchor_text"""
+
+
+def sql_events_ntile() -> str:
+    """ntile window truth (stages/generic.events_ntile): native ntile over
+    the same total (value, event_id) order."""
+    from ahrd_ray.stages.generic import NTILE_N
+
+    return f"""SELECT event_id, user_id,
+       CAST(ntile({NTILE_N}) OVER (
+         PARTITION BY user_id ORDER BY value, event_id
+       ) AS BIGINT) AS quartile
+FROM events"""

@@ -852,6 +852,12 @@ def _generic_queries() -> dict[str, tuple[Callable, str | None]]:
             lambda sf: g.events_row_number(sf).map_batches(_int64, batch_format="pyarrow"),
             oracle.sql_events_row_number(),
         ),
+        # window function: equal-frequency bucketing (SQL ntile semantics,
+        # first cnt % n buckets take the extra row)
+        "rel_ntile": (
+            lambda sf: g.events_ntile(sf).map_batches(_int64, batch_format="pyarrow"),
+            oracle.sql_events_ntile(),
+        ),
         # skew-aware join: hot keys broadcast map-side, cold keys hash join
         "rel_skew_join": (
             lambda sf: g.skew_join_events_customers(sf).map_batches(

@@ -2436,3 +2436,50 @@ def events_cube(sf_dir: str) -> ray.data.Dataset:
         return out[["event_type", "hr", "n", "sum_value"]].astype({"n": "int64"})
 
     return base.repartition(1).map_batches(cube, batch_format="pandas", batch_size=None)
+
+
+NTILE_N = 4
+
+
+def events_ntile(sf_dir: str, n: int = NTILE_N) -> ray.data.Dataset:
+    """(event_id, user_id, quartile) — ntile(4) over (partition by user
+    order by value, event_id): the equal-frequency bucketing window the
+    feature-binning / spend-quartile passes use.  SQL ntile semantics
+    exactly: the first cnt % n buckets take one extra row.
+
+    Shape: the events_row_number user-hash shuffle; inside a partition the
+    tile assignment is a sort + two vectorized integer formulas (no Python
+    per-row work).  The (value, event_id) order key is a total order, so
+    the assignment is deterministic on both sides."""
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "value"]
+    )
+    n_parts = n_hash_parts()
+
+    def tag(df: pd.DataFrame) -> pd.DataFrame:
+        return df.assign(upart=(df["user_id"] % n_parts).astype("int32"))
+
+    def tile(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "value", "event_id"], kind="mergesort")
+        r = df.groupby("user_id").cumcount().to_numpy(np.int64)
+        cnt = df.groupby("user_id")["user_id"].transform("size").to_numpy(np.int64)
+        size = cnt // n
+        big = cnt % n
+        cut = big * (size + 1)
+        in_big = r < cut
+        # size == 0 rows are all in the big branch (cut == cnt there)
+        safe = np.maximum(size, 1)
+        q = np.where(in_big, r // (size + 1), big + (r - cut) // safe) + 1
+        return pd.DataFrame(
+            {
+                "event_id": df["event_id"].to_numpy(),
+                "user_id": df["user_id"].to_numpy(),
+                "quartile": q.astype(np.int64),
+            }
+        )
+
+    return (
+        ev.map_batches(tag, batch_format="pandas")
+        .groupby("upart")
+        .map_groups(tile, batch_format="pandas")
+    )

@@ -65,6 +65,50 @@ def replicated_docs(sf_dir: str, mult: int):
     return ds, n * mult
 
 
+def staged_corpus_dir(sf_dir: str, mult: int) -> str:
+    """Replicated corpus staged as a parquet directory (all documents
+    columns, disjoint doc_ids), so ANY pipeline that reads
+    ``{sf_dir}/documents.parquet`` can be scaling-measured unchanged.
+    Written once per (sf, mult) and reused — staging happens OUTSIDE the
+    timed window either way."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    import ray.data
+
+    out = f"/tmp/ahrd_ray_bench/staged_{os.path.basename(sf_dir)}_x{mult}"
+    marker = f"{out}/_DONE"
+    if os.path.exists(marker):
+        return out
+    base = ray.data.read_parquet(f"{sf_dir}/documents.parquet")
+    n = base.count()
+
+    def explode(b: pa.Table, _n=n, _mult=mult) -> pa.Table:
+        b = b.replace_schema_metadata(None)
+        i = b.schema.get_field_index("doc_id")
+        copies = [
+            b.set_column(i, "doc_id", pc.add(b["doc_id"], k * _n))
+            for k in range(_mult)
+        ]
+        return pa.concat_tables(copies)
+
+    os.makedirs(out, exist_ok=True)
+    (
+        base.map_batches(explode, batch_format="pyarrow")
+        .repartition(max(64, mult * 8))
+        .write_parquet(f"{out}/documents.parquet")
+    )
+    # pipelines may read side tables (events, lineitem, ...) — link them
+    for f in os.listdir(sf_dir):
+        if f.endswith(".parquet") and f != "documents.parquet":
+            dst = f"{out}/{f}"
+            if not os.path.exists(dst):
+                os.symlink(f"{sf_dir}/{f}", dst)
+    with open(marker, "w") as f:
+        f.write("ok")
+    return out
+
+
 def run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
     import ray
 
@@ -76,6 +120,39 @@ def run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
     from ahrd_ray.pipelines import kg
 
     mult = int(os.environ.get("GRAFT_SCALE_MULT", "1"))
+    pipe = os.environ.get("GRAFT_SCALE_PIPE", "kg_triples")
+    if mult > 1 and pipe != "kg_triples":
+        # scaling measurement for a staged (shuffle-heavy) pipeline: the
+        # corpus is written once as parquet so the pipeline under test runs
+        # its own unmodified read path
+        from ahrd_ray.pipelines.corpus import clean_corpus
+        from ahrd_ray.stages import dedup as dd
+
+        builders = {
+            "dd_exact": dd.exact_dedup,
+            "dd_minhash_lsh": dd.minhash_lsh_pairs,
+            "llm_clean_corpus": clean_corpus,
+        }
+        staged = staged_corpus_dir(sf_dir, mult)
+        n_docs = ray.data.read_parquet(
+            f"{staged}/documents.parquet", columns=["doc_id"]
+        ).count()
+        builders[pipe](sf_dir).count()  # warmup at base scale (worker spin-up)
+        t0 = time.perf_counter()
+        n_out = builders[pipe](staged).count()
+        wall = time.perf_counter() - t0
+        ray.shutdown()
+        return {
+            "metric": f"{pipe}_wall_sec",
+            "value": round(wall, 3),
+            "unit": "sec",
+            "queries": {pipe: round(wall, 3)},
+            "sf": f"{staged} x{mult}",
+            "num_cpus": num_cpus,
+            "docs": n_docs,
+            "rows_out": n_out,
+            "docs_per_sec": round(n_docs / wall, 2),
+        }
     if mult > 1:
         # scaling measurement: warm the workers, then time the flagship over
         # the replicated corpus
@@ -244,6 +321,7 @@ def main() -> None:
         # (per-task warmup/planning overhead is a fixed few seconds; a
         # 100 TB corpus never sees it) — two fresh-process runs per level,
         # best wall time to strip page-cache noise
+        pipe = os.environ.get("GRAFT_SCALE_PIPE", "kg_triples")
         mult = int(os.environ.get("GRAFT_SCALE_MULT", "24"))
         reps = int(os.environ.get("GRAFT_SCALING_REPS", "1"))
         r_low = min(
@@ -266,8 +344,8 @@ def main() -> None:
                     "value": round(eff, 3),
                     "unit": "ratio",
                     "queries": {
-                        f"kg_triples_cpus{low}": r_low["value"],
-                        f"kg_triples_cpus{high}": r_high["value"],
+                        f"{pipe}_cpus{low}": r_low["value"],
+                        f"{pipe}_cpus{high}": r_high["value"],
                     },
                     "sf": SF_DIR,
                     "scale_mult": mult,

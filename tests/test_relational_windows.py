@@ -256,3 +256,34 @@ def test_cube_marginals_are_consistent():
     assert ft.to_dict() == per_type.set_index("event_type")["n"].to_dict()
     fh = fine.groupby("hr")["n"].sum()
     assert fh.to_dict() == per_hr.set_index("hr")["n"].to_dict()
+
+
+def test_ntile_semantics(ray_session):
+    """Engine ntile == DuckDB ntile on the real events table, and the
+    integer bucket formula handles the cnt<n and ragged-bucket corners."""
+    import duckdb
+    import numpy as np
+
+    from ahrd_ray.stages.generic import NTILE_N, events_ntile
+
+    sf = "/root/testdata/sf0.001"
+    got = (
+        events_ntile(sf)
+        .to_pandas()
+        .sort_values(["user_id", "event_id"])
+        .reset_index(drop=True)
+    )
+    want = duckdb.sql(
+        f"""SELECT event_id, user_id,
+               CAST(ntile({NTILE_N}) OVER (
+                 PARTITION BY user_id ORDER BY value, event_id) AS BIGINT)
+                 AS quartile
+            FROM '{sf}/events.parquet'
+            ORDER BY user_id, event_id"""
+    ).df()
+    assert (got["quartile"].to_numpy() == want["quartile"].to_numpy()).all()
+    # ragged-bucket corner present in the fixture (cnt % NTILE_N != 0:
+    # the first cnt % n buckets take one extra row)
+    sizes = got.groupby("user_id").size()
+    assert (sizes % NTILE_N != 0).any()
+    assert got["quartile"].between(1, NTILE_N).all()
