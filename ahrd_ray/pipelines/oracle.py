@@ -4398,3 +4398,16 @@ def sql_events_ntile() -> str:
          PARTITION BY user_id ORDER BY value, event_id
        ) AS BIGINT) AS quartile
 FROM events"""
+
+
+def sql_edge_growth(cfg: EngineConfig) -> str:
+    """KG growth-curve truth (stages/graph.edge_growth): the edge_timespan
+    relation bucketed by first_doc decile with the identical integer
+    boundary expression."""
+    from ahrd_ray.stages.graph import GROWTH_BUCKETS
+
+    return f"""WITH et AS ({sql_edge_timespan(cfg)}),
+m AS (SELECT max(doc_id) + 1 AS span FROM documents)
+SELECT CAST((et.first_doc * {GROWTH_BUCKETS}) // m.span AS BIGINT) AS bucket,
+       CAST(count(*) AS BIGINT) AS n_edges
+FROM et, m GROUP BY 1"""

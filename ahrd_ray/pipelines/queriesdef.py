@@ -1216,6 +1216,8 @@ def _kg_queries(cfg) -> dict[str, tuple[Callable, str | None]]:
         "kg_link_pred": (q_link_pred, oracle.sql_link_pred(cfg)),
         "kg_clustering": (q_clustering, oracle.sql_clustering_coeff(cfg)),
         "kg_edge_timespan": (q_edge_timespan, oracle.sql_edge_timespan(cfg)),
+        # KG growth curve: edges bucketed by first-observation decile
+        "kg_edge_growth": (q_edge_growth, oracle.sql_edge_growth(cfg)),
         # node-level temporal provenance (first/last appearance per entity)
         "kg_entity_timeline": (q_entity_timeline, oracle.sql_entity_timeline(cfg)),
         "kg_neg_samples": (q_neg_samples, oracle.sql_neg_samples(cfg)),
@@ -1290,6 +1292,12 @@ def q_edge_timespan(sf_dir: str):
     return cooccurrence_edges(sf_dir, with_span=True).map_batches(
         _int64, batch_format="pyarrow"
     )
+
+
+def q_edge_growth(sf_dir: str):
+    from ahrd_ray.stages.graph import edge_growth
+
+    return edge_growth(sf_dir)
 
 
 def q_neg_samples(sf_dir: str):

@@ -2965,3 +2965,46 @@ def assortativity(sf_dir: str) -> ray.data.Dataset:
         .map_groups(final, batch_format="pandas")
         .select_columns(["m", "sx", "sxx", "sxy", "assortativity"])
     )
+
+
+GROWTH_BUCKETS = 10
+
+
+def edge_growth(sf_dir: str, buckets: int = GROWTH_BUCKETS) -> ray.data.Dataset:
+    """(bucket, n_edges) — the KG growth curve: co-occurrence edges
+    bucketed by FIRST observation time (doc_id is monotone in the crawl
+    fixture's warc_ts, so first_doc IS first observation).  The
+    incremental-refresh planning readout: how much of the graph each crawl
+    decile discovered.
+
+    Rides cooccurrence_edges(with_span=True) — the fused zero-shuffle
+    detection pass — and folds per-block decile partials, so the only
+    extra shuffle is <= ``buckets`` rows per block.  The decile boundary
+    derives from max(doc_id)+1 (one exact driver scalar; the oracle uses
+    the identical integer expression)."""
+    import ray.data
+
+    mx = (
+        ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+        .max("doc_id")
+    )
+    span = int(mx) + 1
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        first = t["first_doc"].to_numpy()
+        b = (first * buckets) // span
+        out = pd.DataFrame({"bucket": b.astype(np.int64)})
+        out = out.groupby("bucket", as_index=False).size()
+        return out.rename(columns={"size": "n_edges"}).astype(
+            {"bucket": "int64", "n_edges": "int64"}
+        )
+
+    return (
+        cooccurrence_edges(sf_dir, with_span=True)
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(
+            lambda df: df.groupby("bucket", as_index=False)["n_edges"].sum(),
+            batch_format="pandas",
+        )
+    )

@@ -844,3 +844,28 @@ def test_assortativity_brute_force():
     assert int(row["sxx"]) == sxx and int(row["sxy"]) == sxy
     assert row["assortativity"] == want
     assert -1.0 <= row["assortativity"] <= 1.0
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_edge_growth_reconciles_with_timespan():
+    """Decile growth buckets == a pandas recompute from the with_span
+    edge list, and bucket counts sum to the edge count."""
+    import pyarrow.parquet as pq
+
+    from ahrd_ray.stages.graph import GROWTH_BUCKETS, cooccurrence_edges, edge_growth
+
+    edges = cooccurrence_edges(SF, with_span=True).to_pandas()
+    mx = int(
+        pq.read_table(f"{SF}/documents.parquet", columns=["doc_id"])["doc_id"]
+        .to_numpy()
+        .max()
+    )
+    want = (
+        (edges["first_doc"].to_numpy() * GROWTH_BUCKETS) // (mx + 1)
+    )
+    import collections
+
+    truth = collections.Counter(want.tolist())
+    got = edge_growth(SF).to_pandas()
+    assert {int(r.bucket): int(r.n_edges) for r in got.itertuples()} == dict(truth)
+    assert int(got["n_edges"].sum()) == len(edges)
