@@ -271,6 +271,18 @@ def run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
         ("wb_redirect_resolve", lambda: wb.redirect_resolve(sf_dir)),
         ("kg_assortativity", lambda: gr.assortativity(sf_dir)),
         ("tx_readability", lambda: tx.readability(sf_dir)),
+        ("wb_crawl_schedule", lambda: wb.crawl_schedule(sf_dir)),
+        ("wb_host_dup_rate", lambda: wb.host_dup_rate(sf_dir)),
+        ("wb_anchor_text", lambda: wb.anchor_text_index(sf_dir)),
+        ("dd_decontaminate", lambda: dd.decontaminate(sf_dir)),
+        ("rel_ntile", lambda: gn.events_ntile(sf_dir)),
+        ("kg_edge_growth", lambda: gr.edge_growth(sf_dir)),
+        (
+            "mm_wav_energy",
+            lambda: __import__(
+                "ahrd_ray.stages.multimodal", fromlist=["x"]
+            ).wav_energy(sf_dir),
+        ),
     ]:
         t0 = time.perf_counter()
         out = builder()
