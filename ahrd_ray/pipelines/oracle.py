@@ -4411,3 +4411,23 @@ m AS (SELECT max(doc_id) + 1 AS span FROM documents)
 SELECT CAST((et.first_doc * {GROWTH_BUCKETS}) // m.span AS BIGINT) AS bucket,
        CAST(count(*) AS BIGINT) AS n_edges
 FROM et, m GROUP BY 1"""
+
+
+def sql_entity_cards(cfg: EngineConfig) -> str:
+    """Entity-card serving table (stages/graph.entity_cards): the
+    fact_support, degree and top_neighbor oracles joined entity-wise, the
+    catalog attached twice (own identity + best neighbor's)."""
+    return f"""WITH fs AS ({sql_fact_support(cfg)}),
+deg AS ({sql_cooccur_degree(cfg)}),
+tn AS ({sql_top_neighbor(cfg)}),
+cat AS ({sql_catalog(cfg)})
+SELECT fs.cand_ord, cat.cand_id, cat.description,
+       fs.n_docs AS support_docs, fs.n_mentions, fs.first_seen, fs.last_seen,
+       deg.degree, deg.w_docs,
+       tn.best_neighbor, nc.cand_id AS best_neighbor_id,
+       tn.n_docs AS neighbor_docs
+FROM fs
+JOIN cat USING (cand_ord)
+LEFT JOIN deg ON deg.node = fs.cand_ord
+LEFT JOIN tn ON tn.node = fs.cand_ord
+LEFT JOIN cat nc ON nc.cand_ord = tn.best_neighbor"""

@@ -1218,6 +1218,9 @@ def _kg_queries(cfg) -> dict[str, tuple[Callable, str | None]]:
         "kg_edge_timespan": (q_edge_timespan, oracle.sql_edge_timespan(cfg)),
         # KG growth curve: edges bucketed by first-observation decile
         "kg_edge_growth": (q_edge_growth, oracle.sql_edge_growth(cfg)),
+        # entity-card serving table: evidence + graph profile per entity,
+        # dim-sized left joins, broadcast identity gather
+        "kg_entity_cards": (q_entity_cards, oracle.sql_entity_cards(cfg)),
         # node-level temporal provenance (first/last appearance per entity)
         "kg_entity_timeline": (q_entity_timeline, oracle.sql_entity_timeline(cfg)),
         "kg_neg_samples": (q_neg_samples, oracle.sql_neg_samples(cfg)),
@@ -1298,6 +1301,12 @@ def q_edge_growth(sf_dir: str):
     from ahrd_ray.stages.graph import edge_growth
 
     return edge_growth(sf_dir)
+
+
+def q_entity_cards(sf_dir: str):
+    from ahrd_ray.stages.graph import entity_cards
+
+    return entity_cards(sf_dir)
 
 
 def q_neg_samples(sf_dir: str):

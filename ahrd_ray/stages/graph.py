@@ -3008,3 +3008,79 @@ def edge_growth(sf_dir: str, buckets: int = GROWTH_BUCKETS) -> ray.data.Dataset:
             batch_format="pandas",
         )
     )
+
+
+def entity_cards(sf_dir: str) -> ray.data.Dataset:
+    """One row per supported entity — the KG SERVING-TABLE materialization
+    (the "entity card" a lookup service stores): identity + description
+    from the catalog, evidence profile from fact_support (distinct-doc
+    support, mention count, first/last crawl snapshot), graph profile from
+    entity_degree and top_neighbor (degree, co-occurrence mass, strongest
+    partner + its identity).  Isolated-but-supported entities keep their
+    card with null graph fields (left joins — the null-preserving type).
+
+    Scale shape: all four inputs are ENTITY-keyed (catalog-dim-sized —
+    the broadcast class), so the two budgeted left joins move dim tables,
+    never the corpus; the identity/description attach is a broadcast
+    array gather, not a join."""
+    from ahrd_ray.pipelines import kg
+    from ahrd_ray.stages.partitioning import budgeted_join
+    from ahrd_ray.stages.score import get_broadcast
+
+    ctx = kg.cached_context(sf_dir)
+    arrays_ref = ctx.bundle_ref if hasattr(ctx, "bundle_ref") else None
+
+    fs = fact_support(sf_dir).map_batches(
+        lambda t: t.rename_columns(
+            ["cand_ord", "support_docs", "n_mentions", "first_seen", "last_seen"]
+        ),
+        batch_format="pyarrow",
+    )
+    deg = entity_degree(sf_dir).map_batches(
+        lambda t: t.rename_columns(["dnode", "degree", "w_docs"]),
+        batch_format="pyarrow",
+    )
+    tn = top_neighbor(sf_dir).map_batches(
+        lambda t: t.rename_columns(["tnode", "best_neighbor", "neighbor_docs"]),
+        batch_format="pyarrow",
+    )
+
+    j = budgeted_join(
+        fs, deg, on=["cand_ord"], right_on=["dnode"], n_joins=2,
+        join_type="left_outer",
+    )
+    j = budgeted_join(
+        j, tn, on=["cand_ord"], right_on=["tnode"], n_joins=2,
+        join_type="left_outer",
+    )
+
+    cand_id = ctx.bundle.arrays.cand_id
+    desc = ctx.bundle.arrays.description
+    ids_ref = ray.put((cand_id, desc))
+
+    def attach(t: pa.Table) -> pd.DataFrame:
+        ids, descs = get_broadcast(ids_ref)
+        df = t.to_pandas()
+        o = df["cand_ord"].to_numpy(np.int64)
+        bn = df["best_neighbor"].to_numpy()
+        bn_ok = ~pd.isna(bn)
+        bn_idx = np.where(bn_ok, bn, 0).astype(np.int64)
+        bn_id = np.where(bn_ok, ids[bn_idx], None)
+        return pd.DataFrame(
+            {
+                "cand_ord": o,
+                "cand_id": ids[o],
+                "description": descs[o],
+                "support_docs": df["support_docs"].to_numpy(),
+                "n_mentions": df["n_mentions"].to_numpy(),
+                "first_seen": df["first_seen"].to_numpy(),
+                "last_seen": df["last_seen"].to_numpy(),
+                "degree": df["degree"].to_numpy(),
+                "w_docs": df["w_docs"].to_numpy(),
+                "best_neighbor": bn,
+                "best_neighbor_id": bn_id,
+                "neighbor_docs": df["neighbor_docs"].to_numpy(),
+            }
+        )
+
+    return j.map_batches(attach, batch_format="pyarrow")

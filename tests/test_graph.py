@@ -869,3 +869,24 @@ def test_edge_growth_reconciles_with_timespan():
     got = edge_growth(SF).to_pandas()
     assert {int(r.bucket): int(r.n_edges) for r in got.itertuples()} == dict(truth)
     assert int(got["n_edges"].sum()) == len(edges)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_entity_cards_reconcile_with_components():
+    """Each card field == the standalone component query's value for the
+    same entity (the composition adds no drift), ids resolve."""
+    from ahrd_ray.stages.graph import entity_cards, entity_degree, fact_support
+
+    cards = entity_cards(SF).to_pandas().set_index("cand_ord").sort_index()
+    fs = fact_support(SF).to_pandas().set_index("cand_ord").sort_index()
+    deg = entity_degree(SF).to_pandas().set_index("node").sort_index()
+
+    assert (cards["support_docs"] == fs["n_docs"]).all()
+    assert (cards["n_mentions"] == fs["n_mentions"]).all()
+    common = cards.index.intersection(deg.index)
+    assert (cards.loc[common, "degree"] == deg.loc[common, "degree"]).all()
+    assert (cards.loc[common, "w_docs"] == deg.loc[common, "w_docs"]).all()
+    assert cards["cand_id"].notna().all()
+    # best neighbor's identity resolves through the same catalog
+    nb = cards.dropna(subset=["best_neighbor"])
+    assert nb["best_neighbor_id"].notna().all()
