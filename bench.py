@@ -277,6 +277,7 @@ def run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
         ("dd_decontaminate", lambda: dd.decontaminate(sf_dir)),
         ("rel_ntile", lambda: gn.events_ntile(sf_dir)),
         ("kg_edge_growth", lambda: gr.edge_growth(sf_dir)),
+        ("kg_entity_cards", lambda: gr.entity_cards(sf_dir)),
         (
             "mm_wav_energy",
             lambda: __import__(
