@@ -298,7 +298,7 @@ def cooc_window_edges(sf_dir: str, window: int = COOC_WINDOW) -> ray.data.Datase
     )
 
 
-def entity_degree(sf_dir: str) -> ray.data.Dataset:
+def entity_degree(sf_dir: str, edges: "ray.data.Dataset | None" = None) -> ray.data.Dataset:
     """(node, degree, w_docs) per entity: distinct co-occurring neighbors
     and total co-occurrence weight — the KG node-statistics pass.  One
     map-side partial over the edge list (each edge contributes to both
@@ -320,9 +320,9 @@ def entity_degree(sf_dir: str) -> ray.data.Dataset:
         out["npart"] = (out["node"] % n_parts).astype("int32")
         return out
 
+    src = edges if edges is not None else cooccurrence_edges(sf_dir)
     return (
-        cooccurrence_edges(sf_dir)
-        .map_batches(partial, batch_format="pyarrow")
+        src.map_batches(partial, batch_format="pyarrow")
         .groupby("npart")
         .map_groups(
             lambda df: df.groupby("node", as_index=False)[["degree", "w_docs"]].sum(),
@@ -1499,7 +1499,7 @@ def entity_components(sf_dir: str, max_iters: int = 16) -> pa.Table:
     )
 
 
-def top_neighbor(sf_dir: str) -> ray.data.Dataset:
+def top_neighbor(sf_dir: str, edges: "ray.data.Dataset | None" = None) -> ray.data.Dataset:
     """(node, best_neighbor, n_docs) — each entity's strongest co-occurring
     partner (max shared-doc weight, ties to the smaller neighbor id): the
     relatedness lookup a KG serves next to every entity.  One map-side
@@ -1538,9 +1538,9 @@ def top_neighbor(sf_dir: str) -> ray.data.Dataset:
             ["node", "best_neighbor", "n_docs"]
         ]
 
+    src = edges if edges is not None else cooccurrence_edges(sf_dir)
     return (
-        cooccurrence_edges(sf_dir)
-        .map_batches(partial, batch_format="pyarrow")
+        src.map_batches(partial, batch_format="pyarrow")
         .groupby("npart")
         .map_groups(finalize, batch_format="pandas")
     )
@@ -3036,11 +3036,15 @@ def entity_cards(sf_dir: str) -> ray.data.Dataset:
         ),
         batch_format="pyarrow",
     )
-    deg = entity_degree(sf_dir).map_batches(
+    # ONE detection pass feeds both edge consumers: the edge list
+    # materializes once and degree/top-neighbor fold over it (the
+    # pmi_edges detection-runs-once doctrine; 3 detection passes -> 2)
+    edges = cooccurrence_edges(sf_dir).materialize()
+    deg = entity_degree(sf_dir, edges=edges).map_batches(
         lambda t: t.rename_columns(["dnode", "degree", "w_docs"]),
         batch_format="pyarrow",
     )
-    tn = top_neighbor(sf_dir).map_batches(
+    tn = top_neighbor(sf_dir, edges=edges).map_batches(
         lambda t: t.rename_columns(["tnode", "best_neighbor", "neighbor_docs"]),
         batch_format="pyarrow",
     )
