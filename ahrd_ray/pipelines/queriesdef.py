@@ -1236,6 +1236,12 @@ def _kg_queries(cfg) -> dict[str, tuple[Callable, str | None]]:
             q_jsonl_docs,
             "SELECT doc_id, lang, text FROM documents",
         ),
+        # serving export: the DERIVED entity-card table through the JSONL
+        # sink and back — sinks compose losslessly with pipeline output
+        "snk_cards_jsonl": (
+            q_cards_jsonl,
+            oracle.sql_entity_cards(cfg),
+        ),
         # lossless-ness gate for the fully-quoted CSV sink
         "snk_csv_docs": (
             q_csv_docs,
@@ -1331,6 +1337,12 @@ def q_jsonl_docs(sf_dir: str):
     from ahrd_ray.stages.export import jsonl_roundtrip_docs
 
     return jsonl_roundtrip_docs(sf_dir).map_batches(_int64, batch_format="pyarrow")
+
+
+def q_cards_jsonl(sf_dir: str):
+    from ahrd_ray.stages.export import cards_jsonl_roundtrip
+
+    return cards_jsonl_roundtrip(sf_dir)
 
 
 def q_csv_docs(sf_dir: str):

@@ -242,3 +242,62 @@ def ntriples_roundtrip(sf_dir: str, scratch: str | None = None) -> ray.data.Data
         return parse_ntriples(batch["text"])
 
     return ray.data.read_text(files).map_batches(parse, batch_format="pyarrow")
+
+
+def cards_jsonl_roundtrip(sf_dir: str, scratch: str | None = None) -> ray.data.Dataset:
+    """Entity cards -> JSONL shards -> read back: the SERVING-EXPORT gate.
+    Unlike snk_jsonl_docs (a source-table identity), this sink is fed by a
+    DERIVED pipeline (graph.entity_cards — joins + broadcast gathers), so
+    the round-trip proves sinks compose losslessly with pipeline output:
+    ISO-microsecond timestamps, nullable int graph fields and unicode
+    descriptions all survive the line format.  The registry oracle is the
+    entity-card oracle itself."""
+    import os
+    import shutil
+
+    import pyarrow.compute as pc
+
+    from ahrd_ray.sources.textsink import LineTextDatasink
+    from ahrd_ray.stages.graph import entity_cards
+
+    def fmt(df: pd.DataFrame) -> pa.Table:
+        payload = df.to_json(
+            orient="records",
+            lines=True,
+            force_ascii=False,
+            date_format="iso",
+            date_unit="us",
+        )
+        return pa.table({"line": pa.array(payload.splitlines(), type=pa.string())})
+
+    scratch = scratch or f"/tmp/ahrd_ray_cards/{abs(hash(sf_dir)) % (1 << 32)}"
+    shutil.rmtree(scratch, ignore_errors=True)
+    entity_cards(sf_dir).map_batches(fmt, batch_format="pandas").write_datasink(
+        LineTextDatasink(scratch, file_format="jsonl")
+    )
+    files = [
+        os.path.join(scratch, f) for f in os.listdir(scratch) if f.endswith(".jsonl")
+    ]
+    back = ray.data.read_json(files)
+
+    INT_COLS = [
+        "cand_ord", "support_docs", "n_mentions", "degree", "w_docs",
+        "best_neighbor", "neighbor_docs",
+    ]
+    TS_COLS = ["first_seen", "last_seen"]
+
+    def fix_types(t: pa.Table) -> pa.Table:
+        # the JSON reader infers doubles for whole-number floats and may
+        # infer strings for ISO timestamps; pin the card schema exactly
+        cols = {}
+        for name in t.column_names:
+            col = t[name]
+            if name in INT_COLS:
+                col = pc.cast(col, pa.int64())
+            elif name in TS_COLS:
+                # Arrow's ISO-aware cast (strptime's %f is unsupported)
+                col = pc.cast(col, pa.timestamp("us"))
+            cols[name] = col
+        return pa.table(cols)
+
+    return back.map_batches(fix_types, batch_format="pyarrow")

@@ -212,3 +212,25 @@ def test_orc_roundtrip_value_exact():
         f"SELECT {', '.join(DOC_COLS)} FROM '{sf}/documents.parquet' ORDER BY doc_id"
     ).df()
     assert got.equals(want)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_cards_jsonl_roundtrip_lossless():
+    """The derived entity-card table survives the JSONL sink bit-exact:
+    timestamps at microsecond ISO, nullable ints, unicode descriptions."""
+    import pandas as pd
+
+    from ahrd_ray.stages.export import cards_jsonl_roundtrip
+    from ahrd_ray.stages.graph import entity_cards
+
+    sf = "/root/testdata/sf0.001"
+    want = entity_cards(sf).to_pandas().sort_values("cand_ord").reset_index(drop=True)
+    got = (
+        cards_jsonl_roundtrip(sf)
+        .to_pandas()
+        .sort_values("cand_ord")
+        .reset_index(drop=True)[want.columns.tolist()]
+    )
+    pd.testing.assert_frame_equal(
+        got, want.astype(got.dtypes.to_dict()), check_dtype=False
+    )
