@@ -28,6 +28,18 @@ import ray.data
 FIXTURE_VERSION = "1"
 
 DOC_COLS = ["doc_id", "text", "lang", "source", "n_chars"]
+# the real shard schema — empty-batch fallbacks must emit THIS, not
+# all-string columns, or an empty binary-files block poisons downstream
+# schema unification (doc_id/n_chars are int64 in every real shard)
+DOC_SCHEMA = pa.schema(
+    [
+        ("doc_id", pa.int64()),
+        ("text", pa.string()),
+        ("lang", pa.string()),
+        ("source", pa.string()),
+        ("n_chars", pa.int64()),
+    ]
+)
 EVENT_SCHEMA = {
     "event_id": pa.int64(),
     "ts": pa.timestamp("us"),
@@ -253,9 +265,7 @@ def read_documents_ipc(sf_dir: str) -> ray.data.Dataset:
             feather.read_table(pa.BufferReader(b)).select(DOC_COLS)
             for b in batch["bytes"].to_pylist()
         ]
-        return pa.concat_tables(tables) if tables else pa.table(
-            {c: pa.array([], type=pa.string()) for c in DOC_COLS}
-        )
+        return pa.concat_tables(tables) if tables else DOC_SCHEMA.empty_table()
 
     return ds.map_batches(parse, batch_format="pyarrow")
 
@@ -292,8 +302,6 @@ def read_documents_orc(sf_dir: str) -> ray.data.Dataset:
             orc.ORCFile(pa.BufferReader(b)).read(columns=DOC_COLS)
             for b in batch["bytes"].to_pylist()
         ]
-        return pa.concat_tables(tables) if tables else pa.table(
-            {c: pa.array([], type=pa.string()) for c in DOC_COLS}
-        )
+        return pa.concat_tables(tables) if tables else DOC_SCHEMA.empty_table()
 
     return ds.map_batches(parse, batch_format="pyarrow")

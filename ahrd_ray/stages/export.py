@@ -25,6 +25,17 @@ import ray.data
 UNKNOWN_QUALITY = "---"
 
 
+def _split_json_lines(payload: str) -> list[str]:
+    """Split a pandas ``to_json(lines=True)`` payload into records on '\\n'
+    ONLY.  ``str.splitlines()`` also splits on U+2028/U+2029/NEL/VT/FF,
+    which ``to_json(force_ascii=False)`` leaves unescaped inside JSON
+    strings — a description containing one would shear a record."""
+    lines = payload.split("\n")
+    if lines and lines[-1] == "":
+        lines.pop()
+    return lines
+
+
 def export_lines(ctx) -> ray.data.Dataset:
     """One row per output LINE (header, body alternating per doc)."""
     from ahrd_ray.pipelines import kg
@@ -96,7 +107,7 @@ def jsonl_export_lines(sf_dir: str) -> ray.data.Dataset:
 
     def fmt(df: pd.DataFrame) -> pa.Table:
         payload = df.to_json(orient="records", lines=True, force_ascii=False)
-        return pa.table({"line": pa.array(payload.splitlines(), type=pa.string())})
+        return pa.table({"line": pa.array(_split_json_lines(payload), type=pa.string())})
 
     return docs.map_batches(fmt, batch_format="pandas")
 
@@ -268,7 +279,7 @@ def cards_jsonl_roundtrip(sf_dir: str, scratch: str | None = None) -> ray.data.D
             date_format="iso",
             date_unit="us",
         )
-        return pa.table({"line": pa.array(payload.splitlines(), type=pa.string())})
+        return pa.table({"line": pa.array(_split_json_lines(payload), type=pa.string())})
 
     scratch = scratch or f"/tmp/ahrd_ray_cards/{abs(hash(sf_dir)) % (1 << 32)}"
     shutil.rmtree(scratch, ignore_errors=True)

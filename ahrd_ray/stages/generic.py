@@ -1138,6 +1138,11 @@ def kmv_distinct_users(sf_dir: str, k: int = KMV_K) -> ray.data.Dataset:
             if len(h) > k:
                 h = np.partition(h, k - 1)[:k]
             frames.append(pd.DataFrame({"event_type": t, "h": h}))
+        if not frames:  # empty block: pd.concat([]) raises
+            return pd.DataFrame(
+                {"event_type": pd.Series([], dtype=object),
+                 "h": pd.Series([], dtype="int64")}
+            )
         out = pd.concat(frames, ignore_index=True)
         # uint64 survives the shuffle as int64 bit-pattern (sign-agnostic
         # order is restored in the finalize by viewing back as uint64)
@@ -1188,6 +1193,11 @@ def kmv_overlap(sf_dir: str, k: int = KMV_K) -> pa.Table:
             if len(h) > k:
                 h = np.partition(h, k - 1)[:k]
             frames.append(pd.DataFrame({"event_type": t, "h": h}))
+        if not frames:  # empty block: pd.concat([]) raises
+            return pd.DataFrame(
+                {"event_type": pd.Series([], dtype=object),
+                 "h": pd.Series([], dtype="int64")}
+            )
         out = pd.concat(frames, ignore_index=True)
         out["h"] = out["h"].to_numpy().view(np.int64)
         return out

@@ -439,8 +439,13 @@ def extract_anchor_targets(batch: pa.Table) -> "np.ndarray":
             ),
             "t",
         )
-        parts.append(pc.cast(t, pa.int64()).to_numpy(zero_copy_only=False))
-    return np.concatenate(parts)
+        # pages without anchor slot j extract null — drop BEFORE the int64
+        # cast (a null would round-trip through numpy as a NaN float and
+        # poison the pa.array(int64) downstream)
+        parts.append(
+            pc.cast(t.drop_null(), pa.int64()).to_numpy(zero_copy_only=False)
+        )
+    return np.concatenate(parts) if parts else np.empty(0, dtype=np.int64)
 
 
 def page_inlinks(sf_dir: str) -> ray.data.Dataset:
@@ -463,6 +468,17 @@ def page_inlinks(sf_dir: str) -> ray.data.Dataset:
 
     def partial(batch: pa.Table) -> pa.Table:
         t = np.sort(extract_anchor_targets(batch))
+        if t.size == 0:
+            # over-parallelized reads emit empty blocks at small scales;
+            # np.r_[True] over a zero-length array would yield starts=[0]
+            # and t[starts] would raise
+            return pa.table(
+                {
+                    "page_id": pa.array([], type=pa.int64()),
+                    "n_inlinks": pa.array([], type=pa.int64()),
+                    "npart": pa.array([], type=pa.int32()),
+                }
+            )
         starts = np.flatnonzero(np.r_[True, t[1:] != t[:-1]])
         ids = t[starts]
         counts = np.diff(np.r_[starts, t.size]).astype(np.int64)
@@ -639,7 +655,11 @@ def crawl_schedule(sf_dir: str) -> ray.data.Dataset:
             {
                 "host": host,
                 "doc_id": batch["doc_id"].to_numpy(),
-                "priority_units": ranks.reindex(host).to_numpy(np.int64) * age,
+                # fill_value=0: a canonical host absent from the PageRank
+                # table (no outlinks anywhere) gets priority 0 instead of a
+                # NaN that the int64 conversion would raise on
+                "priority_units": ranks.reindex(host, fill_value=0).to_numpy(np.int64)
+                * age,
             }
         )
         return (
