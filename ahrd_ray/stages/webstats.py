@@ -278,29 +278,145 @@ def host_links(sf_dir: str) -> ray.data.Dataset:
     )
 
 
-def host_pagerank(sf_dir: str, iters: int = 5) -> ray.data.Dataset:
-    """(host, rank_units) — weighted integer-unit PageRank over the host
-    link graph, the Common-Crawl web-graph ranking product.
+def host_driver_max() -> int:
+    """Host-count threshold below which the AGGREGATED host graph is
+    treated as dim-table-sized and the iteration runs on driver-collected
+    numpy state.  Above it, :func:`host_pagerank` / :func:`host_harmonic`
+    switch to the distributed integer edge-sweep / frontier branch (the
+    entity-PageRank machinery) — the host EDGE table never lands on the
+    driver and no dense n x n matrix is built.  Env-overridable so tests
+    force the distributed branch on small fixtures."""
+    import os
 
-    Scale shape: the corpus-sized work (anchor extraction + per-batch
-    partial counts) streams through :func:`host_links`; the AGGREGATED
-    graph is bounded by LINK_HOST_MOD^2 host pairs — dim-table-sized, the
-    same broadcast class as the entity catalog — so the power iteration
-    runs on the collected weight matrix.  (A web-scale host graph that
-    outgrows one node switches to graph._edge_sweep, the distributed
-    iteration the entity PageRank already uses.)  All arithmetic is exact
-    int64 (q-unit ranks, floor-division shares) so the SQL-unrolled oracle
-    hashes bit-equal.  Dangling hosts keep their teleport mass; mass
-    flowing to them is dropped, mirrored on both sides."""
+    return int(os.environ.get("AHRD_HOST_DRIVER_MAX", "4096"))
+
+
+def _distinct_hosts(links: ray.data.Dataset) -> np.ndarray:
+    """Sorted distinct host vector of the (already aggregated) link table.
+
+    Distributed distinct: per-batch ``np.unique`` over both endpoint
+    columns, deterministic-hash partition fold, then ONE O(|hosts|) driver
+    gather — node-count-sized state, the same broadcast class as the
+    entity catalog (hosts ~1e8 fit where edges ~1e10 would not)."""
+    import pandas as pd
+
+    from ahrd_ray.stages.partitioning import n_hash_parts
+
+    n_parts = n_hash_parts()
+
+    def partial(batch: pa.Table) -> pa.Table:
+        h = np.unique(
+            np.concatenate(
+                [
+                    batch["src_host"].to_numpy(zero_copy_only=False),
+                    batch["dst_host"].to_numpy(zero_copy_only=False),
+                ]
+            )
+        )
+        # pd.util.hash_array is cross-process deterministic (fixed hash
+        # key), which the fold REQUIRES: the same host must land in the
+        # same partition from every block
+        npart = (
+            pd.util.hash_array(np.asarray(h, dtype=object), categorize=False)
+            % n_parts
+        ).astype(np.int32)
+        return pa.table(
+            {
+                "host": pa.array(h, type=pa.string()),
+                "npart": pa.array(npart, type=pa.int32()),
+            }
+        )
+
+    parts = (
+        links.map_batches(partial, batch_format="pyarrow")
+        .groupby("npart")
+        .map_groups(lambda df: df[["host"]].drop_duplicates(), batch_format="pandas")
+    )
+    chunks = [
+        b["host"].to_numpy(zero_copy_only=False)
+        for b in parts.iter_batches(batch_format="pyarrow")
+    ]
+    if not chunks:
+        return np.empty(0, dtype=object)
+    return np.sort(np.concatenate(chunks))
+
+
+def _int_edges(links: ray.data.Dataset, hosts: np.ndarray) -> ray.data.Dataset:
+    """(src, dst, w) int64 edge table: endpoints looked up in the broadcast
+    sorted host vector with ``np.searchsorted`` (no per-row dict, no
+    shuffle join — the host vector ships ONCE via ray.put)."""
+    from ahrd_ray.stages.partitioning import prune_stats_parents
+    from ahrd_ray.stages.score import get_broadcast
+
+    hosts_ref = ray.put(hosts)
+
+    def to_int(batch: pa.Table) -> pa.Table:
+        hv = get_broadcast(hosts_ref)
+        src = np.searchsorted(hv, batch["src_host"].to_numpy(zero_copy_only=False))
+        dst = np.searchsorted(hv, batch["dst_host"].to_numpy(zero_copy_only=False))
+        return pa.table(
+            {
+                "src": pa.array(src.astype(np.int64), type=pa.int64()),
+                "dst": pa.array(dst.astype(np.int64), type=pa.int64()),
+                "w": batch["n_links"].combine_chunks().cast(pa.int64()),
+            }
+        )
+
+    edges = links.map_batches(to_int, batch_format="pyarrow").materialize()
+    prune_stats_parents(edges)
+    return edges
+
+
+def _node_sweep(edges: ray.data.Dataset, key: str, contrib_fn, n: int) -> np.ndarray:
+    """One streaming pass over the distributed int edge table: per-batch
+    exact int64 segment sums per ``key`` node (map-side combine), node-hash
+    groupby finalize, dense O(|hosts|) driver gather — the weighted sibling
+    of ``graph._edge_sweep``.  ``contrib_fn(src, dst, w) -> int64`` per
+    edge."""
+    from ahrd_ray.stages.graph import _segment_sums
+    from ahrd_ray.stages.partitioning import n_hash_parts
+
+    n_parts = n_hash_parts()
+
+    def partial(batch: pa.Table) -> pa.Table:
+        src = batch["src"].to_numpy()
+        dst = batch["dst"].to_numpy()
+        w = batch["w"].to_numpy()
+        k = src if key == "src" else dst
+        nodes, totals = _segment_sums(k, contrib_fn(src, dst, w))
+        return pa.table(
+            {
+                "node": pa.array(nodes, type=pa.int64()),
+                "c": pa.array(totals, type=pa.int64()),
+                "npart": pa.array((nodes % n_parts).astype(np.int32), type=pa.int32()),
+            }
+        )
+
+    per_node = (
+        edges.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("npart")
+        .map_groups(
+            lambda df: df.groupby("node", as_index=False)["c"].sum(),
+            batch_format="pandas",
+        )
+    )
+    dense = np.zeros(n, dtype=np.int64)
+    for b in per_node.iter_batches(batch_format="pyarrow"):
+        dense[b["node"].to_numpy()] = b["c"].to_numpy()
+    return dense
+
+
+def _host_pagerank_driver(
+    links: "object", hosts: np.ndarray, iters: int
+) -> np.ndarray:
+    """Driver-side power iteration on the collected link table (pandas) —
+    the dim-sized branch.  Exact int64 q-unit arithmetic."""
     from ahrd_ray.stages.graph import PR_DAMP_DEN, PR_DAMP_NUM, PR_UNIT
 
-    links = host_links(sf_dir).to_pandas()  # <= LINK_HOST_MOD^2 rows
-    hosts = sorted(set(links["src_host"]) | set(links["dst_host"]))
-    idx = {h: i for i, h in enumerate(hosts)}
-    src = links["src_host"].map(idx).to_numpy(np.int64)
-    dst = links["dst_host"].map(idx).to_numpy(np.int64)
-    w = links["n_links"].to_numpy(np.int64)
     n = len(hosts)
+    src = np.searchsorted(hosts, links["src_host"].to_numpy())
+    dst = np.searchsorted(hosts, links["dst_host"].to_numpy())
+    w = links["n_links"].to_numpy(np.int64)
     outw = np.zeros(n, np.int64)
     np.add.at(outw, src, w)
     teleport = (PR_DAMP_DEN - PR_DAMP_NUM) * PR_UNIT // PR_DAMP_DEN
@@ -311,6 +427,68 @@ def host_pagerank(sf_dir: str, iters: int = 5) -> ray.data.Dataset:
         sums = np.zeros(n, np.int64)
         np.add.at(sums, dst, contrib)
         r = teleport + sums
+    return r
+
+
+def _host_pagerank_distributed(
+    links: ray.data.Dataset, hosts: np.ndarray, iters: int
+) -> np.ndarray:
+    """Distributed power iteration: the edge table stays a Ray dataset;
+    each iteration is ONE weighted edge sweep (broadcast O(|hosts|) share
+    vector via ray.put, exact int64 per-dst segment sums, node-hash fold,
+    dense gather).  Arithmetic is bit-identical to the driver branch —
+    ``(DAMP_NUM * (share[src] * w)) // DAMP_DEN`` summed per dst — because
+    per-edge contributions are exact integers whose sum is
+    order-independent."""
+    from ahrd_ray.stages.graph import PR_DAMP_DEN, PR_DAMP_NUM, PR_UNIT
+    from ahrd_ray.stages.score import get_broadcast
+
+    n = len(hosts)
+    edges = _int_edges(links, hosts)
+    outw = _node_sweep(edges, "src", lambda s, d, w: w, n)
+    teleport = (PR_DAMP_DEN - PR_DAMP_NUM) * PR_UNIT // PR_DAMP_DEN
+    r = np.full(n, PR_UNIT, np.int64)
+    for _ in range(iters):
+        share_ref = ray.put(
+            np.where(outw > 0, r // np.maximum(outw, 1), np.int64(0))
+        )
+
+        def contrib(src, dst, w, _ref=share_ref):
+            share = get_broadcast(_ref)
+            return (PR_DAMP_NUM * (share[src] * w)) // PR_DAMP_DEN
+
+        r = teleport + _node_sweep(edges, "dst", contrib, n)
+    return r
+
+
+def host_pagerank(sf_dir: str, iters: int = 5) -> ray.data.Dataset:
+    """(host, rank_units) — weighted integer-unit PageRank over the host
+    link graph, the Common-Crawl web-graph ranking product.
+
+    Scale shape: the corpus-sized work (anchor extraction + per-batch
+    partial counts) streams through :func:`host_links`; the iteration then
+    branches on :func:`host_driver_max` — a dim-sized host graph (the
+    synthetic LINK_HOST_MOD=97 corpus) collects the slim aggregated table
+    and iterates in numpy, while a web-scale host graph (~1e8 hosts) keeps
+    the edge table DISTRIBUTED and runs the same exact-int64 power
+    iteration as weighted edge sweeps with broadcast O(|hosts|) rank
+    state — the entity-PageRank machinery (graph._edge_sweep).  Both
+    branches are bit-identical (pytest cross-checks them on a fixture
+    >> threshold).  Dangling hosts keep their teleport mass; mass flowing
+    to them is dropped, mirrored on both sides of the SQL-unrolled
+    oracle."""
+    from ahrd_ray.stages.partitioning import prune_stats_parents
+
+    # materialize ONCE: the aggregated table is slim (distinct host pairs),
+    # and both the distinct pass and the iteration consume it — without
+    # this the corpus-sized anchor extraction would re-run per consumer
+    links = host_links(sf_dir).materialize()
+    prune_stats_parents(links)
+    hosts = _distinct_hosts(links)
+    if len(hosts) <= host_driver_max():
+        r = _host_pagerank_driver(links.to_pandas(), hosts, iters)
+    else:
+        r = _host_pagerank_distributed(links, hosts, iters)
     return ray.data.from_arrow(
         pa.table(
             {
@@ -377,26 +555,15 @@ HC_HOPS = 4  # truncated-harmonic horizon (both sides cap at the same K)
 HC_UNIT = 10**9  # 1/d in exact integer units: HC_UNIT // d
 
 
-def host_harmonic(sf_dir: str, hops: int = HC_HOPS) -> ray.data.Dataset:
-    """(host, harmonic_units) — K-truncated harmonic centrality over the
-    directed host graph: sum over sources u != v within ``hops`` of
-    HC_UNIT // d(u, v).  The ranking Common Crawl publishes for its
-    host-level web graph (harmonic centrality is preferred over closeness
-    because unreachable pairs contribute 0, not infinity).
-
-    Scale shape: same as host_pagerank — the corpus-sized anchor
-    extraction streams through host_links; the aggregated graph is
-    dim-sized, so the K boolean matrix powers run on the driver.  Exact
-    integer arithmetic (floor-div reciprocal units) mirrors the
-    SQL-unrolled oracle bit-for-bit."""
-    links = host_links(sf_dir).to_pandas()
-    hosts = sorted(set(links["src_host"]) | set(links["dst_host"]))
-    idx = {h: i for i, h in enumerate(hosts)}
+def _host_harmonic_driver(links, hosts: np.ndarray, hops: int) -> np.ndarray:
+    """Driver-side K-truncated BFS on the collected link table — the
+    dim-sized branch.  Dense boolean matmuls are fine here BECAUSE the
+    branch only runs under :func:`host_driver_max` hosts."""
     n = len(hosts)
     adj = np.zeros((n, n), dtype=bool)
     adj[
-        links["src_host"].map(idx).to_numpy(np.int64),
-        links["dst_host"].map(idx).to_numpy(np.int64),
+        np.searchsorted(hosts, links["src_host"].to_numpy()),
+        np.searchsorted(hosts, links["dst_host"].to_numpy()),
     ] = True
 
     dist = np.zeros((n, n), dtype=np.int64)  # 0 = not yet reached
@@ -412,6 +579,156 @@ def host_harmonic(sf_dir: str, hops: int = HC_HOPS) -> ray.data.Dataset:
     units = np.zeros(n, dtype=np.int64)
     for k in range(1, hops + 1):
         units += (dist == k).sum(axis=0).astype(np.int64) * (HC_UNIT // k)
+    return units
+
+
+def _dedup_pairs(ds: ray.data.Dataset) -> ray.data.Dataset:
+    """Distinct (src, node) pair table: per-batch drop_duplicates partial
+    (map-side combine), pair-hash groupby fold — the shuffle carries
+    distinct pairs per block, never the raw join output."""
+    import pandas as pd
+
+    from ahrd_ray.stages.partitioning import n_hash_parts
+
+    n_parts = n_hash_parts()
+
+    def partial(df: "pd.DataFrame") -> "pd.DataFrame":
+        out = df[["src", "node"]].drop_duplicates()
+        out["npart"] = (
+            (out["src"].to_numpy(np.int64) * np.int64(1_000_003)
+             + out["node"].to_numpy(np.int64))
+            % n_parts
+        ).astype(np.int32)
+        return out
+
+    return (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("npart")
+        .map_groups(
+            lambda df: df[["src", "node"]].drop_duplicates(),
+            batch_format="pandas",
+        )
+    )
+
+
+def _host_harmonic_distributed(
+    links: ray.data.Dataset, hosts: np.ndarray, hops: int
+) -> np.ndarray:
+    """Distributed K-truncated BFS over the int edge table — NO dense
+    n x n matrix, no driver edge collect.  State is the (source, node)
+    reached-pair table, held DISTRIBUTED: round k joins the frontier to
+    the edge table (hash join under the aggregator budget), dedups pairs
+    map-side, anti-joins the seen set to get fresh pairs, and folds fresh
+    counts per node into the O(|hosts|) units vector (the only driver
+    state, same class as the PageRank rank vector).  Pair-table size is
+    the number of (u, v) pairs within K hops — the problem's output-sized
+    lower bound, vs the driver branch's unconditional n^2."""
+    from ahrd_ray.stages.graph import _segment_sums
+    from ahrd_ray.stages.partitioning import (
+        budgeted_join,
+        n_hash_parts,
+        prune_stats_parents,
+    )
+
+    n = len(hosts)
+    n_parts = n_hash_parts()
+    edges = _int_edges(links, hosts).map_batches(
+        lambda b: pa.table({"esrc": b["src"], "edst": b["dst"]}),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    ).materialize()
+    prune_stats_parents(edges)
+
+    seed = pa.table(
+        {
+            "src": pa.array(np.arange(n, dtype=np.int64), type=pa.int64()),
+            "node": pa.array(np.arange(n, dtype=np.int64), type=pa.int64()),
+        }
+    )
+    frontier = ray.data.from_arrow(seed).repartition(n_parts)
+    seen = frontier
+    units = np.zeros(n, dtype=np.int64)
+
+    def count_partial(batch: pa.Table) -> pa.Table:
+        nodes, totals = _segment_sums(
+            batch["node"].to_numpy(),
+            np.ones(batch.num_rows, dtype=np.int64),
+        )
+        return pa.table(
+            {
+                "node": pa.array(nodes, type=pa.int64()),
+                "c": pa.array(totals, type=pa.int64()),
+                "npart": pa.array((nodes % n_parts).astype(np.int32), type=pa.int32()),
+            }
+        )
+
+    for k in range(1, hops + 1):
+        expanded = budgeted_join(
+            frontier, edges, on=["node"], right_on=["esrc"], n_joins=2
+        ).map_batches(
+            lambda b: pa.table({"src": b["src"], "node": b["edst"]}),
+            batch_format="pyarrow",
+        )
+        fresh = budgeted_join(
+            _dedup_pairs(expanded),
+            seen.map_batches(
+                lambda b: b.select(["src", "node"]).rename_columns(["s2", "n2"]),
+                batch_format="pyarrow",
+            ),
+            on=["src", "node"],
+            right_on=["s2", "n2"],
+            n_joins=2,
+            join_type="left_anti",
+        ).materialize()
+        prune_stats_parents(fresh)
+        if fresh.count() == 0:
+            break
+
+        per_node = (
+            fresh.map_batches(count_partial, batch_format="pyarrow")
+            .groupby("npart")
+            .map_groups(
+                lambda df: df.groupby("node", as_index=False)["c"].sum(),
+                batch_format="pandas",
+            )
+        )
+        inc = np.zeros(n, dtype=np.int64)
+        for b in per_node.iter_batches(batch_format="pyarrow"):
+            inc[b["node"].to_numpy()] = b["c"].to_numpy()
+        units += inc * (HC_UNIT // k)
+
+        seen = seen.union(fresh.select_columns(["src", "node"])).materialize()
+        prune_stats_parents(seen)
+        frontier = fresh.select_columns(["src", "node"])
+    return units
+
+
+def host_harmonic(sf_dir: str, hops: int = HC_HOPS) -> ray.data.Dataset:
+    """(host, harmonic_units) — K-truncated harmonic centrality over the
+    directed host graph: sum over sources u != v within ``hops`` of
+    HC_UNIT // d(u, v).  The ranking Common Crawl publishes for its
+    host-level web graph (harmonic centrality is preferred over closeness
+    because unreachable pairs contribute 0, not infinity).
+
+    Scale shape: the corpus-sized anchor extraction streams through
+    host_links; the centrality then branches on :func:`host_driver_max` —
+    dim-sized graphs run K boolean matrix powers on the driver, while a
+    web-scale host graph runs the distributed frontier BFS
+    (:func:`_host_harmonic_distributed`): the reached-pair table stays a
+    Ray dataset, no n x n matrix exists anywhere, and the only driver
+    state is the O(|hosts|) units vector.  Both branches are bit-identical
+    (pytest cross-checks them on a fixture >> threshold).  Exact integer
+    arithmetic (floor-div reciprocal units) mirrors the SQL-unrolled
+    oracle bit-for-bit."""
+    from ahrd_ray.stages.partitioning import prune_stats_parents
+
+    links = host_links(sf_dir).materialize()
+    prune_stats_parents(links)
+    hosts = _distinct_hosts(links)
+    if len(hosts) <= host_driver_max():
+        units = _host_harmonic_driver(links.to_pandas(), hosts, hops)
+    else:
+        units = _host_harmonic_distributed(links, hosts, hops)
     return ray.data.from_arrow(
         pa.table(
             {
