@@ -1354,9 +1354,9 @@ def q_clustering(sf_dir: str):
 
 
 def q_edge_timespan(sf_dir: str):
-    from ahrd_ray.stages.graph import cooccurrence_edges
+    from ahrd_ray.stages.graph import cached_edges
 
-    return cooccurrence_edges(sf_dir, with_span=True).map_batches(
+    return cached_edges(sf_dir, with_span=True).map_batches(
         _int64, batch_format="pyarrow"
     )
 
@@ -1446,9 +1446,9 @@ def q_entity_resolve(sf_dir: str):
 
 
 def q_cooccurrence(sf_dir: str):
-    from ahrd_ray.stages.graph import cooccurrence_edges
+    from ahrd_ray.stages.graph import cached_edges
 
-    return cooccurrence_edges(sf_dir).map_batches(_int64, batch_format="pyarrow")
+    return cached_edges(sf_dir).map_batches(_int64, batch_format="pyarrow")
 
 
 def q_pmi_edges(sf_dir: str):

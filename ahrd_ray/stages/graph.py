@@ -214,6 +214,52 @@ def cooccurrence_edges(sf_dir: str, with_span: bool = False) -> ray.data.Dataset
     )
 
 
+_EDGE_CACHE: dict[tuple, ray.data.Dataset] = {}
+
+
+def cached_edges(sf_dir: str, with_span: bool = False) -> ray.data.Dataset:
+    """Session-scoped MATERIALIZED co-occurrence edge table, keyed on
+    (sf_dir, with_span) — the ``kg.cached_context`` precedent applied to
+    the edge build (VERDICT r4 item 3).
+
+    ~15 graph queries consume the same fused detection + capped-pair pass
+    (:func:`cooccurrence_edges`); without the cache each re-runs the whole
+    corpus-sized detection (the dominant cost of kg_entity_cards /
+    kg_edge_support / kg_kcore at sf0.1).  The edge table itself is the
+    aggregated pair relation — orders of magnitude smaller than the corpus
+    — so holding it in the object store for the session is exactly what a
+    production run would do by writing the edge stage output once
+    (state/checkpoint machinery) and reading it downstream.  Stats parents
+    are pruned so iterative consumers don't drag the build's stats DAG."""
+    import os
+
+    from ahrd_ray.stages.partitioning import prune_stats_parents
+
+    key = (os.path.abspath(sf_dir), bool(with_span))
+    ds = _EDGE_CACHE.get(key)
+    if ds is None:
+        ds = cooccurrence_edges(sf_dir, with_span=with_span).materialize()
+        prune_stats_parents(ds)
+        _EDGE_CACHE[key] = ds
+    return ds
+
+
+def cached_links(sf_dir: str) -> ray.data.Dataset:
+    """Session-scoped materialized (doc_id, cand_ord, epart) link table —
+    same rationale as :func:`cached_edges` for the doc->entity relation."""
+    import os
+
+    from ahrd_ray.stages.partitioning import prune_stats_parents
+
+    key = (os.path.abspath(sf_dir), "links")
+    ds = _EDGE_CACHE.get(key)
+    if ds is None:
+        ds = doc_entity_links(sf_dir).materialize()
+        prune_stats_parents(ds)
+        _EDGE_CACHE[key] = ds
+    return ds
+
+
 # Mention-proximity window (chars between mention start positions) for the
 # windowed co-occurrence variant — the distant-supervision convention that
 # two entities mentioned CLOSE together evidence a relation, where whole-doc
@@ -320,7 +366,7 @@ def entity_degree(sf_dir: str, edges: "ray.data.Dataset | None" = None) -> ray.d
         out["npart"] = (out["node"] % n_parts).astype("int32")
         return out
 
-    src = edges if edges is not None else cooccurrence_edges(sf_dir)
+    src = edges if edges is not None else cached_edges(sf_dir)
     return (
         src.map_batches(partial, batch_format="pyarrow")
         .groupby("npart")
@@ -527,7 +573,7 @@ def pagerank(sf_dir: str, iters: int = PR_ITERS) -> pa.Table:
         )
 
     edges = (
-        cooccurrence_edges(sf_dir)
+        cached_edges(sf_dir)
         .map_batches(both_dirs, batch_format="pyarrow")
         .materialize()
     )
@@ -916,7 +962,7 @@ def triangle_count(sf_dir: str) -> ray.data.Dataset:
     pair-hash shuffle of (wedge ∪ edge) rows — no driver-side edge set.
     """
     n_parts = n_hash_parts()
-    edges = cooccurrence_edges(sf_dir).materialize()  # consumed three times
+    edges = cached_edges(sf_dir)  # consumed three times
 
     # |V|-bounded degree table -> dense vector, broadcast once
     deg_ref = ray.put(_dense_degrees(edges))
@@ -1001,7 +1047,7 @@ def edge_support(sf_dir: str) -> ray.data.Dataset:
     every task, violating the edges-never-broadcast doctrine; per-wedge
     rows are the scale-safe exact shape."""
     n_parts = n_hash_parts()
-    edges = cooccurrence_edges(sf_dir).materialize()  # consumed four times
+    edges = cached_edges(sf_dir)  # consumed four times
 
     deg_ref = ray.put(_dense_degrees(edges))
     orient = _orient_partial(deg_ref, n_parts)
@@ -1126,7 +1172,7 @@ def walk_corpus(sf_dir: str, steps: int = WALK_STEPS) -> ray.data.Dataset:
     from ahrd_ray.stages.score import get_broadcast
 
     n_parts = n_hash_parts()
-    edges = cooccurrence_edges(sf_dir).materialize()
+    edges = cached_edges(sf_dir)
 
     deg = _dense_degrees(edges)
     deg_ref = ray.put(deg)
@@ -1469,7 +1515,7 @@ def entity_components(sf_dir: str, max_iters: int = 16) -> pa.Table:
         )
 
     edges = (
-        cooccurrence_edges(sf_dir)
+        cached_edges(sf_dir)
         .map_batches(both_dirs, batch_format="pyarrow")
         .materialize()
     )
@@ -1538,7 +1584,7 @@ def top_neighbor(sf_dir: str, edges: "ray.data.Dataset | None" = None) -> ray.da
             ["node", "best_neighbor", "n_docs"]
         ]
 
-    src = edges if edges is not None else cooccurrence_edges(sf_dir)
+    src = edges if edges is not None else cached_edges(sf_dir)
     return (
         src.map_batches(partial, batch_format="pyarrow")
         .groupby("npart")
@@ -1602,7 +1648,7 @@ def knn_edges(sf_dir: str) -> ray.data.Dataset:
         return out.astype({"cand_a": "int64", "cand_b": "int64"})
 
     return (
-        cooccurrence_edges(sf_dir)
+        cached_edges(sf_dir)
         .map_batches(sides, batch_format="pyarrow")
         .groupby("npart")
         .map_groups(knn_partial, batch_format="pandas")
@@ -1969,7 +2015,7 @@ def neg_samples(sf_dir: str) -> ray.data.Dataset:
     ctx = kg.cached_context(sf_dir)
     n_nodes = np.uint64(ctx.bundle.n)
 
-    edges = cooccurrence_edges(sf_dir).materialize()
+    edges = cached_edges(sf_dir)
 
     def corrupt(batch: pa.Table) -> pd.DataFrame:
         a = np.repeat(batch["cand_a"].to_numpy(), NEG_PER_POS)
@@ -2179,7 +2225,7 @@ def cocitation_pairs(
     exact dedup.py machinery, with entities playing the shingle role."""
     from ahrd_ray.stages.dedup import _pair_counts, _self_join_pairs
 
-    links = doc_entity_links(sf_dir)
+    links = cached_links(sf_dir)
     co = links.groupby("epart").map_groups(
         _self_join_pairs(["cand_ord"], "doc_id"), batch_format="pandas"
     )
@@ -2369,7 +2415,7 @@ def hits_scores(sf_dir: str) -> ray.data.Dataset:
     n_nodes = ctx.bundle.n
     n_parts = n_hash_parts()
 
-    links = doc_entity_links(sf_dir).materialize()
+    links = cached_links(sf_dir)
 
     # a1: per-entity link counts -> dense broadcast vector
     as_edges = links.map_batches(
@@ -2535,7 +2581,7 @@ def personalized_pagerank(sf_dir: str, iters: int = PR_ITERS) -> pa.Table:
         )
 
     edges = (
-        cooccurrence_edges(sf_dir)
+        cached_edges(sf_dir)
         .map_batches(both_dirs, batch_format="pyarrow")
         .materialize()
     )
@@ -2596,7 +2642,7 @@ def entity_timeline(sf_dir: str) -> ray.data.Dataset:
         )
 
     return (
-        doc_entity_links(sf_dir)
+        cached_links(sf_dir)
         .map_batches(partial, batch_format="pandas")
         .groupby("epart")
         .map_groups(final, batch_format="pandas")
@@ -2648,7 +2694,7 @@ def bfs_reach(
     ctx = kg.cached_context(sf_dir)
     n = len(ctx.bundle.arrays.cand_id)
 
-    edges = cooccurrence_edges(sf_dir).materialize()
+    edges = cached_edges(sf_dir)
 
     dist = np.full(n, -1, dtype=np.int64)
     seeds = np.arange(0, n, seed_mod, dtype=np.int64)
@@ -2901,7 +2947,7 @@ def assortativity(sf_dir: str) -> ray.data.Dataset:
     size sum rows ever shuffle."""
     from ahrd_ray.stages.score import get_broadcast
 
-    edges = cooccurrence_edges(sf_dir).materialize()
+    edges = cached_edges(sf_dir)
 
     str_df = (
         edges.map_batches(
@@ -3000,7 +3046,7 @@ def edge_growth(sf_dir: str, buckets: int = GROWTH_BUCKETS) -> ray.data.Dataset:
         )
 
     return (
-        cooccurrence_edges(sf_dir, with_span=True)
+        cached_edges(sf_dir, with_span=True)
         .map_batches(partial, batch_format="pyarrow")
         .groupby("bucket")
         .map_groups(
@@ -3039,7 +3085,7 @@ def entity_cards(sf_dir: str) -> ray.data.Dataset:
     # ONE detection pass feeds both edge consumers: the edge list
     # materializes once and degree/top-neighbor fold over it (the
     # pmi_edges detection-runs-once doctrine; 3 detection passes -> 2)
-    edges = cooccurrence_edges(sf_dir).materialize()
+    edges = cached_edges(sf_dir)
     deg = entity_degree(sf_dir, edges=edges).map_batches(
         lambda t: t.rename_columns(["dnode", "degree", "w_docs"]),
         batch_format="pyarrow",
