@@ -224,6 +224,47 @@ def url_dedup(sf_dir: str) -> ray.data.Dataset:
     )
 
 
+# hostile-HTML-tolerant canonical link matcher: attribute order free,
+# double-/single-/un-quoted values, any case.  RE2 (no backrefs), so the
+# three quoting styles are alternation groups.
+# RE2 has no lookahead, so the unquoted alternative spells out its two
+# legal ends: immediately '>' or a whitespace/slash then the rest of the tag
+_CANON_TAG_RE = (
+    r"(?i)(?P<t><link\b[^>]*\brel\s*=\s*(?:\"canonical\"[^>]*"
+    r"|'canonical'[^>]*|canonical(?:[\s/][^>]*)?)>)"
+)
+_HREF_RE = r"(?i)\bhref\s*=\s*(?:\"(?P<d>[^\"]*)\"|'(?P<s>[^']*)'|(?P<u>[^\s>]+))"
+_ABS_HOST_RE = r"(?i)^https?://(?P<h>[^/:?#]+)"
+
+
+def canonical_hosts(s: pa.Array) -> pa.Array:
+    """Canonical host of each page's html, hostile-HTML tolerant.
+
+    Handles what real crawl HTML actually serves (VERDICT r4 item 7):
+    attribute order (`href` before `rel`), single/double/no quotes, mixed
+    case (`REL=Canonical`, `HTTP://`), and http as well as https.  A page
+    with no canonical link, a RELATIVE canonical href, or a non-http(s)
+    scheme yields null (no host claim).  Hosts are lowercased — the same
+    normalization ``urllib.parse.urlsplit().hostname`` applies, which the
+    conformance test uses as the stdlib reference implementation.  All
+    Arrow re2 kernels, no Python row loop."""
+    if isinstance(s, pa.ChunkedArray):
+        s = s.combine_chunks()
+    tag = pc.struct_field(pc.extract_regex(s, _CANON_TAG_RE), "t")
+    href_m = pc.extract_regex(tag, _HREF_RE)
+    d = pc.struct_field(href_m, "d")
+    sq = pc.struct_field(href_m, "s")
+    uq = pc.struct_field(href_m, "u")
+    # RE2 non-participating alternation groups extract as "" — first
+    # non-empty wins (an attr genuinely set to "" has no host anyway)
+    href = pc.if_else(
+        pc.not_equal(pc.coalesce(d, ""), ""),
+        d,
+        pc.if_else(pc.not_equal(pc.coalesce(sq, ""), ""), sq, uq),
+    )
+    return pc.utf8_lower(pc.struct_field(pc.extract_regex(href, _ABS_HOST_RE), "h"))
+
+
 def extract_host_links(batch: pa.Table) -> pa.Table:
     """pages html -> one (src_host, dst_host) row per footer anchor.
 
@@ -234,9 +275,7 @@ def extract_host_links(batch: pa.Table) -> pa.Table:
     columns.  Vectorized per anchor slot (LINK_K fixed small), zero
     Python row loops."""
     s = batch["html"].combine_chunks().cast(pa.string())
-    canon = pc.struct_field(
-        pc.extract_regex(s, r'rel="canonical" href="https://(?P<h>[^/"]+)/'), "h"
-    )
+    canon = canonical_hosts(s)
     parts = []
     for j in range(1, spec.LINK_K + 1):
         dst = pc.struct_field(
@@ -517,13 +556,7 @@ def host_quality(sf_dir: str) -> ray.data.Dataset:
     from ahrd_ray.stages.textstats import quality_batch
 
     def partial(batch: pa.Table) -> "pd.DataFrame":
-        host = pc.struct_field(
-            pc.extract_regex(
-                batch["html"].combine_chunks().cast(pa.string()),
-                r'rel="canonical" href="https://(?P<h>[^/"]+)/',
-            ),
-            "h",
-        )
+        host = canonical_hosts(batch["html"].combine_chunks().cast(pa.string()))
         q = quality_batch(batch)["quality"].to_numpy()
         units = np.floor(q * QUANT + 0.5).astype(np.int64)
         df = pd.DataFrame({"host": host.to_pylist(), "u": units})
@@ -962,10 +995,7 @@ def crawl_schedule(sf_dir: str) -> ray.data.Dataset:
     def partial(batch: pa.Table) -> "pd.DataFrame":
         ranks = get_broadcast(rank_ref)
         s = batch["html"].combine_chunks().cast(pa.string())
-        host = pc.struct_field(
-            pc.extract_regex(s, r'rel="canonical" href="https://(?P<h>[^/"]+)/'),
-            "h",
-        ).to_pandas()
+        host = canonical_hosts(s).to_pandas()
         ts = batch["warc_ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
         age = np.maximum((int(CRAWL_REF_TS.astype(np.int64)) - ts) // 1_000_000, 1)
         df = pd.DataFrame(

@@ -128,10 +128,15 @@ def run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
         from ahrd_ray.pipelines.corpus import clean_corpus
         from ahrd_ray.stages import dedup as dd
 
+        from ahrd_ray.stages import graph as _gr
+
         builders = {
             "dd_exact": dd.exact_dedup,
             "dd_minhash_lsh": dd.minhash_lsh_pairs,
             "llm_clean_corpus": clean_corpus,
+            # graph-family representative: detection + capped pairs + the
+            # distributed integer-unit power iteration
+            "kg_pagerank": lambda sf: ray.data.from_arrow(_gr.pagerank(sf)),
         }
         staged = staged_corpus_dir(sf_dir, mult)
         n_docs = ray.data.read_parquet(

@@ -1,0 +1,102 @@
+"""Hostile-HTML canonical-host extraction (VERDICT r4 item 7).
+
+`canonical_hosts` must tolerate what real crawl HTML serves — attribute
+reorder, single/double/no quotes, mixed case, http, relative hrefs — and
+must agree with a stdlib `html.parser` + `urllib.parse` reference
+implementation on every fixture."""
+
+from html.parser import HTMLParser
+from urllib.parse import urlsplit
+
+import pyarrow as pa
+
+from ahrd_ray.stages.webstats import canonical_hosts
+
+
+class _RefExtractor(HTMLParser):
+    """Reference implementation: first <link rel=canonical> tag's href,
+    absolute http(s) only, host per urlsplit().hostname."""
+
+    def __init__(self):
+        super().__init__()
+        self.host = None
+
+    def handle_startendtag(self, tag, attrs):
+        self.handle_starttag(tag, attrs)
+
+    def handle_starttag(self, tag, attrs):
+        if tag != "link" or self.host is not None:
+            return
+        d = dict(attrs)
+        if (d.get("rel") or "").lower() != "canonical":
+            return
+        href = d.get("href") or ""
+        parts = urlsplit(href)
+        if parts.scheme.lower() in ("http", "https") and parts.hostname:
+            self.host = parts.hostname
+
+
+def ref_host(html: str):
+    p = _RefExtractor()
+    p.feed(html)
+    return p.host
+
+
+HOSTILE = [
+    # the synthetic corpus shape
+    '<link rel="canonical" href="https://h1.example.org/p/1">',
+    # attribute order reversed
+    '<link href="https://rev.example.org/p/2" rel="canonical">',
+    # single quotes
+    "<link rel='canonical' href='https://sq.example.org/a'>",
+    # unquoted values
+    "<link rel=canonical href=https://uq.example.org/a>",
+    # mixed case tag/attr/scheme
+    '<LINK REL="Canonical" HREF="HTTP://Mixed.Example.ORG/x">',
+    # http (not just https)
+    '<link rel="canonical" href="http://plain.example.org/">',
+    # relative href -> no host
+    '<link rel="canonical" href="/just/a/path">',
+    # protocol-relative -> no host (scheme unknown)
+    '<link rel="canonical" href="//nohost.example.org/x">',
+    # non-http scheme -> no host
+    '<link rel="canonical" href="ftp://files.example.org/x">',
+    # no canonical link at all
+    '<link rel="stylesheet" href="https://cdn.example.org/a.css"><a href="https://x.y/">x</a>',
+    # extra attributes between rel and href
+    '<link rel="canonical" type="text/html" hreflang="en" href="https://attrs.example.org/p">',
+    # self-closing
+    '<link rel="canonical" href="https://selfclose.example.org/p"/>',
+    # host with port: hostname strips it
+    '<link rel="canonical" href="https://ported.example.org:8443/p">',
+    # whitespace around =
+    '<link rel = "canonical" href = "https://spaced.example.org/p">',
+    # empty href
+    '<link rel="canonical" href="">',
+    # surrounded by real page structure
+    '<html><head><title>t</title>\n<link rel="canonical" '
+    'href="https://deep.example.org/p/9"></head><body>b</body></html>',
+]
+
+
+def test_hostile_html_matches_stdlib_reference():
+    got = canonical_hosts(pa.array(HOSTILE, type=pa.string())).to_pylist()
+    want = [ref_host(h) for h in HOSTILE]
+    assert got == want, list(zip(HOSTILE, got, want))
+
+
+def test_null_and_empty_rows():
+    arr = pa.array([None, "", "<p>no links</p>"], type=pa.string())
+    assert canonical_hosts(arr).to_pylist() == [None, None, None]
+
+
+def test_synthetic_corpus_shape_unchanged(ray_session):
+    """The hardened extractor must keep the synthetic-corpus oracles
+    intact: host_quality over sf0.001 still yields one row per
+    LINK_HOST_MOD host."""
+    from ahrd_ray.sources import spec
+    from ahrd_ray.stages.webstats import host_quality
+
+    df = host_quality("/root/testdata/sf0.001").to_pandas()
+    assert len(df) == min(500, spec.LINK_HOST_MOD)
+    assert df["host"].str.match(r"h\d+\.example\.org").all()
