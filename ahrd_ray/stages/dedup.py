@@ -562,6 +562,65 @@ def minhash_lsh_pairs(
         )
     )
     banded = docs.map_batches(lambda b: _signature_batch(b, n), batch_format="pyarrow")
+    return _lsh_pairs_from_banded(
+        banded, lambda: _shingle_dataset(sf_dir, n, docs_fn=docs_fn), threshold
+    )
+
+
+def minhash_lsh_pairs_checkpointed(
+    sf_dir: str,
+    root: str,
+    n: int = 3,
+    threshold: float = 0.5,
+    doc_paths: list[str] | None = None,
+    num_shards: int = 8,
+) -> ray.data.Dataset:
+    """``minhash_lsh_pairs`` with the banded-signature stage behind a
+    PARTITION-GRANULAR checkpoint (VERDICT r4 item 6).
+
+    The per-doc scan (shingle hash + 64 minhashes + band fold) is the
+    long-running corpus-sized pass of a 100-TB near-dup run; it lands as
+    partitioned Parquet under ``<root>/stage=minhash_banded/part=<k>/``
+    with per-partition manifests, so a run killed mid-band resumes
+    recomputing ONLY the unfinished shards (the ``kg_triples_sharded``
+    machinery, ``state/checkpoint.run_stage_sharded``).  The pair
+    generation + verify joins then read the checkpointed signature table;
+    the verify side re-reads document shingles map-side (Bloom-prefiltered
+    to candidate docs), which is streaming work a resume never loses much
+    of.  Output is bit-identical to :func:`minhash_lsh_pairs`."""
+    from ahrd_ray.state.checkpoint import run_stage_sharded, shard_input_files
+
+    files = doc_paths if doc_paths is not None else [f"{sf_dir}/documents.parquet"]
+    shards = shard_input_files(files, num_shards, stable=True)
+
+    def build_shard(paths: list[str]) -> ray.data.Dataset:
+        docs = ray.data.read_parquet(paths, columns=["doc_id", "text"])
+        return docs.map_batches(
+            lambda b: _signature_batch(b, n), batch_format="pyarrow"
+        )
+
+    banded = run_stage_sharded(
+        "minhash_banded",
+        root,
+        build_shard,
+        {"op": "minhash_banded", "n": n, "hashes": N_HASHES, "bands": N_BANDS},
+        shards,
+    )
+    docs_fn = lambda: ray.data.read_parquet(  # noqa: E731
+        files, columns=["doc_id", "text"]
+    )
+    return _lsh_pairs_from_banded(
+        banded, lambda: _shingle_dataset(sf_dir, n, docs_fn=docs_fn), threshold
+    )
+
+
+def _lsh_pairs_from_banded(
+    banded: ray.data.Dataset, shingles_fn, threshold: float
+) -> ray.data.Dataset:
+    """Candidate pairs + exact-Jaccard verify over a banded signature
+    table (shared by the direct and checkpointed minhash entry points).
+    ``shingles_fn()`` builds a fresh (doc_id, sh) shingle Dataset for the
+    verify joins."""
     # shingle-set sizes ride the banded table into the pair rows (no sizes
     # join needed — the size is a deterministic per-doc scalar, exactly like
     # SimHash's hash payload)
@@ -597,9 +656,7 @@ def minhash_lsh_pairs(
     def cand_shingles() -> ray.data.Dataset:
         # recomputed fused with the column-pruned read per consumer (cheap
         # map); the prefilter drops rows immediately after hashing
-        return _shingle_dataset(sf_dir, n, docs_fn=docs_fn).map_batches(
-            _prefilter, batch_format="pyarrow"
-        )
+        return shingles_fn().map_batches(_prefilter, batch_format="pyarrow")
 
     # intersection counts: two pair-partitioned joins against the
     # prefiltered distributed shingle table

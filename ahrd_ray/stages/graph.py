@@ -2170,7 +2170,7 @@ KCORE_K = 32
 KCORE_ITERS = 16
 
 
-def doc_entity_links(sf_dir: str) -> ray.data.Dataset:
+def doc_entity_links(sf_dir: str, docs: "ray.data.Dataset | None" = None) -> ray.data.Dataset:
     """Slim (doc_id, cand_ord, epart) capped doc->entity link stream — the
     ``ccands`` relation of the oracle (deduped valid candidates, strongest
     COOCCUR_CAP per doc), fused with detection so nothing wider than two
@@ -2203,7 +2203,7 @@ def doc_entity_links(sf_dir: str) -> ray.data.Dataset:
         out["epart"] = (out["cand_ord"] % n_parts).astype("int32")
         return out
 
-    src = kg.pages_dataset(sf_dir).map_batches(
+    src = kg.pages_dataset(sf_dir, docs=docs).map_batches(
         kg.extract_text_batch, batch_format="pyarrow", zero_copy_batch=True
     )
     return src.map_batches(
@@ -2223,9 +2223,52 @@ def cocitation_pairs(
     (hot entities bounded by the logged MAX_BUCKET_DOCS cap), partial pair
     counts combine map-side and finalize in a pair-hash partition — the
     exact dedup.py machinery, with entities playing the shingle role."""
+    return _cocitation_from_links(cached_links(sf_dir), min_shared)
+
+
+def cocitation_pairs_checkpointed(
+    sf_dir: str,
+    root: str,
+    min_shared: int = COCITE_MIN_SHARED,
+    doc_paths: "list[str] | None" = None,
+    num_shards: int = 8,
+) -> ray.data.Dataset:
+    """``cocitation_pairs`` with the doc->entity link build (the fused
+    mention-detection pass — the long-running corpus-sized stage) behind a
+    PARTITION-GRANULAR checkpoint (VERDICT r4 item 6, the
+    ``kg_triples_sharded`` machinery).  Valid because the link stream is
+    doc-local (zero-shuffle): a doc-partitioned union of link shards equals
+    the unpartitioned stream exactly.  A run killed mid-build resumes
+    recomputing only the unfinished shards; the pair projection then runs
+    over the checkpointed link table."""
+    from dataclasses import asdict
+
+    from ahrd_ray.pipelines import kg
+    from ahrd_ray.state.checkpoint import run_stage_sharded, shard_input_files
+
+    ctx = kg.cached_context(sf_dir)
+    files = doc_paths if doc_paths is not None else [f"{sf_dir}/documents.parquet"]
+    shards = shard_input_files(files, num_shards, stable=True)
+
+    def build_shard(paths: "list[str]") -> ray.data.Dataset:
+        docs = ray.data.read_parquet(paths, columns=["doc_id", "text", "lang"])
+        return doc_entity_links(sf_dir, docs=docs)
+
+    links = run_stage_sharded(
+        "entity_links",
+        root,
+        build_shard,
+        {"op": "entity_links", "cap": COOCCUR_CAP, "cfg": asdict(ctx.cfg)},
+        shards,
+    )
+    return _cocitation_from_links(links, min_shared)
+
+
+def _cocitation_from_links(
+    links: ray.data.Dataset, min_shared: int
+) -> ray.data.Dataset:
     from ahrd_ray.stages.dedup import _pair_counts, _self_join_pairs
 
-    links = cached_links(sf_dir)
     co = links.groupby("epart").map_groups(
         _self_join_pairs(["cand_ord"], "doc_id"), batch_format="pandas"
     )
