@@ -732,6 +732,13 @@ def _generic_queries() -> dict[str, tuple[Callable, str | None]]:
             lambda sf: mm.ahash_features(sf),
             oracle.sql_ahash(),
         ),
+        # same perceptual hash with every payload wrapped as REAL PNG —
+        # drives the stdlib-zlib decode path (decompress + unfilter) end to
+        # end; the oracle is container-invariant by construction
+        "mm_png_ahash": (
+            lambda sf: mm.ahash_features(sf, fmt="png"),
+            oracle.sql_ahash(),
+        ),
         # windowed frame energy through the real RIFF/PCM parser — the
         # VAD / silence-trim front-end feature
         "mm_wav_energy": (

@@ -804,9 +804,10 @@ class AverageHasher:
 
 
 def ahash_features(
-    sf_dir: str, concurrency: int | tuple = 2, batch_size: int = 64
+    sf_dir: str, concurrency: int | tuple = 2, batch_size: int = 64,
+    fmt: str = "mixed",
 ) -> ray.data.Dataset:
-    return payloads_dataset(sf_dir).map_batches(
+    return payloads_dataset(sf_dir, fmt=fmt).map_batches(
         AverageHasher,
         fn_constructor_kwargs={"allow_fake": True},
         batch_format="pyarrow",
