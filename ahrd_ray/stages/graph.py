@@ -1570,7 +1570,9 @@ def top_neighbor(sf_dir: str, edges: "ray.data.Dataset | None" = None) -> ray.da
             ascending=[True, False, True],
             kind="mergesort",
         )
-        out = df.groupby("node", as_index=False).head(1)
+        # head(1) returns a row-slice view; copy before adding the column
+        # (silences pandas' SettingWithCopyWarning in worker logs)
+        out = df.groupby("node", as_index=False).head(1).copy()
         out["npart"] = (out["node"] % n_parts).astype("int32")
         return out.astype({"node": "int64", "best_neighbor": "int64", "n_docs": "int64"})
 

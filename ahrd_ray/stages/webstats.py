@@ -317,6 +317,30 @@ def host_links(sf_dir: str) -> ray.data.Dataset:
     )
 
 
+_HOST_CACHE: dict = {}
+
+
+def cached_host_links(sf_dir: str) -> "tuple[ray.data.Dataset, np.ndarray]":
+    """Session-scoped (materialized host link table, sorted distinct host
+    vector) keyed on sf_dir — the ``graph.cached_edges`` precedent.  Three
+    analytics (PageRank, harmonic, crawl_schedule via PageRank) consume the
+    same aggregated link table; without the cache each re-runs the
+    corpus-sized anchor extraction.  The table is distinct-host-pair-sized
+    and the host vector is the O(|hosts|) broadcast class."""
+    import os
+
+    from ahrd_ray.stages.partitioning import prune_stats_parents
+
+    key = os.path.abspath(sf_dir)
+    hit = _HOST_CACHE.get(key)
+    if hit is None:
+        links = host_links(sf_dir).materialize()
+        prune_stats_parents(links)
+        hit = (links, _distinct_hosts(links))
+        _HOST_CACHE[key] = hit
+    return hit
+
+
 def host_driver_max() -> int:
     """Host-count threshold below which the AGGREGATED host graph is
     treated as dim-table-sized and the iteration runs on driver-collected
@@ -516,14 +540,7 @@ def host_pagerank(sf_dir: str, iters: int = 5) -> ray.data.Dataset:
     >> threshold).  Dangling hosts keep their teleport mass; mass flowing
     to them is dropped, mirrored on both sides of the SQL-unrolled
     oracle."""
-    from ahrd_ray.stages.partitioning import prune_stats_parents
-
-    # materialize ONCE: the aggregated table is slim (distinct host pairs),
-    # and both the distinct pass and the iteration consume it — without
-    # this the corpus-sized anchor extraction would re-run per consumer
-    links = host_links(sf_dir).materialize()
-    prune_stats_parents(links)
-    hosts = _distinct_hosts(links)
+    links, hosts = cached_host_links(sf_dir)
     if len(hosts) <= host_driver_max():
         r = _host_pagerank_driver(links.to_pandas(), hosts, iters)
     else:
@@ -753,11 +770,7 @@ def host_harmonic(sf_dir: str, hops: int = HC_HOPS) -> ray.data.Dataset:
     (pytest cross-checks them on a fixture >> threshold).  Exact integer
     arithmetic (floor-div reciprocal units) mirrors the SQL-unrolled
     oracle bit-for-bit."""
-    from ahrd_ray.stages.partitioning import prune_stats_parents
-
-    links = host_links(sf_dir).materialize()
-    prune_stats_parents(links)
-    hosts = _distinct_hosts(links)
+    links, hosts = cached_host_links(sf_dir)
     if len(hosts) <= host_driver_max():
         units = _host_harmonic_driver(links.to_pandas(), hosts, hops)
     else:
