@@ -250,7 +250,10 @@ def test_media_features_stub(ray_session):
         decode_image(b"ARIM" + b"\x00" * 16, allow_fake=False)
     with pytest.raises(NotImplementedError):
         decode_image(b"\xff\xd8\xff\xe0" + b"\x00" * 16)  # JPEG magic
-    with pytest.raises(NotImplementedError):
+    # PNG decodes for real since round 5 (stdlib zlib codec) — a payload
+    # with the magic but no valid chunks is now a MALFORMED png, not an
+    # unsupported format
+    with pytest.raises(ValueError):
         decode_image(b"\x89PNG\r\n\x1a\n" + b"\x00" * 16)
     df = media_features(SF).to_pandas()
     assert len(df) == 500
