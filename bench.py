@@ -277,6 +277,7 @@ def run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
         ("kg_assortativity", lambda: gr.assortativity(sf_dir)),
         ("tx_readability", lambda: tx.readability(sf_dir)),
         ("wb_crawl_schedule", lambda: wb.crawl_schedule(sf_dir)),
+        ("wb_host_harmonic", lambda: wb.host_harmonic(sf_dir)),
         ("wb_host_dup_rate", lambda: wb.host_dup_rate(sf_dir)),
         ("wb_anchor_text", lambda: wb.anchor_text_index(sf_dir)),
         ("dd_decontaminate", lambda: dd.decontaminate(sf_dir)),
@@ -288,6 +289,13 @@ def run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
             lambda: __import__(
                 "ahrd_ray.stages.multimodal", fromlist=["x"]
             ).wav_energy(sf_dir),
+        ),
+        (
+            # the stdlib-zlib PNG decode path under load (round 5)
+            "mm_png_ahash",
+            lambda: __import__(
+                "ahrd_ray.stages.multimodal", fromlist=["x"]
+            ).ahash_features(sf_dir, fmt="png"),
         ),
     ]:
         t0 = time.perf_counter()
