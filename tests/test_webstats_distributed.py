@@ -69,8 +69,9 @@ def test_harmonic_branches_agree_synthetic(ray_session):
     links = ray.data.from_arrow(t).repartition(8)
     hosts = wb._distinct_hosts(links)
 
-    u_driver = wb._host_harmonic_driver(t.to_pandas(), hosts, hops=3)
-    u_dist = wb._host_harmonic_distributed(links, hosts, hops=3)
+    # hops=4 is the production default (HC_HOPS)
+    u_driver = wb._host_harmonic_driver(t.to_pandas(), hosts, hops=4)
+    u_dist = wb._host_harmonic_distributed(links, hosts, hops=4)
     np.testing.assert_array_equal(u_driver, u_dist)
     assert u_driver.sum() > 0  # the fixture graph is actually connected
 
