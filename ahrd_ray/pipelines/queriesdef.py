@@ -739,6 +739,25 @@ def _generic_queries() -> dict[str, tuple[Callable, str | None]]:
             lambda sf: mm.ahash_features(sf, fmt="png"),
             oracle.sql_ahash(),
         ),
+        # ... as REAL GIF — drives the pure-Python LZW entropy decoder
+        # (variable-width codes, table resets, KwKwK) end to end
+        "mm_gif_ahash": (
+            lambda sf: mm.ahash_features(sf, fmt="gif"),
+            oracle.sql_ahash(),
+        ),
+        # ... as REAL lossless JPEG (ITU T.81 SOF3, predictor-1 DPCM) —
+        # drives the canonical-Huffman entropy decoder end to end; lossless,
+        # so the content oracle stays exact
+        "mm_jpegls_ahash": (
+            lambda sf: mm.ahash_features(sf, fmt="jpegls"),
+            oracle.sql_ahash(),
+        ),
+        # baseline-DCT JPEG (SOF0, quality 95) is lossy by design: dims are
+        # the SQL-exact projection; pixel error bounds + sha pins in pytest
+        "mm_jpeg_dims": (
+            lambda sf: mm.jpeg_dims(sf),
+            oracle.sql_media_dims(),
+        ),
         # windowed frame energy through the real RIFF/PCM parser — the
         # VAD / silence-trim front-end feature
         "mm_wav_energy": (

