@@ -187,7 +187,16 @@ def encode_gif(img: np.ndarray, interlace: bool = False) -> bytes:
 def decode_gif(blob: bytes) -> np.ndarray:
     """Real GIF reader (87a/89a): first image block only, global or local
     color table, LZW decode, de-interlace.  Returns (h, w) uint8 when the
-    palette is grayscale (r == g == b everywhere), else (h, w, 3) RGB."""
+    palette is grayscale (r == g == b everywhere), else (h, w, 3) RGB.
+    Malformed/truncated payloads raise ValueError (the malformed-media
+    contract shared with the PNG/JPEG paths)."""
+    try:
+        return _decode_gif_inner(blob)
+    except (IndexError, struct.error) as exc:
+        raise ValueError(f"truncated or malformed GIF payload: {exc}") from exc
+
+
+def _decode_gif_inner(blob: bytes) -> np.ndarray:
     if blob[:6] not in (b"GIF87a", b"GIF89a"):
         raise ValueError("not a GIF payload")
     sw, sh, flags, _bg, _ar = struct.unpack_from("<HHBBB", blob, 6)
@@ -828,7 +837,15 @@ def decode_jpeg(blob: bytes) -> np.ndarray:
     """Real JPEG reader: baseline sequential DCT (SOF0/SOF1) in grayscale
     or YCbCr with per-component sampling factors and restart markers, and
     single-component 8-bit lossless (SOF3, predictors 1-2).  Progressive
-    and arithmetic-coded processes raise ``NotImplementedError``."""
+    and arithmetic-coded processes raise ``NotImplementedError``;
+    malformed/truncated payloads raise ValueError."""
+    try:
+        return _decode_jpeg_inner(blob)
+    except (IndexError, struct.error) as exc:
+        raise ValueError(f"truncated or malformed JPEG payload: {exc}") from exc
+
+
+def _decode_jpeg_inner(blob: bytes) -> np.ndarray:
     if blob[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG payload (no SOI)")
     i = 2

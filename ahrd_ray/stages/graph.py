@@ -2256,11 +2256,24 @@ def cocitation_pairs_checkpointed(
         docs = ray.data.read_parquet(paths, columns=["doc_id", "text", "lang"])
         return doc_entity_links(sf_dir, docs=docs)
 
+    # vocab_sha: detection depends on the CORPUS-derived bottom-k
+    # vocabulary (cached_context builds the alias catalog from it), so an
+    # incremental run that adds doc files — shifting the bottom-k — must
+    # invalidate every old shard, not just the new ones.  The per-shard
+    # file fingerprint alone cannot see that cross-shard dependency.
+    import hashlib
+
+    vocab_sha = hashlib.sha256("\x00".join(ctx.vocab).encode()).hexdigest()
     links = run_stage_sharded(
         "entity_links",
         root,
         build_shard,
-        {"op": "entity_links", "cap": COOCCUR_CAP, "cfg": asdict(ctx.cfg)},
+        {
+            "op": "entity_links",
+            "cap": COOCCUR_CAP,
+            "cfg": asdict(ctx.cfg),
+            "vocab_sha": vocab_sha,
+        },
         shards,
     )
     return _cocitation_from_links(links, min_shared)

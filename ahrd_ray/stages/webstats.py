@@ -234,7 +234,14 @@ _CANON_TAG_RE = (
     r"|'canonical'[^>]*|canonical(?:[\s/][^>]*)?)>)"
 )
 _HREF_RE = r"(?i)\bhref\s*=\s*(?:\"(?P<d>[^\"]*)\"|'(?P<s>[^']*)'|(?P<u>[^\s>]+))"
-_ABS_HOST_RE = r"(?i)^https?://(?P<h>[^/:?#]+)"
+# host per urlsplit().hostname: userinfo (everything to the LAST '@' in
+# the authority — greedy RE2 '*' finds it) stripped, port stripped, IPv6
+# brackets removed.  '@' is excluded from the plain-host class so a
+# userinfo'd URL can't smuggle 'user@host' through as a host.
+_ABS_HOST_RE = (
+    r"(?i)^https?://(?:[^/?#]*@)?"
+    r"(?:\[(?P<h6>[^\]/?#]+)\]|(?P<h>[^/:?#@\[\]]+))"
+)
 
 
 def canonical_hosts(s: pa.Array) -> pa.Array:
@@ -262,7 +269,11 @@ def canonical_hosts(s: pa.Array) -> pa.Array:
         d,
         pc.if_else(pc.not_equal(pc.coalesce(sq, ""), ""), sq, uq),
     )
-    return pc.utf8_lower(pc.struct_field(pc.extract_regex(href, _ABS_HOST_RE), "h"))
+    host_m = pc.extract_regex(href, _ABS_HOST_RE)
+    h6 = pc.struct_field(host_m, "h6")
+    h = pc.struct_field(host_m, "h")
+    # non-participating RE2 groups extract as "": the populated one wins
+    return pc.utf8_lower(pc.if_else(pc.not_equal(pc.coalesce(h6, ""), ""), h6, h))
 
 
 def extract_host_links(batch: pa.Table) -> pa.Table:

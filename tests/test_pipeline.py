@@ -244,15 +244,14 @@ def test_embedding_lsh_subset_of_exact(ray_session):
 def test_media_features_stub(ray_session):
     from ahrd_ray.stages.multimodal import decode_image, media_features
 
-    # the ARIM fixture container still needs the explicit fake flag, and
-    # compressed formats still refuse (decoding those needs a codec library)
+    # the ARIM fixture container still needs the explicit fake flag
     with pytest.raises(NotImplementedError):
         decode_image(b"ARIM" + b"\x00" * 16, allow_fake=False)
-    with pytest.raises(NotImplementedError):
+    # PNG/JPEG decode for real since round 5 — a payload with the magic
+    # but garbage after it is now a MALFORMED stream, not an unsupported
+    # format
+    with pytest.raises(ValueError):
         decode_image(b"\xff\xd8\xff\xe0" + b"\x00" * 16)  # JPEG magic
-    # PNG decodes for real since round 5 (stdlib zlib codec) — a payload
-    # with the magic but no valid chunks is now a MALFORMED png, not an
-    # unsupported format
     with pytest.raises(ValueError):
         decode_image(b"\x89PNG\r\n\x1a\n" + b"\x00" * 16)
     df = media_features(SF).to_pandas()

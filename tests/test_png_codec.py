@@ -81,8 +81,10 @@ def test_png_hostile_payloads():
         decode_image(ihdr(8, 0, interlace=1))  # Adam7
 
 
-def test_jpeg_still_raises():
-    with pytest.raises(NotImplementedError):
+def test_jpeg_malformed_raises_valueerror():
+    # JPEG decodes for real since the codecs module landed; a payload with
+    # the SOI magic but garbage after it is malformed, not unsupported
+    with pytest.raises(ValueError):
         decode_image(b"\xff\xd8\xff\xe0" + b"\x00" * 16)
 
 
