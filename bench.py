@@ -297,6 +297,20 @@ def run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
                 "ahrd_ray.stages.multimodal", fromlist=["x"]
             ).ahash_features(sf_dir, fmt="png"),
         ),
+        (
+            # the LZW entropy decoder under load
+            "mm_gif_ahash",
+            lambda: __import__(
+                "ahrd_ray.stages.multimodal", fromlist=["x"]
+            ).ahash_features(sf_dir, fmt="gif", concurrency=8),
+        ),
+        (
+            # the lossless-JPEG Huffman DPCM decoder under load
+            "mm_jpegls_ahash",
+            lambda: __import__(
+                "ahrd_ray.stages.multimodal", fromlist=["x"]
+            ).ahash_features(sf_dir, fmt="jpegls", concurrency=8),
+        ),
     ]:
         t0 = time.perf_counter()
         out = builder()

@@ -197,3 +197,59 @@ def test_decode_image_dispatch_gif_jpeg():
     assert np.array_equal(decode_image(encode_jpeg_lossless(img)), img)
     lossy = decode_image(encode_jpeg(img, quality=95))
     assert lossy.shape == img.shape
+
+
+# ---------------------------------------------------------------------------
+# property-based fuzz (hypothesis): shrinkable random rasters through the
+# lossless entropy coders must round-trip bit-exactly
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+
+@given(st.binary(min_size=1, max_size=4000))
+@settings(max_examples=60, deadline=None)
+def test_lzw_roundtrip_fuzz(data):
+    assert _lzw_decode(_lzw_encode(data), 8, len(data)) == data
+
+
+@given(
+    st.integers(min_value=1, max_value=40),
+    st.integers(min_value=1, max_value=40),
+    st.integers(min_value=0, max_value=2**32 - 1),
+    st.booleans(),
+)
+@settings(max_examples=40, deadline=None)
+def test_gif_roundtrip_fuzz(h, w, seed, interlace):
+    img = np.random.default_rng(seed).integers(0, 256, (h, w)).astype(np.uint8)
+    assert np.array_equal(decode_gif(encode_gif(img, interlace=interlace)), img)
+
+
+@given(
+    st.integers(min_value=1, max_value=40),
+    st.integers(min_value=1, max_value=40),
+    st.integers(min_value=0, max_value=2**32 - 1),
+    st.sampled_from([1, 2]),
+)
+@settings(max_examples=40, deadline=None)
+def test_jpeg_lossless_roundtrip_fuzz(h, w, seed, predictor):
+    img = np.random.default_rng(seed).integers(0, 256, (h, w)).astype(np.uint8)
+    assert np.array_equal(
+        decode_jpeg(encode_jpeg_lossless(img, predictor=predictor)), img
+    )
+
+
+@given(st.binary(max_size=300))
+@settings(max_examples=80, deadline=None)
+def test_decoders_never_crash_unstructured(data):
+    """Hostile unstructured bytes with valid magics must raise the
+    ValueError/NotImplementedError malformed-media contract — never
+    IndexError/struct.error/segfault-class surprises."""
+    for prefix in (b"GIF89a", b"\xff\xd8"):
+        try:
+            (decode_gif if prefix.startswith(b"GIF") else decode_jpeg)(
+                prefix + data
+            )
+        except (ValueError, NotImplementedError):
+            pass
