@@ -12,14 +12,20 @@ entropy decoders from the public specs alone:
   palette RGB output.  Lossless, so decoded rasters are bit-identical to
   the input — which is what lets GIF payloads carry the same exact DuckDB
   oracles as the PNG path.
-* **JPEG baseline** (ITU T.81 SOF0): canonical Huffman entropy codec with
+* **JPEG baseline + progressive** (ITU T.81 SOF0/SOF2): canonical Huffman
+  entropy codec with
   per-image optimal length-limited tables (the libjpeg ``-optimize``
   strategy — tables travel in DHT, so nothing needs the Annex K defaults),
   8x8 FDCT/IDCT as separable orthonormal float64 matmuls, Annex K
   quantization tables with the libjpeg quality scaling, grayscale and
   YCbCr 4:4:4 / 4:2:0, restart markers (DRI/RSTn) on the decode side, and
-  0xFF byte stuffing.  Lossy by design — gated by round-trip error bounds
-  and sha256 content pins in pytest plus a dims-only SQL oracle.
+  0xFF byte stuffing.  The progressive path implements the full SOF2
+  machinery — spectral-selection bands, successive-approximation DC/AC
+  refinement scans with correction bits, cross-block EOB runs — and its
+  4-phase encoder refines to Al=0, making progressive decode PIXEL-EXACT
+  equal to the sequential decode of the same inputs (the pytest gate).
+  Lossy by design — gated by round-trip error bounds and sha256 content
+  pins in pytest plus a dims-only SQL oracle.
 * **JPEG lossless** (ITU T.81 process 14, SOF3): predictor-1 spatial DPCM
   with SSSS-category Huffman coding, mod-2^16 diff arithmetic.  Bit-exact
   lossless, so it carries the same exact content oracles as PNG/GIF.
@@ -607,17 +613,10 @@ def _block_symbols(zz: np.ndarray, dc_pred: int):
     return dc_tok, ac_toks, dc
 
 
-def encode_jpeg(
-    img: np.ndarray,
-    quality: int = 90,
-    subsample: bool = False,
-    restart_interval: int = 0,
-) -> bytes:
-    """Real baseline JPEG writer (ITU T.81 SOF0): grayscale (h, w) or RGB
-    (h, w, 3); YCbCr 4:4:4 or (``subsample=True``) 4:2:0 with box-averaged
-    chroma; Annex K quantization scaled by libjpeg ``quality``; per-image
-    optimal Huffman tables emitted in DHT; optional DRI/RSTn restart
-    markers; 0xFF byte stuffing."""
+def _prepare_components(img: np.ndarray, quality: int, subsample: bool):
+    """Shared encoder front half: color transform, sampling layout, FDCT,
+    quantization.  Returns (gray, h, w, samp, qts, qids, hufids, comp_zz,
+    mcu_w, mcu_h) with comp_zz[ci] of shape (by, bx, 64) in zigzag order."""
     img = np.ascontiguousarray(img, dtype=np.uint8)
     gray = img.ndim == 2
     if not gray and (img.ndim != 3 or img.shape[2] != 3):
@@ -654,6 +653,48 @@ def encode_jpeg(
         comp_zz.append(
             q.reshape(-1, 64)[:, _ZZ_FLAT].reshape(ph // 8, pw // 8, 64)
         )
+    return gray, h, w, samp, qts, qids, hufids, comp_zz, mcu_w, mcu_h
+
+
+def _frame_headers(
+    marker: int, gray: bool, h: int, w: int, samp, qts, qids
+) -> bytes:
+    """SOI + JFIF APP0 + DQT + SOFn header bytes shared by the sequential
+    and progressive encoders."""
+    out = bytearray(b"\xff\xd8")
+    out += (
+        struct.pack(">HH", 0xFFE0, 16)
+        + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    )
+    emitted = []
+    for tq, qt in ((q, t) for q, t in zip(qids, qts)):
+        if tq in emitted:
+            continue
+        emitted.append(tq)
+        body = bytes([tq]) + bytes(int(x) for x in qt.reshape(-1)[_ZZ_FLAT])
+        out += struct.pack(">HH", 0xFFDB, len(body) + 2) + body
+    sof = struct.pack(">BHHB", 8, h, w, len(samp))
+    for ci, ((hi, vi), qid) in enumerate(zip(samp, qids)):
+        sof += bytes([ci + 1, hi << 4 | vi, qid])
+    out += struct.pack(">HH", marker, len(sof) + 2) + sof
+    return bytes(out)
+
+
+def encode_jpeg(
+    img: np.ndarray,
+    quality: int = 90,
+    subsample: bool = False,
+    restart_interval: int = 0,
+) -> bytes:
+    """Real baseline JPEG writer (ITU T.81 SOF0): grayscale (h, w) or RGB
+    (h, w, 3); YCbCr 4:4:4 or (``subsample=True``) 4:2:0 with box-averaged
+    chroma; Annex K quantization scaled by libjpeg ``quality``; per-image
+    optimal Huffman tables emitted in DHT; optional DRI/RSTn restart
+    markers; 0xFF byte stuffing."""
+    (gray, h, w, samp, qts, qids, hufids, comp_zz, mcu_w, mcu_h) = (
+        _prepare_components(img, quality, subsample)
+    )
+    planes = samp  # per-component iteration only needs the layout
 
     # MCU-ordered token pass (DC prediction + restart resets), then build
     # optimal tables from the token frequencies, then the bit pass
@@ -705,15 +746,7 @@ def encode_jpeg(
             wtr.write(v, nbits)
     wtr.flush()
 
-    out = bytearray(b"\xff\xd8")  # SOI
-    out += struct.pack(">HH", 0xFFE0, 16) + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
-    for tq, qt in enumerate([qt_l] if gray else [qt_l, qt_c]):
-        body = bytes([tq]) + bytes(int(x) for x in qt.reshape(-1)[_ZZ_FLAT])
-        out += struct.pack(">HH", 0xFFDB, len(body) + 2) + body
-    sof = struct.pack(">BHHB", 8, h, w, len(planes))
-    for ci, ((hi, vi), qid) in enumerate(zip(samp, qids)):
-        sof += bytes([ci + 1, hi << 4 | vi, qid])
-    out += struct.pack(">HH", 0xFFC0, len(sof) + 2) + sof
+    out = bytearray(_frame_headers(0xFFC0, gray, h, w, samp, qts, qids))
     for tid in range(n_tables):
         out += _dht_segment(0, tid, dc_lengths[tid])
         out += _dht_segment(1, tid, ac_lengths[tid])
@@ -727,6 +760,35 @@ def encode_jpeg(
     out += wtr.buf
     out += b"\xff\xd9"  # EOI
     return bytes(out)
+
+
+def _planes_from_coefs(frame, qts, coefs) -> np.ndarray:
+    """Dequantize + IDCT the per-component coefficient arrays and compose
+    the output image (shared by the sequential and progressive paths)."""
+    prec, fh, fw, comps = frame
+    max_h = max(c[1] for c in comps)
+    max_v = max(c[2] for c in comps)
+    planes = []
+    for (cid, hi, vi, tq), zz in zip(comps, coefs):
+        qt = qts[tq]
+        nby, nbx = zz.shape[:2]
+        nat = np.zeros((nby * nbx, 64), dtype=np.float64)
+        nat[:, _ZZ_FLAT] = zz.reshape(-1, 64)
+        deq = nat.reshape(-1, 8, 8) * qt
+        px = _idct(deq) + 128.0
+        plane = (
+            px.reshape(nby, nbx, 8, 8).transpose(0, 2, 1, 3).reshape(nby * 8, nbx * 8)
+        )
+        ch = -(-fh * vi // max_v)
+        cw = -(-fw * hi // max_h)
+        plane = plane[:ch, :cw]
+        plane = np.repeat(np.repeat(plane, max_v // vi, axis=0), max_h // hi, axis=1)
+        planes.append(plane[:fh, :fw])
+    if len(planes) == 1:
+        return np.clip(np.round(planes[0]), 0, 255).astype(np.uint8)
+    if len(planes) == 3:
+        return _ycbcr_to_rgb(*planes)
+    raise NotImplementedError(f"{len(planes)}-component JPEG not supported")
 
 
 def _decode_baseline_scan(frame, scomp, qts, dc_raw, ac_raw, segs, ri):
@@ -780,27 +842,12 @@ def _decode_baseline_scan(frame, scomp, qts, dc_raw, ac_raw, segs, ri):
                             zz[k] = _read_signed(rd, size)
                             k += 1
 
-    planes = []
-    for (hi, vi, qt, _d, _a), zz in zip(cfg, coefs):
-        nby, nbx = zz.shape[:2]
-        nat = np.zeros((nby * nbx, 64), dtype=np.float64)
-        nat[:, _ZZ_FLAT] = zz.reshape(-1, 64)
-        deq = nat.reshape(-1, 8, 8) * qt
-        px = _idct(deq) + 128.0
-        plane = (
-            px.reshape(nby, nbx, 8, 8).transpose(0, 2, 1, 3).reshape(nby * 8, nbx * 8)
-        )
-        # component crop, then replicate up to full resolution
-        ch = -(-fh * vi // max_v)
-        cw = -(-fw * hi // max_h)
-        plane = plane[:ch, :cw]
-        plane = np.repeat(np.repeat(plane, max_v // vi, axis=0), max_h // hi, axis=1)
-        planes.append(plane[:fh, :fw])
-    if len(planes) == 1:
-        return np.clip(np.round(planes[0]), 0, 255).astype(np.uint8)
-    if len(planes) == 3:
-        return _ycbcr_to_rgb(*planes)
-    raise NotImplementedError(f"{len(planes)}-component JPEG not supported")
+    # order the coefficient arrays by FRAME component order for finishing
+    by_frame = [
+        coefs[next(si for si, (cs, _t, _a) in enumerate(scomp) if cs == cid)]
+        for cid, _hi, _vi, _tq in comps
+    ]
+    return _planes_from_coefs(frame, qts, by_frame)
 
 
 def _decode_lossless_scan(frame, scomp, predictor, dc_raw, segs, ri):
@@ -854,6 +901,8 @@ def _decode_jpeg_inner(blob: bytes) -> np.ndarray:
     ac_raw: dict[int, list] = {}
     frame = None
     lossless = False
+    progressive = False
+    prog_state = None
     restart_interval = 0
     n = len(blob)
     while i + 1 < n:
@@ -894,8 +943,9 @@ def _decode_jpeg_inner(blob: bytes) -> np.ndarray:
                         ls.append((ln, body[j]))
                         j += 1
                 (dc_raw if tc == 0 else ac_raw)[th] = ls
-        elif m in (0xC0, 0xC1, 0xC3):  # SOF0/1 baseline, SOF3 lossless
+        elif m in (0xC0, 0xC1, 0xC2, 0xC3):  # baseline / progressive / lossless
             lossless = m == 0xC3
+            progressive = m == 0xC2
             prec, fh, fw, nc = struct.unpack_from(">BHHB", body, 0)
             comps = [
                 (body[6 + 3 * c], body[7 + 3 * c] >> 4, body[7 + 3 * c] & 0x0F,
@@ -903,8 +953,10 @@ def _decode_jpeg_inner(blob: bytes) -> np.ndarray:
                 for c in range(nc)
             ]
             frame = (prec, fh, fw, comps)
-        elif m == 0xC2:
-            raise NotImplementedError("progressive JPEG not supported")
+            if progressive:
+                if prec != 8:
+                    raise NotImplementedError("progressive JPEG needs 8-bit precision here")
+                prog_state = _ProgState(frame)
         elif m in (0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(f"JPEG process SOF{m - 0xC0} not supported")
         elif m == 0xDD:
@@ -918,7 +970,15 @@ def _decode_jpeg_inner(blob: bytes) -> np.ndarray:
                 for c in range(ns)
             ]
             ss = body[1 + 2 * ns]
+            se = body[2 + 2 * ns]
+            ahal = body[3 + 2 * ns]
             segs, i = _entropy_segments(blob, i)
+            if progressive:
+                _decode_prog_scan(
+                    prog_state, frame, scomp, ss, se, ahal >> 4, ahal & 0x0F,
+                    dc_raw, ac_raw, segs, restart_interval,
+                )
+                continue  # accumulate scans until EOI
             if lossless:
                 return _decode_lossless_scan(
                     frame, scomp, ss, dc_raw, segs, restart_interval
@@ -927,6 +987,8 @@ def _decode_jpeg_inner(blob: bytes) -> np.ndarray:
                 frame, scomp, qts, dc_raw, ac_raw, segs, restart_interval
             )
         # else: APPn / COM / DNL — skipped via the length field
+    if progressive and frame is not None:
+        return _planes_from_coefs(frame, qts, prog_state.coefs)
     raise ValueError("JPEG contained no scan")
 
 
@@ -981,3 +1043,395 @@ def encode_jpeg_lossless(img: np.ndarray, predictor: int = 1) -> bytes:
     out += wtr.buf
     out += b"\xff\xd9"
     return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# JPEG — progressive DCT (SOF2)
+# ---------------------------------------------------------------------------
+
+
+class _ProgState:
+    """Per-frame coefficient accumulator for a progressive decode: one
+    mcu-padded (by, bx, 64) int64 array per frame component, plus the
+    AC end-of-band run counter that spans blocks within a scan."""
+
+    def __init__(self, frame):
+        prec, fh, fw, comps = frame
+        self.max_h = max(c[1] for c in comps)
+        self.max_v = max(c[2] for c in comps)
+        self.mcu_w = -(-fw // (8 * self.max_h))
+        self.mcu_h = -(-fh // (8 * self.max_v))
+        self.coefs = [
+            np.zeros((self.mcu_h * vi, self.mcu_w * hi, 64), dtype=np.int64)
+            for _cid, hi, vi, _tq in comps
+        ]
+
+    def comp_grid(self, frame, ci) -> tuple[int, int]:
+        """Block grid of component ci for a NON-interleaved scan:
+        ceil(component sample dims / 8), not the mcu-padded grid."""
+        prec, fh, fw, comps = frame
+        _cid, hi, vi, _tq = comps[ci]
+        ch = -(-fh * vi // self.max_v)
+        cw = -(-fw * hi // self.max_h)
+        return -(-ch // 8), -(-cw // 8)
+
+
+def _prog_refine_ac(rd, act, zz, ss, se, al, eobrun):
+    """AC successive-approximation refinement for ONE block (T.81 G.1.2.3 /
+    the libjpeg decode_mcu_AC_refine control flow)."""
+    p1 = 1 << al
+    m1 = -1 << al
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            sym = _read_symbol(rd, act)
+            r, s = sym >> 4, sym & 0x0F
+            val = 0
+            if s == 0:
+                if r != 15:
+                    # NB: counts the CURRENT block too — the correction
+                    # tail below must still run for it (then decrements)
+                    eobrun = 1 << r
+                    if r:
+                        eobrun += rd.read(r)
+                    break
+                # ZRL: pass 16 zero-history coefficients
+            else:
+                if s != 1:
+                    raise ValueError("bad refinement symbol size")
+                val = p1 if rd.read(1) else m1
+            while k <= se:
+                if zz[k] != 0:
+                    if rd.read(1) and (zz[k] & p1) == 0:
+                        zz[k] += p1 if zz[k] >= 0 else m1
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if s:
+                zz[k] = val
+            k += 1
+    if eobrun > 0:
+        while k <= se:
+            if zz[k] != 0:
+                if rd.read(1) and (zz[k] & p1) == 0:
+                    zz[k] += p1 if zz[k] >= 0 else m1
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+def _prog_first_ac(rd, act, zz, ss, se, al, eobrun):
+    """AC first-pass (Ah == 0) for one block, with end-of-band runs."""
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        sym = _read_symbol(rd, act)
+        r, s = sym >> 4, sym & 0x0F
+        if s == 0:
+            if r == 15:
+                k += 16  # ZRL
+                continue
+            eobrun = (1 << r) - 1
+            if r:
+                eobrun += rd.read(r)
+            break
+        k += r
+        if k > se:
+            raise ValueError("AC run past spectral band end")
+        zz[k] = _read_signed(rd, s) << al
+        k += 1
+    return eobrun
+
+
+def _decode_prog_scan(state, frame, scomp, ss, se, ah, al, dc_raw, ac_raw, segs, ri):
+    prec, fh, fw, comps = frame
+    idxs = [
+        next(j for j, c in enumerate(comps) if c[0] == cs) for cs, _t, _a in scomp
+    ]
+    seg_idx = 0
+    rd = _BitReader(segs[0])
+    if ss == 0:  # DC scan (interleaved over scan comps, or single)
+        if se != 0:
+            raise ValueError("DC scan with Se != 0")
+        tables = (
+            {j: _decode_table(dc_raw[td]) for (cs, td, ta), j in zip(scomp, idxs)}
+            if ah == 0
+            else None
+        )
+        pred = {j: 0 for j in idxs}
+        unit_idx = 0
+        if len(scomp) > 1 or len(comps) == 1:
+            mcu_iter = (
+                (my, mx)
+                for my in range(state.mcu_h)
+                for mx in range(state.mcu_w)
+            )
+            for my, mx in mcu_iter:
+                if ri and unit_idx and unit_idx % ri == 0:
+                    seg_idx += 1
+                    rd = _BitReader(segs[seg_idx])
+                    pred = {j: 0 for j in idxs}
+                unit_idx += 1
+                for j in idxs:
+                    _cid, hi, vi, _tq = comps[j]
+                    for by in range(vi):
+                        for bx in range(hi):
+                            zz = state.coefs[j][my * vi + by, mx * hi + bx]
+                            if ah == 0:
+                                s = _read_symbol(rd, tables[j])
+                                pred[j] += _read_signed(rd, s)
+                                zz[0] = pred[j] << al
+                            else:
+                                if rd.read(1):
+                                    zz[0] |= 1 << al
+        else:  # single-component DC scan in a multi-component frame
+            j = idxs[0]
+            nby, nbx = state.comp_grid(frame, j)
+            for by in range(nby):
+                for bx in range(nbx):
+                    if ri and unit_idx and unit_idx % ri == 0:
+                        seg_idx += 1
+                        rd = _BitReader(segs[seg_idx])
+                        pred = {j: 0}
+                    unit_idx += 1
+                    zz = state.coefs[j][by, bx]
+                    if ah == 0:
+                        s = _read_symbol(rd, tables[j])
+                        pred[j] += _read_signed(rd, s)
+                        zz[0] = pred[j] << al
+                    else:
+                        if rd.read(1):
+                            zz[0] |= 1 << al
+        return
+    # AC scan: spec requires exactly one component
+    if len(scomp) != 1:
+        raise ValueError("progressive AC scan must be single-component")
+    j = idxs[0]
+    act = _decode_table(ac_raw[scomp[0][2]])
+    nby, nbx = state.comp_grid(frame, j)
+    eobrun = 0
+    unit_idx = 0
+    for by in range(nby):
+        for bx in range(nbx):
+            if ri and unit_idx and unit_idx % ri == 0:
+                seg_idx += 1
+                rd = _BitReader(segs[seg_idx])
+                eobrun = 0
+            unit_idx += 1
+            zz = state.coefs[j][by, bx]
+            if ah == 0:
+                eobrun = _prog_first_ac(rd, act, zz, ss, se, al, eobrun)
+            else:
+                eobrun = _prog_refine_ac(rd, act, zz, ss, se, al, eobrun)
+
+
+# -- progressive encoder ----------------------------------------------------
+
+
+def _scan_header(scomps: list[tuple[int, int, int]], ss: int, se: int, ah: int, al: int) -> bytes:
+    sos = bytes([len(scomps)])
+    for cid, td, ta in scomps:
+        sos += bytes([cid, td << 4 | ta])
+    sos += bytes([ss, se, ah << 4 | al])
+    return struct.pack(">HH", 0xFFDA, len(sos) + 2) + sos
+
+
+def _ac_first_tokens(blocks, al: int):
+    """Symbol stream for an AC first scan (Ah=0): (sym, extra, nbits)
+    triples with cross-block end-of-band runs."""
+    toks = []
+    eobrun = 0
+
+    def flush_eob():
+        nonlocal eobrun
+        if eobrun:
+            r = eobrun.bit_length() - 1
+            toks.append((r << 4, eobrun - (1 << r), r))
+            eobrun = 0
+
+    for zz in blocks:
+        t = zz[1:64]
+        tv = np.where(t >= 0, t >> al, -((-t) >> al))
+        nz = np.flatnonzero(tv)
+        if len(nz) == 0:
+            eobrun += 1
+            if eobrun == 0x7FFF:
+                flush_eob()
+            continue
+        flush_eob()
+        run = 0
+        for k in nz:
+            k = int(k)
+            while k - run >= 16:
+                toks.append((0xF0, 0, 0))
+                run += 16
+            v = int(tv[k])
+            s = _category(v)
+            toks.append(((k - run) << 4 | s, _extra_bits(v, s), s))
+            run = k + 1
+        if int(nz[-1]) < 62:
+            eobrun += 1
+            if eobrun == 0x7FFF:
+                flush_eob()
+    flush_eob()
+    return toks
+
+
+def _ac_refine_tokens(blocks, al: int):
+    """Symbol stream for an AC refinement scan (Ah = al + 1): tokens are
+    (sym, extra, nbits, correction_bits) — the libjpeg
+    encode_mcu_AC_refine control flow."""
+    toks = []
+    eobrun = 0
+    pending: list[int] = []
+
+    def flush_eob():
+        nonlocal eobrun, pending
+        if eobrun:
+            r = eobrun.bit_length() - 1
+            toks.append((r << 4, eobrun - (1 << r), r, pending))
+            eobrun = 0
+            pending = []
+
+    for zz in blocks:
+        t = zz[1:64]
+        tv = np.where(t >= 0, t >> al, -((-t) >> al))
+        ab = np.abs(tv)
+        newly = np.flatnonzero(ab == 1)
+        eob = int(newly[-1]) + 1 if len(newly) else 0
+        r = 0
+        br: list[int] = []
+        block_toks = []
+        for k in range(63):
+            a = int(ab[k])
+            if a == 0:
+                r += 1
+                continue
+            while r > 15 and k < eob:
+                block_toks.append((0xF0, 0, 0, br))
+                br = []
+                r -= 16
+            if a > 1:
+                br.append(a & 1)
+                continue
+            block_toks.append(((r << 4) | 1, 1 if tv[k] > 0 else 0, 1, br))
+            br = []
+            r = 0
+        if block_toks:
+            flush_eob()
+            toks.extend(block_toks)
+        if r > 0 or br:
+            eobrun += 1
+            pending.extend(br)
+            if eobrun == 0x7FFF:
+                flush_eob()
+    flush_eob()
+    return toks
+
+
+def encode_jpeg_progressive(
+    img: np.ndarray, quality: int = 90, subsample: bool = False
+) -> bytes:
+    """Real progressive JPEG writer (ITU T.81 SOF2) with a 4-phase scan
+    script exercising every progressive scan type: interleaved DC first
+    pass (Al=1), per-component AC first passes (spectral band 1-63, Al=1,
+    cross-block EOB runs), DC successive-approximation refinement (raw
+    bits), and per-component AC refinements (correction bits).  Fully
+    refined to Al=0, so the decoded image is bit-identical to the
+    sequential encoding of the same (img, quality, subsample)."""
+    (gray, h, w, samp, qts, qids, hufids, comp_zz, mcu_w, mcu_h) = (
+        _prepare_components(img, quality, subsample)
+    )
+    out = bytearray(_frame_headers(0xFFC2, gray, h, w, samp, qts, qids))
+    n_comp = len(samp)
+
+    def comp_blocks(ci):
+        hi, vi = samp[ci]
+        max_h = max(s[0] for s in samp)
+        max_v = max(s[1] for s in samp)
+        nby = -(-(-(-h * vi // max_v)) // 8)
+        nbx = -(-(-(-w * hi // max_h)) // 8)
+        return [comp_zz[ci][by, bx] for by in range(nby) for bx in range(nbx)]
+
+    # scan 1: DC first pass, interleaved, Al=1 (arithmetic shift per spec)
+    pred = [0] * n_comp
+    order = []
+    for my in range(mcu_h):
+        for mx in range(mcu_w):
+            for ci, (hi, vi) in enumerate(samp):
+                for by in range(vi):
+                    for bx in range(hi):
+                        dc_t = int(comp_zz[ci][my * vi + by, mx * hi + bx][0]) >> 1
+                        diff = dc_t - pred[ci]
+                        pred[ci] = dc_t
+                        s = _category(diff)
+                        tid = hufids[ci][0]
+                        order.append((tid, (s, _extra_bits(diff, s), s)))
+    freq = [dict() for _ in range(1 if gray else 2)]
+    for tid, (s, _v, _n) in order:
+        freq[tid][s] = freq[tid].get(s, 0) + 1
+    dc_lengths = [_huff_code_lengths(f) if f else None for f in freq]
+    for tid, ls in enumerate(dc_lengths):
+        if ls is not None:
+            out += _dht_segment(0, tid, ls)
+    dc_codes = [(_canonical_codes(ls) if ls else None) for ls in dc_lengths]
+    out += _scan_header([(ci + 1, hufids[ci][0], 0) for ci in range(n_comp)], 0, 0, 0, 1)
+    wtr = _BitWriter()
+    for tid, (s, v, n) in order:
+        code, nb = dc_codes[tid][s]
+        wtr.write(code, nb)
+        wtr.write(v, n)
+    wtr.flush()
+    out += wtr.buf
+
+    # scans 2..: AC first pass per component, band 1-63, Al=1
+    for ci in range(n_comp):
+        toks = _ac_first_tokens(comp_blocks(ci), 1)
+        hdr = _scan_header([(ci + 1, 0, hufids[ci][1])], 1, 63, 0, 1)
+        out += _emit_huffman_scan_with_header(toks, 1, hufids[ci][1], hdr)
+
+    # DC refinement: Ah=1 -> one raw bit per block, no Huffman table
+    out += _scan_header([(ci + 1, 0, 0) for ci in range(n_comp)], 0, 0, 1, 0)
+    wtr = _BitWriter()
+    for my in range(mcu_h):
+        for mx in range(mcu_w):
+            for ci, (hi, vi) in enumerate(samp):
+                for by in range(vi):
+                    for bx in range(hi):
+                        wtr.write(int(comp_zz[ci][my * vi + by, mx * hi + bx][0]) & 1, 1)
+    wtr.flush()
+    out += wtr.buf
+
+    # AC refinement per component: Ah=1, Al=0
+    for ci in range(n_comp):
+        toks = _ac_refine_tokens(comp_blocks(ci), 0)
+        hdr = _scan_header([(ci + 1, 0, hufids[ci][1])], 1, 63, 1, 0)
+        out += _emit_huffman_scan_with_header(toks, 1, hufids[ci][1], hdr)
+
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def _emit_huffman_scan_with_header(toks, table_class, table_id, scan_header: bytes) -> bytes:
+    """DHT (from token stats) + SOS header + entropy bits, in marker order."""
+    freq: dict[int, int] = {}
+    for tok in toks:
+        freq[tok[0]] = freq.get(tok[0], 0) + 1
+    if not freq:
+        freq = {0x00: 1}  # degenerate scan: emit a table for EOB only
+        toks = []
+    lengths = _huff_code_lengths(freq)
+    codes = _canonical_codes(lengths)
+    wtr = _BitWriter()
+    for tok in toks:
+        code, nb = codes[tok[0]]
+        wtr.write(code, nb)
+        wtr.write(tok[1], tok[2])
+        if len(tok) > 3:
+            for bit in tok[3]:
+                wtr.write(bit, 1)
+    wtr.flush()
+    return _dht_segment(table_class, table_id, lengths) + scan_header + bytes(wtr.buf)

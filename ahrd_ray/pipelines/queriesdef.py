@@ -758,6 +758,13 @@ def _generic_queries() -> dict[str, tuple[Callable, str | None]]:
             lambda sf: mm.jpeg_dims(sf),
             oracle.sql_media_dims(),
         ),
+        # multi-scan PROGRESSIVE JPEG (SOF2: spectral selection +
+        # successive approximation, cross-block EOB runs) — same dims
+        # oracle; pixel equality with the sequential decode is pytest-gated
+        "mm_jpeg_prog_dims": (
+            lambda sf: mm.jpeg_dims(sf, progressive=True),
+            oracle.sql_media_dims(),
+        ),
         # windowed frame energy through the real RIFF/PCM parser — the
         # VAD / silence-trim front-end feature
         "mm_wav_energy": (

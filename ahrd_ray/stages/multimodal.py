@@ -19,8 +19,9 @@ parsers/writers for three of them:
   LZW and canonical-Huffman decoders need no codec library either
 
 plus the ``ARIM`` fake container kept as an extra image format so the
-dispatch path is exercised.  Progressive JPEG and arithmetic-coded
-processes still raise ``NotImplementedError``.
+dispatch path is exercised.  JPEG covers baseline, PROGRESSIVE (SOF2)
+and lossless (SOF3); only arithmetic-coded / hierarchical processes
+still raise ``NotImplementedError``.
 
 ``payloads_dataset`` manufactures the media column from the corpus
 (documents text bytes as the pixel raster, wrapped per-doc in one of the
@@ -436,6 +437,7 @@ _FMT_BY_MOD = (  # doc_id % 3 picks the container — all three decoders run
     ("gif", "image/gif"),
     ("jpegls", "image/jpeg"),
     ("jpeg", "image/jpeg"),
+    ("jpeg_prog", "image/jpeg"),
 )
 
 
@@ -474,6 +476,10 @@ def payloads_dataset(sf_dir: str, fmt: str = "mixed") -> ray.data.Dataset:
                 from ahrd_ray.functions.codecs import encode_jpeg
 
                 blobs.append(encode_jpeg(img, quality=95))
+            elif f == "jpeg_prog":
+                from ahrd_ray.functions.codecs import encode_jpeg_progressive
+
+                blobs.append(encode_jpeg_progressive(img, quality=95))
             else:
                 blobs.append(_encode_fake(d, img))
             types.append(mt)
@@ -883,11 +889,16 @@ def wav_energy(sf_dir: str, concurrency: int | tuple = 2) -> ray.data.Dataset:
     )
 
 
-def jpeg_dims(sf_dir: str, concurrency: int | tuple = 2) -> ray.data.Dataset:
-    """(doc_id, width, height) decoded from REAL baseline-DCT JPEG payloads
-    (lossy, quality 95).  The dims are the SQL-gateable projection — decoded
-    CONTENT is inherently codec-defined for a lossy format, so pixel error
-    bounds and sha256 pins live in pytest (test_jpeg_codec) instead."""
+def jpeg_dims(
+    sf_dir: str, concurrency: int | tuple = 2, progressive: bool = False
+) -> ray.data.Dataset:
+    """(doc_id, width, height) decoded from REAL DCT JPEG payloads (lossy,
+    quality 95) — baseline SOF0, or multi-scan PROGRESSIVE SOF2 when
+    ``progressive`` (spectral selection + successive approximation).  The
+    dims are the SQL-gateable projection — decoded CONTENT is inherently
+    codec-defined for a lossy format, so pixel error bounds, sha256 pins
+    and the progressive==sequential pixel-equivalence gate live in pytest
+    (test_gif_jpeg_codec) instead."""
 
     def dims(batch: pa.Table) -> pa.Table:
         from ahrd_ray.functions.codecs import decode_jpeg
@@ -906,6 +917,8 @@ def jpeg_dims(sf_dir: str, concurrency: int | tuple = 2) -> ray.data.Dataset:
             }
         )
 
-    return payloads_dataset(sf_dir, fmt="jpeg").map_batches(
+    return payloads_dataset(
+        sf_dir, fmt="jpeg_prog" if progressive else "jpeg"
+    ).map_batches(
         dims, batch_format="pyarrow", batch_size=64, concurrency=concurrency
     )

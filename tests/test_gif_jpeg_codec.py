@@ -7,6 +7,8 @@ import struct
 
 import numpy as np
 import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
 
 from ahrd_ray.functions.codecs import (
     _lzw_decode,
@@ -16,6 +18,7 @@ from ahrd_ray.functions.codecs import (
     encode_gif,
     encode_jpeg,
     encode_jpeg_lossless,
+    encode_jpeg_progressive,
 )
 from ahrd_ray.stages.multimodal import _raster, decode_image
 
@@ -178,12 +181,73 @@ def test_jpeg_marker_robustness():
     assert np.array_equal(decode_jpeg(patched), decode_jpeg(blob))
 
 
-def test_jpeg_progressive_raises():
+def test_jpeg_malformed_progressive_scan_raises():
+    # patching SOF0 -> SOF2 leaves a sequential scan header (Ss=0, Se=63),
+    # which is an ILLEGAL progressive DC scan — malformed, not unsupported
     blob = bytearray(encode_jpeg(_fixture_img(h=16, w=16)))
     idx = bytes(blob).find(b"\xff\xc0")
-    blob[idx + 1] = 0xC2  # SOF0 -> SOF2 (progressive)
-    with pytest.raises(NotImplementedError):
+    blob[idx + 1] = 0xC2
+    with pytest.raises(ValueError):
         decode_jpeg(bytes(blob))
+
+
+# ---------------------------------------------------------------------------
+# JPEG progressive (SOF2)
+# ---------------------------------------------------------------------------
+
+
+def test_jpeg_progressive_equals_sequential():
+    """The progressive scan script refines to Al=0, so decode must be
+    PIXEL-IDENTICAL to the sequential encoding of the same inputs —
+    both reconstruct the same quantized coefficient array."""
+    rng = np.random.default_rng(41)
+    for h, w in [(1, 1), (8, 8), (17, 31), (48, 64)]:
+        img = rng.integers(0, 256, (h, w)).astype(np.uint8)
+        for q in (100, 85, 40):
+            seq = decode_jpeg(encode_jpeg(img, quality=q))
+            prog = decode_jpeg(encode_jpeg_progressive(img, quality=q))
+            assert np.array_equal(seq, prog), (h, w, q)
+
+
+def test_jpeg_progressive_rgb_and_subsampling():
+    rng = np.random.default_rng(43)
+    rgb = rng.integers(0, 256, (37, 53, 3)).astype(np.uint8)
+    for kw in ({}, {"subsample": True}):
+        seq = decode_jpeg(encode_jpeg(rgb, quality=90, **kw))
+        prog = decode_jpeg(encode_jpeg_progressive(rgb, quality=90, **kw))
+        assert np.array_equal(seq, prog), kw
+
+
+def test_jpeg_progressive_deep_eob_runs():
+    # smooth gradient at low quality: most AC blocks are empty, driving
+    # long cross-block EOB runs through first-pass AND refinement scans
+    g = np.add.outer(np.arange(120), np.arange(200)).astype(np.uint8)
+    for q in (85, 40):
+        assert np.array_equal(
+            decode_jpeg(encode_jpeg(g, quality=q)),
+            decode_jpeg(encode_jpeg_progressive(g, quality=q)),
+        ), q
+
+
+def test_jpeg_progressive_marker_structure():
+    blob = encode_jpeg_progressive(_fixture_img(h=24, w=24), quality=85)
+    assert b"\xff\xc2" in blob  # SOF2
+    assert blob.count(b"\xff\xda") == 4  # DC first, AC first, DC ref, AC ref
+
+
+@given(
+    st.integers(min_value=1, max_value=40),
+    st.integers(min_value=1, max_value=40),
+    st.integers(min_value=0, max_value=2**32 - 1),
+    st.sampled_from([95, 75, 45]),
+)
+@settings(max_examples=30, deadline=None)
+def test_jpeg_progressive_equivalence_fuzz(h, w, seed, quality):
+    img = np.random.default_rng(seed).integers(0, 256, (h, w)).astype(np.uint8)
+    assert np.array_equal(
+        decode_jpeg(encode_jpeg(img, quality=quality)),
+        decode_jpeg(encode_jpeg_progressive(img, quality=quality)),
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -203,10 +267,6 @@ def test_decode_image_dispatch_gif_jpeg():
 # property-based fuzz (hypothesis): shrinkable random rasters through the
 # lossless entropy coders must round-trip bit-exactly
 # ---------------------------------------------------------------------------
-
-from hypothesis import given, settings  # noqa: E402
-from hypothesis import strategies as st  # noqa: E402
-
 
 @given(st.binary(min_size=1, max_size=4000))
 @settings(max_examples=60, deadline=None)
