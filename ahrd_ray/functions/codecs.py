@@ -1435,3 +1435,52 @@ def _emit_huffman_scan_with_header(toks, table_class, table_id, scan_header: byt
                 wtr.write(bit, 1)
     wtr.flush()
     return _dht_segment(table_class, table_id, lengths) + scan_header + bytes(wtr.buf)
+
+
+# ---------------------------------------------------------------------------
+# G.711 companded audio (A-law / mu-law) — the telephone-audio WAV formats
+# ---------------------------------------------------------------------------
+
+
+def _ulaw_decode_lut() -> np.ndarray:
+    """mu-law byte -> 16-bit linear PCM (ITU G.711 / Sun libaudio
+    expansion formula), all 256 codes."""
+    u = ~np.arange(256, dtype=np.int64) & 0xFF
+    t = (((u & 0x0F) << 3) + 0x84) << ((u & 0x70) >> 4)
+    return np.where(u & 0x80, 0x84 - t, t - 0x84).astype(np.int64)
+
+
+def _alaw_decode_lut() -> np.ndarray:
+    """A-law byte -> 16-bit linear PCM (G.711 expansion), all 256 codes."""
+    a = np.arange(256, dtype=np.int64) ^ 0x55
+    mant = (a & 0x0F) << 4
+    seg = (a & 0x70) >> 4
+    t = np.where(seg == 0, mant + 8, (mant + 0x108) << np.maximum(seg - 1, 0))
+    return np.where(a & 0x80, t, -t).astype(np.int64)
+
+
+_ULAW_LUT = _ulaw_decode_lut()
+_ALAW_LUT = _alaw_decode_lut()
+
+
+def g711_expand(codes: np.ndarray, law: str) -> np.ndarray:
+    """Companded bytes -> int16 linear samples via the exact G.711
+    expansion tables."""
+    lut = _ULAW_LUT if law == "ulaw" else _ALAW_LUT
+    return lut[np.asarray(codes, dtype=np.int64) & 0xFF].astype(np.int16)
+
+
+def g711_compress(samples: np.ndarray, law: str) -> np.ndarray:
+    """int16 linear samples -> companded bytes.  Implemented as exact
+    nearest-representable inversion of the expansion table (ties toward
+    the lower decoded value), which guarantees compress(expand(code)) ==
+    code for every byte — the property the round-trip tests pin."""
+    lut = _ULAW_LUT if law == "ulaw" else _ALAW_LUT
+    order = np.argsort(lut, kind="stable")
+    sorted_vals = lut[order]
+    x = np.asarray(samples, dtype=np.int64)
+    idx = np.searchsorted(sorted_vals, x)
+    idx = np.clip(idx, 0, len(sorted_vals) - 1)
+    lo = np.clip(idx - 1, 0, len(sorted_vals) - 1)
+    pick_lo = np.abs(sorted_vals[lo] - x) <= np.abs(sorted_vals[idx] - x)
+    return order[np.where(pick_lo, lo, idx)].astype(np.uint8)

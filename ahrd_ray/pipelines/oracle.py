@@ -4431,3 +4431,33 @@ JOIN cat USING (cand_ord)
 LEFT JOIN deg ON deg.node = fs.cand_ord
 LEFT JOIN tn ON tn.node = fs.cand_ord
 LEFT JOIN cat nc ON nc.cand_ord = tn.best_neighbor"""
+
+
+def sql_g711_energy(law: str) -> str:
+    """Windowed frame-energy truth over G.711-companded WAV payloads
+    (stages/multimodal.wav_energy(law=...)): the synthetic sample range is
+    [-256, 255], so the exact compand->expand quantization is baked as a
+    512-row VALUES mapping generated from the SAME LUTs the codec uses —
+    the minhash replicate-the-constants oracle pattern."""
+    import numpy as np
+
+    from ahrd_ray.functions.codecs import g711_compress, g711_expand
+    from ahrd_ray.stages.multimodal import WAV_WIN
+
+    s = np.arange(-256, 256, dtype=np.int64)
+    d = g711_expand(g711_compress(s.astype(np.int16), law), law).astype(np.int64)
+    rows = ", ".join(f"({int(a)}, {int(b)})" for a, b in zip(s, d))
+    return f"""WITH m(s, d) AS (VALUES {rows}),
+samp AS (
+  SELECT doc_id,
+         unnest(generate_series(0, CAST(99 + doc_id % 50 AS BIGINT))) AS i
+  FROM documents
+),
+a AS (
+  SELECT samp.doc_id, samp.i // {WAV_WIN} AS win_idx, m.d AS amp
+  FROM samp JOIN m ON m.s = (samp.doc_id * 7 + samp.i * 13) % 512 - 256
+)
+SELECT doc_id, CAST(win_idx AS BIGINT) AS win_idx,
+       CAST(count(*) AS BIGINT) AS n_samples,
+       CAST(sum(amp * amp) AS BIGINT) AS energy
+FROM a GROUP BY doc_id, win_idx"""

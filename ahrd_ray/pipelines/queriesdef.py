@@ -771,6 +771,17 @@ def _generic_queries() -> dict[str, tuple[Callable, str | None]]:
             lambda sf: mm.wav_energy(sf),
             oracle.sql_wav_energy(),
         ),
+        # same windows over G.711 mu-law companded payloads (format-7 WAV,
+        # the telephone-audio codec): the real expansion LUT runs in the
+        # decode path; the oracle bakes the 512-entry compand->expand map
+        "mm_ulaw_energy": (
+            lambda sf: mm.wav_energy(sf, law="ulaw"),
+            oracle.sql_g711_energy("ulaw"),
+        ),
+        "mm_alaw_energy": (
+            lambda sf: mm.wav_energy(sf, law="alaw"),
+            oracle.sql_g711_energy("alaw"),
+        ),
         "rel_props_agg": (
             lambda sf: g.props_agg(sf).map_batches(_int64, batch_format="pyarrow"),
             oracle.sql_props_agg(),

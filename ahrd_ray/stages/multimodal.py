@@ -10,10 +10,10 @@ parsers/writers for three of them:
 * **PNM** (``P5`` grayscale / ``P6`` RGB, binary raster, maxval <= 255)
 * **BMP** (BITMAPINFOHEADER, uncompressed 8-bit-palette or 24-bit,
   bottom-up or top-down rows, 4-byte row padding)
-* **WAV** (RIFF/WAVE, PCM 8- or 16-bit)
-
+* **WAV** (RIFF/WAVE: PCM 8/16-bit AND G.711 A-law/mu-law companded,
+  format tags 6/7, exact expansion LUTs)
 * **PNG** (stdlib zlib + per-scanline unfiltering: 8-bit gray / RGB /
-  gray+alpha / RGBA, all five filters, no interlace/palette)
+  gray+alpha / RGBA, all five filters, Adam7 interlace, indexed color)
 * **GIF** and **JPEG** (baseline DCT and lossless DPCM) via the real
   pure-Python entropy codecs in :mod:`ahrd_ray.functions.codecs` —
   LZW and canonical-Huffman decoders need no codec library either
@@ -108,9 +108,27 @@ def encode_bmp(img: np.ndarray) -> bytes:
     return header + palette + pixel_bytes
 
 
-def encode_wav(samples: np.ndarray, rate: int = 8000, channels: int = 1) -> bytes:
-    """RIFF/WAVE PCM16 writer.  ``samples`` is int16, frame-major
-    (interleaved if multi-channel)."""
+def encode_wav(
+    samples: np.ndarray, rate: int = 8000, channels: int = 1,
+    law: str | None = None,
+) -> bytes:
+    """RIFF/WAVE writer: PCM16 by default, or G.711 companded 8-bit when
+    ``law`` is 'alaw'/'ulaw' (format tags 6/7 — the telephone-audio WAV
+    variants).  ``samples`` is int16, frame-major (interleaved if
+    multi-channel)."""
+    if law is not None:
+        from ahrd_ray.functions.codecs import g711_compress
+
+        data = g711_compress(np.asarray(samples), law).tobytes()
+        tag = 6 if law == "alaw" else 7
+        fmt = struct.pack(
+            "<HHIIHH", tag, channels, rate, rate * channels, channels, 8
+        )
+        return (
+            struct.pack("<4sI4s", b"RIFF", 4 + 8 + len(fmt) + 8 + len(data), b"WAVE")
+            + struct.pack("<4sI", b"fmt ", len(fmt)) + fmt
+            + struct.pack("<4sI", b"data", len(data)) + data
+        )
     data = np.ascontiguousarray(samples, dtype="<i2").tobytes()
     fmt = struct.pack("<HHIIHH", 1, channels, rate, rate * channels * 2, channels * 2, 16)
     return (
@@ -136,28 +154,19 @@ def _png_chunk(tag: bytes, body: bytes) -> bytes:
     )
 
 
-def encode_png(img: np.ndarray, filter_type: int = 0) -> bytes:
-    """Real PNG writer (stdlib zlib): 8-bit gray (h,w), RGB (h,w,3) or
-    RGBA (h,w,4), no interlace.  ``filter_type`` 0-4 applies that scanline
-    filter to EVERY row (encode-side filters are fully vectorizable
-    because they subtract known original bytes); the default 0 writes
-    unfiltered rows.  Non-zero filters exist mainly so the decoder's
-    unfiltering paths are exercised by round-trip tests."""
-    import zlib
+# Adam7 interlace pass geometry: (x0, y0, dx, dy) per pass, spec order
+_ADAM7 = (
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
 
-    img = np.ascontiguousarray(img, dtype=np.uint8)
-    if img.ndim == 2:
-        color_type = 0
-    elif img.ndim == 3 and img.shape[2] == 3:
-        color_type = 2
-    elif img.ndim == 3 and img.shape[2] == 4:
-        color_type = 6
-    else:
-        raise ValueError(f"PNG needs (h,w), (h,w,3) or (h,w,4), got {img.shape}")
-    h, w = img.shape[:2]
-    bpp = _PNG_CHANNELS[color_type]
-    rows = img.reshape(h, w * bpp).astype(np.int16)
 
+def _png_filter_pass(rows: np.ndarray, bpp: int, filter_type: int) -> bytes:
+    """Filter one (sub-)image's rows (h, w*bpp) with one filter type and
+    prepend the per-scanline filter byte — fully vectorizable encode-side
+    because the predictors subtract KNOWN original bytes."""
+    h = rows.shape[0]
+    rows = rows.astype(np.int16)
     left = np.zeros_like(rows)
     left[:, bpp:] = rows[:, :-bpp]
     up = np.zeros_like(rows)
@@ -181,7 +190,7 @@ def encode_png(img: np.ndarray, filter_type: int = 0) -> bytes:
         filt = rows - pred
     else:
         raise ValueError(f"unknown PNG filter {filter_type}")
-    raster = np.concatenate(
+    return np.concatenate(
         [
             np.full((h, 1), filter_type, dtype=np.uint8),
             (filt & 0xFF).astype(np.uint8),
@@ -189,13 +198,55 @@ def encode_png(img: np.ndarray, filter_type: int = 0) -> bytes:
         axis=1,
     ).tobytes()
 
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
-    return (
-        b"\x89PNG\r\n\x1a\n"
-        + _png_chunk(b"IHDR", ihdr)
-        + _png_chunk(b"IDAT", zlib.compress(raster, 6))
-        + _png_chunk(b"IEND", b"")
-    )
+
+def encode_png(
+    img: np.ndarray,
+    filter_type: int = 0,
+    interlace: bool = False,
+    palette: bool = False,
+) -> bytes:
+    """Real PNG writer (stdlib zlib): 8-bit gray (h,w), RGB (h,w,3) or
+    RGBA (h,w,4); optional Adam7 interlace (each of the 7 passes filtered
+    as its own sub-image, per spec) and — for grayscale input — an
+    indexed-color variant (``palette=True``: color type 3 with an identity
+    grayscale PLTE).  ``filter_type`` 0-4 applies that scanline filter to
+    EVERY row; non-zero filters exist mainly so the decoder's unfiltering
+    paths are exercised by round-trip tests."""
+    import zlib
+
+    img = np.ascontiguousarray(img, dtype=np.uint8)
+    plte = b""
+    if palette:
+        if img.ndim != 2:
+            raise ValueError("palette PNG encoding takes (h, w) grayscale")
+        color_type, bpp = 3, 1
+        plte = bytes(i for i in range(256) for _ in range(3))
+    elif img.ndim == 2:
+        color_type, bpp = 0, 1
+    elif img.ndim == 3 and img.shape[2] == 3:
+        color_type, bpp = 2, 3
+    elif img.ndim == 3 and img.shape[2] == 4:
+        color_type, bpp = 6, 4
+    else:
+        raise ValueError(f"PNG needs (h,w), (h,w,3) or (h,w,4), got {img.shape}")
+    h, w = img.shape[:2]
+    flat = img.reshape(h, w * bpp)
+    if interlace:
+        raster = b"".join(
+            _png_filter_pass(
+                img[y0::dy, x0::dx].reshape(-(-(h - y0) // dy), -1), bpp, filter_type
+            )
+            for x0, y0, dx, dy in _ADAM7
+            if (h - y0) > 0 and (w - x0) > 0
+        )
+    else:
+        raster = _png_filter_pass(flat, bpp, filter_type)
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 1 if interlace else 0)
+    out = b"\x89PNG\r\n\x1a\n" + _png_chunk(b"IHDR", ihdr)
+    if plte:
+        out += _png_chunk(b"PLTE", plte)
+    return out + _png_chunk(b"IDAT", zlib.compress(raster, 6)) + _png_chunk(b"IEND", b"")
 
 
 def _decode_png(blob: bytes) -> np.ndarray:
@@ -203,20 +254,22 @@ def _decode_png(blob: bytes) -> np.ndarray:
     gray / RGB / gray+alpha / RGBA, no interlace, no palette.  Filters
     None/Sub/Up unfilter vectorized (Sub is a per-channel modular prefix
     sum); Average/Paeth carry a genuine left-dependency and walk the row's
-    pixels (channels vectorized).  JPEG stays unsupported — an entropy
-    decoder is beyond a pure-Python codec, where PNG is just zlib +
-    unfiltering."""
+    pixels (channels vectorized).  Handles Adam7 interlace (7 passes,
+    each unfiltered as its own sub-image) and indexed color (PLTE lookup,
+    grayscale palettes collapsing to (h, w) like the GIF path)."""
     import zlib
 
     if blob[:8] != b"\x89PNG\r\n\x1a\n":
         raise ValueError("not a PNG payload")
-    i, ihdr, idat = 8, None, []
+    i, ihdr, idat, plte = 8, None, [], None
     while i + 8 <= len(blob):
         (size,) = struct.unpack_from(">I", blob, i)
         tag = blob[i + 4 : i + 8]
         body = blob[i + 8 : i + 8 + size]
         if tag == b"IHDR":
             ihdr = struct.unpack(">IIBBBBB", body)
+        elif tag == b"PLTE":
+            plte = np.frombuffer(body, dtype=np.uint8).reshape(-1, 3)
         elif tag == b"IDAT":
             idat.append(body)
         elif tag == b"IEND":
@@ -227,23 +280,56 @@ def _decode_png(blob: bytes) -> np.ndarray:
     w, h, depth, color_type, comp, filt_method, interlace = ihdr
     if depth != 8:
         raise NotImplementedError(f"{depth}-bit PNG not supported (8-bit only)")
-    if color_type == 3:
-        raise NotImplementedError("palette PNG not supported")
-    if color_type not in _PNG_CHANNELS:
+    if color_type != 3 and color_type not in _PNG_CHANNELS:
         raise ValueError(f"bad PNG color type {color_type}")
-    if interlace:
-        raise NotImplementedError("interlaced (Adam7) PNG not supported")
+    if color_type == 3 and plte is None:
+        raise ValueError("palette PNG missing PLTE")
+    if interlace not in (0, 1):
+        raise ValueError(f"bad PNG interlace method {interlace}")
     if comp or filt_method:
         raise ValueError("bad PNG compression/filter method")
 
-    bpp = _PNG_CHANNELS[color_type]
-    stride = w * bpp
+    bpp = 1 if color_type == 3 else _PNG_CHANNELS[color_type]
     raw = np.frombuffer(zlib.decompress(b"".join(idat)), dtype=np.uint8)
-    if len(raw) != h * (stride + 1):
-        raise ValueError("PNG raster size mismatch")
+    if interlace:
+        out = np.zeros((h, w * bpp), dtype=np.int64).reshape(h, w, bpp)
+        pos = 0
+        for x0, y0, dx, dy in _ADAM7:
+            if h - y0 <= 0 or w - x0 <= 0:
+                continue
+            ph = -(-(h - y0) // dy)
+            pw = -(-(w - x0) // dx)
+            n = ph * (pw * bpp + 1)
+            sub = _png_unfilter(raw[pos : pos + n], ph, pw * bpp, bpp)
+            pos += n
+            out[y0::dy, x0::dx] = sub.reshape(ph, pw, bpp)
+        if pos != len(raw):
+            raise ValueError("PNG interlaced raster size mismatch")
+        out = out.reshape(h, w * bpp)
+    else:
+        if len(raw) != h * (w * bpp + 1):
+            raise ValueError("PNG raster size mismatch")
+        out = _png_unfilter(raw, h, w * bpp, bpp)
+
+    img = out.astype(np.uint8)
+    if color_type == 3:
+        rgb = plte[img.reshape(h, w)]
+        if np.array_equal(rgb[..., 0], rgb[..., 1]) and np.array_equal(
+            rgb[..., 0], rgb[..., 2]
+        ):
+            return np.ascontiguousarray(rgb[..., 0])
+        return np.ascontiguousarray(rgb)
+    return img.reshape((h, w) if bpp == 1 else (h, w, bpp)).copy()
+
+
+def _png_unfilter(raw: np.ndarray, h: int, stride: int, bpp: int) -> np.ndarray:
+    """Unfilter one (sub-)image of ``h`` scanlines, each 1 filter byte +
+    ``stride`` data bytes.  Filters None/Sub/Up unfilter vectorized (Sub
+    is a per-channel modular prefix sum); Average/Paeth carry a genuine
+    left-dependency and walk the row's pixels (channels vectorized)."""
     raw = raw.reshape(h, stride + 1)
     ftypes, rows = raw[:, 0], raw[:, 1:].astype(np.int64)
-
+    w = stride // bpp
     out = np.zeros((h, stride), dtype=np.int64)
     prev = np.zeros(stride, dtype=np.int64)
     for r in range(h):
@@ -284,9 +370,7 @@ def _decode_png(blob: bytes) -> np.ndarray:
             raise ValueError(f"bad PNG scanline filter {ft}")
         out[r] = rec
         prev = out[r]
-
-    img = out.astype(np.uint8)
-    return img.reshape((h, w) if bpp == 1 else (h, w, bpp)).copy()
+    return out
 
 
 def _encode_fake(doc_id: int, img: np.ndarray) -> bytes:
@@ -405,9 +489,20 @@ def decode_audio(blob: bytes) -> dict:
     if fmt is None or data is None:
         raise ValueError("WAV missing fmt/data chunk")
     audio_format, channels, rate, _, _, bits = fmt
-    if audio_format != 1:
-        raise NotImplementedError("only PCM WAV is supported (no codec library)")
-    if bits == 16:
+    if audio_format == 6 or audio_format == 7:  # G.711 A-law / mu-law
+        from ahrd_ray.functions.codecs import g711_expand
+
+        if bits != 8:
+            raise ValueError(f"G.711 WAV must be 8-bit, got {bits}")
+        samples = g711_expand(
+            np.frombuffer(data, dtype=np.uint8),
+            "alaw" if audio_format == 6 else "ulaw",
+        )
+    elif audio_format != 1:
+        raise NotImplementedError(
+            f"WAV format {audio_format} not supported (PCM / A-law / mu-law are)"
+        )
+    elif bits == 16:
         samples = np.frombuffer(data, dtype="<i2").astype(np.int16)
     elif bits == 8:  # 8-bit WAV is unsigned, centered at 128
         samples = (np.frombuffer(data, dtype=np.uint8).astype(np.int16) - 128) * 256
@@ -494,11 +589,15 @@ def payloads_dataset(sf_dir: str, fmt: str = "mixed") -> ray.data.Dataset:
     return docs.map_batches(wrap, batch_format="pyarrow")
 
 
-def wav_payloads(sf_dir: str, rate: int = 8000) -> ray.data.Dataset:
-    """documents -> (doc_id, media:binary PCM16 WAV).  Deterministic integer
-    waveform: sample[i] = ((doc_id*7 + i*13) % 512) - 256 over
+def wav_payloads(
+    sf_dir: str, rate: int = 8000, law: str | None = None
+) -> ray.data.Dataset:
+    """documents -> (doc_id, media:binary WAV) — PCM16, or G.711
+    A-law/mu-law companded 8-bit when ``law`` is set.  Deterministic
+    integer waveform: sample[i] = ((doc_id*7 + i*13) % 512) - 256 over
     n = 100 + doc_id % 50 frames — integer arithmetic, so the decode stats
-    carry an exact SQL oracle."""
+    carry an exact SQL oracle (for G.711 the oracle bakes the 512-entry
+    compand->expand mapping generated from the same LUTs)."""
     docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
 
     def wrap(batch: pa.Table) -> pa.Table:
@@ -507,7 +606,7 @@ def wav_payloads(sf_dir: str, rate: int = 8000) -> ray.data.Dataset:
             n = 100 + d % 50
             i = np.arange(n, dtype=np.int64)
             samples = ((d * 7 + i * 13) % 512 - 256).astype(np.int16)
-            blobs.append(encode_wav(samples, rate=rate))
+            blobs.append(encode_wav(samples, rate=rate, law=law))
         return pa.table(
             {
                 "doc_id": batch["doc_id"],
@@ -851,7 +950,9 @@ def ahash_features(
 WAV_WIN = 32
 
 
-def wav_energy(sf_dir: str, concurrency: int | tuple = 2) -> ray.data.Dataset:
+def wav_energy(
+    sf_dir: str, concurrency: int | tuple = 2, law: str | None = None
+) -> ray.data.Dataset:
     """WAV payloads -> (doc_id, win_idx, n_samples, energy) through the
     REAL RIFF/PCM parser: per non-overlapping WAV_WIN-sample window, the
     exact int64 sum of squared amplitudes — the frame-energy feature every
@@ -884,7 +985,7 @@ def wav_energy(sf_dir: str, concurrency: int | tuple = 2) -> ray.data.Dataset:
             }
         )
 
-    return wav_payloads(sf_dir).map_batches(
+    return wav_payloads(sf_dir, law=law).map_batches(
         energy, batch_format="pyarrow", batch_size=64, concurrency=concurrency
     )
 

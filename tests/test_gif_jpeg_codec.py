@@ -313,3 +313,53 @@ def test_decoders_never_crash_unstructured(data):
             )
         except (ValueError, NotImplementedError):
             pass
+
+
+# ---------------------------------------------------------------------------
+# G.711 companded audio (A-law / mu-law)
+# ---------------------------------------------------------------------------
+
+
+def test_g711_expand_compress_fixpoint():
+    from ahrd_ray.functions.codecs import g711_compress, g711_expand
+
+    codes = np.arange(256, dtype=np.uint8)
+    for law in ("alaw", "ulaw"):
+        dec = g711_expand(codes, law)
+        rt = g711_expand(g711_compress(dec, law), law)
+        # value-level fixpoint for ALL codes (mu-law's +0/-0 alias means
+        # the CODE round trip canonicalizes 0xFF -> 0x7F, same value)
+        assert np.array_equal(rt, dec), law
+    # A-law expansion values are distinct -> exact code round trip
+    from ahrd_ray.functions.codecs import _ALAW_LUT
+
+    assert len(np.unique(_ALAW_LUT)) == 256
+    dec = g711_expand(codes, "alaw")
+    assert np.array_equal(g711_compress(dec, "alaw"), codes)
+
+
+def test_g711_known_values():
+    from ahrd_ray.functions.codecs import g711_expand
+
+    # spec anchor points: mu-law 0xFF and A-law 0xD5 are (+)zero
+    assert int(g711_expand(np.array([0xFF]), "ulaw")[0]) == 0
+    assert int(g711_expand(np.array([0x7F]), "ulaw")[0]) == 0
+    assert int(g711_expand(np.array([0xD5]), "alaw")[0]) == 8  # smallest +seg0
+    # mu-law code 0x00 is the negative clip, 0x80 the positive clip
+    assert int(g711_expand(np.array([0x00]), "ulaw")[0]) == -32124
+    assert int(g711_expand(np.array([0x80]), "ulaw")[0]) == 32124
+
+
+def test_g711_wav_roundtrip():
+    from ahrd_ray.stages.multimodal import decode_audio, encode_wav
+
+    rng = np.random.default_rng(9)
+    samples = rng.integers(-300, 300, 120).astype(np.int16)
+    for law, tag in (("alaw", 6), ("ulaw", 7)):
+        blob = encode_wav(samples, rate=8000, law=law)
+        assert struct.unpack_from("<H", blob, 20)[0] == tag
+        a = decode_audio(blob)
+        assert a["rate"] == 8000 and len(a["samples"]) == 120
+        # companding is lossy but bounded in seg-0/1 range (|x| < 300):
+        # quantization step is <= 16 there for both laws
+        assert np.abs(a["samples"].astype(int) - samples.astype(int)).max() <= 16

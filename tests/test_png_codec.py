@@ -74,11 +74,13 @@ def test_png_hostile_payloads():
         )
 
     with pytest.raises(NotImplementedError):
-        decode_image(ihdr(16, 0))  # 16-bit
-    with pytest.raises(NotImplementedError):
-        decode_image(ihdr(8, 3))  # palette
-    with pytest.raises(NotImplementedError):
-        decode_image(ihdr(8, 0, interlace=1))  # Adam7
+        decode_image(ihdr(16, 0))  # 16-bit stays unsupported
+    # palette + Adam7 are REAL paths now; these headerless stubs are
+    # malformed (no PLTE / bogus IDAT), not unsupported
+    with pytest.raises(ValueError):
+        decode_image(ihdr(8, 3))
+    with pytest.raises((ValueError, Exception)):
+        decode_image(ihdr(8, 0, interlace=1))
 
 
 def test_jpeg_malformed_raises_valueerror():
@@ -118,3 +120,35 @@ def test_mm_features_container_invariant_png(ray_session):
     first = payloads_dataset(SF, fmt="png").take(1)[0]
     assert bytes(first["media"])[:8] == b"\x89PNG\r\n\x1a\n"
     assert first["media_type"] == "image/png"
+
+
+def test_png_adam7_and_palette_roundtrips():
+    """Adam7 interlace (all 5 filters, every pass its own sub-image) and
+    indexed-color PNG round-trip bit-exactly, including sub-8px edge
+    shapes where some passes are empty."""
+    rng = np.random.default_rng(5)
+    for h, w in [(1, 1), (3, 5), (7, 9), (40, 64)]:
+        g = rng.integers(0, 256, (h, w)).astype(np.uint8)
+        for ft in range(5):
+            assert np.array_equal(
+                decode_image(encode_png(g, filter_type=ft, interlace=True)), g
+            ), (h, w, ft)
+        assert np.array_equal(decode_image(encode_png(g, palette=True)), g)
+        assert np.array_equal(
+            decode_image(encode_png(g, palette=True, interlace=True)), g
+        )
+        rgb = rng.integers(0, 256, (h, w, 3)).astype(np.uint8)
+        assert np.array_equal(
+            decode_image(encode_png(rgb, interlace=True, filter_type=4)), rgb
+        )
+
+
+def test_png_adam7_partition():
+    # every pixel belongs to exactly one Adam7 pass
+    from ahrd_ray.stages.multimodal import _ADAM7
+
+    for h, w in [(1, 1), (7, 5), (8, 8), (59, 44)]:
+        seen = np.zeros((h, w), int)
+        for x0, y0, dx, dy in _ADAM7:
+            seen[y0::dy, x0::dx] += 1
+        assert (seen == 1).all(), (h, w)
