@@ -203,9 +203,27 @@ def decode_gif(blob: bytes) -> np.ndarray:
 
 
 def _decode_gif_inner(blob: bytes) -> np.ndarray:
+    return _decode_gif_stream(blob, first_only=True)[0]
+
+
+def decode_gif_frames(blob: bytes) -> "list[np.ndarray]":
+    """Decode EVERY frame of a (possibly animated) GIF, composing each
+    image block onto the logical-screen canvas per the 89a animation
+    model: frame placement at (left, top), graphic-control transparency
+    (transparent indices leave the canvas untouched), and disposal
+    methods 0/1 (leave) and 2 (restore the frame rect to the background
+    color).  Returns one (sh, sw) gray or (sh, sw, 3) RGB array per
+    frame — the real video-demux path behind the frame-sampling stage."""
+    try:
+        return _decode_gif_stream(blob, first_only=False)
+    except (IndexError, struct.error) as exc:
+        raise ValueError(f"truncated or malformed GIF payload: {exc}") from exc
+
+
+def _decode_gif_stream(blob: bytes, first_only: bool) -> "list[np.ndarray]":
     if blob[:6] not in (b"GIF87a", b"GIF89a"):
         raise ValueError("not a GIF payload")
-    sw, sh, flags, _bg, _ar = struct.unpack_from("<HHBBB", blob, 6)
+    sw, sh, flags, bg_idx, _ar = struct.unpack_from("<HHBBB", blob, 6)
     i = 13
     gct = None
     if flags & 0x80:
@@ -214,15 +232,25 @@ def _decode_gif_inner(blob: bytes) -> np.ndarray:
             n, 3
         )
         i += n * 3
+    frames: list[np.ndarray] = []
+    canvas = None  # (sh, sw) palette-index canvas
+    canvas_ct = gct
+    transparent = -1
+    disposal = 0
     while i < len(blob):
         b0 = blob[i]
         if b0 == 0x21:  # extension: label + sub-blocks
+            label = blob[i + 1]
             i += 2
+            if label == 0xF9 and blob[i] >= 4:  # graphic control
+                packed, _delay, tidx = struct.unpack_from("<BHB", blob, i + 1)
+                disposal = (packed >> 2) & 0x07
+                transparent = tidx if packed & 0x01 else -1
             while blob[i]:
                 i += 1 + blob[i]
             i += 1
         elif b0 == 0x2C:  # image descriptor
-            _x, _y, w, h, ipacked = struct.unpack_from("<HHHHB", blob, i + 1)
+            fx, fy, w, h, ipacked = struct.unpack_from("<HHHHB", blob, i + 1)
             i += 10
             ct = gct
             if ipacked & 0x80:
@@ -240,6 +268,7 @@ def _decode_gif_inner(blob: bytes) -> np.ndarray:
                 size = blob[i]
                 chunks.append(blob[i + 1 : i + 1 + size])
                 i += 1 + size
+            i += 1  # block terminator
             idx = np.frombuffer(
                 _lzw_decode(b"".join(chunks), min_code_size, w * h),
                 dtype=np.uint8,
@@ -248,17 +277,72 @@ def _decode_gif_inner(blob: bytes) -> np.ndarray:
                 out = np.empty_like(idx)
                 out[_gif_interlace_rows(h)] = idx
                 idx = out
-            rgb = ct[idx]
-            if np.array_equal(rgb[..., 0], rgb[..., 1]) and np.array_equal(
-                rgb[..., 0], rgb[..., 2]
-            ):
-                return np.ascontiguousarray(rgb[..., 0])
-            return np.ascontiguousarray(rgb)
+            if first_only:
+                return [_gif_colorize(idx, ct)]
+            if canvas is None:
+                canvas = np.full((sh, sw), bg_idx, dtype=np.uint8)
+                canvas_ct = ct
+            rect = canvas[fy : fy + h, fx : fx + w]
+            if transparent >= 0:
+                opaque = idx != transparent
+                rect[opaque] = idx[opaque]
+            else:
+                rect[:] = idx
+            frames.append(_gif_colorize(canvas.copy(), canvas_ct))
+            if disposal == 2:  # restore frame rect to background
+                canvas[fy : fy + h, fx : fx + w] = bg_idx
+            disposal = 0
+            transparent = -1
         elif b0 == 0x3B:
             break
         else:
             raise ValueError(f"bad GIF block 0x{b0:02x}")
-    raise ValueError("GIF contained no image block")
+    if not frames:
+        raise ValueError("GIF contained no image block")
+    return frames
+
+
+def _gif_colorize(idx: np.ndarray, ct: np.ndarray) -> np.ndarray:
+    rgb = ct[idx]
+    if np.array_equal(rgb[..., 0], rgb[..., 1]) and np.array_equal(
+        rgb[..., 0], rgb[..., 2]
+    ):
+        return np.ascontiguousarray(rgb[..., 0])
+    return np.ascontiguousarray(rgb)
+
+
+def encode_gif_frames(
+    frames: "list[np.ndarray]", delay_cs: int = 4, interlace: bool = False
+) -> bytes:
+    """Real ANIMATED GIF89a writer: every (h, w) grayscale frame becomes
+    one full-canvas image block preceded by a graphic-control extension
+    (disposal 1 = leave, ``delay_cs`` centiseconds), with a NETSCAPE2.0
+    loop block — the standard web animation layout."""
+    if not frames:
+        raise ValueError("need at least one frame")
+    h, w = frames[0].shape
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", w, h, 0xF7, 0, 0)
+    out += bytes(i for i in range(256) for _ in range(3))
+    out += b"\x21\xff\x0bNETSCAPE2.0\x03\x01\x00\x00\x00"  # loop forever
+    for fr in frames:
+        fr = np.ascontiguousarray(fr, dtype=np.uint8)
+        if fr.shape != (h, w):
+            raise ValueError("animated GIF frames must share the canvas size")
+        # GCE: introducer, label, size 4, packed (disposal 1 = leave),
+        # delay, transparent index (unused), block terminator
+        out += bytes([0x21, 0xF9, 0x04, 0x04]) + struct.pack("<H", delay_cs) + bytes([0, 0])
+        out += struct.pack(
+            "<BHHHHB", 0x2C, 0, 0, w, h, 0x40 if interlace else 0x00
+        )
+        rows = fr[_gif_interlace_rows(h)] if interlace else fr
+        lzw = _lzw_encode(rows.tobytes(), min_code_size=8)
+        out += bytes([8])
+        for k in range(0, len(lzw), 255):
+            out += bytes([len(lzw[k : k + 255])]) + lzw[k : k + 255]
+        out += b"\x00"
+    out += b"\x3b"
+    return bytes(out)
 
 
 # ---------------------------------------------------------------------------

@@ -722,6 +722,13 @@ def _generic_queries() -> dict[str, tuple[Callable, str | None]]:
             lambda sf: mm.frame_sums(sf),
             oracle.sql_frame_sums(),
         ),
+        # the same frame sampling DEMUXED from a real ANIMATED GIF
+        # container (one LZW-coded image block per frame) — the honest
+        # video path; lossless, so the raster oracle is shared
+        "mm_gif_frames": (
+            lambda sf: mm.gif_frame_sums(sf),
+            oracle.sql_frame_sums(),
+        ),
         "mm_audio_stats": (
             lambda sf: mm.audio_stats(sf),
             oracle.sql_audio_stats(),

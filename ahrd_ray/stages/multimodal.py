@@ -1023,3 +1023,72 @@ def jpeg_dims(
     ).map_batches(
         dims, batch_format="pyarrow", batch_size=64, concurrency=concurrency
     )
+
+
+def gif_video_payloads(
+    sf_dir: str, frame_w: int = 8, frame_h: int = 8
+) -> ray.data.Dataset:
+    """documents -> (doc_id, media: REAL ANIMATED GIF89a).  The doc raster
+    splits into consecutive frame_h x frame_w frames, each written as one
+    GIF animation frame (GCE + image block, NETSCAPE loop) — a genuine
+    multi-frame video container, not the ARIM stand-in."""
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    fsize = frame_w * frame_h
+
+    def wrap(batch: pa.Table) -> pa.Table:
+        from ahrd_ray.functions.codecs import encode_gif_frames
+
+        ids, blobs = [], []
+        for d, t in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
+            body = _raster(d, t).reshape(-1)
+            n_frames = len(body) // fsize
+            if n_frames == 0:
+                continue
+            frames = [
+                body[fi * fsize : (fi + 1) * fsize].reshape(frame_h, frame_w)
+                for fi in range(n_frames)
+            ]
+            ids.append(d)
+            blobs.append(encode_gif_frames(frames))
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, type=pa.int64()),
+                "media": pa.array(blobs, type=pa.binary()),
+                "media_type": pa.array(["image/gif"] * len(ids), type=pa.string()),
+            }
+        )
+
+    return docs.map_batches(wrap, batch_format="pyarrow", batch_size=64)
+
+
+def gif_frame_sums(
+    sf_dir: str, every_n: int = 4, concurrency: int | tuple = 2
+) -> ray.data.Dataset:
+    """(doc_id, frame_idx, f_sum) — every Nth frame DEMUXED from the real
+    animated-GIF container (LZW decode per frame) and byte-summed: the
+    video frame-sampling product over an actual multi-frame format, gated
+    by the same raster-arithmetic oracle as the ARIM-based sampler."""
+
+    def sums(batch: pa.Table) -> pa.Table:
+        from ahrd_ray.functions.codecs import decode_gif_frames
+
+        ids, idxs, fs = [], [], []
+        for d, blob in zip(batch["doc_id"].to_pylist(), batch["media"].to_pylist()):
+            frames = decode_gif_frames(blob)
+            for fi in range(0, len(frames), every_n):
+                ids.append(d)
+                idxs.append(fi)
+                fs.append(int(frames[fi].astype(np.int64).sum()))
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, type=pa.int64()),
+                "frame_idx": pa.array(idxs, type=pa.int64()),
+                "f_sum": pa.array(fs, type=pa.int64()),
+            }
+        )
+
+    return gif_video_payloads(sf_dir).map_batches(
+        sums, batch_format="pyarrow", batch_size=64, concurrency=concurrency
+    )

@@ -363,3 +363,57 @@ def test_g711_wav_roundtrip():
         # companding is lossy but bounded in seg-0/1 range (|x| < 300):
         # quantization step is <= 16 there for both laws
         assert np.abs(a["samples"].astype(int) - samples.astype(int)).max() <= 16
+
+
+# ---------------------------------------------------------------------------
+# animated GIF (the real video-demux path)
+# ---------------------------------------------------------------------------
+
+
+def test_animated_gif_roundtrip():
+    from ahrd_ray.functions.codecs import decode_gif_frames, encode_gif_frames
+
+    rng = np.random.default_rng(31)
+    frames = [rng.integers(0, 256, (8, 8)).astype(np.uint8) for _ in range(7)]
+    for interlace in (False, True):
+        got = decode_gif_frames(encode_gif_frames(frames, interlace=interlace))
+        assert len(got) == 7
+        assert all(np.array_equal(a, b) for a, b in zip(frames, got))
+    # single-frame GIFs demux through the same entry point
+    img = rng.integers(0, 256, (20, 30)).astype(np.uint8)
+    assert np.array_equal(decode_gif_frames(encode_gif(img))[0], img)
+
+
+def test_animated_gif_transparency_and_disposal():
+    """Hand-built animation exercising the 89a composition model: partial
+    frame rects, transparent-index skip, and disposal method 2."""
+    from ahrd_ray.functions.codecs import decode_gif_frames
+
+    base = np.full((4, 4), 7, np.uint8)
+    blob = bytearray(b"GIF89a")
+    blob += struct.pack("<HHBBB", 4, 4, 0xF7, 0, 0)
+    blob += bytes(i for i in range(256) for _ in range(3))
+
+    def frame(arr, fx, fy, transparent=None, disposal=1):
+        h, w = arr.shape
+        packed = (disposal << 2) | (1 if transparent is not None else 0)
+        b = bytes([0x21, 0xF9, 4, packed]) + struct.pack("<H", 1) + bytes(
+            [transparent or 0, 0]
+        )
+        b += struct.pack("<BHHHHB", 0x2C, fx, fy, w, h, 0)
+        lzw = _lzw_encode(arr.tobytes(), 8)
+        return b + bytes([8, len(lzw)]) + lzw + b"\x00"
+
+    blob += frame(base, 0, 0, disposal=1)
+    patch = np.array([[9, 200], [200, 9]], np.uint8)  # 200 = transparent
+    blob += frame(patch, 1, 1, transparent=200, disposal=2)
+    blob += frame(np.full((1, 1), 3, np.uint8), 0, 0, disposal=1)
+    blob += b"\x3b"
+    f = decode_gif_frames(bytes(blob))
+    assert len(f) == 3
+    assert f[0][0, 0] == 7
+    assert f[1][1, 1] == 9 and f[1][2, 2] == 9  # opaque patch pixels
+    assert f[1][1, 2] == 7 and f[1][2, 1] == 7  # transparent left base
+    assert f[2][0, 0] == 3  # new frame painted
+    assert f[2][1, 1] == 0  # disposal-2 restored rect to background
+    assert f[2][3, 3] == 7  # untouched canvas survives
