@@ -232,9 +232,14 @@ def _decode_gif_stream(blob: bytes, first_only: bool) -> "list[np.ndarray]":
             n, 3
         )
         i += n * 3
+    # composition happens in RGB space so frames with DIFFERENT local
+    # color tables (optimized animated GIFs) compose correctly
     frames: list[np.ndarray] = []
-    canvas = None  # (sh, sw) palette-index canvas
-    canvas_ct = gct
+    canvas = None  # (sh, sw, 3) RGB canvas
+    bg_rgb = (
+        gct[bg_idx] if gct is not None and bg_idx < len(gct)
+        else np.zeros(3, dtype=np.uint8)
+    )
     transparent = -1
     disposal = 0
     while i < len(blob):
@@ -278,19 +283,22 @@ def _decode_gif_stream(blob: bytes, first_only: bool) -> "list[np.ndarray]":
                 out[_gif_interlace_rows(h)] = idx
                 idx = out
             if first_only:
-                return [_gif_colorize(idx, ct)]
+                return [_gif_collapse([ct[idx]])[0]]
             if canvas is None:
-                canvas = np.full((sh, sw), bg_idx, dtype=np.uint8)
-                canvas_ct = ct
+                canvas = np.broadcast_to(bg_rgb, (sh, sw, 3)).copy()
+            saved = canvas[fy : fy + h, fx : fx + w].copy() if disposal == 3 else None
             rect = canvas[fy : fy + h, fx : fx + w]
+            painted = ct[idx]
             if transparent >= 0:
                 opaque = idx != transparent
-                rect[opaque] = idx[opaque]
+                rect[opaque] = painted[opaque]
             else:
-                rect[:] = idx
-            frames.append(_gif_colorize(canvas.copy(), canvas_ct))
+                rect[:] = painted
+            frames.append(canvas.copy())
             if disposal == 2:  # restore frame rect to background
-                canvas[fy : fy + h, fx : fx + w] = bg_idx
+                canvas[fy : fy + h, fx : fx + w] = bg_rgb
+            elif disposal == 3:  # restore to previous canvas content
+                canvas[fy : fy + h, fx : fx + w] = saved
             disposal = 0
             transparent = -1
         elif b0 == 0x3B:
@@ -299,16 +307,18 @@ def _decode_gif_stream(blob: bytes, first_only: bool) -> "list[np.ndarray]":
             raise ValueError(f"bad GIF block 0x{b0:02x}")
     if not frames:
         raise ValueError("GIF contained no image block")
-    return frames
+    return _gif_collapse(frames)
 
 
-def _gif_colorize(idx: np.ndarray, ct: np.ndarray) -> np.ndarray:
-    rgb = ct[idx]
-    if np.array_equal(rgb[..., 0], rgb[..., 1]) and np.array_equal(
-        rgb[..., 0], rgb[..., 2]
+def _gif_collapse(frames: "list[np.ndarray]") -> "list[np.ndarray]":
+    """Collapse RGB frames to (h, w) grayscale only when EVERY frame is
+    grayscale, so one animation never mixes 2-D and 3-D frame shapes."""
+    if all(
+        np.array_equal(f[..., 0], f[..., 1]) and np.array_equal(f[..., 0], f[..., 2])
+        for f in frames
     ):
-        return np.ascontiguousarray(rgb[..., 0])
-    return np.ascontiguousarray(rgb)
+        return [np.ascontiguousarray(f[..., 0]) for f in frames]
+    return [np.ascontiguousarray(f) for f in frames]
 
 
 def encode_gif_frames(
@@ -778,7 +788,6 @@ def encode_jpeg(
     (gray, h, w, samp, qts, qids, hufids, comp_zz, mcu_w, mcu_h) = (
         _prepare_components(img, quality, subsample)
     )
-    planes = samp  # per-component iteration only needs the layout
 
     # MCU-ordered token pass (DC prediction + restart resets), then build
     # optimal tables from the token frequencies, then the bit pass
@@ -786,14 +795,14 @@ def encode_jpeg(
     dc_freq = [dict() for _ in range(n_tables)]
     ac_freq = [dict() for _ in range(n_tables)]
     mcu_tokens = []  # (table_id, dc_tok, ac_toks) per block, MCU order
-    dc_pred = [0] * len(planes)
+    dc_pred = [0] * len(samp)
     mcu_idx = 0
     restarts = []  # block-token indices where a restart marker lands
     for my in range(mcu_h):
         for mx in range(mcu_w):
             if restart_interval and mcu_idx and mcu_idx % restart_interval == 0:
                 restarts.append(len(mcu_tokens))
-                dc_pred = [0] * len(planes)
+                dc_pred = [0] * len(samp)
             mcu_idx += 1
             for ci, (hi, vi) in enumerate(samp):
                 tid = hufids[ci][0]
@@ -836,8 +845,8 @@ def encode_jpeg(
         out += _dht_segment(1, tid, ac_lengths[tid])
     if restart_interval:
         out += struct.pack(">HHH", 0xFFDD, 4, restart_interval)
-    sos = bytes([len(planes)])
-    for ci in range(len(planes)):
+    sos = bytes([len(samp)])
+    for ci in range(len(samp)):
         sos += bytes([ci + 1, hufids[ci][0] << 4 | hufids[ci][1]])
     sos += bytes([0, 63, 0])
     out += struct.pack(">HH", 0xFFDA, len(sos) + 2) + sos
@@ -881,7 +890,10 @@ def _decode_baseline_scan(frame, scomp, qts, dc_raw, ac_raw, segs, ri):
         raise NotImplementedError(f"{prec}-bit baseline JPEG not supported")
     cfg = []
     for cs, td, ta in scomp:
-        cid, hi, vi, tq = next(c for c in comps if c[0] == cs)
+        match = [c for c in comps if c[0] == cs]
+        if not match:
+            raise ValueError(f"scan references unknown component id {cs}")
+        cid, hi, vi, tq = match[0]
         cfg.append((hi, vi, qts[tq], _decode_table(dc_raw[td]), _decode_table(ac_raw[ta])))
     max_h = max(c[0] for c in cfg)
     max_v = max(c[1] for c in cfg)
@@ -926,11 +938,17 @@ def _decode_baseline_scan(frame, scomp, qts, dc_raw, ac_raw, segs, ri):
                             zz[k] = _read_signed(rd, size)
                             k += 1
 
-    # order the coefficient arrays by FRAME component order for finishing
-    by_frame = [
-        coefs[next(si for si, (cs, _t, _a) in enumerate(scomp) if cs == cid)]
-        for cid, _hi, _vi, _tq in comps
-    ]
+    # order the coefficient arrays by FRAME component order for finishing;
+    # a scan covering only a subset of frame components is the multi-scan
+    # sequential layout this single-scan decoder does not implement
+    scan_pos = {cs: si for si, (cs, _t, _a) in enumerate(scomp)}
+    missing = [cid for cid, _h, _v, _t in comps if cid not in scan_pos]
+    if missing:
+        raise NotImplementedError(
+            f"multi-scan sequential JPEG not supported (components {missing} "
+            "not in the first scan)"
+        )
+    by_frame = [coefs[scan_pos[cid]] for cid, _hi, _vi, _tq in comps]
     return _planes_from_coefs(frame, qts, by_frame)
 
 
@@ -966,10 +984,12 @@ def _decode_lossless_scan(frame, scomp, predictor, dc_raw, segs, ri):
 
 def decode_jpeg(blob: bytes) -> np.ndarray:
     """Real JPEG reader: baseline sequential DCT (SOF0/SOF1) in grayscale
-    or YCbCr with per-component sampling factors and restart markers, and
-    single-component 8-bit lossless (SOF3, predictors 1-2).  Progressive
-    and arithmetic-coded processes raise ``NotImplementedError``;
-    malformed/truncated payloads raise ValueError."""
+    or YCbCr with per-component sampling factors and restart markers,
+    PROGRESSIVE DCT (SOF2: spectral selection + successive approximation,
+    multi-scan), and single-component 8-bit lossless (SOF3, predictors
+    1-2).  Arithmetic-coded / hierarchical processes raise
+    ``NotImplementedError``; malformed/truncated payloads raise
+    ValueError."""
     try:
         return _decode_jpeg_inner(blob)
     except (IndexError, struct.error) as exc:
@@ -1232,9 +1252,11 @@ def _prog_first_ac(rd, act, zz, ss, se, al, eobrun):
 
 def _decode_prog_scan(state, frame, scomp, ss, se, ah, al, dc_raw, ac_raw, segs, ri):
     prec, fh, fw, comps = frame
-    idxs = [
-        next(j for j, c in enumerate(comps) if c[0] == cs) for cs, _t, _a in scomp
-    ]
+    pos = {c[0]: j for j, c in enumerate(comps)}
+    for cs, _t, _a in scomp:
+        if cs not in pos:
+            raise ValueError(f"scan references unknown component id {cs}")
+    idxs = [pos[cs] for cs, _t, _a in scomp]
     seg_idx = 0
     rd = _BitReader(segs[0])
     if ss == 0:  # DC scan (interleaved over scan comps, or single)
@@ -1247,7 +1269,11 @@ def _decode_prog_scan(state, frame, scomp, ss, se, ah, al, dc_raw, ac_raw, segs,
         )
         pred = {j: 0 for j in idxs}
         unit_idx = 0
-        if len(scomp) > 1 or len(comps) == 1:
+        # T.81 A.2: a scan is interleaved only when it lists >1 component;
+        # an Ns=1 scan uses the component's own ceil(dims/8) grid in
+        # raster order, sampling factors ignored (even in a 1-comp frame
+        # the grids coincide, so this branch is also the 1-comp path)
+        if len(scomp) > 1:
             mcu_iter = (
                 (my, mx)
                 for my in range(state.mcu_h)
@@ -1547,19 +1573,29 @@ _ULAW_LUT = _ulaw_decode_lut()
 _ALAW_LUT = _alaw_decode_lut()
 
 
+def _g711_lut(law: str) -> np.ndarray:
+    if law == "ulaw":
+        return _ULAW_LUT
+    if law == "alaw":
+        return _ALAW_LUT
+    raise ValueError(f"unknown G.711 law {law!r} (use 'alaw' or 'ulaw')")
+
+
 def g711_expand(codes: np.ndarray, law: str) -> np.ndarray:
     """Companded bytes -> int16 linear samples via the exact G.711
     expansion tables."""
-    lut = _ULAW_LUT if law == "ulaw" else _ALAW_LUT
+    lut = _g711_lut(law)
     return lut[np.asarray(codes, dtype=np.int64) & 0xFF].astype(np.int16)
 
 
 def g711_compress(samples: np.ndarray, law: str) -> np.ndarray:
     """int16 linear samples -> companded bytes.  Implemented as exact
     nearest-representable inversion of the expansion table (ties toward
-    the lower decoded value), which guarantees compress(expand(code)) ==
-    code for every byte — the property the round-trip tests pin."""
-    lut = _ULAW_LUT if law == "ulaw" else _ALAW_LUT
+    the lower decoded value): expand(compress(expand(code))) == expand(code)
+    for every byte, and the CODE round trip is exact except mu-law's
+    +0/-0 alias (0xFF and 0x7F both expand to 0; compression
+    canonicalizes to 0x7F) — the properties the round-trip tests pin."""
+    lut = _g711_lut(law)
     order = np.argsort(lut, kind="stable")
     sorted_vals = lut[order]
     x = np.asarray(samples, dtype=np.int64)

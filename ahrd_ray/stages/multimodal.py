@@ -119,8 +119,8 @@ def encode_wav(
     if law is not None:
         from ahrd_ray.functions.codecs import g711_compress
 
-        data = g711_compress(np.asarray(samples), law).tobytes()
-        tag = 6 if law == "alaw" else 7
+        data = g711_compress(np.asarray(samples), law).tobytes()  # validates law
+        tag = {"alaw": 6, "ulaw": 7}[law]
         fmt = struct.pack(
             "<HHIIHH", tag, channels, rate, rate * channels, channels, 8
         )
@@ -138,8 +138,8 @@ def encode_wav(
     )
 
 
-# PNG color types with 8-bit depth this codec handles (no palette, no
-# interlace): gray, RGB, gray+alpha, RGBA
+# channel counts for the non-indexed PNG color types (indexed color is
+# handled separately via PLTE lookup)
 _PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
 
 
@@ -251,7 +251,7 @@ def encode_png(
 
 def _decode_png(blob: bytes) -> np.ndarray:
     """Real PNG reader (stdlib zlib + per-scanline unfiltering): 8-bit
-    gray / RGB / gray+alpha / RGBA, no interlace, no palette.  Filters
+    gray / RGB / gray+alpha / RGBA, Adam7 interlace, indexed color.  Filters
     None/Sub/Up unfilter vectorized (Sub is a per-channel modular prefix
     sum); Average/Paeth carry a genuine left-dependency and walk the row's
     pixels (channels vectorized).  Handles Adam7 interlace (7 passes,
@@ -290,7 +290,10 @@ def _decode_png(blob: bytes) -> np.ndarray:
         raise ValueError("bad PNG compression/filter method")
 
     bpp = 1 if color_type == 3 else _PNG_CHANNELS[color_type]
-    raw = np.frombuffer(zlib.decompress(b"".join(idat)), dtype=np.uint8)
+    try:
+        raw = np.frombuffer(zlib.decompress(b"".join(idat)), dtype=np.uint8)
+    except zlib.error as exc:
+        raise ValueError(f"corrupt PNG IDAT stream: {exc}") from exc
     if interlace:
         out = np.zeros((h, w * bpp), dtype=np.int64).reshape(h, w, bpp)
         pos = 0

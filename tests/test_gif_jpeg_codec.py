@@ -417,3 +417,42 @@ def test_animated_gif_transparency_and_disposal():
     assert f[2][0, 0] == 3  # new frame painted
     assert f[2][1, 1] == 0  # disposal-2 restored rect to background
     assert f[2][3, 3] == 7  # untouched canvas survives
+
+
+def test_animated_gif_local_color_tables_and_disposal3():
+    """Frames carrying their own LOCAL color tables must colorize with
+    them (optimized animated GIFs), and disposal 3 restores the previous
+    canvas content — both verified against hand-built streams."""
+    from ahrd_ray.functions.codecs import decode_gif_frames
+
+    gct = bytes([10, 10, 10] * 2)  # global: gray
+    lct = bytes([255, 0, 0, 0, 0, 255])  # local: red, blue
+
+    def gce(disposal):
+        return bytes([0x21, 0xF9, 4, disposal << 2]) + struct.pack("<H", 1) + bytes([0, 0])
+
+    def img_block(arr, lct_bytes=None):
+        h, w = arr.shape
+        packed = 0x80 | 0x00 if lct_bytes else 0  # LCT size 2 -> bits 000
+        b = struct.pack("<BHHHHB", 0x2C, 0, 0, w, h, packed)
+        if lct_bytes:
+            b += lct_bytes
+        lzw = _lzw_encode(arr.tobytes(), 2)
+        return b + bytes([2, len(lzw)]) + lzw + b"\x00"
+
+    ones = np.zeros((2, 2), np.uint8)
+    blob = (
+        b"GIF89a" + struct.pack("<HHBBB", 2, 2, 0xF0, 0, 0) + gct
+        + gce(3) + img_block(np.array([[1, 0], [0, 1]], np.uint8), lct)
+        + gce(1) + img_block(ones)
+        + b"\x3b"
+    )
+    f = decode_gif_frames(bytes(blob))
+    assert len(f) == 2
+    # frame 1 colorized via the LOCAL table: red/blue, not gray
+    assert f[0].shape == (2, 2, 3)
+    assert f[0][0, 0].tolist() == [0, 0, 255]
+    assert f[0][0, 1].tolist() == [255, 0, 0]
+    # frame 1 had disposal 3: canvas restored to pre-frame state
+    # (background), so frame 2 shows only its own global-table paint
+    assert f[1][0, 0].tolist() == [10, 10, 10]
