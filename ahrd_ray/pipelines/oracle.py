@@ -4461,3 +4461,31 @@ SELECT doc_id, CAST(win_idx AS BIGINT) AS win_idx,
        CAST(count(*) AS BIGINT) AS n_samples,
        CAST(sum(amp * amp) AS BIGINT) AS energy
 FROM a GROUP BY doc_id, win_idx"""
+
+
+def sql_temperature_sample() -> str:
+    """Temperature-sampling truth (stages/textstats.temperature_sample,
+    tau = 1/2): tempered weight floor(sqrt(n * 2^20)) is exact on both
+    sides (the argument is < 2^53 and IEEE sqrt is correctly rounded with
+    a >half-ulp margin to the next integer at these magnitudes; Python
+    uses isqrt), the argmax language is selected by the SAME integer key
+    (w << 40) // n with lang ASC tie-break, and membership is the shared
+    multiplicative-hash filter."""
+    from ahrd_ray.stages.generic import SAMPLE_MOD, SAMPLE_MULT
+    from ahrd_ray.stages.textstats import TS_KEY_SHIFT, TS_SCALE
+
+    return f"""WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+w AS (
+  SELECT lang, CAST(n AS HUGEINT) AS n,
+         CAST(floor(sqrt(CAST(n AS DOUBLE) * {TS_SCALE})) AS HUGEINT) AS w
+  FROM c
+),
+m AS (
+  SELECT n AS cm, w AS wm FROM w
+  ORDER BY (w * CAST({1 << TS_KEY_SHIFT} AS HUGEINT)) // n DESC, lang ASC
+  LIMIT 1
+)
+SELECT d.doc_id, d.lang
+FROM documents d JOIN w ON d.lang = w.lang CROSS JOIN m
+WHERE (CAST(d.doc_id AS HUGEINT) * {SAMPLE_MULT}) % {SAMPLE_MOD}
+      < (CAST({SAMPLE_MOD} AS HUGEINT) * w.w * m.cm) // (w.n * m.wm)"""

@@ -505,6 +505,12 @@ def _textstats_queries() -> dict[str, tuple[Callable, str | None]]:
             lambda sf: tx.lang_resample(sf),
             oracle.sql_lang_resample(),
         ),
+        # temperature-based mixture sampling at tau=1/2 (XLM-R/mT5 rule,
+        # integer-exact: isqrt weights, fraction-exact argmax, hash filter)
+        "tx_temperature_sample": (
+            lambda sf: tx.temperature_sample(sf),
+            oracle.sql_temperature_sample(),
+        ),
         # corpus-bigram-LM quality score (quantized MLE, exact unit sums)
         "tx_lm_score": (
             lambda sf: tx.lm_score(sf).map_batches(_int64, batch_format="pyarrow"),

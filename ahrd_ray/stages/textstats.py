@@ -1565,3 +1565,63 @@ def readability(sf_dir: str) -> ray.data.Dataset:
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
     )
     return docs.map_batches(readability_batch, batch_format="pyarrow")
+
+
+TS_SCALE = 1 << 20  # tempered-weight precision (engine-wide q20)
+TS_KEY_SHIFT = 40  # exact-integer argmax key: (w << 40) // n
+
+
+def temperature_sample(sf_dir: str) -> ray.data.Dataset:
+    """(doc_id, lang) — temperature-based mixture sampling at tau = 1/2:
+    the multilingual data-mix rule (public: XLM-R / mT5 temperature
+    sampling, q_l ∝ c_l^tau) applied as deterministic per-language
+    downsampling.  Tempered weights use INTEGER isqrt(c_l * 2^20), keep
+    rates r_l ∝ w_l / c_l normalize so the most-upweighted language keeps
+    everything (no upsampling), and membership is the engine's
+    multiplicative-hash filter — every quantity is integer-exact, so the
+    DuckDB oracle reproduces the sample bit-for-bit.  tau=1/2 (vs
+    lang_resample's fully-balanced tau=0 point) keeps high-resource
+    languages partially dominant, the production default regime.
+
+    Shape: per-lang counts are a tiny two-phase aggregate; thresholds
+    broadcast in the task closure; the filter is pure map-side — no RNG,
+    no shuffle, stable under re-sharding and resume."""
+    import math
+
+    from ahrd_ray.stages.generic import SAMPLE_MOD, SAMPLE_MULT
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"]
+    )
+
+    def cnt_partial(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("lang", as_index=False).size().rename(columns={"size": "n"})
+
+    per_lang = (
+        docs.map_batches(cnt_partial, batch_format="pandas")
+        .to_pandas()
+        .groupby("lang")["n"]
+        .sum()
+    )
+    w_of = {lang: math.isqrt(int(n) * TS_SCALE) for lang, n in per_lang.items()}
+    # argmax of w_l / c_l via a shared exact integer key (ties -> lang asc),
+    # the SAME key expression the SQL oracle orders by
+    key_of = {
+        lang: (w_of[lang] << TS_KEY_SHIFT) // int(per_lang[lang])
+        for lang in per_lang.index
+    }
+    m_lang = min(per_lang.index, key=lambda lg: (-key_of[lg], lg))
+    cm, wm = int(per_lang[m_lang]), w_of[m_lang]
+    thresh_of = {
+        lang: (SAMPLE_MOD * w_of[lang] * cm) // (int(per_lang[lang]) * wm)
+        for lang in per_lang.index
+    }
+
+    def pick(df: pd.DataFrame) -> pd.DataFrame:
+        h = (
+            df["doc_id"].to_numpy(dtype=np.uint64) * np.uint64(SAMPLE_MULT)
+        ) % np.uint64(SAMPLE_MOD)
+        limit = df["lang"].map(thresh_of).to_numpy(np.uint64)
+        return df[h < limit]
+
+    return docs.map_batches(pick, batch_format="pandas")

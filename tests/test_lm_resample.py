@@ -73,3 +73,36 @@ def test_lm_score_join_path_equals_broadcast_path(monkeypatch):
     monkeypatch.setattr(tx, "DF_BROADCAST_MAX_ROWS", 0)  # force the join path
     joined = tx.lm_score(sf).to_pandas().sort_values("doc_id").reset_index(drop=True)
     assert base.equals(joined)
+
+
+def test_temperature_sample_properties(ray_session):
+    """tau=1/2 sampling: the most-upweighted language keeps ALL docs, keep
+    rates follow w_l/c_l ordering (rarer languages keep proportionally
+    more), and the kept set is a subset selected by the deterministic
+    hash (re-running yields the identical sample)."""
+    import numpy as np
+    import pandas as pd
+
+    from ahrd_ray.stages.textstats import temperature_sample
+
+    sf = "/root/testdata/sf0.001"
+    kept = temperature_sample(sf).to_pandas()
+    docs = pd.read_parquet(f"{sf}/documents.parquet", columns=["doc_id", "lang"])
+    total = docs.groupby("lang").size()
+    got = kept.groupby("lang").size().reindex(total.index, fill_value=0)
+    rate = got / total
+    # no language upsampled; at least one kept in full
+    assert (got <= total).all()
+    assert np.isclose(rate.max(), 1.0)
+    # monotone: rarer language -> keep rate >= that of any more common one
+    # (r_l ∝ 1/sqrt(c_l); allow hash noise at these tiny counts)
+    by_count = total.sort_values()
+    expected = 1 / np.sqrt(by_count.to_numpy(float))
+    expected = expected / expected.max()
+    assert np.corrcoef(rate[by_count.index].to_numpy(float), expected)[0, 1] > 0.9
+    # determinism
+    again = temperature_sample(sf).to_pandas()
+    pd.testing.assert_frame_equal(
+        kept.sort_values("doc_id").reset_index(drop=True),
+        again.sort_values("doc_id").reset_index(drop=True),
+    )
