@@ -581,6 +581,14 @@ def _web_queries() -> dict[str, tuple[Callable, str | None]]:
             ),
             "SELECT doc_id, text, lang, source, n_chars FROM documents",
         ),
+        # WARC/1.0 shard roundtrip — the Common Crawl container itself
+        # (conversion records, Content-Length framing, CRLF line endings)
+        "src_warc_docs": (
+            lambda sf: formats.read_documents_warc(sf).map_batches(
+                _int64, batch_format="pyarrow"
+            ),
+            "SELECT doc_id, text, lang, source, n_chars FROM documents",
+        ),
         # partition pruning: only the lang=en directory is listed and read
         "src_pruned_docs": (
             lambda sf: formats.read_documents_pruned(sf).map_batches(

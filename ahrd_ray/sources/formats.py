@@ -305,3 +305,100 @@ def read_documents_orc(sf_dir: str) -> ray.data.Dataset:
         return pa.concat_tables(tables) if tables else DOC_SCHEMA.empty_table()
 
     return ds.map_batches(parse, batch_format="pyarrow")
+
+
+def _warc_record(doc_id: int, text: str, lang: str, source: str, n_chars: int) -> bytes:
+    """One WARC/1.0 'conversion' record (the record type Common Crawl's
+    WET text extracts use): named headers + Content-Length-framed payload,
+    CRLF line endings, blank-line separator, double-CRLF record trailer."""
+    payload = text.encode("utf-8")
+    headers = (
+        "WARC/1.0\r\n"
+        "WARC-Type: conversion\r\n"
+        f"WARC-Record-ID: <urn:ahrd:doc:{doc_id}>\r\n"
+        f"WARC-AHRD-Lang: {lang}\r\n"
+        f"WARC-AHRD-Source: {source}\r\n"
+        f"WARC-AHRD-NChars: {n_chars}\r\n"
+        "Content-Type: text/plain\r\n"
+        f"Content-Length: {len(payload)}\r\n"
+        "\r\n"
+    ).encode("ascii")
+    return headers + payload + b"\r\n\r\n"
+
+
+def _parse_warc(buf: bytes) -> pa.Table:
+    """Parse one WARC shard back into DOC_COLS rows.  Payloads are
+    consumed by Content-Length (the only correct WARC framing — a payload
+    may legally contain the record separator bytes)."""
+    ids, texts, langs, sources, ncs = [], [], [], [], []
+    pos, n = 0, len(buf)
+    while pos < n:
+        if buf[pos : pos + 8] != b"WARC/1.0":
+            raise ValueError(f"bad WARC version line at offset {pos}")
+        head_end = buf.index(b"\r\n\r\n", pos)
+        headers = {}
+        for line in buf[pos:head_end].decode("utf-8").split("\r\n")[1:]:
+            k, _, v = line.partition(":")
+            headers[k.strip().lower()] = v.strip()
+        length = int(headers["content-length"])
+        body = buf[head_end + 4 : head_end + 4 + length]
+        rid = headers["warc-record-id"]
+        ids.append(int(rid[rid.rindex(":") + 1 : rid.rindex(">")]))
+        texts.append(body.decode("utf-8"))
+        langs.append(headers["warc-ahrd-lang"])
+        sources.append(headers["warc-ahrd-source"])
+        ncs.append(int(headers["warc-ahrd-nchars"]))
+        pos = head_end + 4 + length
+        if buf[pos : pos + 4] != b"\r\n\r\n":
+            raise ValueError(f"missing WARC record trailer at offset {pos}")
+        pos += 4
+    return pa.table(
+        {
+            "doc_id": pa.array(ids, type=pa.int64()),
+            "text": pa.array(texts, type=pa.string()),
+            "lang": pa.array(langs, type=pa.string()),
+            "source": pa.array(sources, type=pa.string()),
+            "n_chars": pa.array(ncs, type=pa.int64()),
+        }
+    )
+
+
+def documents_warc_dir(sf_dir: str) -> str:
+    """Documents as WARC/1.0 shards — the Common Crawl container itself
+    (conversion records, the WET layout).  Same resumable file-per-block
+    layout as the IPC/ORC sinks (deterministic min-doc_id names); doc
+    metadata rides WARC-* named headers so the roundtrip is lossless."""
+
+    def write(out_dir: str) -> None:
+        ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=DOC_COLS)
+
+        def write_block(batch: pa.Table) -> pa.Table:
+            rows = batch.to_pylist()
+            lo = min(r["doc_id"] for r in rows)
+            with open(f"{out_dir}/part-{lo:012d}.warc", "wb") as f:
+                for r in rows:
+                    f.write(
+                        _warc_record(
+                            r["doc_id"], r["text"], r["lang"], r["source"],
+                            r["n_chars"],
+                        )
+                    )
+            return batch.select(["doc_id"]).slice(0, 0)
+
+        ds.map_batches(write_block, batch_format="pyarrow").materialize()
+
+    return _render(sf_dir, "docs-warc", write)
+
+
+def read_documents_warc(sf_dir: str) -> ray.data.Dataset:
+    """WARC shard reader: binary files stream one-per-task, each task
+    parses its shard's records by Content-Length framing — no
+    whole-directory driver materialization (the read_documents_ipc
+    shape)."""
+    ds = ray.data.read_binary_files(documents_warc_dir(sf_dir))
+
+    def parse(batch: pa.Table) -> pa.Table:
+        tables = [_parse_warc(bytes(b)) for b in batch["bytes"].to_pylist()]
+        return pa.concat_tables(tables) if tables else DOC_SCHEMA.empty_table()
+
+    return ds.map_batches(parse, batch_format="pyarrow")

@@ -234,3 +234,31 @@ def test_cards_jsonl_roundtrip_lossless():
     pd.testing.assert_frame_equal(
         got, want.astype(got.dtypes.to_dict()), check_dtype=False
     )
+
+
+def test_warc_parser_content_length_framing():
+    """A payload legally containing the record separator bytes must parse
+    correctly — Content-Length framing, not separator splitting."""
+    from ahrd_ray.sources.formats import _parse_warc, _warc_record
+
+    tricky = "line one\r\n\r\nWARC/1.0\r\nlooks like a header but is payload"
+    buf = _warc_record(42, tricky, "en", "cc", len(tricky)) + _warc_record(
+        43, "", "de", "cc", 0
+    )
+    t = _parse_warc(buf)
+    assert t["doc_id"].to_pylist() == [42, 43]
+    assert t["text"].to_pylist()[0] == tricky
+    assert t["text"].to_pylist()[1] == ""
+    assert t["lang"].to_pylist() == ["en", "de"]
+
+
+def test_warc_parser_rejects_malformed():
+    import pytest as _pytest
+
+    from ahrd_ray.sources.formats import _parse_warc, _warc_record
+
+    with _pytest.raises(ValueError):
+        _parse_warc(b"HTTP/1.1 200 OK\r\n\r\n")
+    good = _warc_record(1, "x", "en", "cc", 1)
+    with _pytest.raises(ValueError):
+        _parse_warc(good[:-2])  # truncated record trailer
