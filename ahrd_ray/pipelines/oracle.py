@@ -4489,3 +4489,20 @@ SELECT d.doc_id, d.lang
 FROM documents d JOIN w ON d.lang = w.lang CROSS JOIN m
 WHERE (CAST(d.doc_id AS HUGEINT) * {SAMPLE_MULT}) % {SAMPLE_MOD}
       < (CAST({SAMPLE_MOD} AS HUGEINT) * w.w * m.cm) // (w.n * m.wm)"""
+
+
+def sql_robots_filter() -> str:
+    """Robots-gating truth (stages/webstats.robots_filter): host class
+    k = doc_id % LINK_HOST_MOD; class k%3==0 carries Disallow /p/ +
+    Allow /p/1 (longest-match -> allowed iff the doc_id's decimal string
+    starts with '1'), the other classes allow everything.  The Ray side
+    actually PARSES the robots.txt texts; this re-derives the decisions
+    arithmetically."""
+    from ahrd_ray.sources.spec import LINK_HOST_MOD
+
+    return f"""SELECT doc_id,
+  'h' || CAST(doc_id % {LINK_HOST_MOD} AS VARCHAR) || '.example.org' AS host,
+  CAST(CASE WHEN (doc_id % {LINK_HOST_MOD}) % 3 = 0
+        THEN CASE WHEN CAST(doc_id AS VARCHAR) LIKE '1%' THEN 1 ELSE 0 END
+        ELSE 1 END AS BIGINT) AS allowed
+FROM documents"""

@@ -668,6 +668,12 @@ def _web_queries() -> dict[str, tuple[Callable, str | None]]:
         ),
         # recrawl frontier: broadcast host-rank x staleness, map-side
         # partial top-K per host (the continuous-crawl scheduling pass)
+        # RFC 9309 robots gating of the fetch frontier: real group-selecting
+        # robots.txt parser + vectorized longest-match (Allow wins ties)
+        "wb_robots_filter": (
+            lambda sf: wb.robots_filter(sf),
+            oracle.sql_robots_filter(),
+        ),
         "wb_crawl_schedule": (
             lambda sf: wb.crawl_schedule(sf),
             oracle.sql_crawl_schedule(),

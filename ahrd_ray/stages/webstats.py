@@ -1167,3 +1167,103 @@ def anchor_text_index(sf_dir: str) -> ray.data.Dataset:
         .groupby("npart")
         .map_groups(fold, batch_format="pandas")
     )
+
+
+def robots_txt_of(host_id: int) -> str:
+    """Synthesized robots.txt for host ``h{host_id}.example.org`` — three
+    deterministic rule classes by host_id % 3, each with a decoy
+    group for a different user-agent so group selection is exercised."""
+    decoy = "User-agent: badbot\nDisallow: /\n\n"
+    k = host_id % 3
+    if k == 0:
+        # longest-match precedence: /p/1* allowed, other /p/* blocked
+        return decoy + "User-agent: *\n# block paged urls\nDisallow: /p/\nAllow: /p/1\n"
+    if k == 1:
+        return decoy + "User-Agent: *\r\nDisallow: /private/\r\n"
+    return decoy  # no * group at all -> everything allowed
+
+
+def parse_robots(text: str, agent: str = "*") -> "list[tuple[bool, str]]":
+    """Minimal real RFC 9309 parser: select the group whose User-agent
+    matches ``agent`` (exact, case-insensitive; groups may stack several
+    User-agent lines), collect its Allow/Disallow rules in order.  Lines
+    are comment-stripped (#), keys case-insensitive, CRLF tolerated.
+    Returns [(is_allow, path_prefix), ...] for the matched group."""
+    rules: list[tuple[bool, str]] = []
+    current_agents: list[str] = []
+    in_matched_group = False
+    seen_rule_since_agents = True
+    for raw in text.splitlines():
+        line = raw.split("#", 1)[0].strip()
+        if not line:
+            continue
+        key, _, val = line.partition(":")
+        key = key.strip().lower()
+        val = val.strip()
+        if key == "user-agent":
+            if seen_rule_since_agents:
+                current_agents = []
+                seen_rule_since_agents = False
+            current_agents.append(val.lower())
+            in_matched_group = agent.lower() in current_agents
+        elif key in ("allow", "disallow"):
+            seen_rule_since_agents = True
+            if in_matched_group and val:
+                rules.append((key == "allow", val))
+    return rules
+
+
+def robots_decide(paths: "np.ndarray", rules: "list[tuple[bool, str]]") -> "np.ndarray":
+    """Vectorized longest-match decision over one host's rules: the rule
+    with the longest matching prefix wins; Allow wins exact-length ties;
+    no match -> allowed (RFC 9309 defaults)."""
+    allowed = np.ones(len(paths), dtype=bool)
+    best_len = np.zeros(len(paths), dtype=np.int64)
+    arr = paths.astype(str)
+    for is_allow, prefix in rules:
+        m = np.char.startswith(arr, prefix)
+        plen = len(prefix)
+        better = m & (
+            (plen > best_len) | ((plen == best_len) & np.logical_not(allowed) & is_allow)
+        )
+        allowed = np.where(better, is_allow, allowed)
+        best_len = np.where(better, plen, best_len)
+    return allowed
+
+
+def robots_filter(sf_dir: str) -> ray.data.Dataset:
+    """(doc_id, host, allowed) — RFC 9309 robots.txt gating of every
+    page's canonical URL (path /p/{doc_id} on host h{doc_id % M}): the
+    crawl-politeness stage every fetch frontier runs.  robots.txt TEXTS
+    are synthesized per host and parsed with the real group-selecting
+    parser; decisions are vectorized longest-match with Allow tie-wins.
+
+    Scale shape: the per-host rule table is dim-sized (parsed once in the
+    task closure, broadcast by capture); the decision pass is one
+    shuffle-free vectorized map over documents."""
+    from ahrd_ray.sources import spec
+
+    rules_of = {
+        k: parse_robots(robots_txt_of(k)) for k in range(spec.LINK_HOST_MOD)
+    }
+
+    def decide(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy()
+        ks = ids % spec.LINK_HOST_MOD
+        paths = np.array([f"/p/{d}" for d in ids], dtype=str)
+        allowed = np.zeros(len(ids), dtype=bool)
+        for k in np.unique(ks):
+            m = ks == k
+            allowed[m] = robots_decide(paths[m], rules_of[int(k)])
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, type=pa.int64()),
+                "host": pa.array(
+                    [f"h{int(k)}.example.org" for k in ks], type=pa.string()
+                ),
+                "allowed": pa.array(allowed.astype(np.int64), type=pa.int64()),
+            }
+        )
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    return docs.map_batches(decide, batch_format="pyarrow")

@@ -108,3 +108,35 @@ def test_synthetic_corpus_shape_unchanged(ray_session):
     df = host_quality("/root/testdata/sf0.001").to_pandas()
     assert len(df) == min(500, spec.LINK_HOST_MOD)
     assert df["host"].str.match(r"h\d+\.example\.org").all()
+
+
+def test_robots_parser_group_selection_and_rules():
+    """RFC 9309 parser conformance: comment stripping, CRLF, stacked
+    User-agent lines forming one group, decoy-group exclusion, and the
+    longest-match / Allow-tie decision rule."""
+    import numpy as np
+
+    from ahrd_ray.stages.webstats import parse_robots, robots_decide
+
+    text = (
+        "# banner comment\r\n"
+        "User-agent: badbot\r\n"
+        "Disallow: /\r\n"
+        "\r\n"
+        "User-agent: otherbot\n"
+        "User-agent: *\n"
+        "Disallow: /a/  # trailing comment\n"
+        "Allow: /a/b\n"
+        "User-agent: afterwards\n"
+        "Disallow: /z/\n"
+    )
+    rules = parse_robots(text)
+    assert rules == [(False, "/a/"), (True, "/a/b")]
+    paths = np.array(["/a/x", "/a/b/c", "/z/q", "/"], dtype=str)
+    assert robots_decide(paths, rules).tolist() == [False, True, True, True]
+    # exact-length tie: Allow wins
+    tie = [(False, "/t/"), (True, "/t/")]
+    assert robots_decide(np.array(["/t/x"], dtype=str), tie).tolist() == [True]
+    # agent-specific group selection
+    assert parse_robots(text, agent="badbot") == [(False, "/")]
+    assert parse_robots(text, agent="afterwards") == [(False, "/z/")]
