@@ -1604,3 +1604,204 @@ def g711_compress(samples: np.ndarray, law: str) -> np.ndarray:
     lo = np.clip(idx - 1, 0, len(sorted_vals) - 1)
     pick_lo = np.abs(sorted_vals[lo] - x) <= np.abs(sorted_vals[idx] - x)
     return order[np.where(pick_lo, lo, idx)].astype(np.uint8)
+
+
+# ---------------------------------------------------------------------------
+# QOI — the "Quite OK Image" format (qoiformat.org, public spec)
+# ---------------------------------------------------------------------------
+# Single-pass byte-oriented codec: 64-slot color index, 2-bit channel
+# diffs, luma diffs and run-length ops.  Lossless for 8-bit RGB(A), so a
+# QOI payload carries the same exact content oracles as PNG/GIF/JPEG-LS.
+# Grayscale rasters are encoded as achromatic RGB (r=g=b); the decoder
+# collapses fully-achromatic images back to one channel so downstream
+# stages see the identical 2-D raster regardless of container.
+
+_QOI_MAGIC = b"qoif"
+_QOI_END = b"\x00" * 7 + b"\x01"
+
+
+def _qoi_hash(r: int, g: int, b: int, a: int) -> int:
+    return (r * 3 + g * 5 + b * 7 + a * 11) % 64
+
+
+def encode_qoi(img: np.ndarray) -> bytes:
+    """Encode a (h, w) gray or (h, w, 3) RGB uint8 raster as QOI (spec
+    v1.0: OP_RUN / OP_INDEX / OP_DIFF / OP_LUMA / OP_RGB, alpha fixed at
+    255 so channels=3)."""
+    img = np.ascontiguousarray(img, dtype=np.uint8)
+    if img.ndim == 2:
+        px = np.repeat(img.reshape(-1, 1), 3, axis=1)
+    elif img.ndim == 3 and img.shape[2] == 3:
+        px = img.reshape(-1, 3)
+    else:
+        raise ValueError(f"QOI needs (h,w) or (h,w,3), got {img.shape}")
+    h, w = img.shape[:2]
+    out = bytearray(_QOI_MAGIC + struct.pack(">IIBB", w, h, 3, 0))
+    index = [(0, 0, 0, 0)] * 64
+    pr, pg, pb, pa = 0, 0, 0, 255
+    run = 0
+    for r, g, b in px.tolist():
+        if (r, g, b) == (pr, pg, pb):
+            run += 1
+            if run == 62:
+                out.append(0xC0 | (run - 1))
+                run = 0
+            continue
+        if run:
+            out.append(0xC0 | (run - 1))
+            run = 0
+        k = _qoi_hash(r, g, b, 255)
+        if index[k] == (r, g, b, 255):
+            out.append(k)  # OP_INDEX
+        else:
+            index[k] = (r, g, b, 255)
+            dr = (r - pr + 128) % 256 - 128
+            dg = (g - pg + 128) % 256 - 128
+            db = (b - pb + 128) % 256 - 128
+            if -2 <= dr <= 1 and -2 <= dg <= 1 and -2 <= db <= 1:
+                out.append(0x40 | ((dr + 2) << 4) | ((dg + 2) << 2) | (db + 2))
+            elif (
+                -32 <= dg <= 31 and -8 <= dr - dg <= 7 and -8 <= db - dg <= 7
+            ):
+                out.append(0x80 | (dg + 32))
+                out.append(((dr - dg + 8) << 4) | (db - dg + 8))
+            else:
+                out += bytes((0xFE, r, g, b))  # OP_RGB
+        pr, pg, pb = r, g, b
+    if run:
+        out.append(0xC0 | (run - 1))
+    out += _QOI_END
+    return bytes(out)
+
+
+def decode_qoi(blob: bytes) -> np.ndarray:
+    """Full QOI decoder (RGB and RGBA chunks, all five ops).  Returns
+    (h, w, channels) uint8 — collapsed to (h, w) when every pixel is
+    achromatic with alpha 255, so gray rasters round-trip shape-exact."""
+    if blob[:4] != _QOI_MAGIC:
+        raise ValueError("not a QOI payload")
+    w, h, channels, _cs = struct.unpack_from(">IIBB", blob, 4)
+    if channels not in (3, 4):
+        raise ValueError(f"QOI channels must be 3 or 4, got {channels}")
+    n = w * h
+    px = np.empty((n, 4), dtype=np.uint8)
+    index = [(0, 0, 0, 0)] * 64
+    r, g, b, a = 0, 0, 0, 255
+    i, j = 14, 0
+    data = blob
+    while j < n:
+        byte = data[i]
+        i += 1
+        if byte == 0xFE:  # OP_RGB
+            r, g, b = data[i], data[i + 1], data[i + 2]
+            i += 3
+        elif byte == 0xFF:  # OP_RGBA
+            r, g, b, a = data[i], data[i + 1], data[i + 2], data[i + 3]
+            i += 4
+        else:
+            tag = byte >> 6
+            if tag == 0:  # OP_INDEX
+                r, g, b, a = index[byte & 0x3F]
+                px[j] = (r, g, b, a)
+                j += 1
+                continue
+            if tag == 1:  # OP_DIFF
+                r = (r + ((byte >> 4) & 3) - 2) % 256
+                g = (g + ((byte >> 2) & 3) - 2) % 256
+                b = (b + (byte & 3) - 2) % 256
+            elif tag == 2:  # OP_LUMA
+                dg = (byte & 0x3F) - 32
+                nxt = data[i]
+                i += 1
+                r = (r + dg + ((nxt >> 4) & 0xF) - 8) % 256
+                g = (g + dg) % 256
+                b = (b + dg + (nxt & 0xF) - 8) % 256
+            else:  # OP_RUN
+                run = (byte & 0x3F) + 1
+                px[j : j + run] = (r, g, b, a)
+                j += run
+                continue
+        index[_qoi_hash(r, g, b, a)] = (r, g, b, a)
+        px[j] = (r, g, b, a)
+        j += 1
+    img = px.reshape(h, w, 4)
+    if channels == 3 or (img[:, :, 3] == 255).all():
+        img = img[:, :, :3]
+    if img.ndim == 3 and img.shape[2] == 3 and (
+        (img[:, :, 0] == img[:, :, 1]).all() and (img[:, :, 1] == img[:, :, 2]).all()
+    ):
+        return img[:, :, 0].copy()
+    return np.ascontiguousarray(img)
+
+
+# ---------------------------------------------------------------------------
+# TIFF — classic (non-Big) baseline grayscale, uncompressed
+# ---------------------------------------------------------------------------
+# TIFF 6.0 baseline reader/writer for the archival-scan corner of a web
+# corpus: II/MM byte orders, 8-bit BlackIsZero grayscale, Compression=1,
+# arbitrary strip layout on read (writer emits one strip).  Lossless.
+
+_TIFF_TAGS = {256: "width", 257: "height", 258: "bits", 259: "compression",
+              262: "photometric", 273: "strip_offsets", 277: "spp",
+              278: "rows_per_strip", 279: "strip_counts"}
+_TIFF_TYPE_SIZE = {1: 1, 3: 2, 4: 4}  # BYTE, SHORT, LONG
+
+
+def encode_tiff(img: np.ndarray) -> bytes:
+    """Little-endian classic TIFF, 8-bit grayscale, one uncompressed strip."""
+    img = np.ascontiguousarray(img, dtype=np.uint8)
+    if img.ndim != 2:
+        raise ValueError(f"TIFF writer is grayscale-only, got {img.shape}")
+    h, w = img.shape
+    data = img.tobytes()
+    # layout: header(8) + pixel data + IFD
+    ifd_off = 8 + len(data)
+    entries = [
+        (256, 4, 1, w), (257, 4, 1, h), (258, 3, 1, 8), (259, 3, 1, 1),
+        (262, 3, 1, 1), (273, 4, 1, 8), (277, 3, 1, 1), (278, 4, 1, h),
+        (279, 4, 1, len(data)),
+    ]
+    ifd = struct.pack("<H", len(entries))
+    for tag, typ, cnt, val in entries:
+        ifd += struct.pack("<HHI", tag, typ, cnt)
+        ifd += struct.pack("<I", val) if typ != 3 else struct.pack("<HH", val, 0)
+    ifd += struct.pack("<I", 0)  # next-IFD pointer: none
+    return struct.pack("<2sHI", b"II", 42, ifd_off) + data + ifd
+
+
+def decode_tiff(blob: bytes) -> np.ndarray:
+    """Baseline TIFF grayscale decoder: both byte orders, multi-strip,
+    inline or pointed values.  Compression must be 1 (none)."""
+    order = blob[:2]
+    if order == b"II":
+        e = "<"
+    elif order == b"MM":
+        e = ">"
+    else:
+        raise ValueError("not a TIFF payload")
+    magic, ifd_off = struct.unpack_from(e + "HI", blob, 2)
+    if magic != 42:
+        raise ValueError("bad TIFF magic (BigTIFF not supported)")
+    n = struct.unpack_from(e + "H", blob, ifd_off)[0]
+    fields: dict[str, list[int]] = {}
+    for k in range(n):
+        off = ifd_off + 2 + 12 * k
+        tag, typ, cnt = struct.unpack_from(e + "HHI", blob, off)
+        name = _TIFF_TAGS.get(tag)
+        if name is None or typ not in _TIFF_TYPE_SIZE:
+            continue
+        size = _TIFF_TYPE_SIZE[typ] * cnt
+        voff = off + 8 if size <= 4 else struct.unpack_from(e + "I", blob, off + 8)[0]
+        code = {1: "B", 3: "H", 4: "I"}[typ]
+        fields[name] = list(struct.unpack_from(e + str(cnt) + code, blob, voff))
+    w, h = fields["width"][0], fields["height"][0]
+    if fields.get("compression", [1])[0] != 1:
+        raise NotImplementedError("compressed TIFF not supported")
+    if fields.get("bits", [8])[0] != 8 or fields.get("spp", [1])[0] != 1:
+        raise NotImplementedError("only 8-bit single-sample TIFF supported")
+    strips = [
+        blob[o : o + c]
+        for o, c in zip(fields["strip_offsets"], fields["strip_counts"])
+    ]
+    raster = np.frombuffer(b"".join(strips), dtype=np.uint8, count=w * h)
+    return raster.reshape(h, w).copy()

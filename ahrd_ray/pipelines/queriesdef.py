@@ -792,6 +792,18 @@ def _generic_queries() -> dict[str, tuple[Callable, str | None]]:
             lambda sf: mm.jpeg_dims(sf, progressive=True),
             oracle.sql_media_dims(),
         ),
+        # ... as REAL QOI (qoiformat.org v1.0) — drives the byte-oriented
+        # index/diff/luma/run codec end to end; lossless, same exact oracle
+        "mm_qoi_ahash": (
+            lambda sf: mm.ahash_features(sf, fmt="qoi"),
+            oracle.sql_ahash(),
+        ),
+        # ... as REAL TIFF (6.0 baseline gray, uncompressed strips) — the
+        # archival-scan container; lossless, same exact oracle
+        "mm_tiff_ahash": (
+            lambda sf: mm.ahash_features(sf, fmt="tiff"),
+            oracle.sql_ahash(),
+        ),
         # windowed frame energy through the real RIFF/PCM parser — the
         # VAD / silence-trim front-end feature
         "mm_wav_energy": (

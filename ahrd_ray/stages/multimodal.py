@@ -472,6 +472,14 @@ def decode_image(blob: bytes, allow_fake: bool = False) -> np.ndarray:
         from ahrd_ray.functions.codecs import decode_jpeg
 
         return decode_jpeg(blob)
+    if head == b"qoif":
+        from ahrd_ray.functions.codecs import decode_qoi
+
+        return decode_qoi(blob)
+    if head[:2] in (b"II", b"MM"):
+        from ahrd_ray.functions.codecs import decode_tiff
+
+        return decode_tiff(blob)
     raise ValueError(f"unrecognized image container (magic {head!r})")
 
 
@@ -536,6 +544,10 @@ _FMT_BY_MOD = (  # doc_id % 3 picks the container — all three decoders run
     ("jpegls", "image/jpeg"),
     ("jpeg", "image/jpeg"),
     ("jpeg_prog", "image/jpeg"),
+    # "qoi" runs the QOI byte codec (index/diff/luma/run ops), "tiff" the
+    # TIFF 6.0 baseline strip reader — both lossless, container-invariant
+    ("qoi", "image/qoi"),
+    ("tiff", "image/tiff"),
 )
 
 
@@ -578,6 +590,14 @@ def payloads_dataset(sf_dir: str, fmt: str = "mixed") -> ray.data.Dataset:
                 from ahrd_ray.functions.codecs import encode_jpeg_progressive
 
                 blobs.append(encode_jpeg_progressive(img, quality=95))
+            elif f == "qoi":
+                from ahrd_ray.functions.codecs import encode_qoi
+
+                blobs.append(encode_qoi(img))
+            elif f == "tiff":
+                from ahrd_ray.functions.codecs import encode_tiff
+
+                blobs.append(encode_tiff(img))
             else:
                 blobs.append(_encode_fake(d, img))
             types.append(mt)

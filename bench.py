@@ -311,6 +311,13 @@ def run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
                 "ahrd_ray.stages.multimodal", fromlist=["x"]
             ).ahash_features(sf_dir, fmt="jpegls", concurrency=8),
         ),
+        (
+            # the QOI byte codec under load
+            "mm_qoi_ahash",
+            lambda: __import__(
+                "ahrd_ray.stages.multimodal", fromlist=["x"]
+            ).ahash_features(sf_dir, fmt="qoi", concurrency=8),
+        ),
     ]:
         t0 = time.perf_counter()
         out = builder()
