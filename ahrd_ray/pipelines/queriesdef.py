@@ -589,6 +589,14 @@ def _web_queries() -> dict[str, tuple[Callable, str | None]]:
             ),
             "SELECT doc_id, text, lang, source, n_chars FROM documents",
         ),
+        # Avro OCF shard roundtrip — the Hadoop-ecosystem row container
+        # (schema-driven zigzag-varint decode, deflate blocks, sync markers)
+        "src_avro_docs": (
+            lambda sf: formats.read_documents_avro(sf).map_batches(
+                _int64, batch_format="pyarrow"
+            ),
+            "SELECT doc_id, text, lang, source, n_chars FROM documents",
+        ),
         # partition pruning: only the lang=en directory is listed and read
         "src_pruned_docs": (
             lambda sf: formats.read_documents_pruned(sf).map_batches(

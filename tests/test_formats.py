@@ -262,3 +262,80 @@ def test_warc_parser_rejects_malformed():
     good = _warc_record(1, "x", "en", "cc", 1)
     with _pytest.raises(ValueError):
         _parse_warc(good[:-2])  # truncated record trailer
+
+
+def test_avro_roundtrip_and_codecs(tmp_path):
+    """OCF shards round-trip rows exactly under both deflate and null
+    codecs; zigzag varints cover negative and >32-bit longs."""
+    from ahrd_ray.sources.formats import _avro_write_shard, _parse_avro
+
+    rows = [
+        {"doc_id": 0, "text": "héllo \r\n wörld", "lang": "en", "source": "cc",
+         "n_chars": 14},
+        {"doc_id": 2**53, "text": "", "lang": "zh", "source": "s", "n_chars": 0},
+        {"doc_id": -7, "text": "Obj\x01", "lang": "de", "source": "q",
+         "n_chars": 4},
+    ]
+    for codec in ("deflate", "null"):
+        p = str(tmp_path / f"shard-{codec}.avro")
+        _avro_write_shard(p, rows, codec=codec)
+        with open(p, "rb") as f:
+            t = _parse_avro(f.read())
+        assert t.to_pylist() == rows
+
+
+def test_avro_schema_driven_decode():
+    """The reader decodes whatever record schema the header declares —
+    here a hand-built file with nullable-union, double and boolean fields
+    our writer never emits."""
+    import json
+
+    from ahrd_ray.sources.formats import (
+        _avro_bytes,
+        _avro_header,
+        _parse_avro,
+        _zigzag_encode,
+    )
+    import struct as st
+
+    schema = json.dumps(
+        {"type": "record", "name": "r", "fields": [
+            {"name": "k", "type": "long"},
+            {"name": "opt", "type": ["null", "string"]},
+            {"name": "x", "type": "double"},
+            {"name": "ok", "type": "boolean"},
+        ]}
+    )
+    sync = bytes(range(16))
+    body = (
+        _zigzag_encode(5) + _zigzag_encode(1) + _avro_bytes(b"v")
+        + st.pack("<d", 1.5) + b"\x01"
+        + _zigzag_encode(-3) + _zigzag_encode(0)  # null branch of the union
+        + st.pack("<d", -2.25) + b"\x00"
+    )
+    blob = (
+        _avro_header(schema, "null", sync)
+        + _zigzag_encode(2) + _zigzag_encode(len(body)) + body + sync
+    )
+    t = _parse_avro(blob)
+    assert t.to_pylist() == [
+        {"k": 5, "opt": "v", "x": 1.5, "ok": True},
+        {"k": -3, "opt": None, "x": -2.25, "ok": False},
+    ]
+
+
+def test_avro_rejects_corruption(tmp_path):
+    import pytest
+
+    from ahrd_ray.sources.formats import _avro_write_shard, _parse_avro
+
+    p = str(tmp_path / "s.avro")
+    _avro_write_shard(p, [{"doc_id": 1, "text": "t", "lang": "en",
+                           "source": "cc", "n_chars": 1}])
+    with open(p, "rb") as f:
+        blob = bytearray(f.read())
+    with pytest.raises(ValueError):
+        _parse_avro(b"PAR1" + bytes(blob[4:]))
+    blob[-1] ^= 0xFF  # corrupt the trailing sync marker
+    with pytest.raises(ValueError):
+        _parse_avro(bytes(blob))
