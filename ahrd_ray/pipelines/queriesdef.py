@@ -589,6 +589,15 @@ def _web_queries() -> dict[str, tuple[Callable, str | None]]:
             ),
             "SELECT doc_id, text, lang, source, n_chars FROM documents",
         ),
+        # .warc.gz shard roundtrip in the Common Crawl on-disk convention:
+        # one gzip MEMBER per record (the random-access contract), member
+        # boundaries split in the read task
+        "src_warc_gz_docs": (
+            lambda sf: formats.read_documents_warc_gz(sf).map_batches(
+                _int64, batch_format="pyarrow"
+            ),
+            "SELECT doc_id, text, lang, source, n_chars FROM documents",
+        ),
         # Avro OCF shard roundtrip — the Hadoop-ecosystem row container
         # (schema-driven zigzag-varint decode, deflate blocks, sync markers)
         "src_avro_docs": (

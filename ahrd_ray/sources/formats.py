@@ -598,3 +598,81 @@ def read_documents_avro(sf_dir: str) -> ray.data.Dataset:
         return pa.concat_tables(tables) if tables else DOC_SCHEMA.empty_table()
 
     return ds.map_batches(parse, batch_format="pyarrow")
+
+
+def documents_warc_gz_dir(sf_dir: str) -> str:
+    """Documents as .warc.gz shards in the Common Crawl on-disk
+    convention: EVERY record is its own gzip member, so a reader can seek
+    to a member boundary and decompress one record without touching the
+    rest of the shard.  mtime is pinned to 0 for byte-deterministic
+    shards."""
+    import gzip
+    import io
+
+    def write(out_dir: str) -> None:
+        ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=DOC_COLS)
+
+        def write_block(batch: pa.Table) -> pa.Table:
+            rows = batch.to_pylist()
+            lo = min(r["doc_id"] for r in rows)
+            with open(f"{out_dir}/part-{lo:012d}.warc.gz", "wb") as f:
+                for r in rows:
+                    buf = io.BytesIO()
+                    with gzip.GzipFile(fileobj=buf, mode="wb", mtime=0) as gz:
+                        gz.write(
+                            _warc_record(
+                                r["doc_id"], r["text"], r["lang"], r["source"],
+                                r["n_chars"],
+                            )
+                        )
+                    f.write(buf.getvalue())
+            return batch.select(["doc_id"]).slice(0, 0)
+
+        ds.map_batches(write_block, batch_format="pyarrow").materialize()
+
+    return _render(sf_dir, "docs-warc-gz", write)
+
+
+def _split_gzip_members(buf: bytes) -> list[bytes]:
+    """Decompress a multi-member gzip stream member-by-member (the WARC
+    random-access contract), returning one decompressed payload per
+    member."""
+    import zlib
+
+    out, pos = [], 0
+    while pos < len(buf):
+        d = zlib.decompressobj(wbits=zlib.MAX_WBITS | 16)
+        out.append(d.decompress(buf[pos:]))
+        remainder = d.unused_data
+        if not d.eof:
+            raise ValueError("truncated gzip member")
+        pos = len(buf) - len(remainder)
+    return out
+
+
+def read_documents_warc_gz(sf_dir: str) -> ray.data.Dataset:
+    """Member-split .warc.gz reader: each task splits its shard at gzip
+    member boundaries (one member == one record per the Common Crawl
+    layout) and parses each record independently.
+
+    Files are opened directly inside the map task (paths fan out through
+    ``from_items``): ``read_binary_files`` transparently gunzips anything
+    named ``*.gz`` (Ray treats ``compression=None`` in the open args as
+    "auto-detect from path"), which would destroy the member boundaries
+    this format's random-access contract is built on — and renaming the
+    shards would break the Common Crawl ``.warc.gz`` convention."""
+    root = documents_warc_gz_dir(sf_dir)
+    paths = sorted(
+        os.path.join(root, n) for n in os.listdir(root) if n.endswith(".warc.gz")
+    )
+    ds = ray.data.from_items([{"path": p} for p in paths])
+
+    def parse(batch: pa.Table) -> pa.Table:
+        tables = []
+        for p in batch["path"].to_pylist():
+            with open(p, "rb") as f:
+                members = _split_gzip_members(f.read())
+            tables.extend(_parse_warc(m) for m in members)
+        return pa.concat_tables(tables) if tables else DOC_SCHEMA.empty_table()
+
+    return ds.map_batches(parse, batch_format="pyarrow")

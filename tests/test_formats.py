@@ -339,3 +339,33 @@ def test_avro_rejects_corruption(tmp_path):
     blob[-1] ^= 0xFF  # corrupt the trailing sync marker
     with pytest.raises(ValueError):
         _parse_avro(bytes(blob))
+
+
+def test_warc_gz_member_split():
+    """Each .warc.gz record is its OWN gzip member (the Common Crawl
+    random-access layout) — the splitter finds one member per record and
+    rejects truncated members."""
+    import gzip
+    import io
+
+    import pytest
+
+    from ahrd_ray.sources.formats import (
+        _parse_warc,
+        _split_gzip_members,
+        _warc_record,
+    )
+
+    recs = [_warc_record(i, f"text {i}", "en", "cc", 6 + len(str(i)))
+            for i in range(5)]
+    buf = b""
+    for r in recs:
+        bio = io.BytesIO()
+        with gzip.GzipFile(fileobj=bio, mode="wb", mtime=0) as gz:
+            gz.write(r)
+        buf += bio.getvalue()
+    members = _split_gzip_members(buf)
+    assert members == recs
+    assert [int(_parse_warc(m)["doc_id"][0].as_py()) for m in members] == [0, 1, 2, 3, 4]
+    with pytest.raises(ValueError):
+        _split_gzip_members(buf[:-5])
