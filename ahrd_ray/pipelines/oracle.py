@@ -1434,6 +1434,26 @@ FROM url_norm GROUP BY url"""
     )
 
 
+def sql_sitemap_urls() -> str:
+    """Sitemap ingest truth re-derived arithmetically from ``documents``
+    (webstats.sitemap_loc_of constants) — the engine side writes real
+    sitemaps.org XML shards (entity-escaped locs, W3C datetimes, a
+    <sitemapindex>) and parses them back with namespace-aware
+    ElementTree, so the XML round trip is what the bit-exact compare
+    proves."""
+    from ahrd_ray.stages import webstats as wb
+
+    return f"""SELECT
+  '{spec.URL_PREFIX}' || lang || '/' || CAST(doc_id AS VARCHAR)
+    || CASE WHEN doc_id % {wb.SITEMAP_QUERY_MOD} = 0
+         THEN '?a=' || CAST(doc_id % 5 AS VARCHAR)
+              || '&b=' || CAST(doc_id % 3 AS VARCHAR)
+         ELSE '' END AS url,
+  TIMESTAMP '{spec.WARC_EPOCH}' + doc_id * INTERVAL 1 SECOND AS lastmod,
+  CAST((doc_id % {wb.SITEMAP_PRIO_MOD}) * 100 AS BIGINT) AS priority_milli
+FROM documents"""
+
+
 def sql_host_links() -> str:
     """Host-level link graph truth re-derived ARITHMETICALLY from
     `documents` (spec.link_host / spec.link_target constants) — the engine

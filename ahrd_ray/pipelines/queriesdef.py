@@ -691,6 +691,12 @@ def _web_queries() -> dict[str, tuple[Callable, str | None]]:
             lambda sf: wb.robots_filter(sf),
             oracle.sql_robots_filter(),
         ),
+        # sitemaps.org ingest: <sitemapindex> -> shard fan-out -> real
+        # namespace-aware XML parse per shard (escaped locs, W3C datetimes)
+        "wb_sitemap_urls": (
+            lambda sf: wb.sitemap_urls(sf),
+            oracle.sql_sitemap_urls(),
+        ),
         "wb_crawl_schedule": (
             lambda sf: wb.crawl_schedule(sf),
             oracle.sql_crawl_schedule(),

@@ -1267,3 +1267,154 @@ def robots_filter(sf_dir: str) -> ray.data.Dataset:
 
     docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
     return docs.map_batches(decide, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Sitemaps (sitemaps.org protocol 0.9)
+# ---------------------------------------------------------------------------
+# The crawl-discovery channel next to robots.txt: shard files of <urlset>
+# entries plus ONE <sitemapindex> naming the shards (the protocol's answer
+# to its own 50k-URL/50MB per-file caps).  The writer XML-escapes locs
+# (some carry literal '&' in their query), the reader is a real namespace-
+# aware ElementTree parse per shard — fixture synthesis on the write side,
+# genuine XML parsing under test on the read side.
+
+_SITEMAP_NS = "http://www.sitemaps.org/schemas/sitemap/0.9"
+SITEMAP_QUERY_MOD = 7  # doc_id % 7 == 0 -> loc carries ?a=..&b=.. (escaping)
+SITEMAP_PRIO_MOD = 11  # priority = (doc_id % 11) / 10, one decimal
+
+
+def sitemap_loc_of(doc_id: int, lang: str) -> str:
+    q = (
+        f"?a={doc_id % 5}&b={doc_id % 3}"
+        if doc_id % SITEMAP_QUERY_MOD == 0
+        else ""
+    )
+    return f"{spec.URL_PREFIX}{lang}/{doc_id}{q}"
+
+
+def sitemap_dir(sf_dir: str) -> str:
+    """Sitemap shard fixture: one <urlset> file per documents block plus a
+    <sitemapindex> written after the shards exist (it must name them)."""
+    from xml.sax.saxutils import escape
+
+    from ahrd_ray.sources.formats import _render
+
+    def write(out_dir: str) -> None:
+        import os as _os
+
+        docs = ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"]
+        )
+
+        def write_block(batch: pa.Table) -> pa.Table:
+            ids = batch["doc_id"].to_numpy()
+            langs = batch["lang"].to_pylist()
+            epoch = np.datetime64(spec.WARC_EPOCH.replace(" ", "T"), "s")
+            lo = int(ids.min())
+            rows = []
+            for d, lang in zip(ids, langs):
+                d = int(d)
+                lastmod = str(epoch + np.timedelta64(d, "s")) + "+00:00"
+                prio = (d % SITEMAP_PRIO_MOD) / 10
+                rows.append(
+                    "  <url>\n"
+                    f"    <loc>{escape(sitemap_loc_of(d, lang))}</loc>\n"
+                    f"    <lastmod>{lastmod}</lastmod>\n"
+                    f"    <priority>{prio:.1f}</priority>\n"
+                    "  </url>\n"
+                )
+            body = (
+                '<?xml version="1.0" encoding="UTF-8"?>\n'
+                f'<urlset xmlns="{_SITEMAP_NS}">\n' + "".join(rows) + "</urlset>\n"
+            )
+            with open(f"{out_dir}/sitemap-{lo:012d}.xml", "w", encoding="utf-8") as f:
+                f.write(body)
+            return batch.select(["doc_id"]).slice(0, 0)
+
+        docs.map_batches(write_block, batch_format="pyarrow").materialize()
+        shards = sorted(
+            n for n in _os.listdir(out_dir) if n.startswith("sitemap-")
+        )
+        entries = "".join(
+            f"  <sitemap><loc>file://{out_dir}/{n}</loc></sitemap>\n"
+            for n in shards
+        )
+        with open(f"{out_dir}/sitemap-index.xml", "w", encoding="utf-8") as f:
+            f.write(
+                '<?xml version="1.0" encoding="UTF-8"?>\n'
+                f'<sitemapindex xmlns="{_SITEMAP_NS}">\n'
+                + entries
+                + "</sitemapindex>\n"
+            )
+
+    return _render(sf_dir, "sitemaps", write)
+
+
+def parse_sitemap_index(path: str) -> list[str]:
+    """<sitemapindex> -> shard paths (file:// locs), namespace-aware."""
+    import xml.etree.ElementTree as ET
+
+    root = ET.parse(path).getroot()
+    locs = [
+        e.text.strip()
+        for e in root.findall(f"{{{_SITEMAP_NS}}}sitemap/{{{_SITEMAP_NS}}}loc")
+    ]
+    return [l.removeprefix("file://") for l in locs]
+
+
+def parse_sitemap_shard(path: str) -> pa.Table:
+    """One <urlset> shard -> (url, lastmod, priority_milli) rows via a
+    real namespace-aware XML parse (entity unescaping included)."""
+    import datetime as _dt
+    import xml.etree.ElementTree as ET
+
+    root = ET.parse(path).getroot()
+    urls, mods, prios = [], [], []
+    for u in root.findall(f"{{{_SITEMAP_NS}}}url"):
+        urls.append(u.find(f"{{{_SITEMAP_NS}}}loc").text.strip())
+        lastmod = u.find(f"{{{_SITEMAP_NS}}}lastmod")
+        mods.append(
+            np.datetime64(
+                _dt.datetime.fromisoformat(lastmod.text.strip()).replace(
+                    tzinfo=None
+                ),
+                "us",
+            )
+            if lastmod is not None
+            else np.datetime64("NaT", "us")
+        )
+        prio = u.find(f"{{{_SITEMAP_NS}}}priority")
+        prios.append(
+            round(float(prio.text) * 1000) if prio is not None else 500
+        )
+    return pa.table(
+        {
+            "url": pa.array(urls, type=pa.string()),
+            "lastmod": pa.array(mods, type=pa.timestamp("us")),
+            "priority_milli": pa.array(prios, type=pa.int64()),
+        }
+    )
+
+
+def sitemap_urls(sf_dir: str) -> ray.data.Dataset:
+    """Sitemap ingest: the index is one tiny driver-side parse (it lists
+    shard paths, nothing else); shards fan out through ``from_items`` and
+    parse inside the map tasks."""
+    index = f"{sitemap_dir(sf_dir)}/sitemap-index.xml"
+    paths = parse_sitemap_index(index)
+    ds = ray.data.from_items([{"path": p} for p in paths])
+
+    def parse(batch: pa.Table) -> pa.Table:
+        tables = [parse_sitemap_shard(p) for p in batch["path"].to_pylist()]
+        if not tables:
+            return pa.table(
+                {
+                    "url": pa.array([], type=pa.string()),
+                    "lastmod": pa.array([], type=pa.timestamp("us")),
+                    "priority_milli": pa.array([], type=pa.int64()),
+                }
+            )
+        return pa.concat_tables(tables)
+
+    return ds.map_batches(parse, batch_format="pyarrow")

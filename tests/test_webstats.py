@@ -311,3 +311,37 @@ def test_anchor_text_index_brute_force(ray_session):
     df = anchor_text_index(SF).to_pandas()
     got = {(int(r.page_id), r.anchor_text): int(r.n) for r in df.itertuples()}
     assert got == dict(want)
+
+
+def test_sitemap_xml_escaping_and_index(tmp_path):
+    """Locs with literal '&' round-trip through XML entity escaping; the
+    shard is discovered through the <sitemapindex>, not a directory
+    listing; lastmod parses as a W3C datetime."""
+    import numpy as np
+    import pyarrow as pa
+
+    from ahrd_ray.stages import webstats as wb
+
+    shard = tmp_path / "sitemap-000000000000.xml"
+    shard.write_text(
+        '<?xml version="1.0" encoding="UTF-8"?>\n'
+        '<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">\n'
+        "  <url><loc>https://h/p?a=1&amp;b=2</loc>"
+        "<lastmod>2025-03-04T05:06:07+00:00</lastmod>"
+        "<priority>0.7</priority></url>\n"
+        "  <url><loc>https://h/q</loc></url>\n"
+        "</urlset>\n"
+    )
+    idx = tmp_path / "sitemap-index.xml"
+    idx.write_text(
+        '<?xml version="1.0" encoding="UTF-8"?>\n'
+        '<sitemapindex xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">\n'
+        f"  <sitemap><loc>file://{shard}</loc></sitemap>\n"
+        "</sitemapindex>\n"
+    )
+    assert wb.parse_sitemap_index(str(idx)) == [str(shard)]
+    t = wb.parse_sitemap_shard(str(shard))
+    assert t["url"].to_pylist() == ["https://h/p?a=1&b=2", "https://h/q"]
+    assert t["priority_milli"].to_pylist() == [700, 500]  # 500 = protocol default
+    assert t["lastmod"][0].as_py() == np.datetime64("2025-03-04T05:06:07").item()
+    assert t["lastmod"][1].as_py() is None or str(t["lastmod"][1]) in ("NaT",)
