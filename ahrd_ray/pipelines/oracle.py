@@ -1321,6 +1321,16 @@ def sql_sample_events(rate_num: int = 1, rate_den: int = 10) -> str:
     )
 
 
+def sql_mojibake_repair() -> str:
+    """Identity-shaped oracle: the engine corrupts 2/3 of docs (UTF-8 seen
+    through cp1252) and repairs with the ftfy re-encode/strict-decode
+    move; bit-exact recovery of the ORIGINAL is the whole claim, so the
+    oracle simply states the original."""
+    return """SELECT doc_id,
+  text || ' — résumé №' || CAST(doc_id % 7 AS VARCHAR) AS repaired
+FROM documents"""
+
+
 def sql_scrub_text() -> str:
     # DuckDB's regexp engine is RE2 like Arrow's, so the replace and the
     # non-overlapping match count agree exactly; the 'g' flag mirrors the

@@ -457,6 +457,13 @@ def _textstats_queries() -> dict[str, tuple[Callable, str | None]]:
         ),
         "tx_fingerprints": (lambda sf: tx.fingerprints(sf), oracle.sql_fingerprints()),
         "tx_scrub": (lambda sf: tx.scrub_text(sf), oracle.sql_scrub_text()),
+        # ftfy-style mojibake repair: cp1252-mis-decoded UTF-8 detected by
+        # the re-encode/strict-decode round trip; clean non-latin-1 text
+        # fails the re-encode and passes through, so the detector is real
+        "tx_mojibake_repair": (
+            lambda sf: tx.mojibake_repair(sf),
+            oracle.sql_mojibake_repair(),
+        ),
         # Gopher-style repetition/diversity stats (type-token ratio,
         # top-token/top-bigram fractions)
         "tx_repetition": (lambda sf: tx.repetition(sf), oracle.sql_repetition()),

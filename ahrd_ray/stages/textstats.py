@@ -1625,3 +1625,81 @@ def temperature_sample(sf_dir: str) -> ray.data.Dataset:
         return df[h < limit]
 
     return docs.map_batches(pick, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# Mojibake detection and repair (the ftfy core transform)
+# ---------------------------------------------------------------------------
+# Classic web-corpus corruption: UTF-8 bytes mis-decoded as cp1252/latin-1
+# somewhere upstream ("é" -> "Ã©", "—" -> "â€”").  The repair is the
+# standard fix-text move: re-encode with the single-byte codec and decode
+# strict UTF-8, accepting only when that round trip is VALID — clean text
+# containing real non-latin-1 characters fails the re-encode and passes
+# through untouched, so the detector genuinely discriminates.
+
+MOJIBAKE_CLEAN_MOD = 3  # doc_id % 3 == 0 -> the fixture leaves the doc clean
+
+
+def mojibake_suffix(doc_id: int) -> str:
+    # multi-byte UTF-8 on purpose: em-dash (3 bytes), e-acute (2), numero
+    # sign (3) — the byte shapes cp1252 mis-decoding mangles distinctively
+    return f" — résumé №{doc_id % 7}"
+
+
+def repair_mojibake(s: str) -> str:
+    """One ftfy-style repair pass: if the string re-encodes as cp1252 (or
+    latin-1) and those bytes decode as strict UTF-8 with fewer non-ASCII
+    chars, it WAS mojibake — return the decode.  Otherwise return the
+    input unchanged."""
+    if s.isascii():
+        return s
+    for codec in ("cp1252", "latin-1"):
+        try:
+            raw = s.encode(codec)
+        except UnicodeEncodeError:
+            continue
+        try:
+            fixed = raw.decode("utf-8")
+        except UnicodeDecodeError:
+            continue
+        if sum(c > "\x7f" for c in fixed) < sum(c > "\x7f" for c in s):
+            return fixed
+    return s
+
+
+def mojibake_repair(sf_dir: str) -> ray.data.Dataset:
+    """(doc_id, repaired) — the fixture corrupts 2/3 of docs (suffix's
+    UTF-8 bytes mis-decoded as cp1252, the upstream-pipeline bug this
+    operator exists to undo) and leaves 1/3 clean; the repair must recover
+    the ORIGINAL text bit-exactly in both branches, which is exactly what
+    the identity-shaped DuckDB oracle checks.  Pure map stage, zero
+    shuffle, no driver state."""
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+
+    def f(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy()
+        out = []
+        for d, t in zip(ids, batch["text"].to_pylist()):
+            original = t + mojibake_suffix(int(d))
+            if d % MOJIBAKE_CLEAN_MOD != 0:
+                # upstream corruption under test: utf-8 bytes read as cp1252
+                # (undecodable-in-cp1252 bytes fall back to latin-1's C1 map,
+                # the errors='replace'-free variant real pipelines hit)
+                raw = original.encode("utf-8")
+                try:
+                    wire = raw.decode("cp1252")
+                except UnicodeDecodeError:
+                    wire = raw.decode("latin-1")
+            else:
+                wire = original
+            out.append(repair_mojibake(wire))
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "repaired": pa.array(out, type=pa.string()),
+            }
+        )
+
+    return docs.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)

@@ -78,3 +78,25 @@ def test_config_source_regex_sets():
         assert len(s.blacklist()) == 10
         assert len(s.token_blacklist()) == 26
         assert len(s.filters()) >= 10
+
+
+def test_mojibake_repair_discriminates():
+    """The repair fixes cp1252- and latin-1-shaped mojibake, refuses to
+    touch clean text (including text whose real characters are outside
+    latin-1), and is idempotent."""
+    from ahrd_ray.stages.textstats import mojibake_suffix, repair_mojibake
+
+    orig = "scan merge row" + mojibake_suffix(5)
+    cp = orig.encode("utf-8").decode("cp1252")
+    assert cp != orig
+    assert repair_mojibake(cp) == orig
+    assert repair_mojibake(repair_mojibake(cp)) == orig  # idempotent
+    # latin-1-shaped corruption (C1 controls where cp1252 is unmapped)
+    lat = "x\N{LATIN SMALL LETTER U WITH DIAERESIS}".encode("utf-8").decode(
+        "latin-1"
+    )
+    assert repair_mojibake(lat) == "xü"
+    # clean text with chars outside latin-1 must NOT be "repaired"
+    clean = "em — dash № real"
+    assert repair_mojibake(clean) == clean
+    assert repair_mojibake("ascii only") == "ascii only"
