@@ -1222,6 +1222,35 @@ SELECT event_type, window_start, {_qsum('value')} AS sum_value,
 FROM fan GROUP BY event_type, window_start"""
 
 
+def sql_late_data() -> str:
+    """Allowed-lateness accounting (generic.late_data_windows): arrival =
+    ts + (event_id % skew) minutes; late iff arrival > window close +
+    allowed.  On-time value sums ride exact q20 int64 units."""
+    from ahrd_ray.stages.generic import (
+        LATE_ALLOWED_MIN,
+        LATE_SKEW_MOD,
+        LATE_WINDOW_MIN,
+    )
+
+    fire = LATE_WINDOW_MIN + LATE_ALLOWED_MIN
+    return f"""WITH b AS (
+  SELECT event_type,
+         time_bucket(INTERVAL '{LATE_WINDOW_MIN} minutes', ts) AS window_start,
+         value,
+         CASE WHEN ts + (event_id % {LATE_SKEW_MOD}) * INTERVAL 1 MINUTE
+                   > time_bucket(INTERVAL '{LATE_WINDOW_MIN} minutes', ts)
+                     + INTERVAL '{fire} minutes'
+              THEN 1 ELSE 0 END AS late
+  FROM events)
+SELECT event_type, window_start,
+  CAST(count(*) FILTER (late = 0) AS BIGINT) AS n_ontime,
+  CAST(count(*) FILTER (late = 1) AS BIGINT) AS n_late,
+  CAST(sum(CASE WHEN late = 0
+       THEN CAST(floor(value * {QUANT!r} + 0.5) AS BIGINT) ELSE 0 END)
+       AS DOUBLE) / {QUANT!r} AS ontime_value
+FROM b GROUP BY 1, 2"""
+
+
 def sql_sessionize(gap_min: int = 30) -> str:
     return f"""WITH o AS (
   SELECT user_id, event_id, ts, {_q20('value')} AS qv,

@@ -864,6 +864,12 @@ def _generic_queries() -> dict[str, tuple[Callable, str | None]]:
             lambda sf: g.salted_user_counts(sf).map_batches(_int64, batch_format="pyarrow"),
             oracle.sql_salted_user_counts(),
         ),
+        # allowed-lateness accounting: the streaming watermark/side-output
+        # model replayed deterministically in batch (arrival = ts + skew)
+        "rel_late_data": (
+            lambda sf: g.late_data_windows(sf),
+            oracle.sql_late_data(),
+        ),
         # windowed / sessionized / as-of operators (round 2)
         "rel_events_sliding": (
             lambda sf: g.events_sliding(sf).map_batches(_int64, batch_format="pyarrow"),

@@ -2493,3 +2493,66 @@ def events_ntile(sf_dir: str, n: int = NTILE_N) -> ray.data.Dataset:
         .groupby("upart")
         .map_groups(tile, batch_format="pandas")
     )
+
+
+# ---------------------------------------------------------------------------
+# Allowed-lateness windowed aggregate (the streaming watermark model)
+# ---------------------------------------------------------------------------
+# The Flink/Beam bounded-out-of-orderness contract made deterministic: an
+# event's arrival is its event time plus a reproducible per-event skew;
+# the 30-min tumbling window fires at window_end + allowed lateness, so
+# an event arriving after that goes to the LATE side output instead of
+# the on-time aggregate.  Replayable batch semantics for the same
+# accounting a streaming job does with watermarks.
+
+LATE_WINDOW_MIN = 30  # tumbling event-time window
+LATE_ALLOWED_MIN = 10  # lateness tolerated after window close
+LATE_SKEW_MOD = 23  # arrival = ts + (event_id % 23) minutes
+
+
+def late_data_windows(sf_dir: str) -> ray.data.Dataset:
+    """(event_type, window_start, n_ontime, n_late, ontime_value) — the
+    on-time aggregate plus the late-arrival side count per window.  Pure
+    map-side window assignment + lateness test, per-block combine, one
+    window-keyed fold; no ordering assumption anywhere (the lateness rule
+    is a pure function of the event, which is what makes the batch replay
+    of the streaming semantics exact)."""
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "event_type", "value"],
+    )
+
+    def prep(df: pd.DataFrame) -> pd.DataFrame:
+        ws = df["ts"].dt.floor(f"{LATE_WINDOW_MIN}min")
+        delay = df["event_id"].to_numpy() % LATE_SKEW_MOD
+        arrival = df["ts"] + pd.to_timedelta(delay, unit="m")
+        close = ws + pd.Timedelta(minutes=LATE_WINDOW_MIN + LATE_ALLOWED_MIN)
+        late = (arrival > close).to_numpy()
+        units = _qunits(df["value"].to_numpy())
+        out = pd.DataFrame(
+            {
+                "event_type": df["event_type"],
+                "window_start": ws,
+                "n_ontime": (~late).astype(np.int64),
+                "n_late": late.astype(np.int64),
+                "ontime_units": np.where(late, np.int64(0), units),
+            }
+        )
+        return out.groupby(["event_type", "window_start"], as_index=False).sum()
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        from ahrd_ray.config import QUANT
+
+        out = df.groupby(["event_type", "window_start"], as_index=False)[
+            ["n_ontime", "n_late", "ontime_units"]
+        ].sum()
+        out["ontime_value"] = out["ontime_units"].to_numpy(np.float64) / QUANT
+        return out[
+            ["event_type", "window_start", "n_ontime", "n_late", "ontime_value"]
+        ]
+
+    return (
+        ev.map_batches(prep, batch_format="pandas")
+        .groupby("window_start")
+        .map_groups(finish, batch_format="pandas")
+    )

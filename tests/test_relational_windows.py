@@ -287,3 +287,54 @@ def test_ntile_semantics(ray_session):
     sizes = got.groupby("user_id").size()
     assert (sizes % NTILE_N != 0).any()
     assert got["quartile"].between(1, NTILE_N).all()
+
+
+def test_late_data_windows_brute_force(ray_session):
+    """Every (window, type) cell's on-time/late split and on-time sum
+    match a brute-force replay of the lateness rule."""
+    import numpy as np
+    import pandas as pd
+
+    from ahrd_ray.config import QUANT
+    from ahrd_ray.stages.generic import (
+        LATE_ALLOWED_MIN,
+        LATE_SKEW_MOD,
+        LATE_WINDOW_MIN,
+        late_data_windows,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = (
+        late_data_windows(sf)
+        .to_pandas()
+        .sort_values(["event_type", "window_start"])
+        .reset_index(drop=True)
+    )
+    ev = pd.read_parquet(
+        f"{sf}/events.parquet",
+        columns=["event_id", "ts", "event_type", "value"],
+    )
+    ws = ev["ts"].dt.floor(f"{LATE_WINDOW_MIN}min")
+    arrival = ev["ts"] + pd.to_timedelta(
+        ev["event_id"].to_numpy() % LATE_SKEW_MOD, unit="m"
+    )
+    late = arrival > ws + pd.Timedelta(minutes=LATE_WINDOW_MIN + LATE_ALLOWED_MIN)
+    units = np.floor(ev["value"].to_numpy() * QUANT + 0.5).astype(np.int64)
+    truth = (
+        pd.DataFrame(
+            {
+                "event_type": ev["event_type"],
+                "window_start": ws,
+                "n_ontime": (~late).astype(np.int64),
+                "n_late": late.astype(np.int64),
+                "ontime_units": np.where(late, 0, units),
+            }
+        )
+        .groupby(["event_type", "window_start"], as_index=False)
+        .sum()
+        .sort_values(["event_type", "window_start"])
+        .reset_index(drop=True)
+    )
+    truth["ontime_value"] = truth.pop("ontime_units").to_numpy(np.float64) / QUANT
+    assert late.sum() > 0 and (~late).sum() > 0  # both branches populated
+    pd.testing.assert_frame_equal(got, truth[got.columns])
