@@ -1222,6 +1222,25 @@ SELECT event_type, window_start, {_qsum('value')} AS sum_value,
 FROM fan GROUP BY event_type, window_start"""
 
 
+def sql_dq_violations() -> str:
+    """Declarative rule suite (generic.dq_violations): each rule is one
+    SELECT; the engine side evaluates all of them in a single streaming
+    pass with the FK rule as broadcast key membership."""
+    from ahrd_ray.stages.generic import DQ_PURCHASE_MIN, DQ_VALUE_MAX
+
+    return f"""SELECT 'value_ceiling' AS rule_id, event_id FROM events
+  WHERE value > {DQ_VALUE_MAX!r}
+UNION ALL
+SELECT 'purchase_value_floor', event_id FROM events
+  WHERE event_type = 'purchase' AND value < {DQ_PURCHASE_MIN!r}
+UNION ALL
+SELECT 'props_nonempty', event_id FROM events
+  WHERE props IS NULL OR length(props) = 0
+UNION ALL
+SELECT 'user_fk_customer', event_id FROM events e
+  WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = e.user_id)"""
+
+
 def sql_late_data() -> str:
     """Allowed-lateness accounting (generic.late_data_windows): arrival =
     ts + (event_id % skew) minutes; late iff arrival > window close +

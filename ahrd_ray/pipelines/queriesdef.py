@@ -864,6 +864,12 @@ def _generic_queries() -> dict[str, tuple[Callable, str | None]]:
             lambda sf: g.salted_user_counts(sf).map_batches(_int64, batch_format="pyarrow"),
             oracle.sql_salted_user_counts(),
         ),
+        # declarative data-quality rule suite: one streaming pass, FK rule
+        # via broadcast key membership, passing rules prove zero rows
+        "rel_dq_violations": (
+            lambda sf: g.dq_violations(sf),
+            oracle.sql_dq_violations(),
+        ),
         # allowed-lateness accounting: the streaming watermark/side-output
         # model replayed deterministically in batch (arrival = ts + skew)
         "rel_late_data": (

@@ -2556,3 +2556,72 @@ def late_data_windows(sf_dir: str) -> ray.data.Dataset:
         .groupby("window_start")
         .map_groups(finish, batch_format="pandas")
     )
+
+
+# ---------------------------------------------------------------------------
+# Declarative data-quality rule engine
+# ---------------------------------------------------------------------------
+# The expectation-suite pattern (Great-Expectations/Deequ shape): a rule
+# list of (rule_id, vectorized predicate) evaluated in ONE streaming pass,
+# violations emitted as (rule_id, event_id) rows.  Referential-integrity
+# rules test membership against a broadcast dim-key array (dim-sized,
+# never a shuffle join); every check is a numpy kernel — adding a rule is
+# one table entry, not a new pipeline.
+
+DQ_VALUE_MAX = 300.0  # plausibility ceiling for event value
+DQ_PURCHASE_MIN = 5.0  # purchases below this are suspect
+
+
+def dq_violations(sf_dir: str) -> ray.data.Dataset:
+    """(rule_id, event_id) — one row per rule violation, sorted output by
+    the caller if needed.  Four rules: a value ceiling, a
+    purchase-specific floor, a non-empty-props check and a user->customer
+    foreign-key check (broadcast key membership).  Rules that pass
+    everywhere contribute zero rows — the engine proves absence, not just
+    presence."""
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey"]
+    )
+    keys = np.sort(
+        np.concatenate(
+            [b["c_custkey"].to_numpy() for b in
+             cust.iter_batches(batch_format="pyarrow")]
+        )
+    )
+    keys_ref = ray.put(keys)
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "event_type", "value", "props"],
+    )
+
+    def check(df: pd.DataFrame) -> pd.DataFrame:
+        from ahrd_ray.stages.score import get_broadcast
+
+        ks = get_broadcast(keys_ref)
+        v = df["value"].to_numpy()
+        et = df["event_type"].to_numpy()
+        props = df["props"]
+        uid = df["user_id"].to_numpy()
+        idx = np.searchsorted(ks, uid)
+        idx_c = np.clip(idx, 0, len(ks) - 1)
+        rules = [
+            ("purchase_value_floor", (et == "purchase") & (v < DQ_PURCHASE_MIN)),
+            ("props_nonempty", props.isna().to_numpy() | (props.str.len() == 0).fillna(True).to_numpy()),
+            ("user_fk_customer", ks[idx_c] != uid),
+            ("value_ceiling", v > DQ_VALUE_MAX),
+        ]
+        ids = df["event_id"].to_numpy()
+        frames = [
+            pd.DataFrame({"rule_id": rid, "event_id": ids[mask]})
+            for rid, mask in rules
+            if mask.any()
+        ]
+        if not frames:
+            return pd.DataFrame(
+                {"rule_id": pd.Series([], dtype=object),
+                 "event_id": pd.Series([], dtype="int64")}
+            )
+        return pd.concat(frames, ignore_index=True)
+
+    return ev.map_batches(check, batch_format="pandas")

