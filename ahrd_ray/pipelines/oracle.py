@@ -1348,6 +1348,54 @@ SELECT query_id, neighbor_id, rank, cosine FROM (
 ) WHERE rank <= {k}"""
 
 
+def sql_pq_topk(k: int = 5, every: int = 50) -> str:
+    """Product-quantization ANN (simsearch.pq_topk): seed-subvector
+    codebooks, per-subspace nearest-centroid codes, asymmetric-distance
+    top-k.  Everything rides int64 units (2^-10 grid squared -> integers),
+    so sums are exact on both sides; d2 CTE doubles as encoder input
+    (vec rows) and ADC lookup table (query rows)."""
+    from ahrd_ray.stages.simsearch import PQ_K, PQ_M
+
+    d = 64 // PQ_M
+    return f"""WITH u AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(floor(x * 1024.0 + 0.5) AS BIGINT)) AS u
+  FROM embeddings
+),
+sub AS (
+  SELECT vec_id, s.s AS sub, (u)[s.s * {d} + 1 : s.s * {d} + {d}] AS su
+  FROM u CROSS JOIN generate_series(0, {PQ_M - 1}) s(s)
+),
+cent AS (SELECT vec_id AS code, sub, su AS cu FROM sub WHERE vec_id < {PQ_K}),
+d2 AS (
+  SELECT x.vec_id, x.sub, c.code,
+         list_inner_product(x.su, x.su) - 2 * list_inner_product(x.su, c.cu)
+           + list_inner_product(c.cu, c.cu) AS dist
+  FROM sub x JOIN cent c ON c.sub = x.sub
+),
+codes AS (
+  SELECT vec_id, sub, code FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id, sub
+                                 ORDER BY dist ASC, code ASC) AS rn
+    FROM d2) WHERE rn = 1
+),
+lut AS (
+  SELECT d.vec_id AS query_id, d.sub, d.code, d.dist
+  FROM d2 d WHERE d.vec_id % {every} = 0
+),
+scored AS (
+  SELECT lut.query_id, c.vec_id AS neighbor_id,
+         CAST(SUM(lut.dist) AS BIGINT) AS adc_units
+  FROM codes c JOIN lut ON lut.sub = c.sub AND lut.code = c.code
+  WHERE c.vec_id <> lut.query_id
+  GROUP BY 1, 2
+)
+SELECT query_id, neighbor_id, rank, adc_units FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY adc_units ASC, neighbor_id ASC) AS rank
+  FROM scored) WHERE rank <= {k}"""
+
+
 def sql_subword_counts() -> str:
     from ahrd_ray.stages.textstats import BPE_SPLIT_REGEX
 

@@ -437,6 +437,12 @@ def _dedup_queries() -> dict[str, tuple[Callable, str | None]]:
             lambda sf: ss.cosine_topk_ivf(sf).map_batches(_int64, batch_format="pyarrow"),
             oracle.sql_cosine_topk_ivf(),
         ),
+        # PQ ANN: seed-subvector codebooks, one-byte-per-subspace codes,
+        # broadcast ADC lookup tables — the memory-bound serving scale path
+        "sim_pq_topk": (
+            lambda sf: ss.pq_topk(sf).map_batches(_int64, batch_format="pyarrow"),
+            oracle.sql_pq_topk(),
+        ),
     }
 
 

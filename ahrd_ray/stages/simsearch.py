@@ -712,3 +712,107 @@ def knn_join(sf_dir: str, n_groups: int | None = None) -> ray.data.Dataset:
         .groupby("vec_id")
         .map_groups(final_best, batch_format="pandas")
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) ANN — the memory-bound serving scale path
+# ---------------------------------------------------------------------------
+# IVF bounds how many vectors a query touches; PQ bounds how many BYTES
+# each touched vector costs: the 64-dim embedding compresses to M=8
+# one-byte codes, and queries score candidates through per-subspace
+# asymmetric-distance lookup tables (ADC) instead of full-vector math.
+# Codebooks here are the deterministic seed convention (_ivf_seeds) taken
+# per subspace — no RNG, SQL-replicable; the machinery under test is the
+# encode + LUT-scoring path.  All distances ride int64 units (embeddings
+# live on the 2^-10 grid), so every sum is integer-exact on both sides.
+
+PQ_M = 8  # subspaces (64 dims -> 8 x 8)
+PQ_K = 16  # centroids per subspace (one 4-bit-ish code, stored int64)
+
+
+def _pq_codebooks(sf_dir: str) -> np.ndarray:
+    """(M, K, d) int64-unit codebooks: subvectors of the first PQ_K seed
+    embeddings — the same reproducible-quantizer convention as IVF."""
+    _, seeds = _ivf_seeds(sf_dir)  # (K, D) on the 2^-10 grid
+    units = np.round(seeds * EMB_QUANT).astype(np.int64)
+    d = units.shape[1] // PQ_M
+    # (K, M, d) -> (M, K, d)
+    return units.reshape(PQ_K, PQ_M, d).transpose(1, 0, 2).copy()
+
+
+def _pq_encode(units: np.ndarray, books: np.ndarray) -> np.ndarray:
+    """(n, D) int64 units -> (n, M) codes: per subspace, the nearest
+    centroid by squared distance (ties -> lowest code, argmin's first-hit
+    rule; exact int64 arithmetic)."""
+    n, D = units.shape
+    d = D // PQ_M
+    sub = units.reshape(n, PQ_M, d)
+    # d2[n, M, K] = sum((x - c)^2): ||x||^2 - 2 x.c + ||c||^2, all int64
+    x2 = (sub * sub).sum(axis=2)[:, :, None]
+    c2 = (books * books).sum(axis=2)[None, :, :]
+    xc = np.einsum("nmd,mkd->nmk", sub, books)
+    return (x2 - 2 * xc + c2).argmin(axis=2)
+
+
+def pq_topk(sf_dir: str, k: int = 5, every: int = 50) -> ray.data.Dataset:
+    """(query_id, neighbor_id, rank, adc_units) — top-``k`` by asymmetric
+    PQ distance (smaller is closer), self-match excluded; ties break
+    neighbor_id ASC.
+
+    Scale shape: codebooks and the per-query ADC lookup tables
+    (nq x M x K int64 — LUTs scale with the QUERY set, not the corpus)
+    broadcast once; each batch encodes its vectors and scores every query
+    with one vectorized LUT gather + partial top-k, so the shuffle
+    carries nq x k rows per block.  The corpus-side cost per candidate is
+    M lookups — the PQ serving contract."""
+    import ray
+
+    q_ids, q_m = query_matrix(sf_dir, every)
+    books = _pq_codebooks(sf_dir)
+    q_units = np.round(q_m * EMB_QUANT).astype(np.int64)
+    nq, D = q_units.shape
+    d = D // PQ_M
+    qs = q_units.reshape(nq, PQ_M, d)
+    # lut[q, m, c] = ||q_sub - centroid||^2, int64-exact
+    q2 = (qs * qs).sum(axis=2)[:, :, None]
+    c2 = (books * books).sum(axis=2)[None, :, :]
+    qc = np.einsum("nmd,mkd->nmk", qs, books)
+    lut = q2 - 2 * qc + c2
+    state_ref = ray.put((q_ids, lut, books))
+
+    def batch_scores(batch: pa.Table) -> pa.Table:
+        from ahrd_ray.stages.score import get_broadcast
+
+        qi, lut_b, books_b = get_broadcast(state_ref)
+        ids, m = _emb_matrix(batch)
+        units = np.round(m * EMB_QUANT).astype(np.int64)
+        codes = _pq_encode(units, books_b)  # (n, M)
+        # adc[n, nq] = sum_m lut[q, m, codes[n, m]] — one (nq, n) gather
+        # per subspace, M=8 vectorized gathers total
+        adc = np.zeros((len(ids), len(qi)), dtype=np.int64)
+        for m_i in range(PQ_M):
+            adc += lut_b[:, m_i, :][:, codes[:, m_i]].T
+        rows = []
+        kk = min(k + 1, len(ids))
+        for j, q in enumerate(qi):
+            order = np.lexsort((ids, adc[:, j]))[:kk]
+            for i in order:
+                if ids[i] != q:
+                    rows.append((int(q), int(ids[i]), int(adc[i, j])))
+        df = pd.DataFrame(rows, columns=["query_id", "neighbor_id", "adc_units"])
+        return pa.Table.from_pandas(df, preserve_index=False).replace_schema_metadata(None)
+
+    emb = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    partial = emb.map_batches(batch_scores, batch_format="pyarrow")
+
+    def final_topk(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(
+            ["adc_units", "neighbor_id"], ascending=[True, True]
+        ).head(k)
+        df = df.reset_index(drop=True)
+        df["rank"] = np.arange(1, len(df) + 1, dtype=np.int64)
+        return df[["query_id", "neighbor_id", "rank", "adc_units"]]
+
+    return partial.groupby("query_id").map_groups(final_topk, batch_format="pandas")

@@ -58,3 +58,60 @@ def test_kmeans_matches_single_process_reference():
         assert want[r.vec_id] == r.cluster
     # every cluster id in range, all k seeds assigned to themselves-ish sane
     assert got.cluster.between(0, KMEANS_K - 1).all()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_pq_topk_recall_and_exactness():
+    """PQ codes round-trip: brute-force ADC over the full corpus equals
+    the pipeline's distributed result; PQ top-1 recall vs exact cosine
+    stays useful (the compression is lossy by design, the ORDERING
+    machinery is what must be exact)."""
+    import numpy as np
+    import pandas as pd
+
+    from ahrd_ray.stages.simsearch import (
+        EMB_QUANT,
+        PQ_M,
+        _pq_codebooks,
+        _pq_encode,
+        pq_topk,
+        query_matrix,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = (
+        pq_topk(sf)
+        .to_pandas()
+        .sort_values(["query_id", "rank"])
+        .reset_index(drop=True)
+    )
+    emb = pd.read_parquet(f"{sf}/embeddings.parquet")
+    ids = emb["vec_id"].to_numpy()
+    m = np.vstack([np.asarray(v, np.float64) for v in emb["embedding"]])
+    units = np.round(np.floor(m * EMB_QUANT + 0.5)).astype(np.int64)
+    books = _pq_codebooks(sf)
+    codes = _pq_encode(units, books)
+    q_ids, q_m = query_matrix(sf)
+    q_units = np.round(q_m * EMB_QUANT).astype(np.int64)
+    d = units.shape[1] // PQ_M
+    qs = q_units.reshape(len(q_ids), PQ_M, d)
+    lut = (
+        (qs * qs).sum(axis=2)[:, :, None]
+        - 2 * np.einsum("nmd,mkd->nmk", qs, books)
+        + (books * books).sum(axis=2)[None, :, :]
+    )
+    rows = []
+    for j, q in enumerate(q_ids):
+        adc = np.zeros(len(ids), dtype=np.int64)
+        for mi in range(PQ_M):
+            adc += lut[j, mi, codes[:, mi]]
+        order = np.lexsort((ids, adc))
+        order = order[ids[order] != q][:5]
+        for r, i in enumerate(order, 1):
+            rows.append((int(q), int(ids[i]), r, int(adc[i])))
+    truth = pd.DataFrame(
+        rows, columns=["query_id", "neighbor_id", "rank", "adc_units"]
+    ).sort_values(["query_id", "rank"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, truth[got.columns])
+    # sanity: codes use more than one centroid per subspace
+    assert all(len(np.unique(codes[:, mi])) > 1 for mi in range(PQ_M))
