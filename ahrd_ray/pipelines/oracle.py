@@ -1586,6 +1586,44 @@ SELECT src_host, dst_host, CAST(count(*) AS BIGINT) AS n_links
 FROM links GROUP BY src_host, dst_host"""
 
 
+def sql_host_scc() -> str:
+    """Host SCC truth: reflexive-transitive closure over the
+    arithmetically re-derived host edge set (the sql_host_links
+    derivation), mutual reachability, min-member root + component size.
+    The engine side peels components with distributed min-label edge
+    sweeps — no shared code path, no closure table anywhere but here."""
+    m, t_mult, t_step, t_mod = (
+        spec.LINK_HOST_MOD,
+        spec.LINK_TARGET_MULT,
+        spec.LINK_TARGET_STEP,
+        spec.LINK_TARGET_MOD,
+    )
+    vals = ", ".join(f"({j})" for j in range(1, spec.LINK_K + 1))
+    return f"""WITH RECURSIVE js(j) AS (VALUES {vals}),
+tgt AS (
+  SELECT doc_id, (doc_id * {t_mult} + j * {t_step}) % {t_mod} AS t
+  FROM documents CROSS JOIN js
+),
+e AS (
+  SELECT DISTINCT
+         'h' || CAST(doc_id % {m} AS VARCHAR) || '.example.org' AS a,
+         'h' || CAST((t * t) % {m} AS VARCHAR) || '.example.org' AS b
+  FROM tgt
+),
+hosts AS (SELECT DISTINCT h FROM (SELECT a AS h FROM e UNION SELECT b FROM e)),
+reach AS (
+  SELECT h AS a, h AS b FROM hosts
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN e ON e.a = r.b
+),
+mutual AS (
+  SELECT r1.a AS host, r1.b AS other
+  FROM reach r1 JOIN reach r2 ON r2.a = r1.b AND r2.b = r1.a
+)
+SELECT host, MIN(other) AS scc_root, CAST(COUNT(*) AS BIGINT) AS scc_size
+FROM mutual GROUP BY host"""
+
+
 def sql_host_quality() -> str:
     """Domain-level quality aggregation (stages/webstats.host_quality):
     per-doc q20 quality (the sql_quality expression) summed per host in

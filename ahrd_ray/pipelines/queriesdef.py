@@ -704,6 +704,14 @@ def _web_queries() -> dict[str, tuple[Callable, str | None]]:
             lambda sf: wb.robots_filter(sf),
             oracle.sql_robots_filter(),
         ),
+        # directed host-graph SCC (the bow-tie decomposition input):
+        # iterated forward/backward min-label peels, driver + distributed
+        # branches, no dense matrix and no driver edge collect above the
+        # threshold
+        "wb_host_scc": (
+            lambda sf: wb.host_scc(sf),
+            oracle.sql_host_scc(),
+        ),
         # sitemaps.org ingest: <sitemapindex> -> shard fan-out -> real
         # namespace-aware XML parse per shard (escaped locs, W3C datetimes)
         "wb_sitemap_urls": (

@@ -1418,3 +1418,133 @@ def sitemap_urls(sf_dir: str) -> ray.data.Dataset:
         return pa.concat_tables(tables)
 
     return ds.map_batches(parse, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Strongly-connected components of the directed host graph
+# ---------------------------------------------------------------------------
+# The web-graph structure decomposition (the "bow-tie" analysis input):
+# mutually-reachable host groups.  Algorithm on BOTH branches is the
+# iterated forward/backward min-label fixpoint: F[v] = min unassigned id
+# that reaches v, B[v] = min unassigned id v reaches; v is assigned to
+# component root F[v] exactly where F[v] == B[v] (then root reaches v and
+# v reaches root — mutual), peeled and repeated.  Every pass is an edge
+# sweep with broadcast O(|hosts|) label state; the edge table never lands
+# on the driver in the distributed branch and no dense matrix exists
+# anywhere.  Terminates in <= #components peels, each peel O(diameter)
+# sweeps.
+
+_SCC_BIG = np.int64(2**62)
+
+
+def _scc_min_labels(sweep, n: int, active: np.ndarray) -> np.ndarray:
+    """Min-label fixpoint: start from own id on active nodes, repeatedly
+    take the elementwise min with the swept neighbor labels."""
+    lab = np.where(active, np.arange(n, dtype=np.int64), _SCC_BIG)
+    while True:
+        cand = sweep(lab)
+        new = np.minimum(lab, np.where(active, cand, _SCC_BIG))
+        if (new == lab).all():
+            return lab
+        lab = new
+
+
+def _scc_assign(fw_sweep, bw_sweep, n: int) -> np.ndarray:
+    scc = np.full(n, -1, dtype=np.int64)
+    guard = 0
+    while (scc < 0).any():
+        guard += 1
+        if guard > n + 1:  # cannot happen: every peel assigns >= 1 root
+            raise RuntimeError("SCC peeling failed to converge")
+        active = scc < 0
+        f = _scc_min_labels(lambda lab: fw_sweep(lab, active), n, active)
+        b = _scc_min_labels(lambda lab: bw_sweep(lab, active), n, active)
+        done = active & (f == b)
+        scc[done] = f[done]
+    return scc
+
+
+def _scc_driver(links: "pd.DataFrame", hosts: np.ndarray) -> np.ndarray:
+    """Dim-sized branch: edges as in-memory int arrays, sweeps are
+    np.minimum.at scatters — no adjacency matrix."""
+    src = np.searchsorted(hosts, links["src_host"].to_numpy())
+    dst = np.searchsorted(hosts, links["dst_host"].to_numpy())
+    n = len(hosts)
+
+    def sweep(out_nodes, in_nodes):
+        def f(lab: np.ndarray, active: np.ndarray) -> np.ndarray:
+            cand = np.full(n, _SCC_BIG)
+            m = active[src] & active[dst]
+            np.minimum.at(cand, out_nodes[m], lab[in_nodes[m]])
+            return cand
+
+        return f
+
+    return _scc_assign(sweep(dst, src), sweep(src, dst), n)
+
+
+def _scc_distributed(links: ray.data.Dataset, hosts: np.ndarray) -> np.ndarray:
+    """Web-scale branch: the edge table stays distributed; each sweep maps
+    edge blocks against the broadcast label vector, emits per-block
+    per-node min partials (node-state-sized), and folds them driver-side
+    — the harmonic/PageRank distributed-branch contract."""
+    edges = _int_edges(links, hosts)
+    n = len(hosts)
+
+    def make_sweep(key_out: str):
+        def sweep(lab: np.ndarray, active: np.ndarray) -> np.ndarray:
+            state_ref = ray.put((lab, active))
+
+            def partial(batch: pa.Table) -> pa.Table:
+                from ahrd_ray.stages.score import get_broadcast
+
+                lb, act = get_broadcast(state_ref)
+                src = batch["src"].to_numpy()
+                dst = batch["dst"].to_numpy()
+                m = act[src] & act[dst]
+                out = (dst if key_out == "dst" else src)[m]
+                inn = (src if key_out == "dst" else dst)[m]
+                vals = lb[inn]
+                order = np.argsort(out, kind="stable")
+                out, vals = out[order], vals[order]
+                starts = np.flatnonzero(np.r_[True, out[1:] != out[:-1]]) if len(out) else np.empty(0, np.int64)
+                mins = np.minimum.reduceat(vals, starts) if len(out) else vals[:0]
+                return pa.table(
+                    {
+                        "node": pa.array(out[starts.astype(np.int64)] if len(out) else out[:0], type=pa.int64()),
+                        "v": pa.array(mins, type=pa.int64()),
+                    }
+                )
+
+            dense = np.full(n, _SCC_BIG)
+            for b in edges.map_batches(
+                partial, batch_format="pyarrow", zero_copy_batch=True
+            ).iter_batches(batch_format="pyarrow"):
+                np.minimum.at(dense, b["node"].to_numpy(), b["v"].to_numpy())
+            return dense
+
+        return sweep
+
+    return _scc_assign(make_sweep("dst"), make_sweep("src"), n)
+
+
+def host_scc(sf_dir: str) -> ray.data.Dataset:
+    """(host, scc_root, scc_size) — per host, its strongly-connected
+    component's root (the MIN host string in the component — host indices
+    are ranks in the sorted host vector, so min index == min string) and
+    the component size."""
+    links, hosts = cached_host_links(sf_dir)
+    if len(hosts) <= host_driver_max():
+        scc = _scc_driver(links.to_pandas(), hosts)
+    else:
+        scc = _scc_distributed(links, hosts)
+    sizes = np.bincount(scc, minlength=len(hosts))
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "host": pa.array(hosts, type=pa.string()),
+                "scc_root": pa.array(hosts[scc], type=pa.string()),
+                "scc_size": pa.array(sizes[scc].astype(np.int64), type=pa.int64()),
+            }
+        )
+    )

@@ -105,3 +105,43 @@ def test_distinct_hosts_empty(ray_session):
 
     empty = ray.data.from_arrow(synth_links(10).slice(0, 0))
     assert len(wb._distinct_hosts(empty)) == 0
+
+
+def test_scc_kernel_known_graph(ray_session):
+    """Hand-built digraph with two cycles joined by a one-way bridge: the
+    peeling assigns exactly the two cycles as components plus singletons."""
+    import ray.data
+
+    from ahrd_ray.stages import webstats as wb
+
+    # a->b->c->a (cycle), c->d (bridge), d->e->f->d (cycle), g isolated-ish
+    edges = [("a", "b"), ("b", "c"), ("c", "a"), ("c", "d"),
+             ("d", "e"), ("e", "f"), ("f", "d"), ("g", "a")]
+    t = pa.table(
+        {
+            "src_host": pa.array([s for s, _ in edges]),
+            "dst_host": pa.array([d for _, d in edges]),
+            "n_links": pa.array([1] * len(edges), type=pa.int64()),
+        }
+    )
+    hosts = wb._distinct_hosts(ray.data.from_arrow(t))
+    scc = wb._scc_driver(t.to_pandas(), hosts)
+    root_of = {h: hosts[r] for h, r in zip(hosts, scc)}
+    assert root_of["a"] == root_of["b"] == root_of["c"] == "a"
+    assert root_of["d"] == root_of["e"] == root_of["f"] == "d"
+    assert root_of["g"] == "g"
+    # distributed branch: bit-identical on the same table
+    scc_dist = wb._scc_distributed(ray.data.from_arrow(t), hosts)
+    np.testing.assert_array_equal(scc, scc_dist)
+
+
+def test_scc_public_path_distributed_matches(ray_session, monkeypatch):
+    from ahrd_ray.stages import webstats as wb
+
+    base = wb.host_scc(SF).to_pandas().sort_values("host").reset_index(drop=True)
+    monkeypatch.setenv("AHRD_HOST_DRIVER_MAX", "10")
+    dist = wb.host_scc(SF).to_pandas().sort_values("host").reset_index(drop=True)
+    pd.testing.assert_frame_equal(base, dist)
+    # the quadratic-residue fold produces one giant SCC + singletons
+    assert base["scc_size"].max() > 1
+    assert (base["scc_size"] == 1).any()
