@@ -4533,6 +4533,38 @@ SELECT doc_id, CAST(win_idx AS BIGINT) AS win_idx,
 FROM a GROUP BY doc_id, win_idx"""
 
 
+def sql_ahash_groups() -> str:
+    """Perceptual-dedup buckets over the exact aHash (multimodal
+    .ahash_groups): the sql_ahash raster arithmetic grouped by hash value,
+    singletons dropped."""
+    return f"""WITH ah AS ({sql_ahash()})
+SELECT ahash_hi, ahash_lo, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(min(doc_id) AS BIGINT) AS rep_doc
+FROM ah GROUP BY 1, 2 HAVING count(*) > 1"""
+
+
+def sql_wav_autocorr() -> str:
+    """Autocorrelation truth (stages/multimodal.wav_autocorr): the same
+    synthetic-waveform arithmetic as sql_audio_stats, one self-join per
+    lag, exact int64 product sums."""
+    from ahrd_ray.stages.multimodal import AUTOCORR_LAGS
+
+    vals = ", ".join(f"({l})" for l in AUTOCORR_LAGS)
+    return f"""WITH s AS (
+  SELECT doc_id,
+         unnest(generate_series(0, CAST(99 + doc_id % 50 AS BIGINT))) AS i
+  FROM documents
+),
+a AS (SELECT doc_id, i, (doc_id * 7 + i * 13) % 512 - 256 AS amp FROM s),
+lags(lag) AS (VALUES {vals})
+SELECT x.doc_id, CAST(lag AS BIGINT) AS lag,
+       CAST(count(*) AS BIGINT) AS n_terms,
+       CAST(sum(x.amp * y.amp) AS BIGINT) AS autocorr
+FROM lags CROSS JOIN a x
+JOIN a y ON y.doc_id = x.doc_id AND y.i = x.i + lag
+GROUP BY 1, 2"""
+
+
 def sql_anchor_text_index() -> str:
     """Anchor-text-index truth (stages/webstats.anchor_text_index): target
     arithmetic + the anchor text the synth writes (the slot number)."""

@@ -854,6 +854,18 @@ def _generic_queries() -> dict[str, tuple[Callable, str | None]]:
             lambda sf: mm.wav_energy(sf),
             oracle.sql_wav_energy(),
         ),
+        # perceptual image dedup: exact-aHash buckets with a min-doc rep
+        # (linear; pair generation would be quadratic in hot buckets)
+        "mm_ahash_groups": (
+            lambda sf: mm.ahash_groups(sf),
+            oracle.sql_ahash_groups(),
+        ),
+        # exact int64 autocorrelation lags through the PCM parser — the
+        # pitch/periodicity feature next to frame energy
+        "mm_wav_autocorr": (
+            lambda sf: mm.wav_autocorr(sf),
+            oracle.sql_wav_autocorr(),
+        ),
         # same windows over G.711 mu-law companded payloads (format-7 WAV,
         # the telephone-audio codec): the real expansion LUT runs in the
         # decode path; the oracle bakes the 512-entry compand->expand map

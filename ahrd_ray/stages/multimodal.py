@@ -1115,3 +1115,87 @@ def gif_frame_sums(
     return gif_video_payloads(sf_dir).map_batches(
         sums, batch_format="pyarrow", batch_size=64, concurrency=concurrency
     )
+
+
+# lag set for the autocorrelation feature (lag 0 = energy normalizer)
+AUTOCORR_LAGS = (0, 1, 2, 4, 8)
+
+
+def wav_autocorr(sf_dir: str, concurrency: int | tuple = 2) -> ray.data.Dataset:
+    """WAV payloads -> (doc_id, lag, n_terms, autocorr) through the real
+    RIFF/PCM parser: exact int64 autocorrelation at AUTOCORR_LAGS — the
+    pitch/periodicity feature a speech-filtering stage consumes (frame
+    energy's spectral-free complement; lag 0 is the normalizer).
+    Integer-exact, so the oracle re-derives it from the synthetic
+    waveform arithmetic with a per-lag self-join.  Actor-pool map over
+    small batches, zero shuffle."""
+
+    def corr(batch: pa.Table) -> pa.Table:
+        ids, lags, ns, cs = [], [], [], []
+        for d, blob in zip(batch["doc_id"].to_pylist(), batch["media"].to_pylist()):
+            s = decode_audio(blob)["samples"].astype(np.int64)
+            n = len(s)
+            for lag in AUTOCORR_LAGS:
+                if lag >= n:
+                    continue
+                ids.append(d)
+                lags.append(lag)
+                ns.append(n - lag)
+                cs.append(int((s[: n - lag] * s[lag:]).sum()))
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, type=pa.int64()),
+                "lag": pa.array(lags, type=pa.int64()),
+                "n_terms": pa.array(ns, type=pa.int64()),
+                "autocorr": pa.array(cs, type=pa.int64()),
+            }
+        )
+
+    return wav_payloads(sf_dir).map_batches(
+        corr, batch_format="pyarrow", batch_size=64, concurrency=concurrency
+    )
+
+
+def ahash_groups(sf_dir: str) -> ray.data.Dataset:
+    """(ahash_hi, ahash_lo, n_docs, rep_doc) — perceptual-dedup buckets:
+    images sharing an EXACT 64-bit aHash, with the min doc_id as the
+    bucket representative; singleton hashes are dropped.  The linear
+    image-dedup pass (pairs would be quadratic in the hot buckets — text
+    rasters make perceptual collisions very dense, the shape a real
+    screenshot-heavy crawl also has); per-block combine, one hash-keyed
+    fold."""
+    import pandas as pd
+
+    from ahrd_ray.stages.partitioning import n_hash_parts
+
+    n_parts = n_hash_parts()
+
+    def partial(batch: pa.Table) -> "pd.DataFrame":
+        df = pd.DataFrame(
+            {
+                "ahash_hi": batch["ahash_hi"].to_numpy(),
+                "ahash_lo": batch["ahash_lo"].to_numpy(),
+                "doc_id": batch["doc_id"].to_numpy(),
+            }
+        )
+        out = df.groupby(["ahash_hi", "ahash_lo"], as_index=False).agg(
+            n_docs=("doc_id", "size"), rep_doc=("doc_id", "min")
+        )
+        out["hpart"] = (
+            (out["ahash_hi"] * 1000003 + out["ahash_lo"]) % n_parts
+        ).astype("int32")
+        return out
+
+    def final(df: "pd.DataFrame") -> "pd.DataFrame":
+        out = df.groupby(["ahash_hi", "ahash_lo"], as_index=False).agg(
+            n_docs=("n_docs", "sum"), rep_doc=("rep_doc", "min")
+        )
+        out = out[out["n_docs"] > 1]
+        return out.astype({"n_docs": "int64", "rep_doc": "int64"})
+
+    return (
+        ahash_features(sf_dir)
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("hpart")
+        .map_groups(final, batch_format="pandas")
+    )

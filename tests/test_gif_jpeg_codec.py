@@ -6,6 +6,7 @@ import hashlib
 import struct
 
 import numpy as np
+import pandas as pd
 import pytest
 from hypothesis import given, settings
 from hypothesis import strategies as st
@@ -456,3 +457,54 @@ def test_animated_gif_local_color_tables_and_disposal3():
     # frame 1 had disposal 3: canvas restored to pre-frame state
     # (background), so frame 2 shows only its own global-table paint
     assert f[1][0, 0].tolist() == [10, 10, 10]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_wav_autocorr_brute_force():
+    """Autocorrelation rows equal a brute-force numpy replay of the
+    synthetic waveform for a sample of docs; lag 0 equals total energy."""
+    import numpy as np
+
+    from ahrd_ray.stages.multimodal import AUTOCORR_LAGS, wav_autocorr
+
+    sf = "/root/testdata/sf0.001"
+    got = wav_autocorr(sf).to_pandas()
+    for d in (0, 7, 49):
+        n = 100 + d % 50
+        i = np.arange(n, dtype=np.int64)
+        s = (d * 7 + i * 13) % 512 - 256
+        for lag in AUTOCORR_LAGS:
+            row = got[(got["doc_id"] == d) & (got["lag"] == lag)]
+            assert len(row) == 1
+            assert int(row["n_terms"].iloc[0]) == n - lag
+            assert int(row["autocorr"].iloc[0]) == int(
+                (s[: n - lag] * s[lag:]).sum()
+            )
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_ahash_groups_recount():
+    """Bucket counts equal a pandas recount over the per-doc hashes, and
+    every emitted bucket has >= 2 members with the min doc as rep."""
+    from ahrd_ray.stages.multimodal import ahash_features, ahash_groups
+
+    sf = "/root/testdata/sf0.001"
+    per_doc = ahash_features(sf).to_pandas()
+    got = (
+        ahash_groups(sf)
+        .to_pandas()
+        .sort_values(["ahash_hi", "ahash_lo"])
+        .reset_index(drop=True)
+    )
+    truth = (
+        per_doc.groupby(["ahash_hi", "ahash_lo"], as_index=False)
+        .agg(n_docs=("doc_id", "size"), rep_doc=("doc_id", "min"))
+    )
+    truth = (
+        truth[truth["n_docs"] > 1]
+        .sort_values(["ahash_hi", "ahash_lo"])
+        .reset_index(drop=True)
+        .astype({"n_docs": "int64", "rep_doc": "int64"})
+    )
+    assert (got["n_docs"] >= 2).all() and len(got) > 0
+    pd.testing.assert_frame_equal(got, truth[got.columns])
