@@ -1222,6 +1222,22 @@ SELECT event_type, window_start, {_qsum('value')} AS sum_value,
 FROM fan GROUP BY event_type, window_start"""
 
 
+def sql_range_frame() -> str:
+    """RANGE-frame trailing-hour window (generic.range_frame_sums):
+    DuckDB's RANGE frame includes current-row time peers, matching the
+    engine's searchsorted(left/right) bounds; sums ride exact q20 units."""
+    from ahrd_ray.stages.generic import RANGE_FRAME_MIN
+
+    return f"""SELECT event_id, user_id,
+  CAST(count(*) OVER w AS BIGINT) AS range_n,
+  CAST(sum(CAST(floor(value * {QUANT!r} + 0.5) AS BIGINT)) OVER w AS BIGINT)
+    AS range_sum_units
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts
+             RANGE BETWEEN INTERVAL '{RANGE_FRAME_MIN} minutes' PRECEDING
+                       AND CURRENT ROW)"""
+
+
 def sql_dq_violations() -> str:
     """Declarative rule suite (generic.dq_violations): each rule is one
     SELECT; the engine side evaluates all of them in a single streaming

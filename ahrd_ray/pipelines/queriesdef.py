@@ -890,6 +890,12 @@ def _generic_queries() -> dict[str, tuple[Callable, str | None]]:
             lambda sf: g.salted_user_counts(sf).map_batches(_int64, batch_format="pyarrow"),
             oracle.sql_salted_user_counts(),
         ),
+        # RANGE-frame window: trailing 1h of EVENT TIME per user, time
+        # peers included (the replay-order-invariant windowed aggregate)
+        "rel_range_frame": (
+            lambda sf: g.range_frame_sums(sf),
+            oracle.sql_range_frame(),
+        ),
         # declarative data-quality rule suite: one streaming pass, FK rule
         # via broadcast key membership, passing rules prove zero rows
         "rel_dq_violations": (

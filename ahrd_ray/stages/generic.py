@@ -2625,3 +2625,60 @@ def dq_violations(sf_dir: str) -> ray.data.Dataset:
         return pd.concat(frames, ignore_index=True)
 
     return ev.map_batches(check, batch_format="pandas")
+
+
+RANGE_FRAME_MIN = 60  # trailing event-time window width (minutes)
+
+
+def range_frame_sums(sf_dir: str) -> ray.data.Dataset:
+    """(event_id, user_id, range_n, range_sum_units) — per event, the
+    count and exact-unit sum of the user's values within the trailing
+    RANGE_FRAME_MIN minutes of EVENT TIME, current row's time peers
+    included: the RANGE-frame window aggregate (the time-based complement
+    to the ROWS-frame moving_frame_sums — a burst of events in one minute
+    all land in each other's frame regardless of row order, so the result
+    is replay-order invariant).
+
+    Scale shape: hash-partition by user (key-complete), then per
+    partition one vectorized sort + per-user prefix sums with two
+    searchsorted probes per segment — no per-row Python, no global
+    sort."""
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "ts", "user_id", "value"]
+    )
+    n_parts = n_hash_parts()
+    width = np.timedelta64(RANGE_FRAME_MIN * 60, "s")
+
+    def add_part(df: pd.DataFrame) -> pd.DataFrame:
+        return df.assign(upart=(df["user_id"] % n_parts).astype("int32"))
+
+    def frames(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        qv = _qunits(df["value"].to_numpy())
+        ts = df["ts"].to_numpy()
+        uid = df["user_id"].to_numpy()
+        out_n = np.empty(len(df), dtype=np.int64)
+        out_s = np.empty(len(df), dtype=np.int64)
+        starts = np.flatnonzero(np.r_[True, uid[1:] != uid[:-1]])
+        bounds = np.r_[starts, len(df)]
+        for a, b in zip(bounds[:-1], bounds[1:]):
+            t = ts[a:b]
+            prefix = np.r_[0, np.cumsum(qv[a:b])]
+            lo = np.searchsorted(t, t - width, side="left")
+            hi = np.searchsorted(t, t, side="right")
+            out_n[a:b] = hi - lo
+            out_s[a:b] = prefix[hi] - prefix[lo]
+        return pd.DataFrame(
+            {
+                "event_id": df["event_id"].to_numpy(),
+                "user_id": uid,
+                "range_n": out_n,
+                "range_sum_units": out_s,
+            }
+        )
+
+    return (
+        ev.map_batches(add_part, batch_format="pandas")
+        .groupby("upart")
+        .map_groups(frames, batch_format="pandas")
+    )

@@ -378,3 +378,42 @@ def test_dq_violations_rules(ray_session):
     bad = int(ks.max()) + 17
     idx = np.clip(np.searchsorted(ks, [bad]), 0, len(ks) - 1)
     assert (ks[idx] != [bad]).all()
+
+
+def test_range_frame_brute_force(ray_session):
+    """Per-event trailing-hour counts/sums equal an O(n^2) replay,
+    including time-peer inclusion for duplicate timestamps."""
+    import numpy as np
+    import pandas as pd
+
+    from ahrd_ray.config import QUANT
+    from ahrd_ray.stages.generic import RANGE_FRAME_MIN, range_frame_sums
+
+    sf = "/root/testdata/sf0.001"
+    got = (
+        range_frame_sums(sf)
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    ev = pd.read_parquet(
+        f"{sf}/events.parquet", columns=["event_id", "ts", "user_id", "value"]
+    )
+    units = np.floor(ev["value"].to_numpy() * QUANT + 0.5).astype(np.int64)
+    width = pd.Timedelta(minutes=RANGE_FRAME_MIN)
+    rows = []
+    for _, r in ev.iterrows():
+        m = (
+            (ev["user_id"] == r["user_id"])
+            & (ev["ts"] >= r["ts"] - width)
+            & (ev["ts"] <= r["ts"])
+        ).to_numpy()
+        rows.append((r["event_id"], r["user_id"], int(m.sum()), int(units[m].sum())))
+    truth = (
+        pd.DataFrame(rows, columns=["event_id", "user_id", "range_n", "range_sum_units"])
+        .sort_values("event_id")
+        .reset_index(drop=True)
+        .astype({"range_n": "int64", "range_sum_units": "int64"})
+    )
+    assert (got["range_n"] > 1).any()  # frames actually span multiple events
+    pd.testing.assert_frame_equal(got, truth[got.columns])
