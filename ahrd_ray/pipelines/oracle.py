@@ -788,6 +788,53 @@ FROM t CROSS JOIN ev e
 GROUP BY t.thr"""
 
 
+def sql_ev_bootstrap(cfg: EngineConfig) -> str:
+    """Poisson-bootstrap distribution over the eval scores
+    (evaluate.bootstrap_scores): the full ev_scores chain as a CTE, then
+    per-(doc, resample) weights from a bit-exact HUGEINT splitmix64
+    (inverse-CDF thresholds 6/6/3/1 of 16 ~ Poisson(1) for w=0..3) and
+    exact integer weighted sums per resample."""
+    from ahrd_ray.stages.evaluate import BOOT_B
+    from ahrd_ray.stages.generic import HLL_C1, HLL_C2, HLL_C3
+
+    m64 = 1 << 64
+
+    def mulmod(z: str, c: int) -> str:
+        return (
+            f"(((({z}) % 4294967296) * {c}"
+            f" + ((({z}) // 4294967296) * {c} % 4294967296) * 4294967296) % {m64})"
+        )
+
+    return f"""WITH ev AS ({sql_eval_scores(cfg)}),
+draws AS (
+  SELECT doc_id,
+         CAST(floor(eval_score * {QUANT!r} + 0.5) AS BIGINT) AS u,
+         b.b AS resample_id,
+         (CAST(doc_id AS HUGEINT) * {BOOT_B} + b.b + {HLL_C1}) % {m64} AS z0
+  FROM ev CROSS JOIN generate_series(0, {BOOT_B - 1}) b(b)
+),
+h1 AS (SELECT *, {mulmod("xor(z0, z0 // 1073741824)", HLL_C2)} AS z1 FROM draws),
+h2 AS (SELECT *, {mulmod("xor(z1, z1 // 134217728)", HLL_C3)} AS z2 FROM h1),
+w AS (
+  SELECT resample_id, u,
+         CAST(xor(z2, z2 // 2147483648) % 16 AS BIGINT) AS h16
+  FROM h2
+),
+ws AS (
+  SELECT resample_id, u,
+         (CASE WHEN h16 >= 6 THEN 1 ELSE 0 END)
+         + (CASE WHEN h16 >= 12 THEN 1 ELSE 0 END)
+         + (CASE WHEN h16 >= 15 THEN 1 ELSE 0 END) AS w
+  FROM w
+)
+SELECT CAST(resample_id AS BIGINT) AS resample_id,
+       CAST(sum(w) AS BIGINT) AS n_draws,
+       CAST(sum(w * u) AS BIGINT) AS score_units,
+       CAST(sum(w * u) AS DOUBLE) / CAST(sum(w) AS DOUBLE) / {QUANT!r}
+         AS mean_score
+FROM ws GROUP BY 1"""
+
+
 def sql_eval_scores_file(cfg: EngineConfig) -> str:
     """File-gold evaluation oracle.
 

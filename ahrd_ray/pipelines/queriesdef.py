@@ -1147,6 +1147,15 @@ def _eval_queries() -> dict[str, tuple[Callable, str | None]]:
             lambda sf: eval_scores(_ctx(sf)).map_batches(_int64, batch_format="pyarrow"),
             oracle.sql_eval_scores(cfg),
         ),
+        # map-reduce Poisson bootstrap: the eval-score confidence
+        # distribution without any global resample index (weights are
+        # per-doc splitmix draws, so the pass is map-side + one B-row fold)
+        "ev_bootstrap": (
+            lambda sf: __import__(
+                "ahrd_ray.stages.evaluate", fromlist=["x"]
+            ).bootstrap_scores(_ctx(sf)),
+            oracle.sql_ev_bootstrap(cfg),
+        ),
         "ev_summary": (
             lambda sf: eval_summary(_ctx(sf)),
             oracle.sql_eval_summary(cfg),

@@ -341,3 +341,74 @@ def eval_summary(ctx) -> pa.Table:
         out["mean_" + c] = [float(parts["sum_" + c].sum() / n)]
     out["n_docs"] = [int(n)]
     return pa.table(out)
+
+
+# ---------------------------------------------------------------------------
+# Poisson-bootstrap confidence distribution over the eval scores
+# ---------------------------------------------------------------------------
+# The map-reduce bootstrap (Chamandy et al., the streaming-friendly
+# variant): resample weights are per-(doc, resample) Poisson(1) draws, so
+# no resample ever needs a global index — each doc computes its own B
+# weights map-side and the shuffle carries B partial-sum rows per block.
+# Weights are DETERMINISTIC inverse-CDF buckets of a splitmix64 hash
+# (thresholds 6/16, 6/16, 3/16, 1/16 ~ Poisson(1) pmf for w=0,1,2,3),
+# which is what lets DuckDB replicate the draw bit-exactly.
+
+BOOT_B = 64  # resamples
+
+
+def _poisson_w(doc_ids: "np.ndarray", b: int) -> "np.ndarray":
+    import numpy as np
+
+    from ahrd_ray.stages.generic import splitmix64
+
+    h = splitmix64(
+        doc_ids.astype(np.uint64) * np.uint64(BOOT_B) + np.uint64(b)
+    ) % np.uint64(16)
+    h = h.astype(np.int64)
+    return (h >= 6).astype(np.int64) + (h >= 12) + (h >= 15)
+
+
+def bootstrap_scores(ctx, n_resamples: int = BOOT_B) -> "ray.data.Dataset":
+    """(resample_id, n_draws, score_units, mean_score) — the bootstrap
+    distribution of the corpus mean eval score: resample b weights every
+    doc by a deterministic Poisson(1) surrogate and sums q20 score units.
+    CI bounds are order statistics over these B exact rows (tiny,
+    downstream).  Map-side weight expansion + per-block combine; the
+    shuffle carries B rows per block."""
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from ahrd_ray.config import QUANT
+
+    ev = eval_scores(ctx)
+
+    def partial(batch) -> "pd.DataFrame":
+        ids = batch["doc_id"].to_numpy()
+        u = np.floor(batch["eval_score"].to_numpy() * QUANT + 0.5).astype(np.int64)
+        rows = []
+        for b in range(n_resamples):
+            w = _poisson_w(ids, b)
+            rows.append((b, int(w.sum()), int((w * u).sum())))
+        return pd.DataFrame(
+            rows, columns=["resample_id", "n_draws", "score_units"]
+        )
+
+    def final(df: "pd.DataFrame") -> "pd.DataFrame":
+        out = df.groupby("resample_id", as_index=False)[
+            ["n_draws", "score_units"]
+        ].sum()
+        out["mean_score"] = (
+            out["score_units"].to_numpy(np.float64)
+            / out["n_draws"].to_numpy(np.float64)
+            / QUANT
+        )
+        return out.astype({"resample_id": "int64", "n_draws": "int64",
+                           "score_units": "int64"})
+
+    return (
+        ev.map_batches(partial, batch_format="pyarrow")
+        .groupby("resample_id")
+        .map_groups(final, batch_format="pandas")
+    )

@@ -318,6 +318,37 @@ def run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
                 "ahrd_ray.stages.multimodal", fromlist=["x"]
             ).ahash_features(sf_dir, fmt="qoi", concurrency=8),
         ),
+        (
+            # PQ ANN: encode + ADC-LUT scoring under load
+            "sim_pq_topk",
+            lambda: __import__(
+                "ahrd_ray.stages.simsearch", fromlist=["x"]
+            ).pq_topk(sf_dir),
+        ),
+        (
+            # directed host SCC (min-label peels over the cached link table)
+            "wb_host_scc",
+            lambda: __import__(
+                "ahrd_ray.stages.webstats", fromlist=["x"]
+            ).host_scc(sf_dir),
+        ),
+        (
+            # RANGE-frame trailing-hour window per user
+            "rel_range_frame",
+            lambda: gn.range_frame_sums(sf_dir),
+        ),
+        (
+            # ftfy-style mojibake repair (per-doc codec round trips)
+            "tx_mojibake_repair",
+            lambda: tx.mojibake_repair(sf_dir),
+        ),
+        (
+            # member-per-record .warc.gz parse (Common Crawl layout)
+            "src_warc_gz_docs",
+            lambda: __import__(
+                "ahrd_ray.sources.formats", fromlist=["x"]
+            ).read_documents_warc_gz(sf_dir),
+        ),
     ]:
         t0 = time.perf_counter()
         out = builder()

@@ -199,3 +199,28 @@ def test_eval_threshold_curve_monotone_and_anchored(ray_session):
     assert int(n[0]) == n_docs  # every score >= 0.0
     total = got["sum_score"].iloc[0]
     assert (got["sum_score"] <= total + 1e-12).all()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_bootstrap_scores_distribution():
+    """B exact resample rows; weights are genuinely Poisson-ish (mean draw
+    count ~ n docs, all four weight values realized); the distribution
+    brackets the plain mean."""
+    import numpy as np
+
+    from ahrd_ray.pipelines import kg
+    from ahrd_ray.stages.evaluate import BOOT_B, _poisson_w, bootstrap_scores, eval_scores
+
+    sf = "/root/testdata/sf0.001"
+    ctx = kg.cached_context(sf)
+    got = bootstrap_scores(ctx).to_pandas().sort_values("resample_id")
+    assert len(got) == BOOT_B
+    ev = eval_scores(ctx).to_pandas()
+    n = len(ev)
+    # mean draws per resample ~ n (Poisson(1) surrogate has mean 15/16)
+    assert 0.7 * n < got["n_draws"].mean() < 1.1 * n
+    ids = ev["doc_id"].to_numpy()
+    all_w = np.concatenate([_poisson_w(ids, b) for b in range(8)])
+    assert set(np.unique(all_w)) == {0, 1, 2, 3}
+    mu = ev["eval_score"].mean()
+    assert got["mean_score"].min() <= mu <= got["mean_score"].max()
