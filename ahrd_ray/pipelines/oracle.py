@@ -1269,6 +1269,18 @@ SELECT event_type, window_start, {_qsum('value')} AS sum_value,
 FROM fan GROUP BY event_type, window_start"""
 
 
+def sql_grouping_sets() -> str:
+    """Arbitrary grouping sets (generic.orders_grouping_sets): the SQL
+    GROUPING SETS form with 'ALL' coalesce markers matching the engine's
+    cube convention."""
+    return f"""SELECT COALESCE(o_orderpriority, 'ALL') AS o_orderpriority,
+  COALESCE(o_orderstatus, 'ALL') AS o_orderstatus,
+  CAST(count(*) AS BIGINT) AS n,
+  {_qsum("o_totalprice")} AS sum_value
+FROM orders
+GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus), (o_orderstatus), ())"""
+
+
 def sql_range_frame() -> str:
     """RANGE-frame trailing-hour window (generic.range_frame_sums):
     DuckDB's RANGE frame includes current-row time peers, matching the
@@ -4319,6 +4331,25 @@ def sql_cdc_merge() -> str:
            ORDER BY ts DESC, event_id DESC) AS rn
   FROM events
 ) WHERE rn = 1 AND event_type <> '{CDC_TOMBSTONE}'"""
+
+
+def sql_scd2_history() -> str:
+    """SCD type-2 oracle (generic.scd2_history): per-key LEAD over
+    (ts, event_id) gives each version's closing time; tombstones close
+    intervals but emit no row."""
+    from ahrd_ray.stages.generic import CDC_TOMBSTONE
+
+    return f"""SELECT k, event_id, value, valid_from, valid_to,
+       CAST(CASE WHEN valid_to IS NULL THEN 1 ELSE 0 END AS BIGINT)
+         AS is_current
+FROM (
+  SELECT CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT) AS k,
+         event_id, value, event_type, ts AS valid_from,
+         lead(ts) OVER (
+           PARTITION BY CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT)
+           ORDER BY ts, event_id) AS valid_to
+  FROM events WHERE props LIKE '%"k": %'
+) WHERE event_type <> '{CDC_TOMBSTONE}'"""
 
 
 def sql_char_stats() -> str:

@@ -886,9 +886,21 @@ def _generic_queries() -> dict[str, tuple[Callable, str | None]]:
             lambda sf: g.cdc_merge(sf),
             oracle.sql_cdc_merge(),
         ),
+        # SCD type-2: the change log as validity-interval HISTORY (the
+        # state-vs-history companion to rel_cdc_merge)
+        "rel_scd2_history": (
+            lambda sf: g.scd2_history(sf),
+            oracle.sql_scd2_history(),
+        ),
         "rel_salted_user_counts": (
             lambda sf: g.salted_user_counts(sf).map_batches(_int64, batch_format="pyarrow"),
             oracle.sql_salted_user_counts(),
+        ),
+        # arbitrary GROUPING SETS (irregular set list — not rollup/cube):
+        # one finest-grain distributed pass, sets derived dim-side
+        "rel_grouping_sets": (
+            lambda sf: g.orders_grouping_sets(sf),
+            oracle.sql_grouping_sets(),
         ),
         # RANGE-frame window: trailing 1h of EVENT TIME per user, time
         # peers included (the replay-order-invariant windowed aggregate)

@@ -2682,3 +2682,141 @@ def range_frame_sums(sf_dir: str) -> ray.data.Dataset:
         .groupby("upart")
         .map_groups(frames, batch_format="pandas")
     )
+
+
+def orders_grouping_sets(sf_dir: str) -> ray.data.Dataset:
+    """Arbitrary GROUPING SETS over orders — {(priority, status),
+    (status), ()}: unlike ROLLUP/CUBE the set list is irregular (the
+    per-priority marginal is deliberately absent), which is the general
+    form reporting queries use.
+
+    Shape: the events_rollup/cube contract — ONE distributed pass builds
+    the finest (priority, status) aggregate; every listed set derives
+    from that dim-sized table in a single small block; the input is never
+    re-scanned per set.  'ALL' marks rolled-up levels (the cube
+    precedent's reserved marker — order priorities/statuses cannot
+    collide with it)."""
+    from ahrd_ray.config import QUANT
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderpriority", "o_orderstatus", "o_totalprice"],
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame(
+            {
+                "o_orderpriority": df["o_orderpriority"],
+                "o_orderstatus": df["o_orderstatus"],
+                "v_units": _qunits(df["o_totalprice"].to_numpy()),
+                "n": np.ones(len(df), dtype=np.int64),
+            }
+        )
+        return out.groupby(
+            ["o_orderpriority", "o_orderstatus"], as_index=False
+        ).sum()
+
+    base = (
+        orders.map_batches(partial, batch_format="pandas")
+        .groupby(["o_orderpriority", "o_orderstatus"])
+        .map_groups(
+            _final_sum(
+                ["o_orderpriority", "o_orderstatus"], ["v_units", "n"]
+            ),
+            batch_format="pandas",
+        )
+    )
+
+    def sets(df: pd.DataFrame) -> pd.DataFrame:
+        fine = df[["o_orderpriority", "o_orderstatus", "v_units", "n"]].copy()
+        per_status = (
+            df.groupby("o_orderstatus", as_index=False)[["v_units", "n"]]
+            .sum()
+            .assign(o_orderpriority="ALL")
+        )[["o_orderpriority", "o_orderstatus", "v_units", "n"]]
+        total = pd.DataFrame(
+            {
+                "o_orderpriority": ["ALL"],
+                "o_orderstatus": ["ALL"],
+                "v_units": [df["v_units"].sum()],
+                "n": [df["n"].sum()],
+            }
+        )
+        out = pd.concat([fine, per_status, total], ignore_index=True)
+        out["sum_value"] = out["v_units"].to_numpy(dtype=np.float64) / QUANT
+        return out[["o_orderpriority", "o_orderstatus", "n", "sum_value"]].astype(
+            {"n": "int64"}
+        )
+
+    return base.repartition(1).map_batches(sets, batch_format="pandas", batch_size=None)
+
+
+def scd2_history(sf_dir: str) -> ray.data.Dataset:
+    """(k, event_id, value, valid_from, valid_to, is_current) — the
+    slowly-changing-dimension TYPE-2 view of the CDC change log: one row
+    per non-tombstone version, valid from its own change time until the
+    NEXT change of the same key (tombstones close intervals but emit no
+    version row; a key whose last op is a tombstone has no current row).
+    The companion to cdc_merge's last-writer snapshot — history instead
+    of state.
+
+    Shape: key-hash partitions are key-complete, so every interval's
+    successor lives in the same partition; one vectorized sort + shift
+    per partition, no window shuffle."""
+    import pyarrow.compute as pc
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "event_type", "value", "props"],
+    )
+    n_parts = n_hash_parts()
+
+    def keyed(batch: pa.Table) -> pd.DataFrame:
+        ks = pc.struct_field(
+            pc.extract_regex(batch["props"], r'"k": (?P<k>[0-9]+)'), "k"
+        )
+        keep = pc.is_valid(ks)
+        batch = batch.filter(keep)
+        df = pd.DataFrame(
+            {
+                "k": pc.cast(ks.filter(keep), pa.int64()).to_numpy(),
+                "event_id": batch["event_id"].to_numpy(),
+                "ts": batch["ts"].to_pandas().to_numpy(),
+                "event_type": batch["event_type"].to_pylist(),
+                "value": batch["value"].to_numpy(),
+            }
+        )
+        df["kpart"] = (df["k"] % n_parts).astype("int32")
+        return df
+
+    def intervals(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["k", "ts", "event_id"], kind="mergesort")
+        k = df["k"].to_numpy()
+        ts = df["ts"].to_numpy()
+        # valid_to = next change's ts within the key (NaT on the last row)
+        nxt = np.empty(len(df), dtype=ts.dtype)
+        nxt[:-1] = ts[1:]
+        nxt[-1:] = np.datetime64("NaT")
+        same = np.empty(len(df), dtype=bool)
+        same[:-1] = k[:-1] == k[1:]
+        same[-1] = False
+        valid_to = np.where(same, nxt, np.datetime64("NaT"))
+        out = pd.DataFrame(
+            {
+                "k": k,
+                "event_id": df["event_id"].to_numpy(),
+                "value": df["value"].to_numpy(),
+                "valid_from": ts,
+                "valid_to": valid_to,
+                "is_current": (~same).astype(np.int64),
+            }
+        )
+        return out[df["event_type"].to_numpy() != CDC_TOMBSTONE].astype(
+            {"k": "int64", "event_id": "int64"}
+        )
+
+    return (
+        ev.map_batches(keyed, batch_format="pyarrow")
+        .groupby("kpart")
+        .map_groups(intervals, batch_format="pandas")
+    )

@@ -417,3 +417,44 @@ def test_range_frame_brute_force(ray_session):
     )
     assert (got["range_n"] > 1).any()  # frames actually span multiple events
     pd.testing.assert_frame_equal(got, truth[got.columns])
+
+
+def test_scd2_and_grouping_sets(ray_session):
+    """SCD2: intervals chain per key (valid_to == successor's valid_from),
+    exactly one current row per live key, none for tombstone-last keys.
+    Grouping sets: each listed set recounts; the absent (priority)
+    marginal stays absent."""
+    import numpy as np
+    import pandas as pd
+
+    from ahrd_ray.stages.generic import (
+        CDC_TOMBSTONE,
+        orders_grouping_sets,
+        scd2_history,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    h = scd2_history(sf).to_pandas().sort_values(["k", "valid_from", "event_id"])
+    for k, g in h.groupby("k"):
+        # every non-last interval closes at a strictly-later-or-equal time
+        closed = g[g["valid_to"].notna()]
+        assert (closed["valid_to"].to_numpy() >= closed["valid_from"].to_numpy()).all()
+        assert (g["is_current"] == 1).sum() <= 1
+    ev = pd.read_parquet(f"{sf}/events.parquet")
+    ks = ev["props"].str.extract(r'"k": ([0-9]+)')[0].astype("float")
+    ev = ev.assign(k=ks).dropna(subset=["k"])
+    last = ev.sort_values(["ts", "event_id"]).groupby("k").tail(1)
+    live = set(last.loc[last["event_type"] != CDC_TOMBSTONE, "k"].astype(int))
+    assert set(h.loc[h["is_current"] == 1, "k"]) == live
+
+    gs = orders_grouping_sets(sf).to_pandas()
+    orders = pd.read_parquet(f"{sf}/orders.parquet")
+    fine = gs[(gs["o_orderpriority"] != "ALL") & (gs["o_orderstatus"] != "ALL")]
+    assert fine["n"].sum() == len(orders)
+    per_status = gs[(gs["o_orderpriority"] == "ALL") & (gs["o_orderstatus"] != "ALL")]
+    assert per_status["n"].sum() == len(orders)
+    # the per-priority marginal is NOT in the set list
+    per_prio = gs[(gs["o_orderpriority"] != "ALL") & (gs["o_orderstatus"] == "ALL")]
+    assert len(per_prio) == 0
+    total = gs[(gs["o_orderpriority"] == "ALL") & (gs["o_orderstatus"] == "ALL")]
+    assert len(total) == 1 and int(total["n"].iloc[0]) == len(orders)
