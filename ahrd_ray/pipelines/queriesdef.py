@@ -611,6 +611,14 @@ def _web_queries() -> dict[str, tuple[Callable, str | None]]:
             ),
             "SELECT doc_id, text, lang, source, n_chars FROM documents",
         ),
+        # SQLite shard roundtrip — the app-data container (stdlib sqlite3,
+        # typed table + index per shard, read-only URI open in the task)
+        "src_sqlite_docs": (
+            lambda sf: formats.read_documents_sqlite(sf).map_batches(
+                _int64, batch_format="pyarrow"
+            ),
+            "SELECT doc_id, text, lang, source, n_chars FROM documents",
+        ),
         # Avro OCF shard roundtrip — the Hadoop-ecosystem row container
         # (schema-driven zigzag-varint decode, deflate blocks, sync markers)
         "src_avro_docs": (

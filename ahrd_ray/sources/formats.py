@@ -676,3 +676,83 @@ def read_documents_warc_gz(sf_dir: str) -> ray.data.Dataset:
         return pa.concat_tables(tables) if tables else DOC_SCHEMA.empty_table()
 
     return ds.map_batches(parse, batch_format="pyarrow")
+
+
+def documents_sqlite_dir(sf_dir: str) -> str:
+    """Documents as SQLite shard files (stdlib ``sqlite3``) — the
+    app-data container a crawler of mobile/desktop exports meets; one
+    .sqlite file per input block with a typed ``documents`` table and an
+    index on doc_id (exercising a real DB file, not a dump)."""
+    import sqlite3
+
+    def write(out_dir: str) -> None:
+        ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=DOC_COLS)
+
+        def write_block(batch: pa.Table) -> pa.Table:
+            rows = batch.to_pylist()
+            lo = min(r["doc_id"] for r in rows)
+            path = f"{out_dir}/part-{lo:012d}.sqlite"
+            con = sqlite3.connect(path)
+            try:
+                con.execute(
+                    "CREATE TABLE documents ("
+                    "doc_id INTEGER PRIMARY KEY, text TEXT NOT NULL,"
+                    "lang TEXT NOT NULL, source TEXT NOT NULL,"
+                    "n_chars INTEGER NOT NULL)"
+                )
+                con.executemany(
+                    "INSERT INTO documents VALUES (?, ?, ?, ?, ?)",
+                    [
+                        (r["doc_id"], r["text"], r["lang"], r["source"], r["n_chars"])
+                        for r in rows
+                    ],
+                )
+                con.execute("CREATE INDEX ix_lang ON documents(lang)")
+                con.commit()
+            finally:
+                con.close()
+            return batch.select(["doc_id"]).slice(0, 0)
+
+        ds.map_batches(write_block, batch_format="pyarrow").materialize()
+
+    return _render(sf_dir, "docs-sqlite", write)
+
+
+def read_documents_sqlite(sf_dir: str) -> ray.data.Dataset:
+    """SQLite shard reader: file paths fan out through ``from_items``,
+    each task opens its shard read-only (URI mode) and streams the
+    ``documents`` table out in one query — the per-shard DB never lands
+    on the driver."""
+    root = documents_sqlite_dir(sf_dir)
+    paths = sorted(
+        os.path.join(root, n) for n in os.listdir(root) if n.endswith(".sqlite")
+    )
+    ds = ray.data.from_items([{"path": p} for p in paths])
+
+    def parse(batch: pa.Table) -> pa.Table:
+        import sqlite3
+
+        tables = []
+        for p in batch["path"].to_pylist():
+            con = sqlite3.connect(f"file:{p}?mode=ro", uri=True)
+            try:
+                rows = con.execute(
+                    "SELECT doc_id, text, lang, source, n_chars"
+                    " FROM documents ORDER BY doc_id"
+                ).fetchall()
+            finally:
+                con.close()
+            tables.append(
+                pa.table(
+                    {
+                        "doc_id": pa.array([r[0] for r in rows], type=pa.int64()),
+                        "text": pa.array([r[1] for r in rows], type=pa.string()),
+                        "lang": pa.array([r[2] for r in rows], type=pa.string()),
+                        "source": pa.array([r[3] for r in rows], type=pa.string()),
+                        "n_chars": pa.array([r[4] for r in rows], type=pa.int64()),
+                    }
+                )
+            )
+        return pa.concat_tables(tables) if tables else DOC_SCHEMA.empty_table()
+
+    return ds.map_batches(parse, batch_format="pyarrow")

@@ -369,3 +369,40 @@ def test_warc_gz_member_split():
     assert [int(_parse_warc(m)["doc_id"][0].as_py()) for m in members] == [0, 1, 2, 3, 4]
     with pytest.raises(ValueError):
         _split_gzip_members(buf[:-5])
+
+
+def test_sqlite_shards_are_real_dbs(ray_session):
+    """Each shard is a genuine SQLite DB: typed schema, index present,
+    read-only open; the distributed roundtrip is value-exact."""
+    import os
+    import sqlite3
+
+    import pandas as pd
+
+    from ahrd_ray.sources.formats import (
+        documents_sqlite_dir,
+        read_documents_sqlite,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    root = documents_sqlite_dir(sf)
+    shard = sorted(
+        os.path.join(root, n) for n in os.listdir(root) if n.endswith(".sqlite")
+    )[0]
+    con = sqlite3.connect(f"file:{shard}?mode=ro", uri=True)
+    try:
+        cols = [r[1] for r in con.execute("PRAGMA table_info(documents)")]
+        assert cols == ["doc_id", "text", "lang", "source", "n_chars"]
+        idx = [r[1] for r in con.execute("PRAGMA index_list(documents)")]
+        assert any("ix_lang" in i for i in idx)
+    finally:
+        con.close()
+    got = (
+        read_documents_sqlite(sf).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    truth = (
+        pd.read_parquet(f"{sf}/documents.parquet")[got.columns.tolist()]
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, truth)
