@@ -242,6 +242,8 @@ def documents_ipc_dir(sf_dir: str) -> str:
         ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=DOC_COLS)
 
         def write_block(batch: pa.Table) -> pa.Table:
+            if not len(batch):  # over-parallel reads can emit empty blocks
+                return batch.select(["doc_id"]).slice(0, 0)
             lo = min(batch["doc_id"].to_pylist())
             feather.write_feather(
                 batch, f"{out_dir}/part-{lo:012d}.arrow", compression="uncompressed"
@@ -281,6 +283,8 @@ def documents_orc_dir(sf_dir: str) -> str:
         ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=DOC_COLS)
 
         def write_block(batch: pa.Table) -> pa.Table:
+            if not len(batch):  # over-parallel reads can emit empty blocks
+                return batch.select(["doc_id"]).slice(0, 0)
             lo = min(batch["doc_id"].to_pylist())
             orc.write_table(batch, f"{out_dir}/part-{lo:012d}.orc")
             return batch.select(["doc_id"]).slice(0, 0)
@@ -375,6 +379,8 @@ def documents_warc_dir(sf_dir: str) -> str:
 
         def write_block(batch: pa.Table) -> pa.Table:
             rows = batch.to_pylist()
+            if not rows:  # over-parallel reads can emit empty blocks
+                return batch.select(["doc_id"]).slice(0, 0)
             lo = min(r["doc_id"] for r in rows)
             with open(f"{out_dir}/part-{lo:012d}.warc", "wb") as f:
                 for r in rows:
@@ -579,6 +585,8 @@ def documents_avro_dir(sf_dir: str) -> str:
 
         def write_block(batch: pa.Table) -> pa.Table:
             rows = batch.to_pylist()
+            if not rows:  # over-parallel reads can emit empty blocks
+                return batch.select(["doc_id"]).slice(0, 0)
             lo = min(r["doc_id"] for r in rows)
             _avro_write_shard(f"{out_dir}/part-{lo:012d}.avro", rows)
             return batch.select(["doc_id"]).slice(0, 0)
@@ -614,6 +622,8 @@ def documents_warc_gz_dir(sf_dir: str) -> str:
 
         def write_block(batch: pa.Table) -> pa.Table:
             rows = batch.to_pylist()
+            if not rows:  # over-parallel reads can emit empty blocks
+                return batch.select(["doc_id"]).slice(0, 0)
             lo = min(r["doc_id"] for r in rows)
             with open(f"{out_dir}/part-{lo:012d}.warc.gz", "wb") as f:
                 for r in rows:
@@ -690,6 +700,8 @@ def documents_sqlite_dir(sf_dir: str) -> str:
 
         def write_block(batch: pa.Table) -> pa.Table:
             rows = batch.to_pylist()
+            if not rows:  # over-parallel reads can emit empty blocks
+                return batch.select(["doc_id"]).slice(0, 0)
             lo = min(r["doc_id"] for r in rows)
             path = f"{out_dir}/part-{lo:012d}.sqlite"
             con = sqlite3.connect(path)

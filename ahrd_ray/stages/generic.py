@@ -2790,6 +2790,17 @@ def scd2_history(sf_dir: str) -> ray.data.Dataset:
         return df
 
     def intervals(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):  # empty partition: same[-1] below would raise
+            return pd.DataFrame(
+                {
+                    "k": pd.Series([], dtype="int64"),
+                    "event_id": pd.Series([], dtype="int64"),
+                    "value": pd.Series([], dtype="float64"),
+                    "valid_from": pd.Series([], dtype="datetime64[us]"),
+                    "valid_to": pd.Series([], dtype="datetime64[us]"),
+                    "is_current": pd.Series([], dtype="int64"),
+                }
+            )
         df = df.sort_values(["k", "ts", "event_id"], kind="mergesort")
         k = df["k"].to_numpy()
         ts = df["ts"].to_numpy()

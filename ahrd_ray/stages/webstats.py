@@ -1309,6 +1309,8 @@ def sitemap_dir(sf_dir: str) -> str:
 
         def write_block(batch: pa.Table) -> pa.Table:
             ids = batch["doc_id"].to_numpy()
+            if not len(ids):  # over-parallel reads can emit empty blocks
+                return batch.select(["doc_id"]).slice(0, 0)
             langs = batch["lang"].to_pylist()
             epoch = np.datetime64(spec.WARC_EPOCH.replace(" ", "T"), "s")
             lo = int(ids.min())
