@@ -1661,6 +1661,36 @@ SELECT src_host, dst_host, CAST(count(*) AS BIGINT) AS n_links
 FROM links GROUP BY src_host, dst_host"""
 
 
+def sql_host_reciprocity() -> str:
+    """Link reciprocity per host (webstats.host_reciprocity): distinct
+    directed edges (self-loops excluded) from the arithmetic link
+    derivation; a neighbor is reciprocal when the reverse edge exists."""
+    m, t_mult, t_step, t_mod = (
+        spec.LINK_HOST_MOD,
+        spec.LINK_TARGET_MULT,
+        spec.LINK_TARGET_STEP,
+        spec.LINK_TARGET_MOD,
+    )
+    vals = ", ".join(f"({j})" for j in range(1, spec.LINK_K + 1))
+    return f"""WITH js(j) AS (VALUES {vals}),
+tgt AS (
+  SELECT doc_id, (doc_id * {t_mult} + j * {t_step}) % {t_mod} AS t
+  FROM documents CROSS JOIN js
+),
+e AS (
+  SELECT DISTINCT
+         'h' || CAST(doc_id % {m} AS VARCHAR) || '.example.org' AS src,
+         'h' || CAST((t * t) % {m} AS VARCHAR) || '.example.org' AS dst
+  FROM tgt
+),
+d AS (SELECT src, dst FROM e WHERE src <> dst)
+SELECT a.src AS host, CAST(count(*) AS BIGINT) AS n_neighbors,
+       CAST(sum(CASE WHEN b.src IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_reciprocal
+FROM d a LEFT JOIN d b ON b.src = a.dst AND b.dst = a.src
+GROUP BY 1"""
+
+
 def sql_host_scc() -> str:
     """Host SCC truth: reflexive-transitive closure over the
     arithmetically re-derived host edge set (the sql_host_links

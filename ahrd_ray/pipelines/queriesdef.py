@@ -712,6 +712,12 @@ def _web_queries() -> dict[str, tuple[Callable, str | None]]:
             lambda sf: wb.robots_filter(sf),
             oracle.sql_robots_filter(),
         ),
+        # link reciprocity per host (mutual-citation / link-exchange
+        # signal): canonical-pair fold over distinct directed edges
+        "wb_host_reciprocity": (
+            lambda sf: wb.host_reciprocity(sf),
+            oracle.sql_host_reciprocity(),
+        ),
         # directed host-graph SCC (the bow-tie decomposition input):
         # iterated forward/backward min-label peels, driver + distributed
         # branches, no dense matrix and no driver edge collect above the

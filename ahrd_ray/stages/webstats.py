@@ -1550,3 +1550,79 @@ def host_scc(sf_dir: str) -> ray.data.Dataset:
             }
         )
     )
+
+
+def host_reciprocity(sf_dir: str) -> ray.data.Dataset:
+    """(host, n_neighbors, n_reciprocal) — per host, its distinct
+    out-neighbors (self-loops excluded) and how many of them link back:
+    the web-graph reciprocity signal (link exchanges / mutual-citation
+    rings score high; organic authority links are mostly one-way).
+
+    Shape: the cached aggregated link table streams through one
+    canonical-pair groupby — each distinct directed edge becomes one
+    (lo, hi, dir) row, the pair-hash fold decides reciprocity per
+    undirected pair, and per-host counts ride a second slim fold.  The
+    shuffle carries distinct host pairs only; nothing is dim-assumed, so
+    this works unchanged on a web-scale host graph."""
+    import pandas as pd
+
+    from ahrd_ray.stages.partitioning import n_hash_parts
+
+    links, _hosts = cached_host_links(sf_dir)
+    n_parts = n_hash_parts()
+
+    def pair_rows(batch: pa.Table) -> "pd.DataFrame":
+        src = batch["src_host"].to_numpy(zero_copy_only=False)
+        dst = batch["dst_host"].to_numpy(zero_copy_only=False)
+        keep = src != dst
+        src, dst = src[keep], dst[keep]
+        lo = np.minimum(src, dst)
+        hi = np.maximum(src, dst)
+        fwd = src < dst  # direction flag relative to the canonical pair
+        df = pd.DataFrame(
+            {"lo": lo, "hi": hi, "fwd": fwd.astype(np.int64),
+             "rev": (~fwd).astype(np.int64)}
+        ).drop_duplicates(["lo", "hi", "fwd"])
+        df["ppart"] = (
+            pd.util.hash_array(
+                (df["lo"] + "|" + df["hi"]).to_numpy(dtype=object),
+                categorize=False,
+            )
+            % n_parts
+        ).astype("int32")
+        return df
+
+    def pair_fold(df: "pd.DataFrame") -> "pd.DataFrame":
+        g = df.groupby(["lo", "hi"], as_index=False)[["fwd", "rev"]].max()
+        both = (g["fwd"] + g["rev"] == 2).to_numpy()
+        out = pd.concat(
+            [
+                pd.DataFrame(
+                    {"host": g["lo"][g["fwd"] == 1],
+                     "rec": both[(g["fwd"] == 1).to_numpy()]}
+                ),
+                pd.DataFrame(
+                    {"host": g["hi"][g["rev"] == 1],
+                     "rec": both[(g["rev"] == 1).to_numpy()]}
+                ),
+            ],
+            ignore_index=True,
+        )
+        out["n_neighbors"] = np.int64(1)
+        out["n_reciprocal"] = out.pop("rec").astype(np.int64)
+        return out.groupby("host", as_index=False)[
+            ["n_neighbors", "n_reciprocal"]
+        ].sum()
+
+    def host_fold(df: "pd.DataFrame") -> "pd.DataFrame":
+        return df.groupby("host", as_index=False)[
+            ["n_neighbors", "n_reciprocal"]
+        ].sum().astype({"n_neighbors": "int64", "n_reciprocal": "int64"})
+
+    return (
+        links.map_batches(pair_rows, batch_format="pyarrow")
+        .groupby("ppart")
+        .map_groups(pair_fold, batch_format="pandas")
+        .groupby("host")
+        .map_groups(host_fold, batch_format="pandas")
+    )

@@ -345,3 +345,36 @@ def test_sitemap_xml_escaping_and_index(tmp_path):
     assert t["priority_milli"].to_pylist() == [700, 500]  # 500 = protocol default
     assert t["lastmod"][0].as_py() == np.datetime64("2025-03-04T05:06:07").item()
     assert t["lastmod"][1].as_py() is None or str(t["lastmod"][1]) in ("NaT",)
+
+
+def test_host_reciprocity_brute_force(ray_session):
+    """Per-host neighbor/reciprocal counts equal a brute-force set replay
+    over the parsed link table; both one-way and mutual pairs exist."""
+    import pandas as pd
+
+    from ahrd_ray.stages import webstats as wb
+
+    sf = "/root/testdata/sf0.001"
+    got = (
+        wb.host_reciprocity(sf)
+        .to_pandas()
+        .sort_values("host")
+        .reset_index(drop=True)
+    )
+    links = wb.host_links(sf).to_pandas()
+    edges = {
+        (s, d)
+        for s, d in zip(links["src_host"], links["dst_host"])
+        if s != d
+    }
+    rows = []
+    for h in sorted({s for s, _ in edges}):
+        nbrs = {d for s, d in edges if s == h}
+        rec = sum(1 for d in nbrs if (d, h) in edges)
+        rows.append((h, len(nbrs), rec))
+    truth = pd.DataFrame(rows, columns=["host", "n_neighbors", "n_reciprocal"])
+    assert (truth["n_reciprocal"] > 0).any()
+    assert (truth["n_reciprocal"] < truth["n_neighbors"]).any()
+    pd.testing.assert_frame_equal(
+        got, truth.astype({"n_neighbors": "int64", "n_reciprocal": "int64"})
+    )
