@@ -1366,6 +1366,20 @@ SELECT user_id, CAST(sess AS BIGINT) AS session_seq, count(*) AS n_events,
 FROM s GROUP BY user_id, sess"""
 
 
+def sql_session_windows(gap_min: int = 30) -> str:
+    """Interval-overlap join oracle (generic.session_hour_windows): the
+    sessionize chain, then one generate_series unnest per session over
+    its spanned hour buckets with the exact microsecond overlap."""
+    return f"""WITH sess AS ({sql_sessionize(gap_min)})
+SELECT user_id, session_seq, ws.ws AS window_start,
+       CAST(epoch_us(least(last_ts, ws.ws + INTERVAL 1 HOUR))
+            - epoch_us(greatest(first_ts, ws.ws)) AS BIGINT) AS overlap_us
+FROM sess,
+     LATERAL unnest(generate_series(date_trunc('hour', first_ts),
+                                    date_trunc('hour', last_ts),
+                                    INTERVAL 1 HOUR)) AS ws(ws)"""
+
+
 def sql_asof_latest_order() -> str:
     """For every event, the customer's latest order with o_orderdate <= ts
     (ties broken toward the larger order key); -1 when none exists."""
@@ -4665,6 +4679,12 @@ def sql_ahash_groups() -> str:
 SELECT ahash_hi, ahash_lo, CAST(count(*) AS BIGINT) AS n_docs,
        CAST(min(doc_id) AS BIGINT) AS rep_doc
 FROM ah GROUP BY 1, 2 HAVING count(*) > 1"""
+
+
+def sql_ahash_dedup_docs() -> str:
+    """Perceptual-dedup survivors: min doc_id per exact-aHash bucket."""
+    return f"""WITH ah AS ({sql_ahash()})
+SELECT CAST(min(doc_id) AS BIGINT) AS doc_id FROM ah GROUP BY ahash_hi, ahash_lo"""
 
 
 def sql_wav_autocorr() -> str:

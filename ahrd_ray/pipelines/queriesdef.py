@@ -874,6 +874,11 @@ def _generic_queries() -> dict[str, tuple[Callable, str | None]]:
             lambda sf: mm.ahash_groups(sf),
             oracle.sql_ahash_groups(),
         ),
+        # ... and the survivor selection a cleaning chain consumes
+        "mm_dedup_docs": (
+            lambda sf: mm.ahash_dedup_docs(sf),
+            oracle.sql_ahash_dedup_docs(),
+        ),
         # exact int64 autocorrelation lags through the PCM parser — the
         # pitch/periodicity feature next to frame energy
         "mm_wav_autocorr": (
@@ -909,6 +914,12 @@ def _generic_queries() -> dict[str, tuple[Callable, str | None]]:
         "rel_salted_user_counts": (
             lambda sf: g.salted_user_counts(sf).map_batches(_int64, batch_format="pyarrow"),
             oracle.sql_salted_user_counts(),
+        ),
+        # interval-overlap join (sessions x hour windows): the long side
+        # emits its spanned buckets map-side — bounded fan-out, no shuffle
+        "rel_session_windows": (
+            lambda sf: g.session_hour_windows(sf),
+            oracle.sql_session_windows(),
         ),
         # arbitrary GROUPING SETS (irregular set list — not rollup/cube):
         # one finest-grain distributed pass, sets derived dim-side

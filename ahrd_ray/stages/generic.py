@@ -2831,3 +2831,38 @@ def scd2_history(sf_dir: str) -> ray.data.Dataset:
         .groupby("kpart")
         .map_groups(intervals, batch_format="pandas")
     )
+
+
+def session_hour_windows(sf_dir: str) -> ray.data.Dataset:
+    """(user_id, session_seq, window_start, overlap_us) — interval-overlap
+    join of gap-based sessions against fixed 1-hour wall-clock windows:
+    one row per hour a session touches, with the exact microsecond
+    overlap.  The scale-safe interval-join recipe: the long side
+    (sessions) EMITS its spanned buckets map-side — fan-out bounded by
+    session duration / bucket width — so beyond the session build itself
+    there is no join and no extra shuffle at all."""
+    hour = np.timedelta64(3600, "s")
+
+    def fan_out(df: pd.DataFrame) -> pd.DataFrame:
+        first = df["first_ts"].to_numpy().astype("datetime64[us]")
+        last = df["last_ts"].to_numpy().astype("datetime64[us]")
+        b0 = first.astype("datetime64[h]").astype("datetime64[us]")
+        b1 = last.astype("datetime64[h]").astype("datetime64[us]")
+        n = ((b1 - b0) // hour).astype(np.int64) + 1
+        rep = np.repeat(np.arange(len(df)), n)
+        k = np.arange(len(rep)) - np.repeat(np.cumsum(n) - n, n)
+        ws = b0[rep] + k * hour
+        we = ws + hour
+        lo = np.maximum(first[rep], ws)
+        hi = np.minimum(last[rep], we)
+        overlap = (hi - lo).astype("timedelta64[us]").astype(np.int64)
+        return pd.DataFrame(
+            {
+                "user_id": df["user_id"].to_numpy()[rep],
+                "session_seq": df["session_seq"].to_numpy()[rep],
+                "window_start": ws,
+                "overlap_us": overlap,
+            }
+        )
+
+    return sessionize(sf_dir).map_batches(fan_out, batch_format="pandas")

@@ -1199,3 +1199,41 @@ def ahash_groups(sf_dir: str) -> ray.data.Dataset:
         .groupby("hpart")
         .map_groups(final, batch_format="pandas")
     )
+
+
+def ahash_dedup_docs(sf_dir: str) -> ray.data.Dataset:
+    """(doc_id,) — survivors of perceptual image dedup: a doc survives iff
+    it is the min doc_id of its exact-aHash bucket (singletons survive
+    trivially).  Completes the bucket pass with the survivor selection a
+    cleaning chain consumes; one hash-keyed fold, min per bucket, no join
+    back to documents."""
+    import pandas as pd
+
+    from ahrd_ray.stages.partitioning import n_hash_parts
+
+    n_parts = n_hash_parts()
+
+    def partial(batch: pa.Table) -> "pd.DataFrame":
+        df = pd.DataFrame(
+            {
+                "ahash_hi": batch["ahash_hi"].to_numpy(),
+                "ahash_lo": batch["ahash_lo"].to_numpy(),
+                "doc_id": batch["doc_id"].to_numpy(),
+            }
+        )
+        out = df.groupby(["ahash_hi", "ahash_lo"], as_index=False)["doc_id"].min()
+        out["hpart"] = (
+            (out["ahash_hi"] * 1000003 + out["ahash_lo"]) % n_parts
+        ).astype("int32")
+        return out
+
+    def final(df: "pd.DataFrame") -> "pd.DataFrame":
+        out = df.groupby(["ahash_hi", "ahash_lo"], as_index=False)["doc_id"].min()
+        return out[["doc_id"]].astype({"doc_id": "int64"})
+
+    return (
+        ahash_features(sf_dir)
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("hpart")
+        .map_groups(final, batch_format="pandas")
+    )

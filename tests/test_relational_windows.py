@@ -458,3 +458,43 @@ def test_scd2_and_grouping_sets(ray_session):
     assert len(per_prio) == 0
     total = gs[(gs["o_orderpriority"] == "ALL") & (gs["o_orderstatus"] == "ALL")]
     assert len(total) == 1 and int(total["n"].iloc[0]) == len(orders)
+
+
+def test_session_hour_windows_brute_force(ray_session):
+    """Every session's bucket rows equal a brute-force hour enumeration
+    with exact overlaps; multi-hour sessions exist so fan-out is real."""
+    import numpy as np
+    import pandas as pd
+
+    from ahrd_ray.stages.generic import session_hour_windows, sessionize
+
+    sf = "/root/testdata/sf0.001"
+    got = (
+        session_hour_windows(sf)
+        .to_pandas()
+        .sort_values(["user_id", "session_seq", "window_start"])
+        .reset_index(drop=True)
+    )
+    sess = sessionize(sf).to_pandas()
+    rows = []
+    for _, r in sess.iterrows():
+        ws = r["first_ts"].floor("h")
+        while ws <= r["last_ts"]:
+            lo = max(r["first_ts"], ws)
+            hi = min(r["last_ts"], ws + pd.Timedelta(hours=1))
+            rows.append(
+                (r["user_id"], r["session_seq"], ws, int((hi - lo).value // 1000))
+            )
+            ws += pd.Timedelta(hours=1)
+    truth = (
+        pd.DataFrame(rows, columns=["user_id", "session_seq", "window_start", "overlap_us"])
+        .sort_values(["user_id", "session_seq", "window_start"])
+        .reset_index(drop=True)
+    )
+    counts = truth.groupby(["user_id", "session_seq"]).size()
+    assert (counts > 1).any()  # multi-hour sessions exercise the fan-out
+    got["window_start"] = pd.to_datetime(got["window_start"]).astype("datetime64[us]")
+    truth["window_start"] = truth["window_start"].astype("datetime64[us]")
+    pd.testing.assert_frame_equal(
+        got.astype({"overlap_us": "int64"}), truth[got.columns].astype({"overlap_us": "int64"})
+    )
