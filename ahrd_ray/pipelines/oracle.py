@@ -788,6 +788,22 @@ FROM t CROSS JOIN ev e
 GROUP BY t.thr"""
 
 
+def sql_mcnemar(cfg: EngineConfig) -> str:
+    """Paired-comparison oracle (evaluate.mcnemar_vs_competitor): sign
+    counts over the ev_scores delta column, chi-square as an exact
+    rational."""
+    return f"""WITH ev AS ({sql_eval_scores(cfg)}),
+s AS (
+  SELECT CAST(count(*) FILTER (delta > 0) AS BIGINT) AS n_better,
+         CAST(count(*) FILTER (delta < 0) AS BIGINT) AS n_worse,
+         CAST(count(*) FILTER (delta = 0) AS BIGINT) AS n_tied
+  FROM ev)
+SELECT n_better, n_worse, n_tied,
+       CAST((n_better - n_worse) * (n_better - n_worse) AS BIGINT) AS chi2_num,
+       CAST(greatest(n_better + n_worse, 1) AS BIGINT) AS chi2_den
+FROM s"""
+
+
 def sql_ev_bootstrap(cfg: EngineConfig) -> str:
     """Poisson-bootstrap distribution over the eval scores
     (evaluate.bootstrap_scores): the full ev_scores chain as a CTE, then

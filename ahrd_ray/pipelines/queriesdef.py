@@ -611,6 +611,16 @@ def _web_queries() -> dict[str, tuple[Callable, str | None]]:
             ),
             "SELECT doc_id, text, lang, source, n_chars FROM documents",
         ),
+        # row-filter pushdown: the predicate travels into the parquet scan
+        # as an Arrow expression (row groups excluded by column stats are
+        # never decoded) — the row-level companion to partition pruning
+        "src_filtered_docs": (
+            lambda sf: formats.read_documents_filtered(sf).map_batches(
+                _int64, batch_format="pyarrow"
+            ),
+            "SELECT doc_id, text, lang, source, n_chars FROM documents"
+            " WHERE lang = 'en' AND n_chars >= 200",
+        ),
         # SQLite shard roundtrip — the app-data container (stdlib sqlite3,
         # typed table + index per shard, read-only URI open in the task)
         "src_sqlite_docs": (
@@ -1183,6 +1193,14 @@ def _eval_queries() -> dict[str, tuple[Callable, str | None]]:
         "ev_scores": (
             lambda sf: eval_scores(_ctx(sf)).map_batches(_int64, batch_format="pyarrow"),
             oracle.sql_eval_scores(cfg),
+        ),
+        # McNemar-style paired test vs the best competitor (sign counts +
+        # exact-rational chi-square — the corpus-wide significance readout)
+        "ev_mcnemar": (
+            lambda sf: __import__(
+                "ahrd_ray.stages.evaluate", fromlist=["x"]
+            ).mcnemar_vs_competitor(_ctx(sf)),
+            oracle.sql_mcnemar(cfg),
         ),
         # map-reduce Poisson bootstrap: the eval-score confidence
         # distribution without any global resample index (weights are

@@ -768,3 +768,17 @@ def read_documents_sqlite(sf_dir: str) -> ray.data.Dataset:
         return pa.concat_tables(tables) if tables else DOC_SCHEMA.empty_table()
 
     return ds.map_batches(parse, batch_format="pyarrow")
+
+
+def read_documents_filtered(sf_dir: str) -> ray.data.Dataset:
+    """Row-filter pushdown read: the predicate travels INTO the parquet
+    scan as an Arrow dataset expression, so row groups whose column
+    statistics exclude the range are never decoded — the row-level
+    companion to the partition pruning of ``read_documents_pruned``
+    ("prune at the read": only matching rows leave storage)."""
+    import pyarrow.dataset as pads
+
+    expr = (pads.field("lang") == "en") & (pads.field("n_chars") >= 200)
+    return ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=DOC_COLS, filter=expr
+    )

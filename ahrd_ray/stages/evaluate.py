@@ -412,3 +412,46 @@ def bootstrap_scores(ctx, n_resamples: int = BOOT_B) -> "ray.data.Dataset":
         .groupby("resample_id")
         .map_groups(final, batch_format="pandas")
     )
+
+
+def mcnemar_vs_competitor(ctx) -> "ray.data.Dataset":
+    """One-row McNemar-style paired comparison of our eval score vs the
+    best competitor: n_better / n_worse / n_tied doc counts and the exact
+    chi-square statistic as a rational (chi2_num / chi2_den =
+    (b-c)^2 / (b+c)) — the significance readout for "does the engine
+    actually beat the competitor corpus-wide" without a float in sight.
+    Map-side sign partials, one 3-int fold."""
+    import numpy as np
+    import pandas as pd
+
+    ev = eval_scores(ctx)
+
+    def partial(batch) -> "pd.DataFrame":
+        d = batch["delta"].to_numpy()
+        return pd.DataFrame(
+            {
+                "n_better": [int((d > 0).sum())],
+                "n_worse": [int((d < 0).sum())],
+                "n_tied": [int((d == 0).sum())],
+            }
+        )
+
+    def final(df: "pd.DataFrame") -> "pd.DataFrame":
+        b = int(df["n_better"].sum())
+        c = int(df["n_worse"].sum())
+        t = int(df["n_tied"].sum())
+        return pd.DataFrame(
+            {
+                "n_better": pd.Series([b], dtype="int64"),
+                "n_worse": pd.Series([c], dtype="int64"),
+                "n_tied": pd.Series([t], dtype="int64"),
+                "chi2_num": pd.Series([(b - c) ** 2], dtype="int64"),
+                "chi2_den": pd.Series([max(b + c, 1)], dtype="int64"),
+            }
+        )
+
+    return (
+        ev.map_batches(partial, batch_format="pyarrow")
+        .repartition(1)
+        .map_batches(final, batch_format="pandas", batch_size=None)
+    )
