@@ -1076,6 +1076,19 @@ grams AS (
 sh AS (SELECT doc_id, {_sql_polyhash('g')} AS sh FROM grams)"""
 
 
+def sql_ngram_novelty(n: int = 3) -> str:
+    """Document-novelty oracle (stages/dedup.ngram_novelty): per doc, its
+    distinct gram count and how many grams it introduces to the corpus
+    (min doc_id ownership)."""
+    return f"""WITH {_cte_shingles(n)},
+f AS (SELECT sh.sh, min(doc_id) AS first_doc FROM sh GROUP BY sh.sh)
+SELECT s.doc_id, CAST(count(*) AS BIGINT) AS n_ngrams,
+       CAST(sum(CASE WHEN s.doc_id = f.first_doc THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_novel
+FROM sh s JOIN f ON f.sh = s.sh
+GROUP BY s.doc_id"""
+
+
 def sql_minhash_lsh(
     n: int = 3, threshold: float = 0.5, source: str = "documents", prefix: str = ""
 ) -> str:

@@ -321,6 +321,12 @@ def _dedup_queries() -> dict[str, tuple[Callable, str | None]]:
             lambda sf: dd.ngram_jaccard_pairs(sf).map_batches(_int64, batch_format="pyarrow"),
             oracle.sql_ngram_jaccard_pairs(),
         ),
+        # document novelty for curation: grams a doc INTRODUCES to the
+        # corpus (min-doc_id ownership decided in the one shingle shuffle)
+        "dd_ngram_novelty": (
+            lambda sf: dd.ngram_novelty(sf),
+            oracle.sql_ngram_novelty(),
+        ),
         # asymmetric containment: small-doc-inside-big-doc duplication
         "dd_containment": (
             lambda sf: dd.ngram_containment_pairs(sf).map_batches(

@@ -1547,3 +1547,52 @@ def dedup_docs(sf_dir: str) -> ray.data.Dataset:
         .groupby("cluster_rep")
         .map_groups(final, batch_format="pandas")
     )
+
+
+def ngram_novelty(sf_dir: str, n: int = 3) -> "ray.data.Dataset":
+    """(doc_id, n_ngrams, n_novel) — document novelty for curation: how
+    many of a doc's distinct word-n-gram hashes appear in NO
+    lower-doc_id document (doc_id is ingest order, so "novel" = first
+    introduction of that n-gram to the corpus).  High-novelty docs are
+    the information-dense keepers; near-zero novelty marks template spam
+    the near-dup passes may still miss.
+
+    Shape: ONE shingle-hash shuffle decides first-ownership per gram and
+    emits per-doc count partials in the same group pass (no join back to
+    the shingle table); a slim doc-hash fold sums the partials."""
+    import pandas as pd
+
+    shingles = _shingle_dataset(sf_dir, n)
+    n_parts = n_hash_parts()
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        sp = (batch["sh"].to_numpy() % n_parts).astype(np.int32)
+        return batch.append_column("spart", pa.array(sp, type=pa.int32()))
+
+    def per_gram(df: pd.DataFrame) -> pd.DataFrame:
+        first = df.groupby("sh")["doc_id"].transform("min")
+        out = pd.DataFrame(
+            {
+                "doc_id": df["doc_id"],
+                "n_ngrams": np.int64(1),
+                "n_novel": (df["doc_id"].to_numpy() == first.to_numpy()).astype(
+                    np.int64
+                ),
+            }
+        )
+        out = out.groupby("doc_id", as_index=False).sum()
+        out["dpart"] = (out["doc_id"] % n_parts).astype("int32")
+        return out
+
+    return (
+        shingles.map_batches(add_part, batch_format="pyarrow")
+        .groupby("spart")
+        .map_groups(per_gram, batch_format="pandas")
+        .groupby("dpart")
+        .map_groups(
+            lambda df: df.groupby("doc_id", as_index=False)[
+                ["n_ngrams", "n_novel"]
+            ].sum(),
+            batch_format="pandas",
+        )
+    )

@@ -164,3 +164,45 @@ def test_paragraph_minhash_pairs_brute_force_verified():
         b = sh_set(para(int(r.doc_b), int(r.para_b)))
         want = len(a & b) / len(a | b)
         assert r.jaccard == want and r.jaccard >= 0.5
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_ngram_novelty_brute_force():
+    """Novelty counts equal a brute-force first-ownership replay over the
+    distinct shingle sets; doc 0 is fully novel, totals conserve."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    from ahrd_ray.stages.dedup import ngram_novelty, shingle_explode
+
+    sf = "/root/testdata/sf0.001"
+    got = (
+        ngram_novelty(sf)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    docs = pd.read_parquet(f"{sf}/documents.parquet", columns=["doc_id", "text"])
+    rows, g = shingle_explode(pa.array(docs["text"]), 3)
+    ids = docs["doc_id"].to_numpy()[rows]
+    df = pd.DataFrame({"doc_id": ids, "sh": g.astype(np.int64)})
+    first = df.groupby("sh")["doc_id"].transform("min")
+    truth = (
+        pd.DataFrame(
+            {
+                "doc_id": df["doc_id"],
+                "n_ngrams": 1,
+                "n_novel": (df["doc_id"] == first).astype(int),
+            }
+        )
+        .groupby("doc_id", as_index=False)
+        .sum()
+        .astype({"n_ngrams": "int64", "n_novel": "int64"})
+    )
+    assert int(truth.loc[truth["doc_id"] == 0, "n_novel"].iloc[0]) == int(
+        truth.loc[truth["doc_id"] == 0, "n_ngrams"].iloc[0]
+    )
+    # total novel grams == number of distinct grams corpus-wide
+    assert truth["n_novel"].sum() == df["sh"].nunique()
+    pd.testing.assert_frame_equal(got, truth[got.columns])
