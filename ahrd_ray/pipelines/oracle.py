@@ -788,6 +788,24 @@ FROM t CROSS JOIN ev e
 GROUP BY t.thr"""
 
 
+def sql_eval_by_lang(cfg: EngineConfig) -> str:
+    """Per-language eval summary (evaluate.eval_scores_by_lang): the full
+    ev_scores chain joined back to the documents language, exact q20 unit
+    sums per lang, the engine's fixed-order mean divisions."""
+    return f"""WITH ev AS ({sql_eval_scores(cfg)}),
+j AS (
+  SELECT d.lang,
+         CAST(floor(ev.eval_score * {QUANT!r} + 0.5) AS BIGINT) AS ue,
+         CAST(floor(ev.best_comp_score * {QUANT!r} + 0.5) AS BIGINT) AS uc
+  FROM ev JOIN documents d ON d.doc_id = ev.doc_id)
+SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(ue) AS DOUBLE) / CAST(count(*) AS DOUBLE) / {QUANT!r}
+         AS mean_eval,
+       CAST(sum(uc) AS DOUBLE) / CAST(count(*) AS DOUBLE) / {QUANT!r}
+         AS mean_best_comp
+FROM j GROUP BY lang"""
+
+
 def sql_mcnemar(cfg: EngineConfig) -> str:
     """Paired-comparison oracle (evaluate.mcnemar_vs_competitor): sign
     counts over the ev_scores delta column, chi-square as an exact

@@ -1200,6 +1200,15 @@ def _eval_queries() -> dict[str, tuple[Callable, str | None]]:
             lambda sf: eval_scores(_ctx(sf)).map_batches(_int64, batch_format="pyarrow"),
             oracle.sql_eval_scores(cfg),
         ),
+        # eval summary broken down by document language — the per-slice
+        # readout a multilingual corpus owner reads (global means hide
+        # slice regressions); lang rides the existing doc-keyed join
+        "ev_by_lang": (
+            lambda sf: __import__(
+                "ahrd_ray.stages.evaluate", fromlist=["x"]
+            ).eval_scores_by_lang(_ctx(sf)),
+            oracle.sql_eval_by_lang(cfg),
+        ),
         # McNemar-style paired test vs the best competitor (sign counts +
         # exact-rational chi-square — the corpus-wide significance readout)
         "ev_mcnemar": (

@@ -231,9 +231,11 @@ def eval_lists_partition(
     ).astype({"doc_id": "int64", "winner_ord": "int64"})
 
 
-def eval_scores(ctx, from_pages: bool = False) -> ray.data.Dataset:
+def eval_scores(ctx, from_pages: bool = False, with_lang: bool = False) -> ray.data.Dataset:
     """Per-doc evaluation table over ALL documents (docs without candidates
-    score 0 everywhere)."""
+    score 0 everywhere).  ``with_lang`` carries the document language
+    through the existing doc-keyed join (no extra exchange) for per-slice
+    summaries."""
     from ahrd_ray.pipelines.kg import candidates_dataset
 
     catalog_ref = ctx.catalog_ref
@@ -249,7 +251,8 @@ def eval_scores(ctx, from_pages: bool = False) -> ray.data.Dataset:
         .map_groups(fn, batch_format="pandas")
     )
 
-    docs = ray.data.read_parquet(f"{ctx.sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    doc_cols = ["doc_id", "text"] + (["lang"] if with_lang else [])
+    docs = ray.data.read_parquet(f"{ctx.sf_dir}/documents.parquet", columns=doc_cols)
     from ahrd_ray.stages.partitioning import join_parts
 
     joined = docs.join(
@@ -270,15 +273,16 @@ def eval_scores(ctx, from_pages: bool = False) -> ray.data.Dataset:
         gold_df = pd.DataFrame({"row": grow, "token": gtok})
         scores = score_ord_kinds(df, bundle, gold_df, n_gold)
         e, best, hp = scores["e"], scores["best"], scores["hp"]
-        return pd.DataFrame(
-            {
-                "doc_id": df["doc_id"].to_numpy(dtype=np.int64),
-                "eval_score": e,
-                "best_comp_score": best,
-                "delta": e - best,
-                "highest_possible": hp,
-            }
-        )
+        out = {
+            "doc_id": df["doc_id"].to_numpy(dtype=np.int64),
+            "eval_score": e,
+            "best_comp_score": best,
+            "delta": e - best,
+            "highest_possible": hp,
+        }
+        if with_lang:
+            out["lang"] = df["lang"].to_numpy()
+        return pd.DataFrame(out)
 
     return joined.map_batches(finish, batch_format="pandas")
 
@@ -454,4 +458,48 @@ def mcnemar_vs_competitor(ctx) -> "ray.data.Dataset":
         ev.map_batches(partial, batch_format="pyarrow")
         .repartition(1)
         .map_batches(final, batch_format="pandas", batch_size=None)
+    )
+
+
+def eval_scores_by_lang(ctx) -> "ray.data.Dataset":
+    """(lang, n_docs, mean_eval, mean_best_comp) — the eval summary
+    BROKEN DOWN by document language: the per-slice quality readout a
+    multilingual corpus owner actually reads (a global mean hides a
+    slice regression).  Exact q20 unit sums per lang, one dim-sized
+    fold, fixed-order mean divisions."""
+    import numpy as np
+    import pandas as pd
+
+    from ahrd_ray.config import QUANT
+
+    ev = eval_scores(ctx, with_lang=True)
+
+    def partial(batch) -> "pd.DataFrame":
+        df = pd.DataFrame(
+            {
+                "lang": batch["lang"].to_pylist(),
+                "u_eval": np.floor(
+                    batch["eval_score"].to_numpy() * QUANT + 0.5
+                ).astype(np.int64),
+                "u_comp": np.floor(
+                    batch["best_comp_score"].to_numpy() * QUANT + 0.5
+                ).astype(np.int64),
+                "n_docs": np.ones(len(batch), dtype=np.int64),
+            }
+        )
+        return df.groupby("lang", as_index=False).sum()
+
+    def final(df: "pd.DataFrame") -> "pd.DataFrame":
+        g = df.groupby("lang", as_index=False)[["u_eval", "u_comp", "n_docs"]].sum()
+        n = g["n_docs"].to_numpy(np.float64)
+        g["mean_eval"] = g["u_eval"].to_numpy(np.float64) / n / QUANT
+        g["mean_best_comp"] = g["u_comp"].to_numpy(np.float64) / n / QUANT
+        return g[["lang", "n_docs", "mean_eval", "mean_best_comp"]].astype(
+            {"n_docs": "int64"}
+        )
+
+    return (
+        ev.map_batches(partial, batch_format="pyarrow")
+        .groupby("lang")
+        .map_groups(final, batch_format="pandas")
     )
