@@ -2605,6 +2605,33 @@ SELECT CAST(label AS BIGINT) AS label, j, n,
 FROM agg"""
 
 
+def sql_centroid_assign() -> str:
+    """Nearest-class-prototype assignment (simsearch.centroid_assign):
+    per-label centroids trunc-divided onto the 2^-10 grid (DuckDB ``//``
+    truncates toward zero — the kmeans convention), exact int64 squared
+    distances, ties to the smaller label."""
+    return """WITH comp AS (
+  SELECT vec_id, CAST(label AS BIGINT) AS label,
+         generate_subscripts(embedding, 1) - 1 AS j,
+         CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1024.0 + 0.5) AS BIGINT) AS u
+  FROM embeddings
+),
+cent AS (
+  SELECT label, j, CAST(sum(u) // count(*) AS BIGINT) AS cu
+  FROM comp GROUP BY 1, 2
+),
+d AS (
+  SELECT c.vec_id, ct.label AS pred,
+         CAST(sum((c.u - ct.cu) * (c.u - ct.cu)) AS BIGINT) AS dist
+  FROM comp c JOIN cent ct ON ct.j = c.j
+  GROUP BY 1, 2
+)
+SELECT vec_id, CAST(pred AS BIGINT) AS pred_label, dist AS dist_units FROM (
+  SELECT *, row_number() OVER (PARTITION BY vec_id
+                               ORDER BY dist ASC, pred ASC) AS rn
+  FROM d) WHERE rn = 1"""
+
+
 def sql_kmeans(k: int | None = None, iters: int | None = None) -> str:
     """Unrolled Lloyd iterations (stages/simsearch.kmeans_embeddings).
     Centroids stay on the 2^-10 grid (HUGEINT sum truncate-divided by the

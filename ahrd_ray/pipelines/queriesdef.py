@@ -443,6 +443,12 @@ def _dedup_queries() -> dict[str, tuple[Callable, str | None]]:
             lambda sf: ss.cosine_topk_ivf(sf).map_batches(_int64, batch_format="pyarrow"),
             oracle.sql_cosine_topk_ivf(),
         ),
+        # nearest-class-prototype assignment (the linear model-based
+        # filtering shape): grid-quantized centroids, exact int distances
+        "sim_centroid_assign": (
+            lambda sf: ss.centroid_assign(sf),
+            oracle.sql_centroid_assign(),
+        ),
         # PQ ANN: seed-subvector codebooks, one-byte-per-subspace codes,
         # broadcast ADC lookup tables — the memory-bound serving scale path
         "sim_pq_topk": (

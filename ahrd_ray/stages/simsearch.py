@@ -816,3 +816,82 @@ def pq_topk(sf_dir: str, k: int = 5, every: int = 50) -> ray.data.Dataset:
         return df[["query_id", "neighbor_id", "rank", "adc_units"]]
 
     return partial.groupby("query_id").map_groups(final_topk, batch_format="pandas")
+
+
+def centroid_assign(sf_dir: str) -> ray.data.Dataset:
+    """(vec_id, pred_label, dist_units) — nearest-class-prototype
+    assignment: every embedding is classified to its closest per-label
+    centroid (the linear model-based filtering shape: train a prototype
+    per label, route or filter docs by nearest class).  Centroids are
+    TRUNC-DIVIDED onto the 2^-10 grid (the kmeans exactness convention),
+    so every distance is an exact int64 sum and the argmin is
+    order-independent; ties break to the smaller label.
+
+    Shape: per-(label, dim) unit sums aggregate map-side (|labels| x dim
+    partial rows — dim-table-sized) and fold to a broadcast centroid
+    matrix; assignment is one matmul-free exact integer distance pass per
+    batch.  The corpus never shuffles."""
+    import ray
+
+    emb = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding", "label"]
+    )
+
+    def sums_partial(batch: pa.Table) -> pa.Table:
+        ids, m = _emb_matrix(batch)
+        units = np.floor(m * EMB_QUANT + 0.5).astype(np.int64)
+        labels = batch["label"].to_numpy()
+        lab_u, inv = np.unique(labels, return_inverse=True)
+        dim = units.shape[1]
+        sums = np.zeros((len(lab_u), dim), dtype=np.int64)
+        np.add.at(sums, inv, units)
+        counts = np.bincount(inv, minlength=len(lab_u)).astype(np.int64)
+        return pa.table(
+            {
+                "label": pa.array(np.repeat(lab_u, dim).astype(np.int64)),
+                "j": pa.array(np.tile(np.arange(dim, dtype=np.int64), len(lab_u))),
+                "units": pa.array(sums.reshape(-1)),
+                "n": pa.array(np.repeat(counts, dim)),
+            }
+        )
+
+    # dim-table-sized fold: |labels| x dim rows
+    agg: dict[tuple[int, int], tuple[int, int]] = {}
+    for b in emb.map_batches(
+        sums_partial, batch_format="pyarrow", zero_copy_batch=True
+    ).iter_batches(batch_format="pyarrow"):
+        for lab, j, u, n in zip(
+            b["label"].to_numpy(), b["j"].to_numpy(),
+            b["units"].to_numpy(), b["n"].to_numpy(),
+        ):
+            pu, pn = agg.get((lab, j), (0, 0))
+            agg[(lab, j)] = (pu + int(u), pn + int(n))
+    labels = sorted({lab for lab, _ in agg})
+    dim = 1 + max(j for _, j in agg)
+    cents = np.zeros((len(labels), dim), dtype=np.int64)
+    for li, lab in enumerate(labels):
+        for j in range(dim):
+            u, n = agg[(lab, j)]
+            cents[li, j] = _truncdiv(np.array([u]), np.array([n]))[0]
+    state_ref = ray.put((np.asarray(labels, dtype=np.int64), cents))
+
+    def assign(batch: pa.Table) -> pa.Table:
+        from ahrd_ray.stages.score import get_broadcast
+
+        labs, c = get_broadcast(state_ref)
+        ids, m = _emb_matrix(batch)
+        units = np.floor(m * EMB_QUANT + 0.5).astype(np.int64)
+        # exact int64 distances: (x - c)^2 summed over <=64 dims
+        d = ((units[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+        best = d.argmin(axis=1)  # first min -> smallest label (labs sorted)
+        return pa.table(
+            {
+                "vec_id": pa.array(ids, type=pa.int64()),
+                "pred_label": pa.array(labs[best], type=pa.int64()),
+                "dist_units": pa.array(
+                    d[np.arange(len(ids)), best], type=pa.int64()
+                ),
+            }
+        )
+
+    return emb.map_batches(assign, batch_format="pyarrow", zero_copy_batch=True)

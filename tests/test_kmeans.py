@@ -115,3 +115,47 @@ def test_pq_topk_recall_and_exactness():
     pd.testing.assert_frame_equal(got, truth[got.columns])
     # sanity: codes use more than one centroid per subspace
     assert all(len(np.unique(codes[:, mi])) > 1 for mi in range(PQ_M))
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_centroid_assign_brute_force():
+    """Assignments equal a brute-force numpy replay (grid-quantized
+    centroids, trunc division, exact int distances); the classifier is
+    non-trivial (predictions use more than one label; a decent fraction
+    recovers the true label — prototypes carry signal)."""
+    import numpy as np
+    import pandas as pd
+
+    from ahrd_ray.stages.simsearch import EMB_QUANT, _truncdiv, centroid_assign
+
+    sf = "/root/testdata/sf0.001"
+    got = (
+        centroid_assign(sf).to_pandas().sort_values("vec_id").reset_index(drop=True)
+    )
+    emb = pd.read_parquet(f"{sf}/embeddings.parquet")
+    m = np.vstack([np.asarray(v, np.float64) for v in emb["embedding"]])
+    units = np.floor(m * EMB_QUANT + 0.5).astype(np.int64)
+    labels = np.sort(emb["label"].unique())
+    cents = np.vstack(
+        [
+            _truncdiv(
+                units[emb["label"].to_numpy() == lab].sum(axis=0),
+                np.full(units.shape[1], (emb["label"] == lab).sum(), dtype=np.int64),
+            )
+            for lab in labels
+        ]
+    )
+    d = ((units[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+    best = d.argmin(axis=1)
+    truth = pd.DataFrame(
+        {
+            "vec_id": emb["vec_id"].to_numpy(),
+            "pred_label": labels[best].astype(np.int64),
+            "dist_units": d[np.arange(len(emb)), best].astype(np.int64),
+        }
+    ).sort_values("vec_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, truth[got.columns])
+    assert got["pred_label"].nunique() > 1
+    acc = (got["pred_label"].to_numpy() ==
+           emb.sort_values("vec_id")["label"].to_numpy()).mean()
+    assert acc > 1.5 / len(labels)  # beats chance with margin
